@@ -1,0 +1,96 @@
+"""Crawl configuration.
+
+One flat dataclass mirroring the knobs the reference reads from
+``conf/nutch-default.xml`` (values cited per field). Everything is plain
+data so a config broadcast (``ray.put``) ships once per job, not per
+batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+@dataclass
+class CrawlConfig:
+    # --- partitioning ------------------------------------------------------
+    num_partitions: int = 16  # hash(host) % P; P = fetch-actor parallelism
+    partition_mode: str = "byHost"  # partition.url.mode (byHost|byDomain)
+    partition_seed: int = 42  # Generator passes a per-run seed (Generator.java:1034)
+
+    # --- inject (Injector.java:209-348, conf defaults) ---------------------
+    score_injected: float = 1.0  # db.score.injected
+    interval_default: int = 2_592_000  # db.fetch.interval.default (30 d)
+    interval_max: int = 7_776_000  # db.fetch.interval.max (90 d)
+    inject_overwrite: bool = False
+    inject_update: bool = False
+
+    # --- generate (Generator.java) ----------------------------------------
+    topn: int = 50_000  # --size-fetchlist (src/bin/crawl:132)
+    gen_count_mode: str = "host"  # generate.count.mode (host|domain)
+    gen_max_count: int = -1  # generate.max.count (-1 = unlimited)
+    gen_min_score: float = 0.0  # generate.min.score
+    gen_delay_ms: int = 7 * 24 * 3600 * 1000  # crawl.gen.delay (7 d, Generator.java:238-244)
+    gen_update_crawldb: bool = False  # generate.update.crawldb
+    gen_max_interval: int = -1  # generate.max.fetch.interval override filter
+
+    # --- fetch (Fetcher*, conf) -------------------------------------------
+    server_delay_s: float = 5.0  # fetcher.server.delay
+    min_crawl_delay_s: float = 0.0  # fetcher.server.min.delay
+    max_crawl_delay_s: float = 30.0  # fetcher.max.crawl.delay (robots delay > this => skip)
+    max_redirects: int = 0  # http.redirect.max (0 = record redirect, don't follow)
+    retry_max: int = 3  # db.fetch.retry.max
+    content_limit: int = 1_048_576  # http.content.limit
+    max_exceptions_per_queue: int = -1  # fetcher.max.exceptions.per.queue
+    timelimit_mins: float = -1.0  # fetcher.timelimit.mins
+    store_content: bool = True
+    real_sleep: bool = False  # tests only: actually sleep the politeness delay
+
+    # --- parse / outlinks (ParseOutputFormat.java) -------------------------
+    max_outlinks_per_page: int = 100  # db.max.outlinks.per.page
+    ignore_internal_links: bool = False  # db.ignore.internal.links
+    ignore_external_links: bool = False  # db.ignore.external.links
+    score_internal_factor: float = 1.0  # db.score.link.internal
+    score_external_factor: float = 1.0  # db.score.link.external
+    interval_parse_md: bool = False
+
+    # --- updatedb (CrawlDbReducer.java) ------------------------------------
+    additions_allowed: bool = True  # db.update.additions.allowed
+    max_inlinks: int = 10_000  # db.update.max.inlinks
+    schedule: str = "default"  # db.fetch.schedule.class (default|adaptive)
+    purge_404: bool = False  # db.update.purge.404
+    purge_orphans: bool = False
+
+    # --- adaptive schedule (AdaptiveFetchSchedule.java:82-146) -------------
+    adaptive_inc_rate: float = 0.4  # db.fetch.schedule.adaptive.inc_rate
+    adaptive_dec_rate: float = 0.2  # db.fetch.schedule.adaptive.dec_rate
+    adaptive_min_interval: float = 60.0
+    adaptive_max_interval: float = 31_536_000.0  # 365 d
+    adaptive_sync_delta: bool = True
+    adaptive_sync_delta_rate: float = 0.3
+
+    # --- signatures (SignatureFactory, TextProfileSignature.java) ----------
+    signature_impl: str = "md5"  # md5 | text_md5 | text_profile
+    tp_min_token_len: int = 2  # db.signature.text_profile.min_token_len
+    tp_quant_rate: float = 0.01  # db.signature.text_profile.quant_rate
+
+    # --- dedup (DeduplicationJob.java:278) ---------------------------------
+    dedup_compare_order: tuple = ("httpsOverHttp", "score", "fetchTime", "urlLength")
+    dedup_group_mode: str = "none"  # none|host|domain
+
+    # --- linkdb ------------------------------------------------------------
+    linkdb_max_inlinks: int = 10_000  # linkdb.max.inlinks
+    linkdb_ignore_internal: bool = True  # linkdb.ignore.internal.links (LinkDb default)
+    linkdb_ignore_external: bool = False
+
+    # --- url filter / normalizer chains ------------------------------------
+    normalizers: tuple = ("basic", "regex")
+    filters: tuple = ("regex",)
+    filter_rules: tuple = ()  # extra (sign, regex) rules
+    extra: dict = field(default_factory=dict)
+
+    def with_(self, **kw) -> "CrawlConfig":
+        return replace(self, **kw)
+
+
+DEFAULT_CONFIG = CrawlConfig()

@@ -1,0 +1,152 @@
+"""URL filters: regex / prefix / suffix / domain chains.
+
+Re-implements the reference's filter plugins from observed semantics:
+
+- RegexURLFilter (src/plugin/urlfilter-regex/.../RegexURLFilter.java;
+  default rules conf/regex-urlfilter.txt.template): ordered ``+``/``-``
+  regex rules, FIRST match wins; no match => reject.
+- PrefixURLFilter / SuffixURLFilter (src/plugin/urlfilter-prefix,
+  urlfilter-suffix): accept only URLs with a listed prefix/suffix.
+- DomainURLFilter / DomainDenylistURLFilter (src/plugin/urlfilter-domain*):
+  accept (or reject) by host / domain membership.
+- URLFilters chain (net/URLFilters.java): filters applied in order; any
+  ``None`` (reject) drops the URL.
+
+Filters are pure ``str -> bool``; the chain exposes a vectorized
+``accept_many`` producing a numpy mask.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from .urlutil import get_domain, get_host
+
+# conf/regex-urlfilter.txt.template (uncommented rules)
+DEFAULT_REGEX_FILTER_RULES: list[tuple[str, str]] = [
+    ("-", r"^(?:file|ftp|mailto):"),
+    ("-", r"(?i)\.(?:gif|jpg|png|ico|css|sit|eps|wmf|zip|ppt|mpg|xls|gz|rpm|tgz|mov|exe|jpeg|bmp|js)$"),
+    ("-", r"[?*!@=]"),
+    ("-", r".*(/[^/]+)/[^/]+\1/[^/]+\1/"),
+    ("+", r"."),
+]
+
+
+class RegexURLFilter:
+    name = "regex"
+
+    def __init__(self, rules: list[tuple[str, str]] | None = None):
+        src = rules if rules is not None else DEFAULT_REGEX_FILTER_RULES
+        self.rules = [(sign == "+", re.compile(pat)) for sign, pat in src]
+
+    def __call__(self, url: str) -> bool:
+        for accept, pat in self.rules:
+            if pat.search(url):
+                return accept
+        return False
+
+
+class PrefixURLFilter:
+    name = "prefix"
+
+    def __init__(self, prefixes: tuple = ()):
+        self.prefixes = tuple(prefixes)
+
+    def __call__(self, url: str) -> bool:
+        return url.startswith(self.prefixes) if self.prefixes else False
+
+
+class SuffixURLFilter:
+    name = "suffix"
+
+    def __init__(self, suffixes: tuple = (), reject_matching: bool = True):
+        # reference default mode: listed suffixes are REJECTED (media exts)
+        self.suffixes = tuple(s.lower() for s in suffixes)
+        self.reject_matching = reject_matching
+
+    def __call__(self, url: str) -> bool:
+        hit = url.lower().endswith(self.suffixes) if self.suffixes else False
+        return not hit if self.reject_matching else hit
+
+
+class DomainURLFilter:
+    """Accept URLs whose host, domain or suffix appears in the allow set."""
+
+    name = "domain"
+
+    def __init__(self, allowed: tuple = ()):
+        self.allowed = frozenset(allowed)
+
+    def __call__(self, url: str) -> bool:
+        host = get_host(url)
+        return host in self.allowed or get_domain(host) in self.allowed
+
+
+class DomainDenylistURLFilter:
+    name = "domaindenylist"
+
+    def __init__(self, denied: tuple = ()):
+        self.denied = frozenset(denied)
+
+    def __call__(self, url: str) -> bool:
+        host = get_host(url)
+        return host not in self.denied and get_domain(host) not in self.denied
+
+
+class DescendantURLFilter:
+    """coherencebot's descendant-of-seed restriction (urlfilter-descendants):
+    accept only URLs that are path-descendants of a seed URL on the same
+    host. Seed set is broadcast to every worker (small side)."""
+
+    name = "descendants"
+
+    def __init__(self, seed_prefixes: tuple = ()):
+        norm = []
+        for s in seed_prefixes:
+            s = s.rstrip("/")
+            norm.append(s + "/")
+            norm.append(s)
+        self.prefixes = tuple(norm)
+
+    def __call__(self, url: str) -> bool:
+        return url.startswith(self.prefixes) if self.prefixes else False
+
+
+_REGISTRY = {
+    "regex": RegexURLFilter,
+    "prefix": PrefixURLFilter,
+    "suffix": SuffixURLFilter,
+    "domain": DomainURLFilter,
+    "domaindenylist": DomainDenylistURLFilter,
+    "descendants": DescendantURLFilter,
+}
+
+
+def register_filter(name: str, factory) -> None:
+    _REGISTRY[name] = factory
+
+
+class URLFilters:
+    """Ordered all-must-accept chain (net/URLFilters.java)."""
+
+    def __init__(self, names: tuple = ("regex",), instances: list | None = None, **kwargs):
+        if instances is not None:
+            self.chain = list(instances)
+        else:
+            self.chain = [_REGISTRY[n](**kwargs.get(n, {})) for n in names]
+
+    def accept(self, url: str) -> bool:
+        return all(f(url) for f in self.chain)
+
+    def accept_many(self, urls) -> np.ndarray:
+        memo: dict[str, bool] = {}
+        out = np.empty(len(urls), dtype=bool)
+        for i, u in enumerate(urls):
+            v = memo.get(u)
+            if v is None:
+                v = self.accept(u)
+                memo[u] = v
+            out[i] = v
+        return out

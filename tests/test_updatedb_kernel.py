@@ -1,0 +1,229 @@
+"""Port of TestCrawlDbStates.java — the updatedb state-machine matrix.
+
+Drives the vectorized merge kernel (coherencebot_ray.functions.updatedb)
+through every {schedule} × {db status incl. absent} × {fetch status incl.
+links-only} × {0..2 inlinks} combination and asserts the resulting db
+status, exactly as TestCrawlDbStates.testCrawlDbStateTransitionMatrix
+(reference: src/test/org/apache/nutch/crawl/TestCrawlDbStates.java:101-199).
+"""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from coherencebot_ray.config import CrawlConfig
+from coherencebot_ray.functions.updatedb import merge_partition
+from coherencebot_ray.model import CrawlStatus as CS
+
+CUR = 1_700_000_000_000  # deterministic "now" (ms)
+URL = "http://www.example.com/"
+DEFAULT_INTERVAL = 2_592_000
+
+
+def datum(status, fetch_time=CUR, retries=0, interval=DEFAULT_INTERVAL, score=1.0,
+          signature=None, modified=0, gen_time=0, fixed=0, meta=None, url=URL):
+    return {
+        "url": url,
+        "host": "www.example.com",
+        "part": 0,
+        "status": status,
+        "fetch_time": fetch_time,
+        "retries": retries,
+        "fetch_interval": interval,
+        "score": score,
+        "signature": signature,
+        "modified_time": modified,
+        "gen_time": gen_time,
+        "repr_url": None,
+        "fixed_interval": fixed,
+        "metadata": meta,
+    }
+
+
+def run(rows, schedule="default", **cfg_kw):
+    cfg = CrawlConfig(schedule=schedule, **cfg_kw)
+    df = pd.DataFrame(rows)
+    return merge_partition(df, cfg, CUR)
+
+
+LINKED_DATUM = dict(status=CS.LINKED, interval=DEFAULT_INTERVAL, score=0.1)
+
+# fetchDbStatusPairs (TestCrawlDbStates.java:69-79); None = absent
+FETCH_DB_PAIRS = [
+    (None, CS.DB_UNFETCHED),
+    (CS.FETCH_SUCCESS, CS.DB_FETCHED),
+    (CS.FETCH_GONE, CS.DB_GONE),
+    (CS.FETCH_REDIR_TEMP, CS.DB_REDIR_TEMP),
+    (CS.FETCH_REDIR_PERM, CS.DB_REDIR_PERM),
+    (CS.FETCH_NOTMODIFIED, CS.DB_NOTMODIFIED),
+    (CS.FETCH_RETRY, None),
+    (None, CS.DB_DUPLICATE),
+    (None, CS.DB_ORPHAN),
+]
+DB_STATUSES = [p[1] for p in FETCH_DB_PAIRS]  # includes None (not in db)
+DB_FROM = [None] + [s for s in DB_STATUSES if s is not None]
+
+
+@pytest.mark.parametrize("schedule", ["default", "adaptive"])
+def test_state_transition_matrix(schedule):
+    retry_max = 3
+    for from_db in DB_FROM:
+        for fetch_status, to_db in FETCH_DB_PAIRS:
+            if fetch_status is None and to_db is not None and from_db != to_db:
+                # the (None, DB_X) rows only enumerate db statuses; the
+                # links-only case is driven by fetch_status=None below
+                pass
+            expected = to_db
+            if fetch_status is None:
+                expected = CS.DB_UNFETCHED if from_db is None else from_db
+            elif fetch_status == CS.FETCH_RETRY:
+                expected = CS.DB_UNFETCHED  # retries start at 0 < retryMax
+            for n_links in (0, 1, 2):
+                if fetch_status is None and n_links == 0:
+                    continue  # nothing fetched needs >= 1 inlink
+                rows = []
+                if from_db is not None:
+                    rows.append(datum(from_db))
+                if fetch_status is not None:
+                    rows.append(datum(fetch_status, retries=0))
+                for _ in range(n_links):
+                    rows.append(datum(**LINKED_DATUM))
+                if not rows:
+                    continue
+                out = run(rows, schedule=schedule, retry_max=retry_max)
+                assert len(out) == 1, (
+                    f"{from_db}+{fetch_status}+{n_links} links -> {len(out)} rows"
+                )
+                got = out["status"].iloc[0]
+                assert got == expected, (
+                    f"schedule={schedule} db={CS.name(from_db) if from_db else '<absent>'} "
+                    f"fetch={CS.name(fetch_status) if fetch_status else '<links only>'} "
+                    f"links={n_links}: got {CS.name(got)} expected {CS.name(expected)}"
+                )
+
+
+def test_retry_counter_exhaustion():
+    """retry accumulates; at retryMax the URL goes GONE with gone schedule."""
+    out = run([datum(CS.DB_UNFETCHED, retries=2), datum(CS.FETCH_RETRY, retries=2)])
+    assert out["status"].iloc[0] == CS.DB_GONE
+    assert out["retries"].iloc[0] == 3
+    out = run([datum(CS.DB_UNFETCHED, retries=1), datum(CS.FETCH_RETRY, retries=1)])
+    assert out["status"].iloc[0] == CS.DB_UNFETCHED
+    assert out["retries"].iloc[0] == 2
+    # retry pushes next fetch 1 day out (AbstractFetchSchedule.java:146-151)
+    assert out["fetch_time"].iloc[0] == CUR + 86_400_000
+
+
+def test_signature_notmodified_detection():
+    """TestCrawlDbStates notModified analogue: same signature => DB_NOTMODIFIED,
+    different => DB_FETCHED (CrawlDbReducer.java:236-252)."""
+    sig = hashlib.md5(b"page").digest()
+    old = datum(CS.DB_FETCHED, signature=sig, modified=CUR - 1000)
+    fetch = datum(CS.FETCH_SUCCESS)
+    parse_sig = datum(CS.SIGNATURE, signature=sig)
+    out = run([old, fetch, parse_sig])
+    assert out["status"].iloc[0] == CS.DB_NOTMODIFIED
+    # NUTCH-1341: modifiedTime reset to previous
+    assert out["modified_time"].iloc[0] == CUR - 1000
+    assert out["signature"].iloc[0] == sig
+
+    sig2 = hashlib.md5(b"changed").digest()
+    out = run([old, fetch, datum(CS.SIGNATURE, signature=sig2)])
+    assert out["status"].iloc[0] == CS.DB_FETCHED
+    assert out["signature"].iloc[0] == sig2
+
+
+def test_adaptive_interval_shrinks_on_modified():
+    sig = hashlib.md5(b"v1").digest()
+    sig2 = hashlib.md5(b"v2").digest()
+    old = datum(CS.DB_FETCHED, signature=sig, interval=1000, modified=CUR)
+    fetch = datum(CS.FETCH_SUCCESS, interval=1000)
+    out = run([old, fetch, datum(CS.SIGNATURE, signature=sig2)], schedule="adaptive")
+    assert out["status"].iloc[0] == CS.DB_FETCHED
+    assert out["fetch_interval"].iloc[0] == 800  # 1000 * (1 - 0.2)
+
+
+def test_gone_schedule_applied():
+    old = datum(CS.DB_UNFETCHED, interval=1000)
+    out = run([old, datum(CS.FETCH_GONE, interval=1000)])
+    assert out["status"].iloc[0] == CS.DB_GONE
+    assert out["fetch_interval"].iloc[0] == 1500
+    assert out["fetch_time"].iloc[0] == CUR + 1500 * 1000
+
+
+def test_orphan_row_kept_unchanged():
+    old = datum(CS.DB_FETCHED, gen_time=123, score=2.5)
+    out = run([old])
+    assert len(out) == 1
+    assert out["status"].iloc[0] == CS.DB_FETCHED
+    assert out["gen_time"].iloc[0] == 123  # orphan path keeps _ngt_
+    assert out["score"].iloc[0] == pytest.approx(2.5)
+
+
+def test_additions_not_allowed_drops_new():
+    """db.update.additions.allowed=false (CrawlDbReducer.java:145-146)."""
+    out = run([datum(**LINKED_DATUM)], additions_allowed=False)
+    assert len(out) == 0
+    # existing rows still processed
+    out = run(
+        [datum(CS.DB_UNFETCHED), datum(CS.FETCH_SUCCESS)], additions_allowed=False
+    )
+    assert out["status"].iloc[0] == CS.DB_FETCHED
+
+
+def test_opic_score_accumulation():
+    """OPICScoringFilter.updateDbScore: score = old.score + Σ link scores."""
+    old = datum(CS.DB_FETCHED, score=1.0)
+    fetch = datum(CS.FETCH_SUCCESS, score=1.0)
+    links = [datum(CS.LINKED, score=0.25), datum(CS.LINKED, score=0.5)]
+    out = run([old, fetch] + links)
+    assert out["score"].iloc[0] == pytest.approx(1.75)
+    # new page discovered only via links: initialScore 0 + contributions
+    out = run(links)
+    assert out["status"].iloc[0] == CS.DB_UNFETCHED
+    assert out["score"].iloc[0] == pytest.approx(0.75)
+    assert out["fetch_time"].iloc[0] == CUR  # initializeSchedule sets "now"
+
+
+def test_inlink_cap_top_k():
+    """db.update.max.inlinks: only top-k scores counted (CrawlDbReducer.java:328-341)."""
+    links = [datum(CS.LINKED, score=s) for s in (0.5, 0.1, 0.4, 0.3, 0.2)]
+    out = run([datum(CS.DB_FETCHED, score=0.0), datum(CS.FETCH_SUCCESS)] + links, max_inlinks=3)
+    assert out["score"].iloc[0] == pytest.approx(0.5 + 0.4 + 0.3)
+
+
+def test_latest_fetch_wins():
+    f1 = datum(CS.FETCH_GONE, fetch_time=CUR - 10_000)
+    f2 = datum(CS.FETCH_SUCCESS, fetch_time=CUR)
+    out = run([datum(CS.DB_UNFETCHED), f1, f2])
+    assert out["status"].iloc[0] == CS.DB_FETCHED
+
+
+def test_force_refetch_on_excessive_interval():
+    """interval > db.fetch.interval.max triggers forceRefetch (CrawlDbReducer.java:280-281)."""
+    old = datum(CS.DB_FETCHED, interval=8_000_000)
+    fetch = datum(CS.FETCH_SUCCESS, interval=8_000_000)
+    out = run([old, fetch])
+    assert out["status"].iloc[0] == CS.DB_UNFETCHED
+    assert out["fetch_interval"].iloc[0] == round(7_776_000 * 0.9)
+    assert out["signature"].iloc[0] is None
+
+
+def test_gen_time_stripped():
+    out = run([datum(CS.DB_UNFETCHED, gen_time=555), datum(CS.FETCH_SUCCESS, gen_time=555)])
+    assert out["gen_time"].iloc[0] == 0
+
+
+def test_multiple_urls_in_partition():
+    rows = (
+        [datum(CS.DB_UNFETCHED, url="http://a.com/1"), datum(CS.FETCH_SUCCESS, url="http://a.com/1")]
+        + [datum(CS.DB_FETCHED, url="http://a.com/2")]
+        + [datum(CS.LINKED, url="http://b.com/new", score=0.1)]
+    )
+    out = run(rows).set_index("url")
+    assert out.loc["http://a.com/1", "status"] == CS.DB_FETCHED
+    assert out.loc["http://a.com/2", "status"] == CS.DB_FETCHED
+    assert out.loc["http://b.com/new", "status"] == CS.DB_UNFETCHED
+    assert len(out) == 3
