@@ -1,0 +1,132 @@
+"""Deterministic synthetic inputs (FIXTURES.md tiers).
+
+- ``synth_frontier``: frontier table with Zipf-skewed host sizes
+  (FIXTURES §F1: t1=101 rows/1 host, t2=10k rows/~200 hosts with one
+  mega-host, bench=10^6+). Pure function of (n_urls, n_hosts, seed).
+- ``synth_seeds``: seed lines incl. metadata cases (FIXTURES §F2).
+- ``synth_docs``: interleaved text+media documents in the input_hint
+  shape (doc_id, spans list<struct>) — span content is a pure function
+  of hash(doc_id), so the oracle regenerates expected spans instead of
+  storing blobs (FIXTURES §F3).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import CrawlConfig
+from ..functions.urlutil import domains_of, partition_for_hosts
+from ..model import DOCS_SCHEMA, FRONTIER_SCHEMA, CrawlStatus as CS
+
+EPOCH = 1_700_000_000_000  # fixed "now" for deterministic fixtures (ms)
+
+
+def _md5i(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+
+
+def synth_frontier(
+    n_urls: int,
+    n_hosts: int,
+    cfg: CrawlConfig | None = None,
+    seed: int = 42,
+    cur_time_ms: int = EPOCH,
+    zipf_a: float = 1.3,
+) -> pa.Table:
+    """Zipf host sizes; scores/status deterministic per URL index."""
+    cfg = cfg or CrawlConfig()
+    rng = np.random.default_rng(seed)
+    if n_hosts == 1:
+        host_idx = np.zeros(n_urls, dtype=np.int64)
+    else:
+        w = 1.0 / np.arange(1, n_hosts + 1) ** zipf_a
+        w /= w.sum()
+        host_idx = rng.choice(n_hosts, size=n_urls, p=w)
+    host_idx.sort()
+    seq_in_host = np.zeros(n_urls, dtype=np.int64)
+    # per-host running index (vectorized)
+    change = np.r_[True, host_idx[1:] != host_idx[:-1]]
+    starts = np.flatnonzero(change)
+    seq = np.arange(n_urls)
+    seq_in_host = seq - np.repeat(seq[starts], np.diff(np.r_[starts, n_urls]))
+
+    hosts = np.array([f"host{h}.example" for h in host_idx], dtype=object)
+    urls = np.array(
+        [f"http://host{h}.example/page/{s}" for h, s in zip(host_idx, seq_in_host)],
+        dtype=object,
+    )
+    score = ((np.array([_md5i(u) for u in urls]) % 10_000) / 10_000.0).astype(np.float32)
+    parts = partition_for_hosts(hosts, cfg.num_partitions, cfg.partition_seed, cfg.partition_mode)
+    return pa.table(
+        {
+            "url": urls,
+            "host": hosts,
+            "domain": domains_of(hosts).to_numpy(dtype=object),
+            "part": parts.astype(np.int32),
+            "status": np.full(n_urls, CS.DB_UNFETCHED, dtype=np.uint8),
+            "fetch_time": np.full(n_urls, cur_time_ms - 1000, dtype=np.int64),
+            "retries": np.zeros(n_urls, dtype=np.uint8),
+            "fetch_interval": np.full(n_urls, cfg.interval_default, dtype=np.int32),
+            "score": score,
+            "signature": pa.array([None] * n_urls, type=pa.binary()),
+            "modified_time": np.zeros(n_urls, dtype=np.int64),
+            "gen_time": np.zeros(n_urls, dtype=np.int64),
+            "repr_url": pa.array([None] * n_urls, type=pa.string()),
+            "fixed_interval": np.zeros(n_urls, dtype=np.int32),
+            "metadata": pa.array([None] * n_urls, type=pa.string()),
+        },
+        schema=FRONTIER_SCHEMA,
+    )
+
+
+def synth_seeds(n: int, n_hosts: int = 10, with_meta_every: int = 5) -> list[str]:
+    lines = ["# synthetic seed list"]
+    for i in range(n):
+        url = f"http://host{i % n_hosts}.example/page/{i}"
+        if with_meta_every and i % with_meta_every == 0:
+            lines.append(f"{url}\tnutch.score=2.0\tcollection=c{i % 3}")
+        else:
+            lines.append(url)
+    return lines
+
+
+SPAN_KINDS = ("title", "heading", "text", "media", "link")
+
+
+def expected_spans(doc_id: str) -> list[dict]:
+    """Pure function hash(doc_id) -> span sequence; the test oracle calls
+    this same function (golden = regenerate)."""
+    h = _md5i(doc_id)
+    n_spans = 3 + h % 5
+    spans = []
+    x = h
+    for i in range(n_spans):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        if i == 0:
+            kind = "title"
+        elif x % 5 == 0:
+            kind = "media"
+        elif x % 7 == 0:
+            kind = "link"
+        elif x % 3 == 0:
+            kind = "heading"
+        else:
+            kind = "text"
+        text = f"{kind} span {x % 100000} of {doc_id}" if kind not in ("media",) else ""
+        media_ref = (
+            f"http://assets.example/{x % 99999}.png"
+            if kind == "media"
+            else (f"http://host{x % 50}.example/page/{x % 1000}" if kind == "link" else "")
+        )
+        spans.append({"kind": kind, "text": text, "media_ref": media_ref, "offset": i})
+    return spans
+
+
+def synth_docs(n_docs: int) -> pa.Table:
+    doc_ids = [f"doc-{i:06d}" for i in range(n_docs)]
+    spans = [expected_spans(d) for d in doc_ids]
+    return pa.table({"doc_id": doc_ids, "spans": spans}, schema=DOCS_SCHEMA)
