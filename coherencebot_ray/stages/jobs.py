@@ -1,0 +1,339 @@
+"""Auxiliary crawl-db jobs: dedup, invertlinks, hostdb, readdb, mergedb,
+indexer join — each a small Ray Data pipeline over the frontier /
+segment datasets.
+
+References: DeduplicationJob.java:63-411, LinkDb.java, UpdateHostDb*,
+CrawlDbReader.java:336-1115, CrawlDbMerger.java:66-239,
+IndexerMapReduce.java:73-498.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..config import CrawlConfig
+from ..functions.dedup import mark_duplicates_in_group
+from ..functions.schedules import calculate_last_fetch_time
+from ..functions.urlutil import domains_of
+from ..model import CrawlStatus as CS
+
+# ---------------------------------------------------------------------------
+# J9 DeduplicationJob: shuffle by signature, fold winners, mark losers
+# ---------------------------------------------------------------------------
+
+
+def dedup(frontier_ds, cfg: CrawlConfig):
+    """Returns the frontier with losers marked STATUS_DB_DUPLICATE.
+
+    Two shuffles like the reference's two jobs (DeduplicationJob.java:63-411):
+    groupby(signature-key) to decide, then groupby(part) merge-back.
+    """
+    group_mode = cfg.dedup_group_mode
+    compare_order = cfg.dedup_compare_order
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["status"].isin([CS.DB_FETCHED, CS.DB_NOTMODIFIED]) & df["signature"].notna()
+        d = df[m][["url", "host", "domain", "part", "score", "fetch_time", "signature"]].copy()
+        if len(d) == 0:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="object") for c in ["url", "part", "score", "fetch_time", "sig_key"]}
+            )
+        key = d["signature"].map(lambda b: bytes(b).hex())
+        if group_mode == "host":
+            key = key + "|" + d["host"].astype(str)
+        elif group_mode == "domain":
+            key = key + "|" + d["domain"].astype(str)
+        d["sig_key"] = key
+        return d[["url", "part", "score", "fetch_time", "sig_key"]]
+
+    def decide(g: pd.DataFrame) -> pd.DataFrame:
+        mask = mark_duplicates_in_group(
+            g["url"].to_numpy(),
+            g["score"].to_numpy(dtype=np.float32),
+            g["fetch_time"].to_numpy(dtype=np.int64),
+            compare_order,
+        )
+        d = g[mask]
+        return pd.DataFrame({"url": d["url"].to_numpy(), "part": d["part"].to_numpy()})
+
+    dups = frontier_ds.map_batches(keyed, batch_format="pandas").groupby("sig_key").map_groups(
+        decide, batch_format="pandas"
+    )
+    return dups
+
+
+def apply_duplicate_marks(frontier_ds, dups_ds):
+    """Merge-back (StatusUpdateReducer analogue): join per partition."""
+    import ray
+
+    dup_urls = set(dups_ds.to_pandas()["url"]) if dups_ds.count() else set()
+    ref = ray.put(dup_urls)
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        urls = ray.get(ref)
+        if not urls:
+            return df
+        df = df.copy()
+        hit = df["url"].isin(urls) & df["status"].isin([CS.DB_FETCHED, CS.DB_NOTMODIFIED])
+        df.loc[hit, "status"] = CS.DB_DUPLICATE
+        return df
+
+    return frontier_ds.map_batches(mark, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# J10 LinkDb (invertlinks): outlinks -> per-target inlink lists
+# ---------------------------------------------------------------------------
+
+
+def invertlinks(outlinks_ds, cfg: CrawlConfig):
+    """outlinks (url=src, dst, anchor) -> linkdb rows
+    (url=dst, n_inlinks, anchors list capped at linkdb.max.inlinks).
+
+    Pre-aggregates per batch before the groupby shuffle (partial combine)
+    so the all-to-all moves one row per (dst, batch), not one per edge.
+    """
+    max_in = cfg.linkdb_max_inlinks
+    ignore_internal = cfg.linkdb_ignore_internal
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in ["dst", "n", "anchors", "srcs"]})
+        d = df
+        if ignore_internal:
+            from ..functions.urlutil import hosts_of
+
+            dst_hosts = hosts_of(d["dst"].to_numpy())
+            d = d[(dst_hosts.to_numpy() != d["host"].to_numpy())]
+        if len(d) == 0:
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in ["dst", "n", "anchors", "srcs"]})
+        g = d.groupby("dst", sort=False)
+        return pd.DataFrame(
+            {
+                "dst": list(g.groups.keys()),
+                "n": g.size().to_numpy(),
+                "anchors": g["anchor"].apply(lambda s: list(s.head(max_in))).to_numpy(),
+                "srcs": g["url"].apply(lambda s: list(s.head(max_in))).to_numpy(),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        anchors: list = []
+        srcs: list = []
+        for a, s in zip(g["anchors"], g["srcs"]):
+            if len(anchors) < max_in:
+                anchors.extend(a[: max_in - len(anchors)])
+                srcs.extend(s[: max_in - len(srcs)])
+        return pd.DataFrame(
+            {
+                "url": [g["dst"].iloc[0]],
+                "n_inlinks": [int(g["n"].sum())],
+                "anchors": [anchors],
+                "srcs": [srcs],
+            }
+        )
+
+    return (
+        outlinks_ds.map_batches(partial, batch_format="pandas")
+        .groupby("dst")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J13 UpdateHostDb: per-host aggregates
+# ---------------------------------------------------------------------------
+
+_STATUS_COLS = {
+    "unfetched": CS.DB_UNFETCHED,
+    "fetched": CS.DB_FETCHED,
+    "gone": CS.DB_GONE,
+    "redir_temp": CS.DB_REDIR_TEMP,
+    "redir_perm": CS.DB_REDIR_PERM,
+    "not_modified": CS.DB_NOTMODIFIED,
+    "duplicate": CS.DB_DUPLICATE,
+}
+
+
+def update_hostdb(frontier_ds):
+    """frontier -> hostdb (status counts + score sum per host), with a
+    per-batch partial combine before the groupby (UpdateHostDbReducer
+    analogue, hostdb/UpdateHostDbReducer.java:122-322)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            cols = ["host"] + list(_STATUS_COLS) + ["n_urls", "score_sum"]
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
+        g = df.groupby("host", sort=False)
+        out = pd.DataFrame({"host": list(g.groups.keys())})
+        status = df["status"].to_numpy()
+        for name, code in _STATUS_COLS.items():
+            s = pd.Series(np.where(status == code, 1, 0), index=df.index)
+            out[name] = s.groupby(df["host"], sort=False).sum().reindex(out["host"]).to_numpy()
+        out["n_urls"] = g.size().reindex(out["host"]).to_numpy()
+        out["score_sum"] = g["score"].sum().reindex(out["host"]).to_numpy()
+        return out
+
+    from ray.data.aggregate import Sum
+
+    aggs = [Sum(c, alias_name=c) for c in list(_STATUS_COLS) + ["n_urls", "score_sum"]]
+    return frontier_ds.map_batches(partial, batch_format="pandas").groupby("host").aggregate(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# readdb: stats / topN / dump (CrawlDbReader.java:336-1115)
+# ---------------------------------------------------------------------------
+
+
+def readdb_stats(frontier_ds):
+    """Global stats: count by status + score min/max/avg (readdb -stats)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series(dtype="float64") for c in
+                                 ["status", "n", "score_min", "score_max", "score_sum"]})
+        g = df.groupby("status", sort=False)["score"]
+        return pd.DataFrame(
+            {
+                "status": list(g.groups.keys()),
+                "n": g.size().to_numpy(),
+                "score_min": g.min().to_numpy(),
+                "score_max": g.max().to_numpy(),
+                "score_sum": g.sum().to_numpy(),
+            }
+        )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    out = (
+        frontier_ds.map_batches(partial, batch_format="pandas")
+        .groupby("status")
+        .aggregate(
+            Sum("n", alias_name="count"),
+            Min("score_min", alias_name="score_min"),
+            Max("score_max", alias_name="score_max"),
+            Sum("score_sum", alias_name="score_sum"),
+        )
+    )
+    return out
+
+
+def readdb_topn(frontier_ds, k: int):
+    """readdb -topN (CrawlDbReader.java:925-1006): top-k by score desc."""
+    return frontier_ds.sort("score", descending=True).limit(k)
+
+
+def readdb_url(frontier_ds, url: str):
+    """Single-URL lookup (readdb -url)."""
+    return frontier_ds.filter(expr=f"url == '{url}'")
+
+
+# ---------------------------------------------------------------------------
+# J12 CrawlDbMerger (mergedb)
+# ---------------------------------------------------------------------------
+
+
+def mergedb(dbs: list, cfg: CrawlConfig):
+    """Union several frontiers; per URL keep the entry with the newest
+    calculateLastFetchTime, metadata merged newer-over-older
+    (CrawlDbMerger.java:82-119)."""
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lft = calculate_last_fetch_time(
+            g["status"].to_numpy(),
+            g["fetch_time"].to_numpy(),
+            g["fetch_interval"].to_numpy(),
+            CS.DB_UNFETCHED,
+        )
+        g = g.assign(_lft=lft)
+        g = g.sort_values("_lft", ascending=True, kind="stable")
+        res = g.groupby("url", sort=False).tail(1).drop(columns="_lft")
+        # metadata: merge all generations, newest wins per key
+        import json as _json
+
+        metas = g.groupby("url", sort=False)["metadata"].apply(list)
+        merged = {}
+        for url, ms in metas.items():
+            acc = {}
+            for mjson in ms:
+                if mjson:
+                    acc.update(_json.loads(mjson))
+            merged[url] = _json.dumps(acc, sort_keys=True) if acc else None
+        res = res.copy()
+        res["metadata"] = res["url"].map(merged)
+        return res
+
+    ds = dbs[0].union(*dbs[1:]) if len(dbs) > 1 else dbs[0]
+    return ds.groupby("part").map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# J11 Indexer join: frontier ⋈ linkdb ⋈ docs -> index documents
+# ---------------------------------------------------------------------------
+
+
+def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone: bool = True):
+    """n-way co-group by url (IndexerMapReduce.java:183-298) as a
+    per-partition pandas merge; linkdb (small vs frontier) is joined by
+    a second groupby on url bucket within partition.
+
+    Emits one row per indexable page: url, title, text, score_boost,
+    n_inlinks, anchors.
+    """
+
+    def docs_project(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in ["url", "part", "title", "text"]})
+        titles, texts = [], []
+        for spans in df["spans"]:
+            t = [s["text"] for s in spans if s["kind"] == "title"]
+            x = [s["text"] for s in spans if s["kind"] in ("heading", "text")]
+            titles.append(t[0] if t else "")
+            texts.append(" ".join(x))
+        return pd.DataFrame(
+            {"url": df["url"].to_numpy(), "part": df["part"].to_numpy(), "title": titles, "text": texts}
+        )
+
+    import ray
+
+    linkdb_pd = linkdb_ds.to_pandas() if linkdb_ds is not None else None
+    link_ref = ray.put(linkdb_pd)
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        f = g[g["rjoin"] == "db"]
+        d = g[g["rjoin"] == "doc"]
+        if len(d) == 0 or len(f) == 0:
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in
+                                 ["url", "title", "text", "score_boost", "n_inlinks", "anchors"]})
+        m = d.merge(f[["url", "status", "score"]], on="url", how="inner", suffixes=("", "_db"))
+        if delete_gone:
+            m = m[~m["status"].isin([CS.DB_GONE, CS.DB_DUPLICATE, CS.DB_REDIR_PERM, CS.DB_REDIR_TEMP])]
+        ldb = ray.get(link_ref)
+        if ldb is not None and len(ldb):
+            m = m.merge(ldb[["url", "n_inlinks", "anchors"]], on="url", how="left")
+            m["n_inlinks"] = m["n_inlinks"].fillna(0).astype(np.int64)
+            m["anchors"] = m["anchors"].apply(lambda a: a if isinstance(a, (list, np.ndarray)) else [])
+        else:
+            m["n_inlinks"] = 0
+            m["anchors"] = [[] for _ in range(len(m))]
+        boost = np.power(m["score"].to_numpy(dtype=np.float32), np.float32(0.5))
+        return pd.DataFrame(
+            {
+                "url": m["url"].to_numpy(),
+                "title": m["title"].to_numpy(),
+                "text": m["text"].to_numpy(),
+                "score_boost": boost,
+                "n_inlinks": m["n_inlinks"].to_numpy(),
+                "anchors": m["anchors"].to_numpy(),
+            }
+        )
+
+    f_tagged = frontier_ds.map_batches(
+        lambda df: df[["url", "part", "status", "score"]].assign(rjoin="db"),
+        batch_format="pandas",
+    )
+    d_tagged = docs_ds.map_batches(docs_project, batch_format="pandas").map_batches(
+        lambda df: df.assign(rjoin="doc"), batch_format="pandas"
+    )
+    return f_tagged.union(d_tagged).groupby("part").map_groups(join_part, batch_format="pandas")

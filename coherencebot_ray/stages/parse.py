@@ -1,0 +1,306 @@
+"""Parse stage: content -> interleaved span docs + outlinks + crawl_parse.
+
+Reference: parse/ParseSegment.java:61-355 (mime dispatch, signature),
+parse/ParseOutputFormat.java:135-491 (outlink materialization, score
+distribution, signature/parse_meta datums), plugins parse-html /
+parse-headings / parse-thumb (span kinds).
+
+Ray-Data-first: ONE stateless ``map_batches`` pass over successful fetch
+rows emitting a single tagged table (``rtype`` ∈ doc|outlink|crawl_parse)
+— downstream splits are zero-copy Arrow filters, so content bytes are
+read once and never reshuffled. The parser chain, normalizers, filters
+and signer are built once per actor in ``__init__``.
+
+Span mapping (SURVEY.md §1.3): <title> -> kind=title; <h1-3> ->
+kind=heading (parse-headings analogue); <p>/text -> kind=text;
+<img src> -> kind=media with media_ref (parse-thumb analogue);
+<a href> -> kind=link with media_ref=target and text=anchor.
+``offset`` is the monotone span position.
+"""
+
+from __future__ import annotations
+
+import json
+from html.parser import HTMLParser
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import CrawlConfig
+from ..functions.filters import URLFilters
+from ..functions.normalizers import SCOPE_OUTLINK, URLNormalizers
+from ..functions.signatures import make_signer
+from ..functions.urlutil import get_host, partition_for_hosts
+from ..model import CrawlStatus as CS
+
+
+class _DocHTMLParser(HTMLParser):
+    """Single-pass span extractor for the synthetic/regular HTML corpus."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.spans: list[tuple] = []  # (kind, text, media_ref)
+        self.links: list[tuple] = []  # (href, anchor)
+        self._stack: list[str] = []
+        self._buf: list[str] = []
+        self._href: str | None = None
+
+    def handle_starttag(self, tag, attrs):
+        if tag in ("title", "h1", "h2", "h3", "p", "a"):
+            self._stack.append(tag)
+            self._buf = []
+            if tag == "a":
+                self._href = dict(attrs).get("href")
+        elif tag == "img":
+            src = dict(attrs).get("src")
+            if src:
+                self.spans.append(("media", "", src))
+
+    def handle_endtag(self, tag):
+        if self._stack and self._stack[-1] == tag:
+            text = "".join(self._buf).strip()
+            self._stack.pop()
+            if tag == "title":
+                self.spans.append(("title", text, ""))
+            elif tag in ("h1", "h2", "h3"):
+                self.spans.append(("heading", text, ""))
+            elif tag == "p":
+                if text:
+                    self.spans.append(("text", text, ""))
+            elif tag == "a":
+                if self._href:
+                    self.spans.append(("link", text, self._href))
+                    self.links.append((self._href, text))
+                self._href = None
+            self._buf = []
+
+    def handle_data(self, data):
+        if self._stack:
+            self._buf.append(data)
+
+
+def parse_html(content: bytes) -> tuple[list[tuple], list[tuple], str]:
+    p = _DocHTMLParser()
+    p.feed(content.decode("utf-8", errors="replace"))
+    p.close()
+    text = " ".join(s[1] for s in p.spans if s[0] in ("title", "heading", "text"))
+    return p.spans, p.links, text
+
+
+def parse_pdf(content: bytes) -> tuple[list[tuple], list[tuple], str]:
+    """Fake-PDF text layer: '%FPDF|title|heading|para|para...'.
+
+    A real deployment would plug a tika/pdfminer extractor here; the
+    container has neither, so the binary decode is this deterministic
+    stand-in (clearly marked; plumbing — schema, batching, dispatch —
+    is real). parse-headings analogue: first big-font line -> heading.
+    """
+    try:
+        parts = content.decode("utf-8").split("|")
+    except UnicodeDecodeError:
+        return [], [], ""
+    if parts[0] != "%FPDF":
+        return [], [], ""
+    spans: list[tuple] = []
+    if len(parts) > 1:
+        spans.append(("title", parts[1], ""))
+    if len(parts) > 2:
+        spans.append(("heading", parts[2], ""))
+    for para in parts[3:]:
+        spans.append(("text", para, ""))
+    text = " ".join(p for p in parts[1:])
+    return spans, [], text
+
+
+class ParseBatch:
+    """Callable class for map_batches (actor pool); stateless per batch."""
+
+    def __init__(self, cfg: CrawlConfig):
+        self.cfg = cfg
+        self.normalizers = URLNormalizers(cfg.normalizers)
+        self.filters = URLFilters(cfg.filters)
+        self.signer = make_signer(
+            cfg.signature_impl,
+            **(
+                {"min_token_len": cfg.tp_min_token_len, "quant_rate": cfg.tp_quant_rate}
+                if cfg.signature_impl == "text_profile"
+                else {}
+            ),
+        )
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        cfg = self.cfg
+        out_rows: list[dict] = []
+        ok = batch[batch["status"] == CS.FETCH_SUCCESS] if len(batch) else batch
+        for _, row in ok.iterrows():
+            url = row["url"]
+            content = row["content"]
+            if content is None:
+                continue
+            ctype = row.get("content_type") or "text/html"
+            if "pdf" in ctype:
+                spans, links, text = parse_pdf(bytes(content))
+            else:
+                spans, links, text = parse_html(bytes(content))
+
+            signature = self.signer(text, bytes(content), url)
+            src_host = row["host"]
+            page_score = float(row["score"])
+
+            # --- doc row (interleaved spans, input_hint shape) ----------
+            out_rows.append(
+                {
+                    "rtype": "doc",
+                    "url": url,
+                    "host": src_host,
+                    "part": int(row["part"]),
+                    "doc_id": url,
+                    "spans": [
+                        {"kind": k, "text": t, "media_ref": m, "offset": i}
+                        for i, (k, t, m) in enumerate(spans)
+                    ],
+                    "status": 0,
+                    "score": 0.0,
+                    "signature": signature,
+                    "fetch_interval": int(row["fetch_interval"]),
+                    "anchor": None,
+                    "dst": None,
+                    "metadata": None,
+                    "fetch_time": int(row["fetch_time"]),
+                }
+            )
+
+            # --- outlinks: normalize, filter, cap, distribute score -----
+            kept: list[tuple] = []
+            seen_dst = set()
+            for href, anchor in links:
+                if len(kept) >= cfg.max_outlinks_per_page:
+                    break  # db.max.outlinks.per.page (ParseOutputFormat.java:164-166)
+                nu = self.normalizers.normalize(href, SCOPE_OUTLINK)
+                if nu is None or not self.filters.accept(nu):
+                    continue
+                dst_host = get_host(nu)
+                if cfg.ignore_internal_links and dst_host == src_host:
+                    continue
+                if cfg.ignore_external_links and dst_host != src_host:
+                    continue
+                if nu in seen_dst:
+                    continue
+                seen_dst.add(nu)
+                kept.append((nu, anchor, dst_host))
+
+            n_valid = len(kept)
+            if n_valid:
+                share = np.float32(page_score) / np.float32(n_valid)
+                for nu, anchor, dst_host in kept:
+                    factor = (
+                        cfg.score_internal_factor
+                        if dst_host == src_host
+                        else cfg.score_external_factor
+                    )
+                    contrib = float(np.float32(share) * np.float32(factor))
+                    out_rows.append(
+                        {
+                            "rtype": "outlink",
+                            "url": url,
+                            "host": src_host,
+                            "part": int(row["part"]),
+                            "doc_id": None,
+                            "spans": None,
+                            "status": 0,
+                            "score": 0.0,
+                            "signature": None,
+                            "fetch_interval": 0,
+                            "anchor": anchor,
+                            "dst": nu,
+                            "metadata": None,
+                            "fetch_time": int(row["fetch_time"]),
+                        }
+                    )
+                    # LINKED datum for updatedb (ParseOutputFormat.java:317-366)
+                    out_rows.append(
+                        {
+                            "rtype": "crawl_parse",
+                            "url": nu,
+                            "host": dst_host,
+                            "part": -1,  # re-partitioned to the TARGET below
+                            "doc_id": None,
+                            "spans": None,
+                            "status": int(CS.LINKED),
+                            "score": contrib,
+                            "signature": None,
+                            "fetch_interval": int(cfg.interval_default),
+                            "anchor": anchor,
+                            "dst": None,
+                            "metadata": None,
+                            "fetch_time": int(row["fetch_time"]),
+                        }
+                    )
+
+            # SIGNATURE datum (ParseOutputFormat.java:236-244)
+            out_rows.append(
+                {
+                    "rtype": "crawl_parse",
+                    "url": url,
+                    "host": src_host,
+                    "part": int(row["part"]),
+                    "doc_id": None,
+                    "spans": None,
+                    "status": int(CS.SIGNATURE),
+                    "score": 0.0,
+                    "signature": signature,
+                    "fetch_interval": 0,
+                    "anchor": None,
+                    "dst": None,
+                    "metadata": None,
+                    "fetch_time": int(row["fetch_time"]),
+                }
+            )
+
+        if not out_rows:
+            return _empty_parse_out()
+        out = pd.DataFrame(out_rows)
+        # assign target partition for LINKED rows (vectorized)
+        linked = (out["rtype"] == "crawl_parse") & (out["status"] == CS.LINKED)
+        if linked.any():
+            parts = partition_for_hosts(
+                out.loc[linked, "host"].to_numpy(),
+                cfg.num_partitions,
+                cfg.partition_seed,
+                cfg.partition_mode,
+            )
+            out.loc[linked, "part"] = parts
+        return out
+
+
+_PARSE_COLS = [
+    "rtype", "url", "host", "part", "doc_id", "spans", "status", "score",
+    "signature", "fetch_interval", "anchor", "dst", "metadata", "fetch_time",
+]
+
+
+def _empty_parse_out() -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series(dtype="object") for c in _PARSE_COLS})
+
+
+def parse(fetch_out_ds, cfg: CrawlConfig, concurrency=None, batch_size: int = 256):
+    """Ray Data parse pipeline over successful fetches.
+
+    Small batch_size: rows carry content bytes (http.content.limit=1MB),
+    so 256 rows × 1 MB bounds per-batch heap at ~256 MB worst case.
+    """
+    kwargs = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return fetch_out_ds.map_batches(
+        ParseBatch(cfg), batch_format="pandas", batch_size=batch_size, **kwargs
+    )
+
+
+def split_parse_output(parse_ds):
+    """Zero-copy split of the tagged parse table."""
+    docs = parse_ds.filter(expr="rtype == 'doc'")
+    outlinks = parse_ds.filter(expr="rtype == 'outlink'")
+    crawl_parse = parse_ds.filter(expr="rtype == 'crawl_parse'")
+    return docs, outlinks, crawl_parse

@@ -152,7 +152,9 @@ class FrontierStore:
         fl = self.files(gen, parts)
         if not fl:
             return rd.from_items([])
-        return rd.read_parquet(fl, columns=columns)
+        # partitioning=None: gen=/part= path segments are lineage layout,
+        # not hive partition columns (part is a real column already)
+        return rd.read_parquet(fl, columns=columns, partitioning=None)
 
     def read_table(self, gen: int | None = None, parts: list[int] | None = None) -> pa.Table:
         """Driver-side pyarrow read (tests / small frontiers only)."""

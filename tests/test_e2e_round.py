@@ -1,0 +1,110 @@
+"""End-to-end crawl rounds on the synthetic frontier with the fake
+protocol: frontier evolution, URL-seen growth, determinism of crawl
+order, resume from checkpoint, partition-pruned updatedb."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from coherencebot_ray.config import CrawlConfig
+from coherencebot_ray.model import CrawlStatus as CS
+from coherencebot_ray.pipelines.crawl import CrawlDriver
+from coherencebot_ray.sources.synth import EPOCH, synth_frontier, synth_seeds
+
+CFG = CrawlConfig(num_partitions=4, topn=200, server_delay_s=0.0)
+
+
+@pytest.fixture()
+def driver(tmp_path, ray_session):
+    d = CrawlDriver(str(tmp_path / "crawl"), CFG)
+    d.bootstrap(synth_frontier(300, 12, CFG))
+    return d
+
+
+def test_two_rounds_evolve_frontier(driver):
+    m1 = driver.run_round(EPOCH)
+    assert m1["gen"] == 1
+    hist1 = m1["counters"]["db_status"]
+    assert hist1.get("db_fetched", 0) > 0
+    # round 2: later time so intervals don't block
+    m2 = driver.run_round(EPOCH + 40 * 86400 * 1000)
+    assert m2["gen"] == 2
+    t = driver.store.read_table(2).to_pandas()
+    # discovered outlink URLs joined the frontier
+    assert len(t) > 300
+    assert t["url"].is_unique
+    # every row's part matches its host's partition
+    from coherencebot_ray.functions.urlutil import partition_for_hosts
+
+    expect = partition_for_hosts(t["host"], CFG.num_partitions, CFG.partition_seed)
+    assert (expect == t["part"].to_numpy()).all()
+
+
+def test_crawl_order_and_urlseen_equality_between_runs(tmp_path, ray_session):
+    """Same seed list + politeness budget => identical crawl order and
+    URL-seen set across independent runs (the north-rule gate)."""
+    outs = []
+    for name in ("a", "b"):
+        d = CrawlDriver(str(tmp_path / name), CFG)
+        d.bootstrap(synth_frontier(300, 12, CFG))
+        d.run_round(EPOCH)
+        fo = pq.read_table(os.path.join(d.seg_dir(1), "fetch_out")).to_pandas()
+        fo = fo[fo["fetch_order"] >= 0]
+        order = fo.sort_values(["part", "fetch_order"])["url"].tolist()
+        seen = set(d.store.read_table(1).to_pandas()["url"])
+        outs.append((order, seen))
+    assert outs[0][0] == outs[1][0], "crawl order differs between identical runs"
+    assert outs[0][1] == outs[1][1], "URL-seen set differs between identical runs"
+
+
+def test_resume_discards_incomplete_round(driver):
+    driver.run_round(EPOCH)
+    # simulate a crashed round 2: segment dir exists, no _ROUND.json
+    seg = driver.seg_dir(2)
+    os.makedirs(os.path.join(seg, "fetchlist"), exist_ok=True)
+    with open(os.path.join(seg, "fetchlist", "junk.parquet"), "w") as f:
+        f.write("garbage")
+    m2 = driver.run_round(EPOCH + 40 * 86400 * 1000)
+    assert m2["gen"] == 2
+    assert driver.round_complete(2)
+    assert driver.store.latest_gen() == 2
+
+
+def test_partition_pruned_updatedb(driver):
+    m1 = driver.run_round(EPOCH)
+    man = driver.store.manifest(1)
+    touched = set(man["lineage"]["touched_parts"])
+    # untouched partitions are carried forward by reference (source_gen=0)
+    for p, ent in man["partitions"].items():
+        if int(p) not in touched and ent["rows"] > 0:
+            assert ent["source_gen"] == 0
+            assert all("gen=000000" in f for f in ent["files"])
+
+
+def test_inject_pipeline(tmp_path, ray_session):
+    d = CrawlDriver(str(tmp_path / "inj"), CFG)
+    man = d.inject(synth_seeds(50, n_hosts=5), EPOCH)
+    t = d.store.read_table(0).to_pandas()
+    assert len(t) == 50
+    assert (t["status"] == CS.DB_UNFETCHED).all()
+    # metadata-scored seeds got nutch.score=2.0
+    assert (t["score"] == 2.0).sum() == 10
+    # injecting overlapping seeds keeps existing rows (no overwrite)
+    man2 = d.inject(synth_seeds(60, n_hosts=5), EPOCH + 1000)
+    t2 = d.store.read_table(1).to_pandas()
+    assert len(t2) == 60
+    assert t2["url"].is_unique
+
+
+def test_round_metrics_recorded(driver):
+    m = driver.run_round(EPOCH)
+    p = os.path.join(driver.seg_dir(1), "_ROUND.json")
+    assert os.path.exists(p)
+    with open(p) as f:
+        rec = json.load(f)
+    assert rec["counters"]["generated"] > 0
+    assert set(rec["timings_s"]) == {"generate", "fetch", "parse", "updatedb"}

@@ -1,0 +1,181 @@
+"""Fetch stage conformance: politeness spacing (TestFetcher.java:116-119
+analogue), robots denial/crawl-delay (FetcherThread.java:317-353),
+status mapping, redirects, exception thresholds — against the
+deterministic fake protocol."""
+
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from coherencebot_ray.config import CrawlConfig
+from coherencebot_ray.model import CrawlStatus as CS
+from coherencebot_ray.sources.fake_protocol import FakeProtocol, FakeResponse, FakeRobots
+from coherencebot_ray.stages.fetch import FetchPartition
+
+CUR = 1_700_000_000_000
+
+
+class ScriptedProtocol:
+    """Protocol double with explicit per-URL scripts (FIXTURES §F4)."""
+
+    def __init__(self, responses: dict, robots: dict | None = None):
+        self.responses = responses
+        self._robots = robots or {}
+
+    def robots(self, host):
+        return self._robots.get(host, FakeRobots(disallow=(), crawl_delay=None))
+
+    def robots_allows(self, rb, url):
+        path = url.split("://", 1)[-1]
+        path = path[path.find("/"):] if "/" in path else "/"
+        return not any(path.startswith(d) for d in rb.disallow)
+
+    def fetch(self, url):
+        return self.responses.get(url, FakeResponse("notfound", b"", "text/html"))
+
+
+def fl_row(url, host=None, part=0, score=1.0, **kw):
+    host = host or url.split("/")[2]
+    base = dict(
+        url=url, host=host, domain=host, part=part, status=CS.DB_UNFETCHED,
+        fetch_time=CUR - 1000, retries=0, fetch_interval=86400, score=score,
+        signature=None, modified_time=0, gen_time=CUR, repr_url=None,
+        fixed_interval=0, metadata=None, segnum=1, sort_score=score,
+        fetch_delay_ms=0,
+    )
+    base.update(kw)
+    return base
+
+
+def run_fetch(rows, cfg=None, protocol=None):
+    cfg = cfg or CrawlConfig()
+    fp = FetchPartition(cfg, CUR, protocol)
+    return fp(pd.DataFrame(rows))
+
+
+def test_status_mapping():
+    proto = ScriptedProtocol(
+        {
+            "http://a.com/ok": FakeResponse("success", b"<html><title>t</title></html>", "text/html"),
+            "http://a.com/404": FakeResponse("notfound", b"", "text/html"),
+            "http://a.com/gone": FakeResponse("gone", b"", "text/html"),
+            "http://a.com/mv": FakeResponse("moved", b"", "text/html", "http://a.com/new"),
+            "http://a.com/tmp": FakeResponse("temp_moved", b"", "text/html", "http://a.com/t2"),
+            "http://a.com/err": FakeResponse("exception", b"", "text/html"),
+        }
+    )
+    urls = list(proto.responses)
+    out = run_fetch([fl_row(u) for u in urls], protocol=proto)
+    fetched = out[out["status"] != CS.LINKED].set_index("url")
+    assert fetched.loc["http://a.com/ok", "status"] == CS.FETCH_SUCCESS
+    assert fetched.loc["http://a.com/404", "status"] == CS.FETCH_GONE
+    assert fetched.loc["http://a.com/gone", "status"] == CS.FETCH_GONE
+    assert fetched.loc["http://a.com/mv", "status"] == CS.FETCH_REDIR_PERM
+    assert fetched.loc["http://a.com/tmp", "status"] == CS.FETCH_REDIR_TEMP
+    assert fetched.loc["http://a.com/err", "status"] == CS.FETCH_RETRY
+    # permanent redirect records repr_url (chooseRepr analogue)
+    assert fetched.loc["http://a.com/mv", "repr_url"] == "http://a.com/new"
+    # redirect targets emitted as LINKED discoveries
+    linked = out[out["status"] == CS.LINKED]
+    assert set(linked["url"]) == {"http://a.com/new", "http://a.com/t2"}
+
+
+def test_politeness_virtual_clock():
+    """k-th URL of a host starts at cur + k*delay (FetchItemQueue.java:119-137)."""
+    rows = [fl_row(f"http://one.com/{i}") for i in range(4)]
+    cfg = CrawlConfig(server_delay_s=5.0)
+    proto = ScriptedProtocol(
+        {f"http://one.com/{i}": FakeResponse("success", b"<html/>", "text/html") for i in range(4)}
+    )
+    out = run_fetch(rows, cfg, proto)
+    times = np.sort(out[out["status"] != CS.LINKED]["fetch_time"].to_numpy())
+    assert list(np.diff(times)) == [5000, 5000, 5000]
+
+
+def test_politeness_wall_clock():
+    """TestFetcher politeness oracle: elapsed > (n_urls-1) * delay."""
+    n, delay = 4, 0.05
+    rows = [fl_row(f"http://one.com/{i}") for i in range(n)]
+    cfg = CrawlConfig(server_delay_s=delay, real_sleep=True)
+    proto = ScriptedProtocol(
+        {f"http://one.com/{i}": FakeResponse("success", b"<html/>", "text/html") for i in range(n)}
+    )
+    t0 = time.monotonic()
+    run_fetch(rows, cfg, proto)
+    assert time.monotonic() - t0 > (n - 1) * delay
+
+
+def test_robots_denial_and_crawl_delay():
+    proto = ScriptedProtocol(
+        {
+            "http://r.com/private/x": FakeResponse("success", b"<html/>", "text/html"),
+            "http://r.com/pub": FakeResponse("success", b"<html/>", "text/html"),
+            "http://slow.com/a": FakeResponse("success", b"<html/>", "text/html"),
+            "http://slow.com/b": FakeResponse("success", b"<html/>", "text/html"),
+            "http://ok2.com/a": FakeResponse("success", b"<html/>", "text/html"),
+            "http://ok2.com/b": FakeResponse("success", b"<html/>", "text/html"),
+        },
+        robots={
+            "r.com": FakeRobots(disallow=("/private/",), crawl_delay=None),
+            "slow.com": FakeRobots(disallow=(), crawl_delay=120.0),  # > max 30
+            "ok2.com": FakeRobots(disallow=(), crawl_delay=2.0),
+        },
+    )
+    rows = [fl_row(u) for u in proto.responses]
+    out = run_fetch(rows, protocol=proto).set_index("url")
+    # robots-denied path -> GONE (FetcherThread.java:317-326)
+    assert out.loc["http://r.com/private/x", "status"] == CS.FETCH_GONE
+    assert out.loc["http://r.com/pub", "status"] == CS.FETCH_SUCCESS
+    # crawl delay > fetcher.max.crawl.delay -> whole host skipped as GONE
+    assert out.loc["http://slow.com/a", "status"] == CS.FETCH_GONE
+    assert out.loc["http://slow.com/b", "status"] == CS.FETCH_GONE
+    # adopted crawl delay spaces fetches by 2s
+    t = sorted([out.loc["http://ok2.com/a", "fetch_time"], out.loc["http://ok2.com/b", "fetch_time"]])
+    assert t[1] - t[0] == 2000
+
+
+def test_redirect_follow_inline():
+    proto = ScriptedProtocol(
+        {
+            "http://f.com/start": FakeResponse("moved", b"", "text/html", "http://f.com/mid"),
+            "http://f.com/mid": FakeResponse("moved", b"", "text/html", "http://f.com/end"),
+            "http://f.com/end": FakeResponse("success", b"<html><title>end</title></html>", "text/html"),
+        }
+    )
+    cfg = CrawlConfig(max_redirects=3)
+    out = run_fetch([fl_row("http://f.com/start")], cfg, proto)
+    row = out[out["url"] == "http://f.com/start"].iloc[0]
+    assert row["status"] == CS.FETCH_SUCCESS
+    assert "f.com/end" in row["metadata"]
+
+
+def test_exception_threshold_purges_host():
+    """fetcher.max.exceptions.per.queue (FetchItemQueues.java:241-264)."""
+    proto = ScriptedProtocol(
+        {f"http://e.com/{i}": FakeResponse("exception", b"", "text/html") for i in range(5)}
+    )
+    cfg = CrawlConfig(max_exceptions_per_queue=2)
+    out = run_fetch([fl_row(f"http://e.com/{i}") for i in range(5)], cfg, proto)
+    sts = out["status"].value_counts().to_dict()
+    assert sts[CS.FETCH_RETRY] == 3  # threshold exceeded after the 3rd
+    assert sts[CS.FETCH_GONE] == 2  # remaining queue purged
+
+
+def test_content_limit_truncation():
+    proto = ScriptedProtocol(
+        {"http://big.com/x": FakeResponse("success", b"A" * 100, "text/html")}
+    )
+    cfg = CrawlConfig(content_limit=10)
+    out = run_fetch([fl_row("http://big.com/x")], cfg, proto)
+    assert len(out.iloc[0]["content"]) == 10
+
+
+def test_fake_protocol_determinism():
+    p = FakeProtocol()
+    urls = [f"http://host{i}.example/page/{i}" for i in range(200)]
+    a = [p.fetch(u).status for u in urls]
+    b = [p.fetch(u).status for u in urls]
+    assert a == b
+    assert "success" in a and ("moved" in a or "temp_moved" in a)
