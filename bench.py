@@ -1,0 +1,186 @@
+"""Benchmark harness (driver contract).
+
+Headline metric: one full generate→fetch→parse→updatedb crawl round
+(cycle wall-time) over a synthetic frontier scaled to the sf dir, plus
+per-query timings for the operator suite on $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "crawl_cycle_wall", "value": <sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N,
+   "fetched_urls_per_sec": ...}
+
+``--scaling``: runs the headline twice in fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and reports throughputs +
+scaling efficiency (the N-vs-4N cluster stand-in; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SF = SF_DIR.rstrip("/").split("sf")[-1]
+
+# headline crawl scale by sf tier (frontier rows / hosts / topN)
+_CRAWL_SCALE = {
+    "0.001": (5_000, 100, 2_000),
+    "0.01": (50_000, 500, 10_000),
+    "0.1": (300_000, 2_000, 50_000),
+}
+
+BENCH_QUERIES = [
+    "generate_topn",
+    "updatedb_merge",
+    "dedup_urls",
+    "invertlinks",
+    "hostdb",
+    "readdb_topn",
+    "indexer_join",
+    "dedup_exact_docs",
+    "minhash_lsh",
+    "text_quality",
+    "fingerprint",
+    "knn_cosine",
+    "window_tumbling",
+    "sessionize",
+    "media_features",
+    "q1_agg",
+    "q3_join",
+]
+
+
+def run_headline() -> dict:
+    """One crawl round; returns timings + fetched count."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from coherencebot_ray.config import CrawlConfig
+    from coherencebot_ray.model import CrawlStatus as CS
+    from coherencebot_ray.pipelines.crawl import CrawlDriver
+    from coherencebot_ray.sources.synth import EPOCH, synth_frontier
+
+    n_urls, n_hosts, topn = _CRAWL_SCALE.get(SF, _CRAWL_SCALE["0.1"])
+    cfg = CrawlConfig(
+        num_partitions=max(8, NUM_CPUS), topn=topn, server_delay_s=0.0, gen_max_count=-1
+    )
+    wd = f"/tmp/bench_crawl_{NUM_CPUS}"
+    shutil.rmtree(wd, ignore_errors=True)
+    d = CrawlDriver(wd, cfg)
+    t = synth_frontier(n_urls, n_hosts, cfg)
+    d.bootstrap(t)
+    t0 = time.monotonic()
+    m = d.run_round(EPOCH)
+    cycle = time.monotonic() - t0
+    import pyarrow.parquet as pq
+
+    fo = pq.read_table(os.path.join(d.seg_dir(1), "fetch_out"), columns=["status"])
+    import numpy as np
+
+    st = fo.column("status").to_numpy()
+    fetched = int(np.isin(st, [CS.FETCH_SUCCESS, CS.FETCH_GONE, CS.FETCH_REDIR_TEMP, CS.FETCH_REDIR_PERM, CS.FETCH_RETRY, CS.FETCH_NOTMODIFIED]).sum())
+    shutil.rmtree(wd, ignore_errors=True)
+    return {
+        "cycle_s": cycle,
+        "stage_timings": m["timings_s"],
+        "fetched": fetched,
+        "generated": m["counters"]["generated"],
+        "fetched_urls_per_sec": fetched / m["timings_s"]["fetch"] if m["timings_s"].get("fetch") else 0.0,
+    }
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from coherencebot_ray.pipelines.queries import build_queries
+
+    queries = build_queries()
+
+    # warm OS page cache (untimed)
+    import pyarrow.parquet as pq
+
+    for t in ("lineitem", "documents", "embeddings", "events", "orders", "customer"):
+        pq.read_table(f"{SF_DIR}/{t}.parquet")
+
+    head = run_headline()
+
+    qtimes: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.monotonic()
+        res = fn(SF_DIR)
+        # consume lazily-returned datasets
+        try:
+            import ray.data as rd
+
+            if isinstance(res, rd.Dataset):
+                res.count()
+        except ImportError:
+            pass
+        qtimes[name] = round(time.monotonic() - t0, 3)
+
+    out = {
+        "metric": "crawl_cycle_wall",
+        "value": round(head["cycle_s"], 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF,
+        "num_cpus": NUM_CPUS,
+        "fetched_urls_per_sec": round(head["fetched_urls_per_sec"], 1),
+        "generated": head["generated"],
+        "stage_timings": head["stage_timings"],
+    }
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+def scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "sec_8cpu": t_lo,
+                "sec_32cpu": t_hi,
+                "throughput_8cpu": round(lo["generated"] / t_lo, 1),
+                "throughput_32cpu": round(hi["generated"] / t_hi, 1),
+                "scaling_efficiency": round(eff, 3),
+                "sf": lo["sf"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -210,6 +210,29 @@ FETCH_OUT_SCHEMA = pa.schema(
     ]
 )
 
+def table_from_pandas(df, schema: pa.Schema) -> pa.Table:
+    """pandas -> Arrow with an EXACT schema (all-None object columns
+    otherwise infer as null type and break parquet schema merge; pandas
+    NaN sentinels in string/binary columns become Arrow nulls)."""
+    import math
+
+    cols = {}
+    for field in schema:
+        name = field.name
+        if name in df.columns:
+            vals = df[name].tolist()
+            if field.type in (pa.string(), pa.binary()):
+                vals = [None if (isinstance(v, float) and math.isnan(v)) else v for v in vals]
+            cols[name] = pa.array(vals, type=field.type)
+        else:
+            cols[name] = pa.nulls(len(df), type=field.type)
+    return pa.table(cols, schema=schema)
+
+
+def frontier_table_from_pandas(df) -> pa.Table:
+    return table_from_pandas(df, FRONTIER_SCHEMA)
+
+
 HOSTDB_SCHEMA = pa.schema(
     [
         ("host", pa.string()),

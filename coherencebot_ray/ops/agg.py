@@ -1,0 +1,99 @@
+"""Bucketed grouped execution — the scale-safe replacement for
+``groupby(key)`` with high key cardinality.
+
+Ray Data's sort-based groupby pays per-GROUP overhead in the reduce
+(pathological with 10^5+ distinct keys: measured 82s for a 147k-key
+aggregate that takes 3.7s bucketed). The fix is the classic two-level
+exchange:
+
+  map_batches(add bucket = stable_hash(key) % B)
+    -> groupby("__bucket")            # B distinct values: cheap shuffle
+    -> map_groups(vectorized pandas groupby over ALL keys in the bucket)
+
+All keys of a group share a bucket, so per-bucket pandas aggregation is
+exact; B (default 64) bounds both shuffle fan-in and per-task memory.
+Skew guard: a hot KEY still lands in one bucket — callers with known
+hot keys should pre-combine per batch first (every caller here does).
+
+Hashes are PYTHONHASHSEED-independent (pandas.util.hash_array /
+hash_pandas_object with fixed key), so results are stable across
+processes and runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+BUCKET_COL = "__bucket"
+
+
+def stable_bucket(values: pd.Series | np.ndarray, n_buckets: int) -> np.ndarray:
+    s = pd.Series(values)
+    h = pd.util.hash_pandas_object(s, index=False).to_numpy(dtype=np.uint64)
+    return (h % np.uint64(n_buckets)).astype(np.int32)
+
+
+def bucketed_group_apply(
+    ds,
+    key_cols: list[str] | str,
+    bucket_fn,
+    n_buckets: int = 64,
+    pre: "callable | None" = None,
+):
+    """ds -> per-bucket ``bucket_fn(DataFrame) -> DataFrame``.
+
+    ``pre`` (optional) runs per input batch BEFORE bucketing (use it for
+    partial combines so the shuffle moves pre-aggregated rows).
+    ``bucket_fn`` receives every row of a bucket (bucket col dropped) and
+    must handle multiple keys — typically a vectorized pandas groupby.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if pre is not None:
+            df = pre(df)
+        if len(df) == 0:
+            df = df.copy()
+            df[BUCKET_COL] = np.array([], dtype=np.int32)
+            return df
+        if len(keys) == 1:
+            b = stable_bucket(df[keys[0]], n_buckets)
+        else:
+            h = pd.util.hash_pandas_object(
+                df[keys].astype(str).agg("\x1f".join, axis=1), index=False
+            ).to_numpy(dtype=np.uint64)
+            b = (h % np.uint64(n_buckets)).astype(np.int32)
+        df = df.copy()
+        df[BUCKET_COL] = b
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return bucket_fn(g.drop(columns=[BUCKET_COL]))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby(BUCKET_COL)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def bucketed_sum(
+    ds,
+    key_cols: list[str] | str,
+    sum_cols: list[str],
+    n_buckets: int = 64,
+    count_col: str | None = None,
+):
+    """Exact grouped integer/float sums via partial-combine + buckets."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        cols = keys + sum_cols
+        d = df[cols]
+        return d.groupby(keys, sort=False, as_index=False).sum()
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, sort=False, as_index=False).sum()
+
+    return bucketed_group_apply(ds, keys, combine, n_buckets=n_buckets, pre=pre)

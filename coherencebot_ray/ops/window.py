@@ -1,0 +1,105 @@
+"""Stream-shaped operators over the events log (event_id, ts, user_id,
+event_type, value): tumbling-window aggregates and session windows.
+
+Ray Data has no event-time windowing; per the ordered-partitioned-log
+pattern these are groupby(key).map_groups over ts-sorted groups, with a
+per-batch partial combine for the tumbling case (pure group-algebra)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def ts_epoch_seconds(s: pd.Series) -> np.ndarray:
+    """Timestamp column -> int64 epoch seconds (unit-safe: pandas may
+    carry datetime64[us] from parquet; int64-of-datetime is unit-relative)."""
+    return (
+        pd.to_datetime(s).astype("datetime64[ns]").astype("int64") // 10**9
+    ).to_numpy()
+
+
+def tumbling_agg(events_ds, window_s: int = 3600):
+    """Per (user_id, window) count + sum(value): per-batch partial
+    combine, then a bucketed final combine (ops/agg.py)."""
+    from .agg import bucketed_sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sec = ts_epoch_seconds(df["ts"])
+        bucket = (sec // window_s) * window_s  # epoch s
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "window_start": bucket,
+                "n_events": 1,
+                "value_sum": df["value"].to_numpy(),
+            }
+        )
+
+    partials = events_ds.map_batches(partial, batch_format="pandas")
+    return bucketed_sum(partials, ["user_id", "window_start"], ["n_events", "value_sum"])
+
+
+def sessionize(events_ds, gap_s: int = 1800):
+    """Session windows per user (new session when gap > gap_s).
+
+    Bucketed by user hash; inside a bucket the session assignment is
+    fully vectorized across users (sort by (user, ts), new session when
+    user changes or gap > gap_s). Emits one row per session:
+    (user_id, session_start, session_end, n_events, value_sum).
+    Partitioning assumption: all events of a user land in one bucket
+    (guaranteed by hashing the user id)."""
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        tsv = ts_epoch_seconds(g["ts"])
+        users = g["user_id"].to_numpy()
+        new_session = np.r_[
+            True, (users[1:] != users[:-1]) | ((tsv[1:] - tsv[:-1]) > gap_s)
+        ]
+        sid = np.cumsum(new_session)
+        gg = g.assign(_sid=sid, _ts=tsv).groupby("_sid", sort=True)
+        return pd.DataFrame(
+            {
+                "user_id": gg["user_id"].first().to_numpy(),
+                "session_start": gg["_ts"].min().to_numpy(),
+                "session_end": gg["_ts"].max().to_numpy(),
+                "n_events": gg.size().to_numpy(),
+                "value_sum": np.round(gg["value"].sum().to_numpy(), 6),
+            }
+        )
+
+    from .agg import bucketed_group_apply
+
+    return bucketed_group_apply(events_ds, "user_id", per_bucket)
+
+
+def sliding_window_counts(events_ds, window_s: int = 3600, slide_s: int = 900):
+    """Sliding windows as an explode-to-covering-windows flat map + one
+    groupby (each event lands in window_s/slide_s windows)."""
+    k = window_s // slide_s
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ts = ts_epoch_seconds(df["ts"])
+        base = (ts // slide_s) * slide_s
+        frames = []
+        for i in range(k):
+            w = base - i * slide_s
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "user_id": df["user_id"].to_numpy(),
+                        "window_start": w,
+                        "n": 1,
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    from .agg import bucketed_sum
+
+    exploded = events_ds.map_batches(explode, batch_format="pandas")
+    out = bucketed_sum(exploded, ["user_id", "window_start"], ["n"])
+    return out.map_batches(
+        lambda df: df.rename(columns={"n": "n_events"}), batch_format="pandas"
+    )

@@ -1,44 +1,264 @@
-"""The crawl round loop: generate → fetch → parse → updatedb, checkpointed.
+"""The crawl round loop: generate → fetch+parse → updatedb, checkpointed.
 
 Reference control plane: src/bin/crawl:316-470 (bash loop over MapReduce
-jobs, state passed via CrawlDb/segment dirs, atomic install). Here: one
-Python driver; each round is a DAG of Dataset transforms; state lives in
+jobs, state via CrawlDb/segment dirs, atomic install). Here: one Python
+driver; state lives in
 
   workdir/
     frontier/            FrontierStore (versioned generations, manifests)
-    segments/gen=N/      fetchlist/ fetch_out/ parse/ (parquet dirs) +
-                         _ROUND.json (per-round lineage + metrics,
-                         written atomically LAST => resume unit)
+    segments/gen=N/      fetchlist/ fetch_out/ docs/ outlinks/
+                         crawl_parse/ (per-partition parquet) +
+                         _ROUND.json (lineage + metrics, written LAST)
 
-Resume: a round whose ``_ROUND.json`` is missing is incomplete — its
-segment dirs are discarded and the round re-runs from the last committed
-frontier generation (the reference's "Segment already fetched!" guard +
-CrawlDb install rotation, FetcherOutputFormat.java:54-56,
-CrawlDb.java:209-224).
+Physical plan (the scale design): the frontier is hash(host)-partitioned
+ON DISK, so no round stage needs an all-to-all sort —
 
-Scale: updatedb reads and rewrites ONLY touched partitions (fetchlist
-parts ∪ link-target parts); untouched partitions carry forward by
-manifest reference — the 10^10-row frontier never fully rewrites.
+  1. generate:   one task per partition (read part → eligibility →
+                 select → write fetchlist/part=p). Politeness partition
+                 invariant preserved by construction.
+  2. fetch+parse: one task per non-empty partition, FUSED — fetched
+                 content is parsed in-memory and never hits storage
+                 (unless cfg.store_content). Discovered-link datums are
+                 the only cross-partition data: each task writes them
+                 pre-partitioned by TARGET part
+                 (crawl_parse/part=T/from=p.parquet — deterministic
+                 names, idempotent under retry). This partitioned write
+                 IS the round's only exchange; at very large partition
+                 counts (P > ~256) swap it for a Ray Data hash shuffle
+                 to avoid P² small files.
+  3. updatedb:   one task per TOUCHED partition (frontier part ⋈ fetch
+                 datums ⋈ crawl_parse) → vectorized merge kernel →
+                 writes the new generation's partition file directly;
+                 untouched partitions carry forward by manifest
+                 reference. A 10^10-row frontier never fully rewrites.
+
+Each phase runs as a Ray Data pipeline over partition descriptors
+(``from_items(parts).map_batches(fn, batch_size=1)``) — the streaming
+executor provides scheduling, backpressure and task retry; every task
+writes deterministic paths so retries are idempotent.
+
+Resume: a round without ``_ROUND.json`` is incomplete — its segment
+dirs are discarded and the round re-runs from the last committed
+generation (CrawlDb install rotation analogue, CrawlDb.java:209-224).
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
 import time
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..config import CrawlConfig
-from ..model import CrawlStatus as CS
+from ..model import (
+    SPAN_TYPE,
+    CrawlStatus as CS,
+    frontier_table_from_pandas,
+    table_from_pandas,
+)
 from ..state.frontier_store import FrontierStore
-from ..stages.fetch import fetch as fetch_stage
-from ..stages.generate import generate as generate_stage
-from ..stages.parse import parse as parse_stage
-from ..stages.updatedb import updatedb as updatedb_stage
+
+_FETCH_DATUM_COLS = [
+    "url", "host", "part", "status", "fetch_time", "retries", "fetch_interval",
+    "score", "signature", "modified_time", "gen_time", "repr_url",
+    "fixed_interval", "metadata", "fetch_order", "content_type",
+]
+
+
+_DATUM_FIELDS = [
+    ("url", pa.string()), ("host", pa.string()), ("part", pa.int32()),
+    ("status", pa.int32()), ("fetch_time", pa.int64()), ("retries", pa.int32()),
+    ("fetch_interval", pa.int32()), ("score", pa.float32()),
+    ("signature", pa.binary()), ("modified_time", pa.int64()),
+    ("gen_time", pa.int64()), ("repr_url", pa.string()),
+    ("fixed_interval", pa.int32()), ("metadata", pa.string()),
+]
+FETCHLIST_SCHEMA = pa.schema(
+    _DATUM_FIELDS
+    + [("domain", pa.string()), ("segnum", pa.int32()), ("sort_score", pa.float32()),
+       ("fetch_delay_ms", pa.int64())]
+)
+FETCH_OUT_SCHEMA = pa.schema(
+    _DATUM_FIELDS + [("fetch_order", pa.int64()), ("content_type", pa.string())]
+)
+CONTENT_SCHEMA = pa.schema(
+    [("url", pa.string()), ("content", pa.binary()), ("content_type", pa.string())]
+)
+CRAWL_PARSE_SCHEMA = pa.schema(
+    [("url", pa.string()), ("host", pa.string()), ("part", pa.int32()),
+     ("status", pa.int32()), ("score", pa.float32()), ("signature", pa.binary()),
+     ("fetch_interval", pa.int32()), ("anchor", pa.string()),
+     ("metadata", pa.string()), ("fetch_time", pa.int64())]
+)
+DOCS_SEG_SCHEMA = pa.schema(
+    [("doc_id", pa.string()), ("url", pa.string()), ("host", pa.string()),
+     ("part", pa.int32()), ("spans", pa.list_(SPAN_TYPE)),
+     ("signature", pa.binary()), ("fetch_time", pa.int64())]
+)
+OUTLINKS_SEG_SCHEMA = pa.schema(
+    [("url", pa.string()), ("host", pa.string()), ("part", pa.int32()),
+     ("dst", pa.string()), ("anchor", pa.string())]
+)
+
+
+def _write_df(df: pd.DataFrame, path: str, schema: pa.Schema | None = None) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    t = (
+        table_from_pandas(df, schema)
+        if schema is not None
+        else pa.Table.from_pandas(df, preserve_index=False)
+    )
+    pq.write_table(t, path, compression="zstd")
+
+
+class _GenTask:
+    def __init__(self, cfg, cur_time_ms, gen_time_ms, limit, files_by_part, fl_dir, hostdb, filters):
+        self.cfg, self.cur, self.gen_time, self.limit = cfg, cur_time_ms, gen_time_ms, limit
+        self.files_by_part, self.fl_dir, self.hostdb = files_by_part, fl_dir, hostdb
+        self.filters = filters
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.generate import eligibility_filter, select_partition
+
+        out = []
+        for part in batch["part"]:
+            files = self.files_by_part.get(int(part), [])
+            if not files:
+                out.append({"part": int(part), "selected": 0})
+                continue
+            df = pq.read_table(files, partitioning=None).to_pandas()
+            elig = eligibility_filter(df, self.cfg, self.cur, self.filters)
+            sel = select_partition(elig, self.cfg, self.limit, self.gen_time, self.hostdb)
+            if len(sel):
+                _write_df(sel, os.path.join(self.fl_dir, f"part-{int(part)}", "data-0.parquet"), FETCHLIST_SCHEMA)
+            out.append({"part": int(part), "selected": int(len(sel))})
+        return pd.DataFrame(out)
+
+
+class _FetchParseTask:
+    """Fused fetch+parse for one fetchlist partition."""
+
+    def __init__(self, cfg, cur_time_ms, seg, protocol):
+        self.cfg, self.cur, self.seg, self.protocol = cfg, cur_time_ms, seg, protocol
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.fetch import FetchPartition
+        from ..stages.parse import ParseBatch
+
+        cfg, seg = self.cfg, self.seg
+        stats = []
+        for part in batch["part"]:
+            part = int(part)
+            fl_path = os.path.join(seg, "fetchlist", f"part-{part}", "data-0.parquet")
+            if not os.path.exists(fl_path):
+                stats.append(_fp_stat(part, 0, 0, 0.0, 0.0))
+                continue
+            fl = pq.read_table(fl_path).to_pandas()
+            t0 = time.monotonic()
+            fetch_out = FetchPartition(cfg, self.cur, self.protocol)(fl)
+            t_fetch = time.monotonic() - t0
+
+            t0 = time.monotonic()
+            parsed = ParseBatch(cfg)(fetch_out)
+            t_parse = time.monotonic() - t0
+
+            # fetch datums (without content bytes — narrow segment record)
+            fo = fetch_out[_FETCH_DATUM_COLS]
+            _write_df(fo, os.path.join(seg, "fetch_out", f"part-{part}", "data-0.parquet"), FETCH_OUT_SCHEMA)
+            if cfg.store_content:
+                _write_df(
+                    fetch_out[["url", "content", "content_type"]],
+                    os.path.join(seg, "content", f"part-{part}", "data-0.parquet"),
+                    CONTENT_SCHEMA,
+                )
+            if len(parsed):
+                docs = parsed[parsed["rtype"] == "doc"]
+                if len(docs):
+                    _write_df(
+                        docs[["doc_id", "url", "host", "part", "spans", "signature", "fetch_time"]],
+                        os.path.join(seg, "docs", f"part-{part}", "data-0.parquet"),
+                        DOCS_SEG_SCHEMA,
+                    )
+                ol = parsed[parsed["rtype"] == "outlink"]
+                if len(ol):
+                    _write_df(
+                        ol[["url", "host", "part", "dst", "anchor"]],
+                        os.path.join(seg, "outlinks", f"part-{part}", "data-0.parquet"),
+                        OUTLINKS_SEG_SCHEMA,
+                    )
+                cp = parsed[parsed["rtype"] == "crawl_parse"]
+                # scatter by TARGET partition — deterministic file names
+                for tgt, g in cp.groupby("part"):
+                    _write_df(
+                        g.drop(columns=["rtype", "doc_id", "spans", "dst"]),
+                        os.path.join(seg, "crawl_parse", f"part-{int(tgt)}", f"from-{part}.parquet"),
+                        CRAWL_PARSE_SCHEMA,
+                    )
+            n_fetched = int((fetch_out["fetch_order"] >= 0).sum()) if len(fetch_out) else 0
+            n_docs = int((parsed["rtype"] == "doc").sum()) if len(parsed) else 0
+            stats.append(_fp_stat(part, n_fetched, n_docs, t_fetch, t_parse))
+        return pd.DataFrame(stats)
+
+
+def _fp_stat(part, fetched, docs, t_fetch, t_parse):
+    return {"part": part, "fetched": fetched, "docs": docs, "t_fetch": t_fetch, "t_parse": t_parse}
+
+
+class _UpdateTask:
+    def __init__(self, cfg, cur_time_ms, seg, files_by_part, store_root, new_gen):
+        self.cfg, self.cur, self.seg = cfg, cur_time_ms, seg
+        self.files_by_part = files_by_part
+        self.store_root, self.new_gen = store_root, new_gen
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.updatedb import _DATUM_COLS, merge_partition
+        from ..functions.urlutil import domains_of
+        from ..stages.updatedb import apply_purges
+
+        out = []
+        for part in batch["part"]:
+            part = int(part)
+            frames = []
+            files = self.files_by_part.get(part, [])
+            if files:
+                frames.append(pq.read_table(files, partitioning=None).to_pandas())
+            fo = os.path.join(self.seg, "fetch_out", f"part-{part}", "data-0.parquet")
+            if os.path.exists(fo):
+                frames.append(pq.read_table(fo).to_pandas())
+            cp_files = sorted(
+                glob.glob(os.path.join(self.seg, "crawl_parse", f"part-{part}", "*.parquet"))
+            )
+            if cp_files:
+                frames.append(pq.read_table(cp_files, partitioning=None).to_pandas())
+            if not frames:
+                out.append({"part": part, "rows": 0, "hist": "{}"})
+                continue
+            datums = pd.concat(
+                [f.reindex(columns=_DATUM_COLS, fill_value=None) for f in frames],
+                ignore_index=True,
+            )
+            merged = merge_partition(datums, self.cfg, self.cur)
+            merged = apply_purges(merged, self.cfg)
+            merged["domain"] = (
+                domains_of(merged["host"]).to_numpy(dtype=object) if len(merged) else None
+            )
+            merged["part"] = part
+            table = frontier_table_from_pandas(merged)
+            dest = os.path.join(
+                self.store_root, f"gen={self.new_gen:06d}.tmp", f"part={part}", "data-0.parquet"
+            )
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            pq.write_table(table, dest, compression="zstd")
+            status = merged["status"].to_numpy()
+            hist = {CS.name(int(s)): int(c) for s, c in zip(*np.unique(status, return_counts=True))}
+            out.append({"part": part, "rows": len(merged), "hist": json.dumps(hist)})
+        return pd.DataFrame(out)
 
 
 class CrawlDriver:
@@ -64,12 +284,12 @@ class CrawlDriver:
             int(p): frontier_table.filter(pa.compute.equal(frontier_table["part"], int(p)))
             for p in np.unique(parts)
         }
-        self.store.write_generation(by_part, gen=0, parent_gen=None, counters={"bootstrap_rows": frontier_table.num_rows})
+        self.store.write_generation(
+            by_part, gen=0, parent_gen=None, counters={"bootstrap_rows": frontier_table.num_rows}
+        )
 
     def inject(self, seed_lines: list[str], cur_time_ms: int) -> dict:
         """J1: seeds ∪ frontier -> new generation (Injector.java:209-348)."""
-        import pandas as pd
-
         from ..functions.filters import URLFilters
         from ..functions.inject import inject_merge, parse_seed_lines
         from ..functions.normalizers import SCOPE_INJECT, URLNormalizers
@@ -79,13 +299,14 @@ class CrawlDriver:
         seeds = parse_seed_lines(seed_lines, cfg, cur_time_ms)
         norms = URLNormalizers(cfg.normalizers)
         filts = URLFilters(cfg.filters)
-        normed = norms.normalize_many(seeds["url"].tolist(), SCOPE_INJECT)
-        seeds["url"] = normed
+        seeds["url"] = norms.normalize_many(seeds["url"].tolist(), SCOPE_INJECT)
         seeds = seeds[seeds["url"].notna()]
         seeds = seeds[filts.accept_many(seeds["url"].to_numpy())]
         hosts = hosts_of(seeds["url"].to_numpy())
         seeds["host"] = hosts.to_numpy(dtype=object)
-        seeds["part"] = partition_for_hosts(hosts, cfg.num_partitions, cfg.partition_seed, cfg.partition_mode)
+        seeds["part"] = partition_for_hosts(
+            hosts, cfg.num_partitions, cfg.partition_seed, cfg.partition_mode
+        )
 
         gen = self.store.latest_gen()
         new_gen = 0 if gen is None else gen + 1
@@ -93,21 +314,29 @@ class CrawlDriver:
         tables: dict[int, pa.Table] = {}
         for p in touched:
             old = self.store.read_table(gen, parts=[p]) if gen is not None else None
-            old_df = old.to_pandas() if old is not None else pd.DataFrame(columns=seeds.columns)
+            old_df = old.to_pandas() if old is not None else None
             sp = seeds[seeds["part"] == p]
-            combined = pd.concat([sp, old_df], ignore_index=True)
+            combined = (
+                pd.concat([sp, old_df], ignore_index=True) if old_df is not None and len(old_df) else sp
+            )
             merged = inject_merge(combined, cfg)
             merged["domain"] = domains_of(merged["host"]).to_numpy(dtype=object)
-            tables[p] = _frontier_pa(merged)
-        man = self.store.write_generation(
-            tables, gen=new_gen, parent_gen=gen,
-            counters={"urls_injected": int(len(seeds))},
+            tables[p] = frontier_table_from_pandas(merged)
+        return self.store.write_generation(
+            tables, gen=new_gen, parent_gen=gen, counters={"urls_injected": int(len(seeds))}
         )
-        return man
 
     # ------------------------------------------------------------------
-    def run_round(self, cur_time_ms: int, topn: int | None = None, hostdb: dict | None = None) -> dict:
-        """One generate→fetch→parse→updatedb round. Returns round metrics."""
+    def run_round(
+        self,
+        cur_time_ms: int,
+        topn: int | None = None,
+        hostdb: dict | None = None,
+        filters=None,
+    ) -> dict:
+        """One generate→fetch+parse→updatedb round. Returns round metrics."""
+        import ray.data as rd
+
         cfg = self.cfg
         t0 = time.monotonic()
         gen = self.store.latest_gen()
@@ -117,78 +346,84 @@ class CrawlDriver:
         if os.path.exists(seg) and not self.round_complete(new_gen):
             shutil.rmtree(seg)  # incomplete previous attempt: redo
         os.makedirs(seg, exist_ok=True)
+        self.store.clean_tmp()
 
+        topn = topn if topn is not None else cfg.topn
+        limit = max(1, topn // cfg.num_partitions)
         timings: dict[str, float] = {}
+
+        man = self.store.manifest(gen)
+        files_by_part = {
+            int(p): [os.path.join(self.store.root, f) for f in ent["files"]]
+            for p, ent in man["partitions"].items()
+            if ent["files"]
+        }
+        parts = sorted(files_by_part)
 
         # -- generate ---------------------------------------------------
         t = time.monotonic()
-        frontier = self.store.read(gen)
-        fetchlist = generate_stage(frontier, cfg, cur_time_ms, gen_time_ms=cur_time_ms, topn=topn, hostdb=hostdb)
-        fl_dir = os.path.join(seg, "fetchlist")
-        fetchlist.write_parquet(fl_dir)
+        gen_task = _GenTask(
+            cfg, cur_time_ms, cur_time_ms, limit, files_by_part,
+            os.path.join(seg, "fetchlist"), hostdb, filters,
+        )
+        gen_stats = (
+            rd.from_items([{"part": p} for p in parts], override_num_blocks=max(1, len(parts)))
+            .map_batches(gen_task, batch_format="pandas", batch_size=1)
+            .to_pandas()
+        )
         timings["generate"] = time.monotonic() - t
-
-        import ray.data as rd
-
-        fetchlist = rd.read_parquet(fl_dir, partitioning=None)
-        n_generated = fetchlist.count()
+        n_generated = int(gen_stats["selected"].sum())
         if n_generated == 0:
-            # no URLs due: carry frontier forward untouched
-            self.store.write_generation({}, gen=new_gen, parent_gen=gen, counters={"generated": 0})
+            self.store.begin_generation(new_gen)
+            self.store.commit_generation({}, gen=new_gen, parent_gen=gen, counters={"generated": 0})
             return self._commit_round(new_gen, gen, [], timings, {"generated": 0}, t0)
 
-        # -- fetch ------------------------------------------------------
+        # -- fetch + parse (fused) --------------------------------------
         t = time.monotonic()
-        fetch_out = fetch_stage(fetchlist, cfg, cur_time_ms, self.protocol)
-        fo_dir = os.path.join(seg, "fetch_out")
-        fetch_out.write_parquet(fo_dir)
-        timings["fetch"] = time.monotonic() - t
-
-        fetch_out = rd.read_parquet(fo_dir, partitioning=None)
-
-        # -- parse ------------------------------------------------------
-        t = time.monotonic()
-        parsed = parse_stage(fetch_out, cfg)
-        parse_dir = os.path.join(seg, "parse")
-        parsed.write_parquet(parse_dir)
-        timings["parse"] = time.monotonic() - t
-
-        parsed = rd.read_parquet(parse_dir, partitioning=None)
-        crawl_parse = parsed.filter(expr="rtype == 'crawl_parse'")
+        active = sorted(int(p) for p in gen_stats[gen_stats["selected"] > 0]["part"])
+        fp_task = _FetchParseTask(cfg, cur_time_ms, seg, self.protocol)
+        fp_stats = (
+            rd.from_items([{"part": p} for p in active], override_num_blocks=len(active))
+            .map_batches(fp_task, batch_format="pandas", batch_size=1)
+            .to_pandas()
+        )
+        timings["fetch_parse"] = time.monotonic() - t
+        timings["fetch"] = round(float(fp_stats["t_fetch"].sum()), 3)
+        timings["parse"] = round(float(fp_stats["t_parse"].sum()), 3)
 
         # -- updatedb (touched partitions only) -------------------------
         t = time.monotonic()
-        touched = set(int(p) for p in fetch_out.unique("part"))
-        touched |= set(int(p) for p in crawl_parse.unique("part"))
+        touched = set(active)
+        touched |= {
+            int(os.path.basename(d).split("-")[1])
+            for d in glob.glob(os.path.join(seg, "crawl_parse", "part-*"))
+        }
         touched = sorted(touched)
-        frontier_touched = self.store.read(gen, parts=touched)
-        new_frontier = updatedb_stage(
-            frontier_touched,
-            fetch_out.drop_columns(["content", "content_type", "fetch_order"]),
-            crawl_parse,
-            cfg,
-            cur_time_ms,
+        self.store.begin_generation(new_gen)
+        upd_task = _UpdateTask(cfg, cur_time_ms, seg, files_by_part, self.store.root, new_gen)
+        upd_stats = (
+            rd.from_items([{"part": p} for p in touched], override_num_blocks=len(touched))
+            .map_batches(upd_task, batch_format="pandas", batch_size=1)
+            .to_pandas()
         )
-        upd_dir = os.path.join(seg, "frontier_delta")
-        new_frontier.write_parquet(upd_dir)
+        written = {int(r["part"]): int(r["rows"]) for _, r in upd_stats.iterrows() if r["rows"] > 0}
+        hist: dict[str, int] = {}
+        for h in upd_stats["hist"]:
+            for k, v in json.loads(h).items():
+                hist[k] = hist.get(k, 0) + v
+        counters = {
+            "generated": n_generated,
+            "fetched": int(fp_stats["fetched"].sum()),
+            "docs": int(fp_stats["docs"].sum()),
+            "db_status": hist,
+            "rows_touched": int(upd_stats["rows"].sum()),
+        }
+        self.store.commit_generation(written, gen=new_gen, parent_gen=gen, counters=counters)
         timings["updatedb"] = time.monotonic() - t
-
-        # install new generation per partition
-        delta = pq.read_table(upd_dir)
-        tables: dict[int, pa.Table] = {}
-        for p in touched:
-            tables[p] = _frontier_pa_from_table(delta.filter(pa.compute.equal(delta["part"], p)))
-        counters = self._counters(delta, n_generated)
-        self.store.write_generation(tables, gen=new_gen, parent_gen=gen, counters=counters)
 
         return self._commit_round(new_gen, gen, touched, timings, counters, t0)
 
     # ------------------------------------------------------------------
-    def _counters(self, delta: pa.Table, n_generated: int) -> dict:
-        status = delta.column("status").to_numpy()
-        hist = {CS.name(int(s)): int(c) for s, c in zip(*np.unique(status, return_counts=True))}
-        return {"generated": int(n_generated), "db_status": hist, "rows_touched": len(status)}
-
     def _commit_round(self, new_gen, parent_gen, touched, timings, counters, t0) -> dict:
         metrics = {
             "gen": new_gen,
@@ -199,37 +434,13 @@ class CrawlDriver:
             "counters": counters,
         }
         path = os.path.join(self.seg_dir(new_gen), "_ROUND.json")
-        tmp = path + ".tmp"
         os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(metrics, f, indent=1)
         os.replace(tmp, path)
         return metrics
 
 
-# ---------------------------------------------------------------------------
-
-
 def _frontier_pa(df) -> pa.Table:
-    from ..model import FRONTIER_SCHEMA
-
-    cols = {}
-    for field in FRONTIER_SCHEMA:
-        name = field.name
-        if name in df.columns:
-            cols[name] = pa.array(df[name].tolist(), type=field.type)
-        else:
-            cols[name] = pa.nulls(len(df), type=field.type)
-    return pa.table(cols, schema=FRONTIER_SCHEMA)
-
-
-def _frontier_pa_from_table(t: pa.Table) -> pa.Table:
-    from ..model import FRONTIER_SCHEMA
-
-    cols = {}
-    for field in FRONTIER_SCHEMA:
-        if field.name in t.column_names:
-            cols[field.name] = t.column(field.name).cast(field.type)
-        else:
-            cols[field.name] = pa.nulls(t.num_rows, type=field.type)
-    return pa.table(cols, schema=FRONTIER_SCHEMA)
+    return frontier_table_from_pandas(df)

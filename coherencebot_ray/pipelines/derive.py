@@ -1,0 +1,87 @@
+"""Deterministic derivations of crawl tables from the driver's testdata.
+
+The driver's correctness gate runs each ``queries()`` entry AND its
+``oracle_sql()`` DuckDB equivalent on the same parquet tables. Crawl
+operators need frontier/seed/edge tables, so we derive them from
+``documents`` / ``lineitem`` with pure integer arithmetic that both
+numpy and SQL compute bit-identically:
+
+  url            'http://host{doc_id%97}.example/doc/{doc_id}'
+  score          ((doc_id*37) % 9973) / 9973.0      (distinct, float64)
+  status         CASE doc_id % 7 (mix of db statuses)
+  signature      md5(str(doc_id % 50))              (dup groups)
+  fetch_time     1_700_000_000_000 + (doc_id%1000)*1000
+  fetch_interval 86400 + (doc_id%10)*3600
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from ..model import CrawlStatus as CS
+
+EPOCH = 1_700_000_000_000
+
+# doc_id % 7 -> db status (CASE mirrored in SQL)
+_STATUS_BY_MOD7 = np.array(
+    [
+        CS.DB_UNFETCHED,  # 0
+        CS.DB_FETCHED,  # 1
+        CS.DB_FETCHED,  # 2
+        CS.DB_NOTMODIFIED,  # 3
+        CS.DB_GONE,  # 4
+        CS.DB_FETCHED,  # 5
+        CS.DB_UNFETCHED,  # 6
+    ],
+    dtype=np.int64,
+)
+
+STATUS_CASE_SQL = (
+    "CASE doc_id % 7 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 3 THEN 6 "
+    "WHEN 4 THEN 3 WHEN 5 THEN 2 ELSE 1 END"
+)
+
+URL_SQL = "'http://host' || (doc_id % 97) || '.example/doc/' || doc_id"
+HOST_SQL = "'host' || (doc_id % 97) || '.example'"
+SCORE_SQL = "((doc_id * 37) % 9973) / 9973.0"
+FETCH_TIME_SQL = f"{EPOCH} + (doc_id % 1000) * 1000"
+INTERVAL_SQL = "86400 + (doc_id % 10) * 3600"
+SIG_SQL = "md5(CAST(doc_id % 50 AS VARCHAR))"
+
+
+def derived_frontier(doc_ids: np.ndarray) -> pd.DataFrame:
+    d = doc_ids.astype(np.int64)
+    hostn = d % 97
+    return pd.DataFrame(
+        {
+            "url": [f"http://host{h}.example/doc/{i}" for h, i in zip(hostn, d)],
+            "host": [f"host{h}.example" for h in hostn],
+            "domain": [f"host{h}.example" for h in hostn],
+            "part": np.zeros(len(d), dtype=np.int32),
+            "status": _STATUS_BY_MOD7[d % 7],
+            "fetch_time": EPOCH + (d % 1000) * 1000,
+            "retries": np.zeros(len(d), dtype=np.int64),
+            "fetch_interval": 86400 + (d % 10) * 3600,
+            "score": ((d * 37) % 9973) / 9973.0,
+            "signature": [hashlib.md5(str(i % 50).encode()).hexdigest() for i in d],
+            "modified_time": np.zeros(len(d), dtype=np.int64),
+            "gen_time": np.zeros(len(d), dtype=np.int64),
+            "repr_url": [None] * len(d),
+            "fixed_interval": np.zeros(len(d), dtype=np.int64),
+            "metadata": [None] * len(d),
+        }
+    )
+
+
+def read_doc_ids(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    return (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .column("doc_id")
+        .to_numpy()
+        .astype(np.int64)
+    )

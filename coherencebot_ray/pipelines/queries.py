@@ -1,0 +1,738 @@
+"""The driver-facing query registry: every implemented operator as a
+``queries()`` entry over the testdata tables, each (where SQL can
+express it) with a DuckDB ``oracle_sql()`` equivalent producing the
+same column names and values.
+
+Float discipline (the driver hash-compares values): sums are computed
+in integer cents via ``floor(x*100 + 0.5)`` on both sides; scores are
+pure integer-ratio float64 computed identically; similarity ranks are
+tie-broken on ``round(sim, 6)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..config import CrawlConfig
+from ..model import CrawlStatus as CS
+from . import derive as DV
+
+EPOCH = DV.EPOCH
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+
+# ===========================================================================
+# Crawl operators on the derived frontier
+# ===========================================================================
+
+
+def q_generate_topn(sf_dir: str):
+    """J2 Generator selector: score-desc selection, per-host cap 3,
+    global topN 100 (Generator.java:216-537)."""
+    from ..stages.generate import select_partition
+
+    df = DV.derived_frontier(DV.read_doc_ids(sf_dir))
+    df = df.sort_values("url", kind="stable").reset_index(drop=True)
+    cfg = CrawlConfig(num_partitions=1, gen_max_count=3, gen_count_mode="host")
+    # make every row schedule-eligible at EPOCH+2e9 ms
+    out = select_partition(df, cfg, limit=100, gen_time_ms=EPOCH)
+    return out[["url", "host", "score"]].sort_values("url").reset_index(drop=True)
+
+
+_GEN_SQL = f"""
+WITH f AS (
+  SELECT {DV.URL_SQL} AS url, {DV.HOST_SQL} AS host, {DV.SCORE_SQL} AS score
+  FROM documents
+), r AS (
+  SELECT url, host, score,
+         row_number() OVER (PARTITION BY host ORDER BY score DESC) AS rn
+  FROM f
+)
+SELECT url, host, score FROM r WHERE rn <= 3
+ORDER BY score DESC LIMIT 100
+"""
+
+
+def q_inject_merge(sf_dir: str):
+    """J1 Injector merge (NUTCH-1405 rules, Injector.java:292-348):
+    seeds = docs with doc_id%3=0 (score 2.0), existing = docs with
+    doc_id%2=0; no overwrite/update -> old wins."""
+    from ..functions.inject import inject_merge
+
+    ids = DV.read_doc_ids(sf_dir)
+    old = DV.derived_frontier(ids[ids % 2 == 0])
+    seeds = DV.derived_frontier(ids[ids % 3 == 0])
+    seeds["status"] = CS.INJECTED
+    seeds["score"] = 2.0
+    combined = pd.concat([seeds, old], ignore_index=True)
+    cfg = CrawlConfig()
+    out = inject_merge(combined, cfg)
+    return out[["url", "status", "score"]].sort_values("url").reset_index(drop=True)
+
+
+_INJECT_SQL = f"""
+WITH seeds AS (
+  SELECT {DV.URL_SQL} AS url FROM documents WHERE doc_id % 3 = 0
+), old AS (
+  SELECT {DV.URL_SQL} AS url, {DV.STATUS_CASE_SQL} AS status, {DV.SCORE_SQL} AS score
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT coalesce(s.url, o.url) AS url,
+       CASE WHEN o.url IS NULL THEN 1 ELSE o.status END AS status,
+       CASE WHEN o.url IS NULL THEN 2.0 ELSE o.score END AS score
+FROM seeds s FULL OUTER JOIN old o ON s.url = o.url
+ORDER BY 1
+"""
+
+
+def q_updatedb_merge(sf_dir: str):
+    """J8 CrawlDbReducer state machine (CrawlDbReducer.java:196-312) with
+    DefaultFetchSchedule over deterministic fetch outcomes."""
+    from ..functions.updatedb import merge_partition
+
+    ids = DV.read_doc_ids(sf_dir)
+    old = DV.derived_frontier(ids)
+    old["status"] = CS.DB_UNFETCHED
+    old["signature"] = None
+
+    fid = ids[ids % 2 == 0]
+    fetch = DV.derived_frontier(fid)
+    fetch["signature"] = None
+    m8 = fid % 8
+    fetch["status"] = np.select(
+        [m8 == 0, m8 == 2, m8 == 4, m8 == 6],
+        [CS.FETCH_SUCCESS, CS.FETCH_GONE, CS.FETCH_RETRY, CS.FETCH_NOTMODIFIED],
+    )
+    combined = pd.concat([old, fetch], ignore_index=True)
+    cfg = CrawlConfig(schedule="default")
+    out = merge_partition(combined, cfg, EPOCH)
+    out = out[["url", "status", "fetch_time", "retries", "fetch_interval"]]
+    out["status"] = out["status"].astype(np.int64)
+    return out.sort_values("url").reset_index(drop=True)
+
+
+# gone schedule: interval*1.5 is exact in f32 here (ints < 2^24)
+_UPDATEDB_SQL = f"""
+WITH f AS (
+  SELECT doc_id, {DV.URL_SQL} AS url, {DV.FETCH_TIME_SQL} AS ft,
+         {DV.INTERVAL_SQL} AS itv
+  FROM documents
+)
+SELECT url,
+  CASE WHEN doc_id % 2 <> 0 THEN 1
+       WHEN doc_id % 8 = 0 THEN 2
+       WHEN doc_id % 8 = 2 THEN 3
+       WHEN doc_id % 8 = 4 THEN 1
+       ELSE 6 END AS status,
+  CASE WHEN doc_id % 2 <> 0 THEN ft
+       WHEN doc_id % 8 = 0 THEN ft + itv * 1000
+       WHEN doc_id % 8 = 2 THEN ft + CAST(itv * 1.5 AS BIGINT) * 1000
+       WHEN doc_id % 8 = 4 THEN ft + 86400000
+       ELSE ft + itv * 1000 END AS fetch_time,
+  CASE WHEN doc_id % 2 = 0 AND doc_id % 8 = 4 THEN 1 ELSE 0 END AS retries,
+  CASE WHEN doc_id % 2 = 0 AND doc_id % 8 = 2 THEN CAST(itv * 1.5 AS BIGINT)
+       ELSE itv END AS fetch_interval
+FROM f
+ORDER BY url
+"""
+
+
+def q_dedup_urls(sf_dir: str):
+    """J9 DeduplicationJob: group by signature, losers marked duplicate
+    (DeduplicationJob.java:124-229); scores distinct -> winner = max."""
+    from ..functions.dedup import mark_duplicates_in_group
+
+    df = DV.derived_frontier(DV.read_doc_ids(sf_dir))
+    df["status"] = CS.DB_FETCHED
+    dup_urls = []
+    for _, g in df.groupby("signature", sort=False):
+        mask = mark_duplicates_in_group(
+            g["url"].to_numpy(),
+            g["score"].to_numpy(dtype=np.float32),
+            g["fetch_time"].to_numpy(np.int64) * 0,  # equal fetch times
+        )
+        dup_urls.extend(g["url"].to_numpy()[mask])
+    return pd.DataFrame({"url": sorted(dup_urls)})
+
+
+_DEDUP_SQL = f"""
+WITH f AS (
+  SELECT {DV.URL_SQL} AS url, {DV.SIG_SQL} AS sig, {DV.SCORE_SQL} AS score
+  FROM documents
+), r AS (
+  SELECT url, row_number() OVER (PARTITION BY sig ORDER BY score DESC) AS rn FROM f
+)
+SELECT url FROM r WHERE rn > 1 ORDER BY url
+"""
+
+
+def q_invertlinks(sf_dir: str):
+    """J10 LinkDb invert: lineitem edges (order->part) grouped by target
+    with inlink counts (LinkDb.java; partial-combine before shuffle)."""
+    from ..stages.jobs import invertlinks
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey", "l_suppkey"])
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "url": "http://o" + df["l_orderkey"].astype(str) + ".example/",
+                "host": "o" + df["l_orderkey"].astype(str) + ".example",
+                "dst": "http://p" + df["l_partkey"].astype(str) + ".example/",
+                "anchor": "s" + df["l_suppkey"].astype(str),
+            }
+        )
+
+    edges = li.map_batches(to_edges, batch_format="pandas")
+    cfg = CrawlConfig(linkdb_ignore_internal=False, linkdb_max_inlinks=10_000_000)
+    out = invertlinks(edges, cfg).to_pandas()
+    out["min_src"] = out["srcs"].map(min)
+    out["min_anchor"] = out["anchors"].map(min)
+    return out[["url", "n_inlinks", "min_src", "min_anchor"]].sort_values("url").reset_index(drop=True)
+
+
+_INVERT_SQL = """
+SELECT 'http://p' || l_partkey || '.example/' AS url,
+       count(*) AS n_inlinks,
+       min('http://o' || l_orderkey || '.example/') AS min_src,
+       min('s' || l_suppkey) AS min_anchor
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_hostdb(sf_dir: str):
+    """J13 UpdateHostDb: per-host status counts (UpdateHostDbReducer)."""
+    import ray.data as rd
+
+    from ..stages.jobs import update_hostdb
+
+    df = DV.derived_frontier(DV.read_doc_ids(sf_dir))
+    out = update_hostdb(rd.from_pandas(df)).to_pandas()
+    cols = ["host", "unfetched", "fetched", "gone", "not_modified", "n_urls"]
+    out = out[cols]
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("host").reset_index(drop=True)
+
+
+_HOSTDB_SQL = f"""
+WITH f AS (
+  SELECT {DV.HOST_SQL} AS host, {DV.STATUS_CASE_SQL} AS status FROM documents
+)
+SELECT host,
+  CAST(sum(CASE WHEN status = 1 THEN 1 ELSE 0 END) AS BIGINT) AS unfetched,
+  CAST(sum(CASE WHEN status = 2 THEN 1 ELSE 0 END) AS BIGINT) AS fetched,
+  CAST(sum(CASE WHEN status = 3 THEN 1 ELSE 0 END) AS BIGINT) AS gone,
+  CAST(sum(CASE WHEN status = 6 THEN 1 ELSE 0 END) AS BIGINT) AS not_modified,
+  count(*) AS n_urls
+FROM f GROUP BY host ORDER BY host
+"""
+
+
+def q_readdb_stats(sf_dir: str):
+    """readdb -stats (CrawlDbReader.java:336-470): per-status count +
+    score min/max."""
+    import ray.data as rd
+
+    from ..stages.jobs import readdb_stats
+
+    df = DV.derived_frontier(DV.read_doc_ids(sf_dir))
+    out = readdb_stats(rd.from_pandas(df)).to_pandas()
+    out = out[["status", "count", "score_min", "score_max"]]
+    out["status"] = out["status"].astype(np.int64)
+    out["count"] = out["count"].astype(np.int64)
+    return out.sort_values("status").reset_index(drop=True)
+
+
+_STATS_SQL = f"""
+WITH f AS (
+  SELECT {DV.STATUS_CASE_SQL} AS status, {DV.SCORE_SQL} AS score FROM documents
+)
+SELECT status, count(*) AS count, min(score) AS score_min, max(score) AS score_max
+FROM f GROUP BY status ORDER BY status
+"""
+
+
+def q_readdb_topn(sf_dir: str):
+    """readdb -topN (CrawlDbReader.java:925-1006)."""
+    import ray.data as rd
+
+    from ..stages.jobs import readdb_topn
+
+    df = DV.derived_frontier(DV.read_doc_ids(sf_dir))
+    out = readdb_topn(rd.from_pandas(df[["url", "score"]]), 50).to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
+_TOPN_SQL = f"""
+SELECT url, score FROM (
+  SELECT {DV.URL_SQL} AS url, {DV.SCORE_SQL} AS score FROM documents
+  ORDER BY score DESC LIMIT 50
+) ORDER BY url
+"""
+
+
+def q_indexer_join(sf_dir: str):
+    """J11 IndexerMapReduce n-way join analogue over orders ⋈ customer ⋈
+    nation with OPIC indexer damping sqrt(score) in integer micro-units."""
+    import pyarrow.compute as pc
+
+    o = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    c = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
+    n = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    c_pd = c.to_pandas()
+    n_pd = n.to_pandas()
+    import ray
+
+    ref = ray.put((c_pd, n_pd))
+
+    def join(df: pd.DataFrame) -> pd.DataFrame:
+        cc, nn = ray.get(ref)
+        m = df.merge(cc, left_on="o_custkey", right_on="c_custkey")
+        m = m.merge(nn, left_on="c_nationkey", right_on="n_nationkey")
+        boost = np.floor(np.sqrt(m["o_totalprice"].to_numpy(dtype=np.float64)) * 1e6 + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "o_orderkey": m["o_orderkey"].to_numpy(),
+                "c_name": m["c_name"].to_numpy(),
+                "n_name": m["n_name"].to_numpy(),
+                "boost_micro": boost,
+            }
+        )
+
+    out = o.map_batches(join, batch_format="pandas").to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+_INDEXER_SQL = """
+SELECT o_orderkey, c_name, n_name,
+       CAST(FLOOR(sqrt(o_totalprice) * 1000000 + 0.5) AS BIGINT) AS boost_micro
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY o_orderkey
+"""
+
+
+# ===========================================================================
+# Dedup / text / knn / window / media over the driver tables
+# ===========================================================================
+
+
+def q_dedup_exact_docs(sf_dir: str):
+    """Exact text dedup (md5) over documents."""
+    from ..ops.dedup import exact_dedup
+
+    out = exact_dedup(_read(sf_dir, "documents", columns=["doc_id", "text"])).to_pandas()
+    if "doc_id" not in out.columns:  # no duplicates at this scale
+        out = pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "dup_of": pd.Series(dtype="int64")})
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["dup_of"] = out["dup_of"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_DEDUP_DOCS_SQL = """
+WITH s AS (SELECT doc_id, md5(text) AS sig FROM documents),
+w AS (SELECT doc_id, sig, min(doc_id) OVER (PARTITION BY sig) AS dup_of FROM s)
+SELECT doc_id, dup_of FROM w WHERE doc_id <> dup_of ORDER BY doc_id
+"""
+
+
+def q_minhash_lsh(sf_dir: str):
+    """MinHash+LSH near-dup pairs (Jaccard >= 0.8). Non-SQL (rows-only)."""
+    from ..ops.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(_read(sf_dir, "documents", columns=["doc_id", "text"])).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_simhash(sf_dir: str):
+    """SimHash near-dup pairs (hamming <= 3). Non-SQL (rows-only)."""
+    from ..ops.dedup import simhash_pairs
+
+    out = simhash_pairs(_read(sf_dir, "documents", columns=["doc_id", "text"])).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_text_quality(sf_dir: str):
+    """Quality metrics per doc (vectorized; SQL-mirrorable definitions)."""
+    from ..ops.text import text_quality
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(lambda df: text_quality(df), batch_format="pandas").to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_QUALITY_SQL = """
+WITH m AS (
+  SELECT doc_id, length(text) AS n_chars,
+         length(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+  CAST(FLOOR(n_alpha * 1.0 / greatest(n_chars, 1) * 1000000 + 0.5) AS BIGINT) AS alpha_ratio_ppm,
+  CAST(FLOOR(n_digit * 1.0 / greatest(n_chars, 1) * 1000000 + 0.5) AS BIGINT) AS digit_ratio_ppm,
+  CAST(FLOOR(n_alpha * 1.0 / greatest(n_tokens, 1) * 1000000 + 0.5) AS BIGINT) AS avg_token_len_ppm
+FROM m ORDER BY doc_id
+"""
+
+
+def q_fingerprint(sf_dir: str):
+    """Document fingerprints; groups sharing a fingerprint collapse."""
+    from ..ops.text import fingerprint
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "fp": fingerprint(df["text"])})
+
+    out = ds.map_batches(fp, batch_format="pandas").to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_FINGERPRINT_SQL = """
+SELECT doc_id, md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_langid(sf_dir: str):
+    """Language-ID heuristic counts per predicted lang. Non-SQL."""
+    from ..ops.text import langid
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def lid(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lang_pred": langid(df["text"])})
+
+    out = ds.map_batches(lid, batch_format="pandas").groupby("lang_pred").count().to_pandas()
+    return out.sort_values("lang_pred").reset_index(drop=True)
+
+
+def q_knn_cosine(sf_dir: str):
+    """Brute-force cosine top-10 for queries vec_id < 8."""
+    from ..ops.knn import knn_brute
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_brute(ds, query_ids=list(range(8)), k=10).to_pandas()
+    out = out[["query_id", "neighbor_id", "rank"]]
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+_KNN_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT q.qid, e.vec_id AS nid,
+         round(list_cosine_similarity(q.qe, e.embedding), 6) AS sim
+  FROM embeddings e, q WHERE e.vec_id <> q.qid
+),
+r AS (
+  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+  FROM s
+)
+SELECT qid AS query_id, nid AS neighbor_id, rank FROM r WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (sim >= 0.45; a<b)."""
+    from ..ops.knn import embedding_neardup_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = embedding_neardup_pairs(ds, threshold=0.45).to_pandas()[["a", "b"]]
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+_NEARDUP_SQL = """
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+ORDER BY a, b
+"""
+
+
+def q_knn_ivf(sf_dir: str):
+    """IVF-bucketed ANN (scale path of knn). Non-SQL; recall checked in
+    pytest against knn_brute."""
+    from ..ops.knn import knn_ivf
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_ivf(ds, query_ids=list(range(8)), k=10).to_pandas()
+    out = out[["query_id", "neighbor_id", "rank"]]
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def q_window_tumbling(sf_dir: str):
+    """Tumbling 1h window per user: event count + value cents."""
+    ds = _read(sf_dir, "events", columns=["ts", "user_id", "value"])
+
+    from ..ops.agg import bucketed_sum
+
+    def to_buckets(df: pd.DataFrame) -> pd.DataFrame:
+        from ..ops.window import ts_epoch_seconds
+
+        ts_s = ts_epoch_seconds(df["ts"])
+        w = (ts_s // 3600) * 3600
+        cents = np.floor(df["value"].to_numpy(dtype=np.float64) * 100.0 + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(), "window_start": w, "n_events": 1, "value_cents": cents}
+        )
+
+    pre = ds.map_batches(to_buckets, batch_format="pandas")
+    out = bucketed_sum(pre, ["user_id", "window_start"], ["n_events", "value_cents"]).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+
+
+_TUMBLING_SQL = """
+SELECT user_id,
+       (CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600) * 3600 AS window_start,
+       count(*) AS n_events,
+       CAST(sum(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_sessionize(sf_dir: str):
+    """Session windows (gap > 30 min) per user -> session count + events."""
+    from ..ops.window import sessionize
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    sess = sessionize(ds, gap_s=1800)
+
+    from ..ops.agg import bucketed_sum
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(n_sessions=1)[["user_id", "n_sessions", "n_events"]]
+
+    pre = sess.map_batches(per_user, batch_format="pandas")
+    out = bucketed_sum(pre, "user_id", ["n_sessions", "n_events"]).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+_SESSION_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t FROM events
+), m AS (
+  SELECT user_id, t,
+         CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                   OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+)
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM m GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing: text -> opaque binary payload -> actor-pool
+    feature extraction (deterministic fake decode; see ops/media.py)."""
+    from ..ops.media import media_features
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_binary(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "media": df["text"].map(lambda s: s.encode("utf-8")),
+            }
+        )
+
+    out = media_features(ds.map_batches(to_binary, batch_format="pandas")).to_pandas()
+    out = out[["doc_id", "n_bytes", "width", "height", "n_frames", "kind"]]
+    for c in ("doc_id", "n_bytes", "width", "height", "n_frames"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_MEDIA_SQL = """
+WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+SELECT doc_id, n AS n_bytes, 64 + (n % 577) AS width, 64 + (n % 417) AS height,
+       1 + (n % 24) AS n_frames,
+       CASE WHEN n % 3 = 0 THEN 'video' WHEN n % 3 = 1 THEN 'image' ELSE 'audio' END AS kind
+FROM b ORDER BY doc_id
+"""
+
+
+def q_q1_agg(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate (integer-cents exact)."""
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]
+    )
+
+    from ..ops.agg import bucketed_sum
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "count_order": 1,
+                "sum_qty_cents": _cents(df["l_quantity"].to_numpy(np.float64)),
+                "sum_price_cents": _cents(df["l_extendedprice"].to_numpy(np.float64)),
+            }
+        )
+
+    pre = ds.map_batches(prep, batch_format="pandas")
+    out = bucketed_sum(
+        pre, ["l_returnflag", "l_linestatus"], ["count_order", "sum_qty_cents", "sum_price_cents"], n_buckets=8
+    ).to_pandas()
+    for c in ("count_order", "sum_qty_cents", "sum_price_cents"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS count_order,
+       CAST(sum(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(sum(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_q3_join(sf_dir: str):
+    """TPC-H Q3-shaped join: segment-filtered customers' order revenue."""
+    import ray
+
+    c = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    c_pd = c.to_pandas()
+    keys = set(c_pd[c_pd["c_mktsegment"] == "BUILDING"]["c_custkey"])
+    o = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    o_pd = o.to_pandas()
+    ok = set(o_pd[o_pd["o_custkey"].isin(keys)]["o_orderkey"])
+    ok_ref = ray.put(ok)
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    from ..ops.agg import bucketed_sum
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        keep = ray.get(ok_ref)
+        d = df[df["l_orderkey"].isin(keep)]
+        rev = _cents(
+            d["l_extendedprice"].to_numpy(np.float64) * (1.0 - d["l_discount"].to_numpy(np.float64))
+        )
+        return pd.DataFrame({"l_orderkey": d["l_orderkey"].to_numpy(), "revenue_cents": rev})
+
+    pre = li.map_batches(prep, batch_format="pandas")
+    out = bucketed_sum(pre, "l_orderkey", ["revenue_cents"]).to_pandas()
+    out.columns = ["o_orderkey", "revenue_cents"]
+    out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+_Q3_SQL = """
+SELECT o_orderkey,
+       CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey ORDER BY o_orderkey
+"""
+
+
+def q_crawl_round(sf_dir: str):
+    """Flagship: one full generate→fetch→parse→updatedb round on a
+    frontier derived from the documents table, fake protocol. Non-SQL
+    (rows-only): returns the new frontier (url, status)."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from ..pipelines.crawl import CrawlDriver, _frontier_pa
+    from ..functions.urlutil import partition_for_hosts
+
+    cfg = CrawlConfig(num_partitions=4, topn=10_000, server_delay_s=0.0)
+    df = DV.derived_frontier(DV.read_doc_ids(sf_dir))
+    df["part"] = partition_for_hosts(df["host"], cfg.num_partitions, cfg.partition_seed)
+    df["signature"] = None
+    with tempfile.TemporaryDirectory() as wd:
+        d = CrawlDriver(wd, cfg)
+        d.bootstrap(_frontier_pa(df))
+        d.run_round(EPOCH + 10_000)
+        out = d.store.read_table(1).to_pandas()[["url", "status"]]
+        out["status"] = out["status"].astype(np.int64)
+        return out.sort_values("url").reset_index(drop=True)
+
+
+# ===========================================================================
+
+
+def build_queries() -> dict:
+    return {
+        "generate_topn": q_generate_topn,
+        "inject_merge": q_inject_merge,
+        "updatedb_merge": q_updatedb_merge,
+        "dedup_urls": q_dedup_urls,
+        "invertlinks": q_invertlinks,
+        "hostdb": q_hostdb,
+        "readdb_stats": q_readdb_stats,
+        "readdb_topn": q_readdb_topn,
+        "indexer_join": q_indexer_join,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "text_quality": q_text_quality,
+        "fingerprint": q_fingerprint,
+        "langid": q_langid,
+        "knn_cosine": q_knn_cosine,
+        "knn_ivf": q_knn_ivf,
+        "embedding_neardup": q_embedding_neardup,
+        "window_tumbling": q_window_tumbling,
+        "sessionize": q_sessionize,
+        "media_features": q_media_features,
+        "q1_agg": q_q1_agg,
+        "q3_join": q_q3_join,
+        "crawl_round": q_crawl_round,
+    }
+
+
+def build_oracle_sql() -> dict:
+    return {
+        "generate_topn": _GEN_SQL,
+        "inject_merge": _INJECT_SQL,
+        "updatedb_merge": _UPDATEDB_SQL,
+        "dedup_urls": _DEDUP_SQL,
+        "invertlinks": _INVERT_SQL,
+        "hostdb": _HOSTDB_SQL,
+        "readdb_stats": _STATS_SQL,
+        "readdb_topn": _TOPN_SQL,
+        "indexer_join": _INDEXER_SQL,
+        "dedup_exact_docs": _DEDUP_DOCS_SQL,
+        "text_quality": _QUALITY_SQL,
+        "fingerprint": _FINGERPRINT_SQL,
+        "knn_cosine": _KNN_SQL,
+        "embedding_neardup": _NEARDUP_SQL,
+        "window_tumbling": _TUMBLING_SQL,
+        "sessionize": _SESSION_SQL,
+        "media_features": _MEDIA_SQL,
+        "q1_agg": _Q1_SQL,
+        "q3_join": _Q3_SQL,
+        # rows-only (non-SQL-expressible): minhash_lsh, simhash, langid,
+        # knn_ivf, crawl_round
+    }

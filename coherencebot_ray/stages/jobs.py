@@ -47,20 +47,27 @@ def dedup(frontier_ds, cfg: CrawlConfig):
         d["sig_key"] = key
         return d[["url", "part", "score", "fetch_time", "sig_key"]]
 
-    def decide(g: pd.DataFrame) -> pd.DataFrame:
-        mask = mark_duplicates_in_group(
-            g["url"].to_numpy(),
-            g["score"].to_numpy(dtype=np.float32),
-            g["fetch_time"].to_numpy(dtype=np.int64),
-            compare_order,
-        )
-        d = g[mask]
-        return pd.DataFrame({"url": d["url"].to_numpy(), "part": d["part"].to_numpy()})
+    def decide_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        # vectorized over all signature groups in the bucket
+        outs = []
+        for _, g in b.groupby("sig_key", sort=False):
+            mask = mark_duplicates_in_group(
+                g["url"].to_numpy(),
+                g["score"].to_numpy(dtype=np.float32),
+                g["fetch_time"].to_numpy(dtype=np.int64),
+                compare_order,
+            )
+            if mask.any():
+                d = g[mask]
+                outs.append(pd.DataFrame({"url": d["url"].to_numpy(), "part": d["part"].to_numpy()}))
+        if not outs:
+            return pd.DataFrame({"url": pd.Series(dtype="object"), "part": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
 
-    dups = frontier_ds.map_batches(keyed, batch_format="pandas").groupby("sig_key").map_groups(
-        decide, batch_format="pandas"
-    )
-    return dups
+    from ..ops.agg import bucketed_group_apply
+
+    keyed_ds = frontier_ds.map_batches(keyed, batch_format="pandas")
+    return bucketed_group_apply(keyed_ds, "sig_key", decide_bucket)
 
 
 def apply_duplicate_marks(frontier_ds, dups_ds):
@@ -97,9 +104,13 @@ def invertlinks(outlinks_ds, cfg: CrawlConfig):
     max_in = cfg.linkdb_max_inlinks
     ignore_internal = cfg.linkdb_ignore_internal
 
+    _EMPTY = {"dst": "object", "anchor": "object", "src": "object", "w": "int64"}
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        """Cap edges per dst within the batch; dropped edges survive as
+        weight-only rows so n_inlinks stays the exact count."""
         if len(df) == 0:
-            return pd.DataFrame({c: pd.Series(dtype="object") for c in ["dst", "n", "anchors", "srcs"]})
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _EMPTY.items()})
         d = df
         if ignore_internal:
             from ..functions.urlutil import hosts_of
@@ -107,38 +118,61 @@ def invertlinks(outlinks_ds, cfg: CrawlConfig):
             dst_hosts = hosts_of(d["dst"].to_numpy())
             d = d[(dst_hosts.to_numpy() != d["host"].to_numpy())]
         if len(d) == 0:
-            return pd.DataFrame({c: pd.Series(dtype="object") for c in ["dst", "n", "anchors", "srcs"]})
-        g = d.groupby("dst", sort=False)
-        return pd.DataFrame(
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _EMPTY.items()})
+        d = d.sort_values("dst", kind="stable")
+        cum = d.groupby("dst", sort=False).cumcount().to_numpy()
+        kept = d[cum < max_in]
+        out = pd.DataFrame(
+            {"dst": kept["dst"].to_numpy(), "anchor": kept["anchor"].to_numpy(),
+             "src": kept["url"].to_numpy(), "w": 1}
+        )
+        over = d[cum >= max_in]
+        if len(over):
+            oc = over.groupby("dst", sort=False).size()
+            out = pd.concat(
+                [out, pd.DataFrame({"dst": oc.index.to_numpy(), "anchor": None, "src": None, "w": oc.to_numpy()})],
+                ignore_index=True,
+            )
+        return out
+
+    def final_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized list assembly: sort by dst, split at boundaries."""
+        if len(b) == 0:
+            return pd.DataFrame(
+                {"url": pd.Series(dtype="object"), "n_inlinks": pd.Series(dtype="int64"),
+                 "anchors": pd.Series(dtype="object"), "srcs": pd.Series(dtype="object")}
+            )
+        b = b.sort_values("dst", kind="stable")
+        n = b.groupby("dst", sort=False)["w"].sum()
+        kept = b[b["anchor"].notna()]
+        cum = kept.groupby("dst", sort=False).cumcount().to_numpy()
+        kept = kept[cum < max_in]
+        dsts = kept["dst"].to_numpy()
+        uniq, starts = np.unique(dsts, return_index=True)
+        order = np.argsort(starts)
+        uniq, starts = uniq[order], starts[order]
+        bounds = np.r_[starts[1:], len(dsts)]
+        anchors_v = kept["anchor"].to_numpy()
+        srcs_v = kept["src"].to_numpy()
+        lists = {
+            u: (anchors_v[s:e].tolist(), srcs_v[s:e].tolist())
+            for u, s, e in zip(uniq, starts, bounds)
+        }
+        all_dsts = n.index.to_numpy()
+        res = pd.DataFrame(
             {
-                "dst": list(g.groups.keys()),
-                "n": g.size().to_numpy(),
-                "anchors": g["anchor"].apply(lambda s: list(s.head(max_in))).to_numpy(),
-                "srcs": g["url"].apply(lambda s: list(s.head(max_in))).to_numpy(),
+                "url": all_dsts,
+                "n_inlinks": n.to_numpy(dtype=np.int64),
+                "anchors": [lists.get(u, ([], []))[0] for u in all_dsts],
+                "srcs": [lists.get(u, ([], []))[1] for u in all_dsts],
             }
         )
+        return res
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        anchors: list = []
-        srcs: list = []
-        for a, s in zip(g["anchors"], g["srcs"]):
-            if len(anchors) < max_in:
-                anchors.extend(a[: max_in - len(anchors)])
-                srcs.extend(s[: max_in - len(srcs)])
-        return pd.DataFrame(
-            {
-                "url": [g["dst"].iloc[0]],
-                "n_inlinks": [int(g["n"].sum())],
-                "anchors": [anchors],
-                "srcs": [srcs],
-            }
-        )
+    from ..ops.agg import bucketed_group_apply
 
-    return (
-        outlinks_ds.map_batches(partial, batch_format="pandas")
-        .groupby("dst")
-        .map_groups(final, batch_format="pandas")
-    )
+    partials = outlinks_ds.map_batches(partial, batch_format="pandas")
+    return bucketed_group_apply(partials, "dst", final_bucket)
 
 
 # ---------------------------------------------------------------------------
@@ -175,10 +209,10 @@ def update_hostdb(frontier_ds):
         out["score_sum"] = g["score"].sum().reindex(out["host"]).to_numpy()
         return out
 
-    from ray.data.aggregate import Sum
+    from ..ops.agg import bucketed_sum
 
-    aggs = [Sum(c, alias_name=c) for c in list(_STATUS_COLS) + ["n_urls", "score_sum"]]
-    return frontier_ds.map_batches(partial, batch_format="pandas").groupby("host").aggregate(*aggs)
+    partials = frontier_ds.map_batches(partial, batch_format="pandas")
+    return bucketed_sum(partials, "host", list(_STATUS_COLS) + ["n_urls", "score_sum"])
 
 
 # ---------------------------------------------------------------------------

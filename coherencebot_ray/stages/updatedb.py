@@ -57,14 +57,15 @@ def updatedb(
         parts.append(crawl_parse_ds.map_batches(project, batch_format="pandas"))
     unioned = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge(g: pd.DataFrame):
+        from ..model import frontier_table_from_pandas
+
         out = merge_partition(g, cfg, cur_time_ms)
-        if len(out) == 0:
-            return out
         out = apply_purges(out, cfg)
-        out["domain"] = domains_of(out["host"]).to_numpy(dtype=object)
-        # carry the partition id (all rows share it within a group)
-        return out
+        out["domain"] = domains_of(out["host"]).to_numpy(dtype=object) if len(out) else None
+        # emit Arrow with the exact frontier schema so every block/file of
+        # the write agrees (all-None object cols would infer as null type)
+        return frontier_table_from_pandas(out)
 
     return unioned.groupby("part").map_groups(merge, batch_format="pandas")
 

@@ -126,6 +126,66 @@ class FrontierStore:
         return manifest
 
     # ------------------------------------------------------------------
+    def part_tmp_path(self, gen: int, part: int) -> str:
+        """Deterministic path a worker task writes a partition file to
+        (idempotent under task retry: same path, same content)."""
+        d = os.path.join(self._gen_dir(gen, tmp=True), f"part={part}")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, "data-0.parquet")
+
+    def begin_generation(self, gen: int) -> str:
+        tmp = self._gen_dir(gen, tmp=True)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        return tmp
+
+    def commit_generation(
+        self,
+        written_parts: dict[int, int],  # part -> rows (files already in tmp dir)
+        gen: int,
+        parent_gen: int | None = None,
+        counters: dict | None = None,
+    ) -> dict:
+        """Commit a generation whose touched partition files were written
+        directly by worker tasks into the tmp dir (see part_tmp_path)."""
+        tmp = self._gen_dir(gen, tmp=True)
+        partitions: dict[str, dict] = {}
+        parent = self.manifest(parent_gen) if parent_gen is not None else None
+        for part in range(self.num_partitions):
+            if part in written_parts:
+                partitions[str(part)] = {
+                    "files": [os.path.join(f"gen={gen:06d}", f"part={part}", "data-0.parquet")],
+                    "rows": int(written_parts[part]),
+                    "source_gen": gen,
+                }
+            elif parent is not None and str(part) in parent["partitions"]:
+                partitions[str(part)] = dict(parent["partitions"][str(part)])
+            else:
+                partitions[str(part)] = {"files": [], "rows": 0, "source_gen": gen}
+        manifest = {
+            "gen": gen,
+            "num_partitions": self.num_partitions,
+            "created_ms": int(time.time() * 1000),
+            "lineage": {"parent_gen": parent_gen, "touched_parts": sorted(written_parts)},
+            "counters": counters or {},
+            "partitions": partitions,
+        }
+        with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        final = self._gen_dir(gen)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        with open(os.path.join(self.root, "_LATEST.tmp"), "w") as f:
+            f.write(str(gen))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(os.path.join(self.root, "_LATEST.tmp"), os.path.join(self.root, "_LATEST"))
+        return manifest
+
     def files(self, gen: int | None = None, parts: list[int] | None = None) -> list[str]:
         """Absolute parquet paths for a generation (optionally pruned to parts)."""
         if gen is None:
@@ -161,7 +221,7 @@ class FrontierStore:
         fl = self.files(gen, parts)
         if not fl:
             return None
-        return pa.concat_tables([pq.read_table(f) for f in fl], promote_options="default")
+        return pa.concat_tables([pq.read_table(f, partitioning=None) for f in fl], promote_options="default")
 
     def clean_tmp(self) -> None:
         for name in os.listdir(self.root):

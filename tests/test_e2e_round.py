@@ -107,4 +107,4 @@ def test_round_metrics_recorded(driver):
     with open(p) as f:
         rec = json.load(f)
     assert rec["counters"]["generated"] > 0
-    assert set(rec["timings_s"]) == {"generate", "fetch", "parse", "updatedb"}
+    assert {"generate", "fetch", "parse", "updatedb"} <= set(rec["timings_s"])
