@@ -32,7 +32,11 @@ _CRAWL_SCALE = {
     "0.001": (5_000, 100, 2_000),
     "0.01": (50_000, 500, 10_000),
     "0.1": (300_000, 2_000, 50_000),
+    # scaling runs use a compute-dominated tier so fixed driver overhead
+    # (~3s: plan setup, commits) doesn't mask the parallel fraction
+    "scaling": (4_800_000, 16_000, 800_000),
 }
+_SCALE_TIER = os.environ.get("GRAFT_BENCH_TIER")
 
 BENCH_QUERIES = [
     "generate_topn",
@@ -63,10 +67,9 @@ def run_headline() -> dict:
     from coherencebot_ray.pipelines.crawl import CrawlDriver
     from coherencebot_ray.sources.synth import EPOCH, synth_frontier
 
-    n_urls, n_hosts, topn = _CRAWL_SCALE.get(SF, _CRAWL_SCALE["0.1"])
-    cfg = CrawlConfig(
-        num_partitions=max(8, NUM_CPUS), topn=topn, server_delay_s=0.0, gen_max_count=-1
-    )
+    n_urls, n_hosts, topn = _CRAWL_SCALE.get(_SCALE_TIER or SF, _CRAWL_SCALE["0.1"])
+    # fixed partition count so both scaling levels run the identical job
+    cfg = CrawlConfig(num_partitions=64, topn=topn, server_delay_s=0.0, gen_max_count=-1)
     wd = f"/tmp/bench_crawl_{NUM_CPUS}"
     shutil.rmtree(wd, ignore_errors=True)
     d = CrawlDriver(wd, cfg)
@@ -120,7 +123,7 @@ def main() -> None:
     head = run_headline()
 
     qtimes: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in BENCH_QUERIES if _SCALE_TIER != "scaling" else []:
         fn = queries[name]
         t0 = time.monotonic()
         res = fn(SF_DIR)
@@ -151,7 +154,7 @@ def main() -> None:
 
 def scaling() -> None:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_TIER="scaling")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

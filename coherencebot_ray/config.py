@@ -54,6 +54,13 @@ class CrawlConfig:
     score_external_factor: float = 1.0  # db.score.link.external
     interval_parse_md: bool = False
 
+    # --- skew handling -----------------------------------------------------
+    # a partition whose frontier exceeds this row count has its updatedb
+    # merge split into hash(url) subshards (mega-host partitions would
+    # otherwise be stragglers; politeness only constrains FETCH, and the
+    # updatedb merge keys by url, so url-splitting is safe)
+    skew_split_rows: int = 100_000
+
     # --- updatedb (CrawlDbReducer.java) ------------------------------------
     additions_allowed: bool = True  # db.update.additions.allowed
     max_inlinks: int = 10_000  # db.update.max.inlinks

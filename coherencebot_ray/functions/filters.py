@@ -114,8 +114,67 @@ class DescendantURLFilter:
         return url.startswith(self.prefixes) if self.prefixes else False
 
 
+class FastURLFilter:
+    """urlfilter-fast analogue (src/plugin/urlfilter-fast/.../
+    FastURLFilter.java): rules are grouped per host/domain so only the
+    URL's own group is tested — O(rules-for-this-host), not O(all).
+
+    ``rules`` maps a host or registered domain (or "" for global) to an
+    ordered list of (sign, path_regex); first match wins within the
+    group, host group consulted before domain before global; no match
+    anywhere => accept.
+    """
+
+    name = "fast"
+
+    def __init__(self, rules: dict | None = None):
+        self.rules = {
+            k: [(sign == "+", re.compile(pat)) for sign, pat in v]
+            for k, v in (rules or {}).items()
+        }
+
+    def __call__(self, url: str) -> bool:
+        host = get_host(url)
+        path = url.split(host, 1)[-1] if host else url
+        for key in (host, get_domain(host), ""):
+            group = self.rules.get(key)
+            if not group:
+                continue
+            for accept, pat in group:
+                if pat.search(path):
+                    return accept
+        return True
+
+
+_VALID_URL = re.compile(
+    r"^(https?|ftp)://"
+    r"([A-Za-z0-9]([A-Za-z0-9\-]{0,61}[A-Za-z0-9])?\.)+[A-Za-z]{2,}"
+    r"(:\d{1,5})?"
+    r"(/[^\s]*)?$"
+)
+
+
+class ValidatorURLFilter:
+    """urlfilter-validator: RFC-ish syntactic URL validation."""
+
+    name = "validator"
+
+    def __call__(self, url: str) -> bool:
+        if len(url) > 2083 or not _VALID_URL.match(url):
+            return False
+        try:
+            from urllib.parse import urlsplit
+
+            p = urlsplit(url)
+            return bool(p.scheme and p.hostname)
+        except ValueError:
+            return False
+
+
 _REGISTRY = {
     "regex": RegexURLFilter,
+    "fast": FastURLFilter,
+    "validator": ValidatorURLFilter,
     "prefix": PrefixURLFilter,
     "suffix": SuffixURLFilter,
     "domain": DomainURLFilter,

@@ -217,9 +217,132 @@ class RegexNormalizer:
         return url
 
 
+class PassNormalizer:
+    """urlnormalizer-pass: identity (used to disable a scope)."""
+
+    name = "pass"
+
+    def __call__(self, url: str, scope: str = SCOPE_DEFAULT) -> str:
+        return url
+
+
+class QuerystringNormalizer:
+    """urlnormalizer-querystring: sort query parameters so equivalent
+    URLs collapse (src/plugin/urlnormalizer-querystring)."""
+
+    name = "querystring"
+
+    def __call__(self, url: str, scope: str = SCOPE_DEFAULT) -> str | None:
+        q = url.find("?")
+        if q == -1:
+            return url
+        base, query = url[:q], url[q + 1 :]
+        frag = ""
+        h = query.find("#")
+        if h != -1:
+            query, frag = query[:h], query[h:]
+        if not query:
+            return url
+        params = query.split("&")
+        return base + "?" + "&".join(sorted(params)) + frag
+
+
+class SlashNormalizer:
+    """urlnormalizer-slash: per-host trailing-slash policy (add or strip
+    a trailing slash on extension-less paths)."""
+
+    name = "slash"
+
+    def __init__(self, add_slash_hosts: tuple = (), strip_slash_hosts: tuple = ()):
+        self.add = frozenset(add_slash_hosts)
+        self.strip = frozenset(strip_slash_hosts)
+
+    def __call__(self, url: str, scope: str = SCOPE_DEFAULT) -> str:
+        try:
+            parts = urlsplit(url)
+        except ValueError:
+            return url
+        host = (parts.hostname or "").lower()
+        path = parts.path
+        if "." in path.rsplit("/", 1)[-1] or parts.query:
+            return url
+        if host in self.add and not path.endswith("/"):
+            return url.replace(path, path + "/", 1) if path else url + "/"
+        if host in self.strip and path.endswith("/") and len(path) > 1:
+            return url[: len(url) - 1] if url.endswith("/") else url
+        return url
+
+
+class ProtocolNormalizer:
+    """urlnormalizer-protocol: force a scheme per host (e.g. https
+    everywhere a host is known to redirect)."""
+
+    name = "protocol"
+
+    def __init__(self, host_protocols: dict | None = None, default: str | None = None):
+        self.map = host_protocols or {}
+        self.default = default
+
+    def __call__(self, url: str, scope: str = SCOPE_DEFAULT) -> str:
+        try:
+            parts = urlsplit(url)
+        except ValueError:
+            return url
+        host = (parts.hostname or "").lower()
+        want = self.map.get(host, self.default)
+        if want and parts.scheme and parts.scheme != want:
+            return want + url[len(parts.scheme) :]
+        return url
+
+
+class HostNormalizer:
+    """urlnormalizer-host: host aliasing (www.example.com ->
+    example.com style rewrites from a broadcast alias table)."""
+
+    name = "host"
+
+    def __init__(self, aliases: dict | None = None):
+        self.aliases = aliases or {}
+
+    def __call__(self, url: str, scope: str = SCOPE_DEFAULT) -> str:
+        try:
+            parts = urlsplit(url)
+        except ValueError:
+            return url
+        host = (parts.hostname or "").lower()
+        target = self.aliases.get(host)
+        if target and host:
+            return url.replace("://" + host, "://" + target, 1)
+        return url
+
+
+class AjaxNormalizer:
+    """urlnormalizer-ajax: '#!' hash-bang -> '_escaped_fragment_='
+    (Google AJAX crawling scheme)."""
+
+    name = "ajax"
+
+    def __call__(self, url: str, scope: str = SCOPE_DEFAULT) -> str:
+        i = url.find("#!")
+        if i == -1:
+            return url
+        frag = url[i + 2 :]
+        base = url[:i]
+        sep = "&" if "?" in base else "?"
+        from urllib.parse import quote
+
+        return f"{base}{sep}_escaped_fragment_={quote(frag, safe='')}"
+
+
 _REGISTRY = {
     "basic": BasicNormalizer,
     "regex": RegexNormalizer,
+    "pass": PassNormalizer,
+    "querystring": QuerystringNormalizer,
+    "slash": SlashNormalizer,
+    "protocol": ProtocolNormalizer,
+    "host": HostNormalizer,
+    "ajax": AjaxNormalizer,
 }
 
 

@@ -103,21 +103,32 @@ def merge_partition(
         # float32 like the reference's float accumulation
         links = links.sort_values("score", ascending=False, kind="stable")
         links = links.groupby("url", sort=False).head(cfg.max_inlinks)
-        g = links.groupby("url", sort=False)
+        # vectorized per-url f32 sum: sort rows by url (stable keeps the
+        # score-desc order within url => deterministic f32 accumulation
+        # via add.reduceat, same order as the sequential loop)
+        lk = links.sort_values("url", kind="stable")
+        u = lk["url"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        scores32 = lk["score"].to_numpy(dtype=np.float32)
+        sums = np.add.reduceat(scores32, starts, dtype=np.float32)
+        counts = np.diff(np.r_[starts, len(u)])
+        # linkList[0] = highest-score link: template when no fetch datum.
+        # first occurrence in the score-desc frame = per-url max.
+        first = links[~links["url"].duplicated()]
+        first = first.set_index("url")
+        uniq_urls = u[starts]
         link_agg = pd.DataFrame(
             {
-                "link_sum": g["score"].apply(
-                    lambda s: float(np.sum(s.to_numpy(dtype=np.float32), dtype=np.float32))
-                ),
-                "link_n": g.size(),
-                # linkList[0] = highest-score link: template when no fetch datum
-                "l_host": g["host"].first(),
-                "l_part": g["part"].first(),
-                "l_fetch_time": g["fetch_time"].first(),
-                "l_interval": g["fetch_interval"].first(),
-                "l_score": g["score"].first(),
-                "l_metadata": g["metadata"].first(),
-            }
+                "link_sum": sums.astype(np.float64),
+                "link_n": counts,
+                "l_host": first["host"].reindex(uniq_urls).to_numpy(),
+                "l_part": first["part"].reindex(uniq_urls).to_numpy(),
+                "l_fetch_time": first["fetch_time"].reindex(uniq_urls).to_numpy(),
+                "l_interval": first["fetch_interval"].reindex(uniq_urls).to_numpy(),
+                "l_score": first["score"].reindex(uniq_urls).to_numpy(),
+                "l_metadata": first["metadata"].reindex(uniq_urls).to_numpy(),
+            },
+            index=pd.Index(uniq_urls, name="url"),
         )
     else:
         link_agg = pd.DataFrame(
@@ -228,11 +239,23 @@ def merge_partition(
     success_class = np.isin(
         f_status, [CS.FETCH_SUCCESS, CS.FETCH_REDIR_TEMP, CS.FETCH_REDIR_PERM, CS.FETCH_NOTMODIFIED]
     )
-    r_meta = np.empty(len(m), dtype=object)
     o_meta_np, f_meta_np, pmeta_np = o_meta.to_numpy(), f_meta.to_numpy(), m["parse_meta"].to_numpy()
-    for i in range(len(m)):
+
+    def _present(arr):
+        return np.array(
+            [v is not None and not (isinstance(v, float) and np.isnan(v)) and v != "" for v in arr],
+            dtype=bool,
+        )
+
+    has_om, has_fm = _present(o_meta_np), _present(f_meta_np)
+    has_pm = _present(pmeta_np) & success_class
+    # fast path: at most one source present per row => direct pick
+    r_meta = np.where(has_fm, f_meta_np, np.where(has_om, o_meta_np, None))
+    r_meta = np.where(has_pm & ~has_om & ~has_fm, pmeta_np, r_meta)
+    multi = (has_om.astype(int) + has_fm.astype(int) + has_pm.astype(int)) >= 2
+    for i in np.flatnonzero(multi):
         meta = _merge_meta(o_meta_np[i], f_meta_np[i])
-        if success_class[i] and pmeta_np[i] is not None and not (isinstance(pmeta_np[i], float) and np.isnan(pmeta_np[i])):
+        if has_pm[i]:
             meta = _merge_meta(meta, pmeta_np[i])
         r_meta[i] = meta
 

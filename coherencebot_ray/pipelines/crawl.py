@@ -107,6 +107,18 @@ OUTLINKS_SEG_SCHEMA = pa.schema(
 )
 
 
+def _pin_arrow_threads() -> None:
+    """One Arrow thread per task: P concurrent partition tasks each
+    defaulting to a num_cpus-wide Arrow pool oversubscribe the node
+    (measured: 32-cpu run SLOWER than 8-cpu until pinned)."""
+    try:
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(2)
+    except Exception:
+        pass
+
+
 def _write_df(df: pd.DataFrame, path: str, schema: pa.Schema | None = None) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     t = (
@@ -124,6 +136,7 @@ class _GenTask:
         self.filters = filters
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        _pin_arrow_threads()
         from ..stages.generate import eligibility_filter, select_partition
 
         out = []
@@ -144,10 +157,22 @@ class _GenTask:
 class _FetchParseTask:
     """Fused fetch+parse for one fetchlist partition."""
 
-    def __init__(self, cfg, cur_time_ms, seg, protocol):
+    def __init__(self, cfg, cur_time_ms, seg, protocol, seen_files_by_part=None):
         self.cfg, self.cur, self.seg, self.protocol = cfg, cur_time_ms, seg, protocol
+        self.seen_files_by_part = seen_files_by_part or {}
+
+    def _load_seen(self, part: int):
+        from ..state.cuckoo import CuckooFilter
+
+        shards = []
+        for f in self.seen_files_by_part.get(part, []):
+            if os.path.exists(f):
+                with open(f, "rb") as fh:
+                    shards.append(CuckooFilter.from_bytes(fh.read()))
+        return shards
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        _pin_arrow_threads()
         from ..stages.fetch import FetchPartition
         from ..stages.parse import ParseBatch
 
@@ -162,6 +187,21 @@ class _FetchParseTask:
             fl = pq.read_table(fl_path).to_pandas()
             t0 = time.monotonic()
             fetch_out = FetchPartition(cfg, self.cur, self.protocol)(fl)
+            # drop redirect-discovery rows whose target is already in this
+            # partition's URL-seen shard (cuckoo; FP-safe: a false positive
+            # only skips a LINKED row for a URL the frontier already has)
+            seen = self._load_seen(part)
+            if seen and len(fetch_out):
+                is_disc = (fetch_out["status"] == CS.LINKED).to_numpy()
+                if is_disc.any():
+                    urls = fetch_out.loc[is_disc, "url"].to_numpy()
+                    mask_seen = np.zeros(len(urls), dtype=bool)
+                    for cf in seen:
+                        mask_seen |= cf.contains_many(urls)
+                    same_part = fetch_out.loc[is_disc, "part"].to_numpy() == part
+                    drop_idx = fetch_out.index[is_disc][mask_seen & same_part]
+                    if len(drop_idx):
+                        fetch_out = fetch_out.drop(index=drop_idx)
             t_fetch = time.monotonic() - t0
 
             t0 = time.monotonic()
@@ -217,15 +257,32 @@ class _UpdateTask:
         self.store_root, self.new_gen = store_root, new_gen
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        _pin_arrow_threads()
         from ..functions.updatedb import _DATUM_COLS, merge_partition
         from ..functions.urlutil import domains_of
         from ..stages.updatedb import apply_purges
 
         out = []
-        for part in batch["part"]:
-            part = int(part)
+        for part, sub, n_sub in zip(batch["part"], batch["sub"], batch["n_sub"]):
+            part, sub, n_sub = int(part), int(sub), int(n_sub)
             frames = []
             files = self.files_by_part.get(part, [])
+            if files and len(files) > 1:
+                # prune to the parent subshards covering this url-hash range
+                # (power-of-two counts: growth -> one parent shard, shrink ->
+                # every parent shard s with s % n_sub == sub)
+                old_n = len(files)
+                keep = (
+                    {sub % old_n}
+                    if old_n < n_sub
+                    else {s for s in range(old_n) if s % n_sub == sub}
+                )
+                pruned = [
+                    f
+                    for f in files
+                    if any(f.endswith(f"data-{s}.parquet") for s in keep)
+                ]
+                files = pruned or files
             if files:
                 frames.append(pq.read_table(files, partitioning=None).to_pandas())
             fo = os.path.join(self.seg, "fetch_out", f"part-{part}", "data-0.parquet")
@@ -243,6 +300,11 @@ class _UpdateTask:
                 [f.reindex(columns=_DATUM_COLS, fill_value=None) for f in frames],
                 ignore_index=True,
             )
+            if n_sub > 1:
+                # skew split: this subtask merges only its url-hash shard
+                # (the merge keys by url, so the split is exact)
+                h = pd.util.hash_pandas_object(datums["url"], index=False).to_numpy(dtype=np.uint64)
+                datums = datums[(h % np.uint64(n_sub)) == sub]
             merged = merge_partition(datums, self.cfg, self.cur)
             merged = apply_purges(merged, self.cfg)
             merged["domain"] = (
@@ -251,10 +313,18 @@ class _UpdateTask:
             merged["part"] = part
             table = frontier_table_from_pandas(merged)
             dest = os.path.join(
-                self.store_root, f"gen={self.new_gen:06d}.tmp", f"part={part}", "data-0.parquet"
+                self.store_root, f"gen={self.new_gen:06d}.tmp", f"part={part}", f"data-{sub}.parquet"
             )
             os.makedirs(os.path.dirname(dest), exist_ok=True)
             pq.write_table(table, dest, compression="zstd")
+            # cuckoo URL-seen shard (north_rule): rebuilt per generation
+            # from the partition rows, persisted beside the parquet
+            from ..state.cuckoo import CuckooFilter
+
+            cf = CuckooFilter(capacity=max(1024, 2 * len(merged)))
+            cf.add_many(merged["url"].to_numpy())
+            with open(dest.replace(".parquet", ".seen"), "wb") as fh:
+                fh.write(cf.to_bytes())
             status = merged["status"].to_numpy()
             hist = {CS.name(int(s)): int(c) for s, c in zip(*np.unique(status, return_counts=True))}
             out.append({"part": part, "rows": len(merged), "hist": json.dumps(hist)})
@@ -381,7 +451,11 @@ class CrawlDriver:
         # -- fetch + parse (fused) --------------------------------------
         t = time.monotonic()
         active = sorted(int(p) for p in gen_stats[gen_stats["selected"] > 0]["part"])
-        fp_task = _FetchParseTask(cfg, cur_time_ms, seg, self.protocol)
+        seen_files_by_part = {
+            p: [f.replace(".parquet", ".seen") for f in files]
+            for p, files in files_by_part.items()
+        }
+        fp_task = _FetchParseTask(cfg, cur_time_ms, seg, self.protocol, seen_files_by_part)
         fp_stats = (
             rd.from_items([{"part": p} for p in active], override_num_blocks=len(active))
             .map_batches(fp_task, batch_format="pandas", batch_size=1)
@@ -400,13 +474,25 @@ class CrawlDriver:
         }
         touched = sorted(touched)
         self.store.begin_generation(new_gen)
+        # skew splitting: a mega-host partition's merge shards by url hash
+        rows_by_part = {int(p): ent["rows"] for p, ent in man["partitions"].items()}
+        descr = []
+        for p in touched:
+            raw = max(1, -(-rows_by_part.get(p, 0) // cfg.skew_split_rows))
+            n_sub = 1 << (raw - 1).bit_length()  # power of 2: each new
+            # subshard maps to exactly one parent subshard file
+            for sub in range(n_sub):
+                descr.append({"part": p, "sub": sub, "n_sub": n_sub})
         upd_task = _UpdateTask(cfg, cur_time_ms, seg, files_by_part, self.store.root, new_gen)
         upd_stats = (
-            rd.from_items([{"part": p} for p in touched], override_num_blocks=len(touched))
+            rd.from_items(descr, override_num_blocks=len(descr))
             .map_batches(upd_task, batch_format="pandas", batch_size=1)
             .to_pandas()
         )
-        written = {int(r["part"]): int(r["rows"]) for _, r in upd_stats.iterrows() if r["rows"] > 0}
+        written = (
+            upd_stats.groupby("part")["rows"].sum().astype(int).to_dict()
+        )
+        written = {int(p): n for p, n in written.items() if n > 0}
         hist: dict[str, int] = {}
         for h in upd_stats["hist"]:
             for k, v in json.loads(h).items():

@@ -59,7 +59,9 @@ def synth_frontier(
         [f"http://host{h}.example/page/{s}" for h, s in zip(host_idx, seq_in_host)],
         dtype=object,
     )
-    score = ((np.array([_md5i(u) for u in urls]) % 10_000) / 10_000.0).astype(np.float32)
+    # deterministic pseudo-random scores (Knuth mix — no per-url md5)
+    mix = (host_idx.astype(np.uint64) * np.uint64(2654435761) + seq_in_host.astype(np.uint64) * np.uint64(40503) + np.uint64(seed)) % np.uint64(1 << 32)
+    score = ((mix % np.uint64(10_000)).astype(np.float64) / 10_000.0).astype(np.float32)
     parts = partition_for_hosts(hosts, cfg.num_partitions, cfg.partition_seed, cfg.partition_mode)
     return pa.table(
         {

@@ -340,7 +340,9 @@ def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone:
         if len(d) == 0 or len(f) == 0:
             return pd.DataFrame({c: pd.Series(dtype="object") for c in
                                  ["url", "title", "text", "score_boost", "n_inlinks", "anchors"]})
-        m = d.merge(f[["url", "status", "score"]], on="url", how="inner", suffixes=("", "_db"))
+        m = d.drop(columns=["status", "score"], errors="ignore").merge(
+            f[["url", "status", "score"]], on="url", how="inner"
+        )
         if delete_gone:
             m = m[~m["status"].isin([CS.DB_GONE, CS.DB_DUPLICATE, CS.DB_REDIR_PERM, CS.DB_REDIR_TEMP])]
         ldb = ray.get(link_ref)
@@ -363,11 +365,31 @@ def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone:
             }
         )
 
+    # typed sentinels: union blocks must agree on dtypes or the exchange
+    # coerces conflicting columns to null
+    _UNION_DEFAULTS = [
+        ("url", ""), ("part", 0), ("status", -1), ("score", 0.0),
+        ("title", ""), ("text", ""), ("rjoin", ""),
+    ]
+
+    def align(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame()
+        n = len(df)
+        for c, default in _UNION_DEFAULTS:
+            if c in df.columns:
+                out[c] = df[c].to_numpy()
+            else:
+                out[c] = np.full(n, default, dtype=type(default) if not isinstance(default, str) else object)
+        out["score"] = out["score"].astype(np.float64)
+        out["status"] = out["status"].astype(np.int64)
+        out["part"] = out["part"].astype(np.int64)
+        return out
+
     f_tagged = frontier_ds.map_batches(
-        lambda df: df[["url", "part", "status", "score"]].assign(rjoin="db"),
+        lambda df: align(df[["url", "part", "status", "score"]].assign(rjoin="db")),
         batch_format="pandas",
     )
     d_tagged = docs_ds.map_batches(docs_project, batch_format="pandas").map_batches(
-        lambda df: df.assign(rjoin="doc"), batch_format="pandas"
+        lambda df: align(df.assign(rjoin="doc")), batch_format="pandas"
     )
     return f_tagged.union(d_tagged).groupby("part").map_groups(join_part, batch_format="pandas")

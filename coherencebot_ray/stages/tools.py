@@ -1,0 +1,306 @@
+"""Auxiliary tools: FreeGenerator, segment reader/dumpers, CleaningJob,
+WARC-style export, LinkRank, sitemap processing, feed injection, sinks.
+
+References: tools/FreeGenerator.java, segment/SegmentReader.java,
+indexer/CleaningJob.java, tools/warc/*, scoring/webgraph/LinkRank,
+util/SitemapProcessor.java:82-520, crawl/FeedInjector.java:77-764,
+src/plugin/indexer-csv / indexer-dummy.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from ..config import CrawlConfig
+from ..functions.filters import URLFilters
+from ..functions.normalizers import URLNormalizers
+from ..functions.urlutil import domains_of, hosts_of, partition_for_hosts
+from ..model import CrawlStatus as CS
+
+
+# ---------------------------------------------------------------------------
+# FreeGenerator (tools/FreeGenerator.java): fetchlist straight from URLs
+# ---------------------------------------------------------------------------
+
+
+def free_generate(urls: list[str], cfg: CrawlConfig, cur_time_ms: int, normalize: bool = True) -> pd.DataFrame:
+    """Text URLs -> a ready fetchlist (no CrawlDb), normalized/filtered
+    and partitioned like a real fetchlist."""
+    norms = URLNormalizers(cfg.normalizers)
+    filts = URLFilters(cfg.filters)
+    normed = norms.normalize_many(urls) if normalize else list(urls)
+    kept = [u for u in normed if u is not None]
+    kept = [u for u, ok in zip(kept, filts.accept_many(kept)) if ok]
+    kept = list(dict.fromkeys(kept))  # dedupe, keep order
+    hosts = hosts_of(kept)
+    df = pd.DataFrame(
+        {
+            "url": kept,
+            "host": hosts.to_numpy(dtype=object),
+            "domain": domains_of(hosts).to_numpy(dtype=object),
+            "part": partition_for_hosts(hosts, cfg.num_partitions, cfg.partition_seed, cfg.partition_mode),
+            "status": CS.DB_UNFETCHED,
+            "fetch_time": cur_time_ms,
+            "retries": 0,
+            "fetch_interval": cfg.interval_default,
+            "score": np.float32(cfg.score_injected),
+            "signature": None,
+            "modified_time": 0,
+            "gen_time": cur_time_ms,
+            "repr_url": None,
+            "fixed_interval": 0,
+            "metadata": None,
+            "segnum": 1,
+            "sort_score": np.float32(cfg.score_injected),
+            "fetch_delay_ms": 0,
+        }
+    )
+    from ..functions.urlutil import generator_url_hash_vec
+
+    order = np.argsort(generator_url_hash_vec(df["url"].to_numpy()), kind="stable")
+    return df.iloc[order].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Segment readers (readseg) — SegmentReader.java analogue
+# ---------------------------------------------------------------------------
+
+
+def read_segment(seg_dir: str, what: str = "fetch_out"):
+    """Read one segment component as a Ray Dataset (dump/stats source)."""
+    import ray.data as rd
+
+    files = sorted(glob.glob(os.path.join(seg_dir, what, "part-*", "*.parquet")))
+    if not files:
+        return rd.from_items([])
+    return rd.read_parquet(files, partitioning=None)
+
+
+def segment_stats(seg_dir: str) -> dict:
+    """readseg -list analogue: per-component row counts + status hist."""
+    out: dict = {"segment": os.path.basename(seg_dir)}
+    for what in ("fetchlist", "fetch_out", "docs", "outlinks", "crawl_parse", "content"):
+        files = sorted(glob.glob(os.path.join(seg_dir, what, "part-*", "*.parquet")))
+        n = sum(pq.read_metadata(f).num_rows for f in files)
+        out[what] = n
+    ro = os.path.join(seg_dir, "_ROUND.json")
+    if os.path.exists(ro):
+        with open(ro) as f:
+            out["round"] = json.load(f)
+    return out
+
+
+def dump_segment_csv(seg_dir: str, what: str, out_path: str, columns=None) -> int:
+    """readseg -dump analogue -> CSV."""
+    ds = read_segment(seg_dir, what)
+    if columns:
+        ds = ds.select_columns(columns)
+    df = ds.to_pandas()
+    df.to_csv(out_path, index=False)
+    return len(df)
+
+
+# ---------------------------------------------------------------------------
+# CleaningJob (indexer/CleaningJob.java): emit deletes for gone/dup rows
+# ---------------------------------------------------------------------------
+
+
+def cleaning_job(frontier_ds):
+    """Returns the delete-list: urls whose db status means the indexed
+    doc must be removed (gone / duplicate / redirects)."""
+
+    def deletes(df: pd.DataFrame) -> pd.DataFrame:
+        bad = df["status"].isin([CS.DB_GONE, CS.DB_DUPLICATE, CS.DB_REDIR_PERM, CS.DB_REDIR_TEMP])
+        return pd.DataFrame({"url": df[bad]["url"].to_numpy()})
+
+    return frontier_ds.map_batches(deletes, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# WARC-style export (tools/warc/WARCExporter analogue, no JVM/WARC lib:
+# one JSONL record per fetched page with WARC-ish headers)
+# ---------------------------------------------------------------------------
+
+
+def export_warcish(seg_dir: str, out_dir: str) -> int:
+    """Export segment content as WARC-like JSONL (one file per partition
+    → resumable; returns record count)."""
+    os.makedirs(out_dir, exist_ok=True)
+    total = 0
+    for f in sorted(glob.glob(os.path.join(seg_dir, "content", "part-*", "*.parquet"))):
+        part = os.path.basename(os.path.dirname(f))
+        t = pq.read_table(f, partitioning=None)
+        recs = []
+        for url, content, ctype in zip(
+            t.column("url").to_pylist(),
+            t.column("content").to_pylist(),
+            t.column("content_type").to_pylist(),
+        ):
+            if content is None:
+                continue
+            recs.append(
+                json.dumps(
+                    {
+                        "WARC-Type": "response",
+                        "WARC-Target-URI": url,
+                        "Content-Type": ctype,
+                        "Content-Length": len(content),
+                        "payload_b64": __import__("base64").b64encode(bytes(content)).decode(),
+                    }
+                )
+            )
+        with open(os.path.join(out_dir, f"{part}.jsonl"), "w") as fh:
+            fh.write("\n".join(recs) + ("\n" if recs else ""))
+        total += len(recs)
+    return total
+
+
+# ---------------------------------------------------------------------------
+# LinkRank (scoring/webgraph/LinkRank analogue): iterative link analysis
+# ---------------------------------------------------------------------------
+
+
+def linkrank(edges_ds, iterations: int = 3, damping: float = 0.85, n_buckets: int = 64):
+    """Power iteration over (url=src, dst) edges:
+    r_{t+1}(v) = (1-d) + d * Σ_{u→v} r_t(u)/outdeg(u).
+
+    Each iteration = one bucketed aggregate (ops/agg.py); the rank vector
+    rides along as a broadcast dict (small side: ranks are per-node
+    floats — at web scale swap for a rank table co-partitioned with the
+    edge list). Returns Dataset (url, rank) rounded to 9 dp.
+    """
+    import ray
+    import ray.data as rd
+
+    from ..ops.agg import bucketed_sum
+
+    # outdegree (one pass)
+    def deg(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"url": df["url"].to_numpy(), "outdeg": 1})
+
+    outdeg_pd = bucketed_sum(edges_ds.map_batches(deg, batch_format="pandas"), "url", ["outdeg"], n_buckets=n_buckets).to_pandas()
+    outdeg = dict(zip(outdeg_pd["url"], outdeg_pd["outdeg"]))
+
+    # node set
+    nodes = set(outdeg)
+    for batch in edges_ds.iter_batches(batch_format="pandas"):
+        nodes.update(batch["dst"])
+    ranks = {n: 1.0 for n in nodes}
+
+    for _ in range(iterations):
+        state = ray.put((ranks, outdeg))
+
+        def contrib(df: pd.DataFrame) -> pd.DataFrame:
+            r, od = ray.get(state)
+            src = df["url"].to_numpy()
+            w = np.array([r.get(s, 1.0) / od.get(s, 1) for s in src])
+            return pd.DataFrame({"dst": df["dst"].to_numpy(), "w": w})
+
+        agg = bucketed_sum(
+            edges_ds.map_batches(contrib, batch_format="pandas"), "dst", ["w"], n_buckets=n_buckets
+        ).to_pandas()
+        new_ranks = {n: (1.0 - damping) for n in nodes}
+        for dst, w in zip(agg["dst"], agg["w"]):
+            new_ranks[dst] = (1.0 - damping) + damping * w
+        ranks = new_ranks
+
+    out = pd.DataFrame({"url": list(ranks), "rank": np.round(list(ranks.values()), 9)})
+    return rd.from_pandas(out.sort_values("url").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Sitemap processing (util/SitemapProcessor.java:82-520 analogue)
+# ---------------------------------------------------------------------------
+
+_LOC_RE = re.compile(r"<loc>\s*(.*?)\s*</loc>", re.S)
+_LASTMOD_RE = re.compile(r"<lastmod>\s*(.*?)\s*</lastmod>", re.S)
+
+
+def parse_sitemap_xml(xml: str) -> list[dict]:
+    """Extract url/lastmod entries from a (urlset) sitemap document."""
+    locs = _LOC_RE.findall(xml)
+    mods = _LASTMOD_RE.findall(xml)
+    out = []
+    for i, loc in enumerate(locs):
+        out.append({"url": loc, "lastmod": mods[i] if i < len(mods) else None})
+    return out
+
+
+def sitemap_seed_lines(sitemap_docs: list[str]) -> list[str]:
+    """Sitemap XML documents -> injector seed lines."""
+    lines = []
+    for xml in sitemap_docs:
+        for ent in parse_sitemap_xml(xml):
+            lines.append(ent["url"])
+    return lines
+
+
+# ---------------------------------------------------------------------------
+# FeedInjector (crawl/FeedInjector.java:77-764 analogue)
+# ---------------------------------------------------------------------------
+
+
+class FakeCollectionsFeed:
+    """Deterministic paged feed API double (the reference pages the
+    Policy Commons collections API with an x-api-key)."""
+
+    def __init__(self, n_entries: int = 50, page_size: int = 20, seed: int = 42):
+        self.n, self.page_size = n_entries, page_size
+
+    def page(self, page_no: int) -> list[dict]:
+        start = page_no * self.page_size
+        out = []
+        for i in range(start, min(start + self.page_size, self.n)):
+            out.append(
+                {
+                    "url": f"http://org{i % 7}.example/collection/{i}",
+                    "collection": f"c{i % 3}",
+                    "org": f"org{i % 7}",
+                    "withdrawn": i % 11 == 0,
+                }
+            )
+        return out
+
+
+def feed_inject_lines(feed: FakeCollectionsFeed) -> list[str]:
+    """Page through the feed; emit seed lines with collection/org
+    metadata; withdrawn entries marked for scoring-withdrawn."""
+    lines = []
+    page = 0
+    while True:
+        entries = feed.page(page)
+        if not entries:
+            break
+        for e in entries:
+            md = f"collection={e['collection']}\torg={e['org']}"
+            if e.get("withdrawn"):
+                md += "\twithdrawn=true"
+            lines.append(f"{e['url']}\t{md}")
+        page += 1
+    return lines
+
+
+# ---------------------------------------------------------------------------
+# Index sinks (indexer-csv / indexer-dummy / parquet)
+# ---------------------------------------------------------------------------
+
+
+def write_index(docs_ds, out_dir: str, fmt: str = "parquet") -> None:
+    """Pluggable index writers (src/plugin/indexer-*): parquet / csv /
+    jsonl sinks over the joined index documents."""
+    os.makedirs(out_dir, exist_ok=True)
+    if fmt == "parquet":
+        docs_ds.write_parquet(out_dir)
+    elif fmt == "csv":
+        docs_ds.write_csv(out_dir)
+    elif fmt == "jsonl":
+        docs_ds.write_json(out_dir)
+    else:
+        raise ValueError(f"unknown index sink format: {fmt}")

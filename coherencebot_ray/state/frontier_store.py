@@ -88,6 +88,13 @@ class FrontierStore:
                 os.makedirs(pdir)
                 fpath = os.path.join(pdir, "data-0.parquet")
                 pq.write_table(t, fpath, compression="zstd")
+                # cuckoo URL-seen shard alongside (rebuildable from parquet)
+                from .cuckoo import CuckooFilter
+
+                cf = CuckooFilter(capacity=max(1024, 2 * t.num_rows))
+                cf.add_many(t.column("url").to_pylist())
+                with open(fpath.replace(".parquet", ".seen"), "wb") as fh:
+                    fh.write(cf.to_bytes())
                 # manifest stores gen-relative paths for rename-safety
                 partitions[str(part)] = {
                     "files": [os.path.join(f"gen={gen:06d}", f"part={part}", "data-0.parquet")],
@@ -154,8 +161,16 @@ class FrontierStore:
         parent = self.manifest(parent_gen) if parent_gen is not None else None
         for part in range(self.num_partitions):
             if part in written_parts:
+                # a skew-split partition has several data-*.parquet subshards
+                names = sorted(
+                    os.listdir(os.path.join(tmp, f"part={part}"))
+                ) if os.path.isdir(os.path.join(tmp, f"part={part}")) else []
                 partitions[str(part)] = {
-                    "files": [os.path.join(f"gen={gen:06d}", f"part={part}", "data-0.parquet")],
+                    "files": [
+                        os.path.join(f"gen={gen:06d}", f"part={part}", n)
+                        for n in names
+                        if n.endswith(".parquet")
+                    ],
                     "rows": int(written_parts[part]),
                     "source_gen": gen,
                 }

@@ -1,0 +1,181 @@
+"""Aux job conformance: dedup (J9), invertlinks (J10), hostdb (J13),
+mergedb (J12, TestCrawlDbMerger port), readdb, indexer join (J11)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from coherencebot_ray.config import CrawlConfig
+from coherencebot_ray.model import CrawlStatus as CS
+from coherencebot_ray.stages import jobs
+
+CUR = 1_700_000_000_000
+
+
+def frontier_rows(n=10, host="h.com", status=CS.DB_FETCHED, sig_mod=3):
+    return pd.DataFrame(
+        {
+            "url": [f"http://{host}/{i}" for i in range(n)],
+            "host": host,
+            "domain": host,
+            "part": 0,
+            "status": status,
+            "fetch_time": [CUR + i for i in range(n)],
+            "retries": 0,
+            "fetch_interval": 86400,
+            "score": np.linspace(1, 2, n).astype(np.float32),
+            "signature": [hashlib.md5(str(i % sig_mod).encode()).digest() for i in range(n)],
+            "modified_time": 0,
+            "gen_time": 0,
+            "repr_url": None,
+            "fixed_interval": 0,
+            "metadata": None,
+        }
+    )
+
+
+def test_dedup_marks_losers(ray_session):
+    import ray.data as rd
+
+    df = frontier_rows(9, sig_mod=3)  # 3 groups of 3; winner = highest score
+    dups = jobs.dedup(rd.from_pandas(df), CrawlConfig()).to_pandas()
+    assert len(dups) == 6  # one winner per group survives
+    marked = jobs.apply_duplicate_marks(rd.from_pandas(df), rd.from_pandas(dups)).to_pandas()
+    assert (marked["status"] == CS.DB_DUPLICATE).sum() == 6
+    # winners keep their status
+    winners = marked[marked["status"] == CS.DB_FETCHED]
+    assert set(winners["url"]) == {"http://h.com/6", "http://h.com/7", "http://h.com/8"}
+
+
+def test_invertlinks_counts_and_cap(ray_session):
+    import ray.data as rd
+
+    edges = pd.DataFrame(
+        {
+            "url": [f"http://s{i % 5}.com/p" for i in range(20)],
+            "host": [f"s{i % 5}.com" for i in range(20)],
+            "dst": ["http://t.com/x"] * 12 + ["http://u.com/y"] * 8,
+            "anchor": [f"a{i}" for i in range(20)],
+        }
+    )
+    cfg = CrawlConfig(linkdb_max_inlinks=5, linkdb_ignore_internal=False)
+    out = jobs.invertlinks(rd.from_pandas(edges), cfg).to_pandas().set_index("url")
+    assert out.loc["http://t.com/x", "n_inlinks"] == 12
+    assert out.loc["http://u.com/y", "n_inlinks"] == 8
+    assert len(out.loc["http://t.com/x", "anchors"]) == 5  # capped
+
+
+def test_invertlinks_ignore_internal(ray_session):
+    import ray.data as rd
+
+    edges = pd.DataFrame(
+        {
+            "url": ["http://a.com/1", "http://a.com/2"],
+            "host": ["a.com", "a.com"],
+            "dst": ["http://a.com/x", "http://b.com/x"],
+            "anchor": ["in", "out"],
+        }
+    )
+    cfg = CrawlConfig(linkdb_ignore_internal=True)
+    out = jobs.invertlinks(rd.from_pandas(edges), cfg).to_pandas()
+    assert set(out["url"]) == {"http://b.com/x"}
+
+
+def test_hostdb_aggregates(ray_session):
+    import ray.data as rd
+
+    df = pd.concat(
+        [
+            frontier_rows(4, host="a.com", status=CS.DB_FETCHED),
+            frontier_rows(3, host="a.com", status=CS.DB_UNFETCHED),
+            frontier_rows(2, host="b.com", status=CS.DB_GONE),
+        ],
+        ignore_index=True,
+    )
+    out = jobs.update_hostdb(rd.from_pandas(df)).to_pandas().set_index("host")
+    assert out.loc["a.com", "fetched"] == 4
+    assert out.loc["a.com", "unfetched"] == 3
+    assert out.loc["a.com", "n_urls"] == 7
+    assert out.loc["b.com", "gone"] == 2
+
+
+def test_mergedb_newest_wins(ray_session):
+    """TestCrawlDbMerger.java:113 analogue: newest calculateLastFetchTime
+    wins; metadata merged newer-over-older."""
+    import json
+
+    import ray.data as rd
+
+    old = frontier_rows(3)
+    old["metadata"] = json.dumps({"k": "old", "only_old": "1"})
+    new = frontier_rows(3)
+    new["fetch_time"] = new["fetch_time"] + 10_000
+    new["score"] = np.float32(9.0)
+    new["metadata"] = json.dumps({"k": "new"})
+    out = jobs.mergedb([rd.from_pandas(old), rd.from_pandas(new)], CrawlConfig()).to_pandas()
+    assert len(out) == 3
+    assert (out["score"] == 9.0).all()
+    meta = json.loads(out["metadata"].iloc[0])
+    assert meta == {"k": "new", "only_old": "1"}
+
+
+def test_mergedb_unfetched_loses_to_fetched(ray_session):
+    import ray.data as rd
+
+    a = frontier_rows(2, status=CS.DB_UNFETCHED)  # lastFetchTime = 0
+    b = frontier_rows(2, status=CS.DB_FETCHED)
+    b["score"] = np.float32(5.0)
+    out = jobs.mergedb([rd.from_pandas(a), rd.from_pandas(b)], CrawlConfig()).to_pandas()
+    assert (out["status"] == CS.DB_FETCHED).all()
+
+
+def test_readdb_stats_and_topn(ray_session):
+    import ray.data as rd
+
+    df = pd.concat(
+        [frontier_rows(5, status=CS.DB_FETCHED), frontier_rows(3, host="x.com", status=CS.DB_UNFETCHED)],
+        ignore_index=True,
+    )
+    stats = jobs.readdb_stats(rd.from_pandas(df)).to_pandas().set_index("status")
+    assert stats.loc[CS.DB_FETCHED, "count"] == 5
+    assert stats.loc[CS.DB_UNFETCHED, "count"] == 3
+    top = jobs.readdb_topn(rd.from_pandas(df), 2).to_pandas()
+    assert len(top) == 2
+    assert top["score"].min() >= df["score"].to_numpy(dtype=np.float32).max() - 1e-6
+    one = jobs.readdb_url(rd.from_pandas(df), "http://h.com/0").to_pandas()
+    assert len(one) == 1
+
+
+def test_indexer_join(ray_session):
+    import ray.data as rd
+
+    frontier = frontier_rows(3, status=CS.DB_FETCHED)
+    frontier.loc[2, "status"] = CS.DB_GONE  # deleted by -deleteGone
+    docs = pd.DataFrame(
+        {
+            "url": [f"http://h.com/{i}" for i in range(3)],
+            "part": 0,
+            "spans": [
+                [
+                    {"kind": "title", "text": f"T{i}", "media_ref": "", "offset": 0},
+                    {"kind": "text", "text": f"body {i}", "media_ref": "", "offset": 1},
+                ]
+                for i in range(3)
+            ],
+        }
+    )
+    linkdb = pd.DataFrame(
+        {"url": ["http://h.com/0"], "n_inlinks": [7], "anchors": [["a", "b"]]}
+    )
+    out = jobs.indexer_join(
+        rd.from_pandas(frontier), rd.from_pandas(docs), rd.from_pandas(linkdb), CrawlConfig()
+    ).to_pandas().set_index("url")
+    assert len(out) == 2  # gone row deleted
+    assert out.loc["http://h.com/0", "title"] == "T0"
+    assert out.loc["http://h.com/0", "n_inlinks"] == 7
+    assert out.loc["http://h.com/1", "n_inlinks"] == 0
+    # OPIC indexer damping: boost = sqrt(score)
+    row = frontier.iloc[0]
+    assert out.loc["http://h.com/0", "score_boost"] == pytest.approx(np.sqrt(row["score"]), rel=1e-5)

@@ -1,0 +1,204 @@
+"""Data-op correctness: dedup family, knn (incl. IVF recall vs brute),
+windows, text analysis, media stubs, cuckoo filter, bucketed agg."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from coherencebot_ray.ops import dedup as dd
+from coherencebot_ray.ops import text as tx
+from coherencebot_ray.ops.agg import bucketed_sum, stable_bucket
+from coherencebot_ray.state.cuckoo import CuckooFilter, ShardedSeen
+
+
+# ---------------- pure kernels (no Ray) ----------------
+
+
+def test_minhash_similarity_estimate():
+    h = dd.MinHasher(n_perm=128)
+    a = "the quick brown fox jumps over the lazy dog and runs far away today"
+    b = "the quick brown fox jumps over the lazy dog and runs far away now"
+    c = "completely different content about database systems and query engines"
+    sig_a, sig_b, sig_c = h.signature(a), h.signature(b), h.signature(c)
+    est_ab = (sig_a == sig_b).mean()
+    est_ac = (sig_a == sig_c).mean()
+    true_ab = dd.jaccard(a, b)
+    assert abs(est_ab - true_ab) < 0.2
+    assert est_ac < 0.1
+
+
+def test_simhash_properties():
+    a = dd.simhash64("policy report about climate change in europe today")
+    b = dd.simhash64("policy report about climate change in europe tomorrow")
+    c = dd.simhash64("xylophone quantum zebra unrelated words entirely")
+    assert dd.hamming64(int(a), int(b)) < dd.hamming64(int(a), int(c))
+    # identical text -> identical hash, deterministic
+    assert dd.simhash64("same text here") == dd.simhash64("same text here")
+
+
+def test_simhash_band_blocking():
+    h = dd.simhash64("some document body")
+    bands = dd.simhash_bands(h)
+    assert len(bands) == 4
+    # reconstruct
+    recon = sum(b << (16 * i) for i, b in enumerate(bands))
+    assert recon == int(h)
+
+
+def test_text_ops():
+    s = pd.Series(["hello world  foo", "", "a b"])
+    assert tx.token_count(s).tolist() == [3, 0, 2]
+    fp = tx.fingerprint(pd.Series(["Hello, World!", "hello world", "other"]))
+    assert fp.iloc[0] == fp.iloc[1]
+    assert fp.iloc[0] != fp.iloc[2]
+    lang = tx.langid(pd.Series(["the cat and the dog of a to", "der hund und die katze ist nicht"]))
+    assert lang.tolist() == ["en", "de"]
+    rh = tx.rolling_hashes(pd.Series([" ".join("abcdefghij"), "short"]), window=4)
+    assert len(rh.iloc[0]) == 10 - 4 + 1
+    assert len(rh.iloc[1]) == 1
+
+
+def test_cuckoo_filter_membership():
+    cf = CuckooFilter(capacity=10_000)
+    keys = [f"http://h{i}.com/p{i}" for i in range(5_000)]
+    assert cf.add_many(keys) == 5_000
+    assert cf.contains_many(keys).all()
+    other = [f"http://other{i}.net/x" for i in range(5_000)]
+    fp_rate = cf.contains_many(other).mean()
+    assert fp_rate < 0.02  # 16-bit fingerprints: ~0.1% expected
+    # serialization round-trip
+    cf2 = CuckooFilter.from_bytes(cf.to_bytes())
+    assert cf2.contains_many(keys).all()
+    assert "http://h1.com/p1" in cf2
+
+
+def test_sharded_seen():
+    s = ShardedSeen(num_partitions=4, capacity_per_shard=4096)
+    parts = np.array([0, 1, 2, 3, 0, 1])
+    urls = [f"u{i}" for i in range(6)]
+    s.add(parts, urls)
+    assert s.contains(parts, urls).all()
+    assert not s.contains(np.array([2]), ["u0"]).any()  # wrong shard
+
+
+def test_stable_bucket_deterministic():
+    a = stable_bucket(pd.Series(["x", "y", "z"]), 16)
+    b = stable_bucket(pd.Series(["x", "y", "z"]), 16)
+    assert (a == b).all()
+    assert (a < 16).all()
+
+
+# ---------------- Ray pipelines ----------------
+
+
+def test_bucketed_sum_matches_pandas(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {"k": rng.integers(0, 1000, 20_000), "v": rng.integers(0, 100, 20_000)}
+    )
+    out = bucketed_sum(rd.from_pandas(df), "k", ["v"]).to_pandas().sort_values("k")
+    exp = df.groupby("k", as_index=False)["v"].sum().sort_values("k")
+    assert (out["k"].to_numpy() == exp["k"].to_numpy()).all()
+    assert (out["v"].to_numpy() == exp["v"].to_numpy()).all()
+
+
+def test_exact_dedup_pipeline(ray_session):
+    import ray.data as rd
+
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4, 5], "text": ["aa", "bb", "aa", "cc", "bb"]}
+    )
+    out = dd.exact_dedup(rd.from_pandas(docs)).to_pandas().sort_values("doc_id")
+    assert out.set_index("doc_id")["dup_of"].to_dict() == {3: 1, 5: 2}
+
+
+def test_minhash_lsh_finds_neardups(ray_session):
+    import ray.data as rd
+
+    base = "policy analysis report on climate economics with detailed regional data and methods"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                base,
+                base + " appendix",  # near-dup of 1
+                "totally different text about biology and oceans with many unique words",
+                base,  # exact dup of 1
+            ],
+        }
+    )
+    out = dd.minhash_lsh_pairs(rd.from_pandas(docs), threshold=0.5).to_pandas()
+    pairs = set(map(tuple, out[["a", "b"]].to_numpy()))
+    assert (1, 4) in pairs
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_pipeline(ray_session):
+    import ray.data as rd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["same words here exactly", "same words here exactly", "other thing"],
+        }
+    )
+    out = dd.simhash_pairs(rd.from_pandas(docs)).to_pandas()
+    pairs = set(map(tuple, out[["a", "b"]].to_numpy()))
+    assert (1, 2) in pairs
+
+
+def test_knn_ivf_recall_vs_brute(ray_session):
+    import ray.data as rd
+
+    from coherencebot_ray.ops.knn import knn_brute, knn_ivf
+
+    rng = np.random.default_rng(3)
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(300),
+            "embedding": [rng.standard_normal(32).astype(np.float32) for _ in range(300)],
+        }
+    )
+    ds = rd.from_pandas(emb)
+    brute = knn_brute(ds, [0, 1, 2], k=10).to_pandas()
+    ivf = knn_ivf(ds, [0, 1, 2], k=10, n_centroids=8, nprobe=4).to_pandas()
+    recall = 0.0
+    for q in (0, 1, 2):
+        b = set(brute[brute["query_id"] == q]["neighbor_id"])
+        v = set(ivf[ivf["query_id"] == q]["neighbor_id"])
+        recall += len(b & v) / len(b)
+    assert recall / 3 >= 0.5  # nprobe=4 of 8 centroids
+
+
+def test_sliding_windows(ray_session):
+    import ray.data as rd
+
+    from coherencebot_ray.ops.window import sliding_window_counts
+
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(["2024-01-01 00:10:00", "2024-01-01 00:50:00"]),
+            "user_id": [1, 1],
+            "value": [1.0, 1.0],
+        }
+    )
+    out = sliding_window_counts(rd.from_pandas(ev), window_s=3600, slide_s=900).to_pandas()
+    # each event covers 4 sliding windows
+    assert out["n_events"].sum() == 8
+
+
+def test_media_stub_and_frame_sampler():
+    from coherencebot_ray.ops.media import DecodeUnavailable, FrameSampler, MediaFeatureExtractor, real_decode
+
+    df = pd.DataFrame({"doc_id": ["a", "b"], "media": [b"x" * 100, b"y" * 7]})
+    feats = MediaFeatureExtractor()(df)
+    assert feats["n_bytes"].tolist() == [100, 7]
+    assert (feats["width"] == 64 + feats["n_bytes"] % 577).all()
+    frames = FrameSampler(stride=2)(feats)
+    assert (frames["frame_idx"] % 2 == 0).all()
+    with pytest.raises(DecodeUnavailable):
+        real_decode(b"payload")

@@ -1,0 +1,215 @@
+"""Plugin-family conformance: extra normalizers/filters, enrichment
+(summarizer, index-criteria, withdrawn), tools (FreeGenerator, linkrank,
+sitemap, feed injector, cleaning, warc export)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from coherencebot_ray.config import CrawlConfig
+from coherencebot_ray.functions import enrich
+from coherencebot_ray.functions.filters import FastURLFilter, ValidatorURLFilter
+from coherencebot_ray.functions.normalizers import (
+    AjaxNormalizer,
+    HostNormalizer,
+    ProtocolNormalizer,
+    QuerystringNormalizer,
+    SlashNormalizer,
+    URLNormalizers,
+)
+from coherencebot_ray.model import CrawlStatus as CS
+from coherencebot_ray.stages import tools
+
+CUR = 1_700_000_000_000
+
+
+def test_querystring_normalizer():
+    n = QuerystringNormalizer()
+    assert n("http://a.com/x?b=2&a=1") == "http://a.com/x?a=1&b=2"
+    assert n("http://a.com/x") == "http://a.com/x"
+
+
+def test_slash_normalizer():
+    n = SlashNormalizer(add_slash_hosts=("a.com",), strip_slash_hosts=("b.com",))
+    assert n("http://a.com/dir") == "http://a.com/dir/"
+    assert n("http://b.com/dir/") == "http://b.com/dir"
+    assert n("http://a.com/file.html") == "http://a.com/file.html"  # extension untouched
+
+
+def test_protocol_and_host_normalizers():
+    p = ProtocolNormalizer({"secure.com": "https"})
+    assert p("http://secure.com/x") == "https://secure.com/x"
+    assert p("http://other.com/x") == "http://other.com/x"
+    h = HostNormalizer({"www.example.com": "example.com"})
+    assert h("http://www.example.com/a") == "http://example.com/a"
+
+
+def test_ajax_normalizer():
+    a = AjaxNormalizer()
+    assert a("http://a.com/page#!state=1") == "http://a.com/page?_escaped_fragment_=state%3D1"
+    assert a("http://a.com/page?q=1#!s") == "http://a.com/page?q=1&_escaped_fragment_=s"
+
+
+def test_extended_chain_registry():
+    chain = URLNormalizers(names=("basic", "querystring", "regex"))
+    assert chain.normalize("HTTP://A.com/x?b=2&a=1") == "http://a.com/x?a=1&b=2"
+
+
+def test_fast_filter_host_groups():
+    f = FastURLFilter(
+        {
+            "spam.com": [("-", r".")],
+            "example.com": [("-", r"/private/"), ("+", r".")],
+            "": [("-", r"\.exe$")],
+        }
+    )
+    assert not f("http://spam.com/anything")
+    assert not f("http://example.com/private/x")
+    assert f("http://example.com/public/x")
+    assert not f("http://other.com/file.exe")
+    assert f("http://other.com/page.html")
+
+
+def test_validator_filter():
+    v = ValidatorURLFilter()
+    assert v("http://example.com/path")
+    assert v("https://sub.example.co.uk:8080/a?b=c")
+    assert not v("http://no_scheme")
+    assert not v("not a url")
+    assert not v("http://" + "a" * 3000 + ".com/")
+
+
+def test_summarizer():
+    text = (
+        "Climate policy matters for economics. Economic growth depends on climate policy. "
+        "Bananas are yellow. The policy framework guides economic climate decisions. "
+        "Unrelated sentence about fish. Climate economics policy framework growth. "
+        "Another filler sentence entirely different words."
+    )
+    s = enrich.summarize(text, count=3)
+    assert "Climate" in s or "climate" in s
+    assert len(s) < len(text)
+    # cleaning strips urls and squeezes whitespace
+    assert enrich.clean_summary("see http://x.com/a  for   more") == "see for more"
+
+
+def test_best_title():
+    t, alg = enrich.best_title("Short", "A Heading From Pdf", None)
+    assert (t, alg) == ("A Heading From Pdf", "heading")
+    long_title = "A Reasonably Long Document Title With Many Mixed Case Words"
+    t, alg = enrich.best_title(long_title, "h", None)
+    assert (t, alg) == (long_title, "title")
+    t, alg = enrich.best_title(None, None, ["click here", "one-word", "The Annual Policy Report"])
+    assert (t, alg) == ("The Annual Policy Report", "anchor")
+    assert enrich.best_title(None, None, None) == (None, "none")
+
+
+def test_criteria_filter():
+    df = pd.DataFrame({"text": ["x" * 5000, "short"]})
+    assert enrich.criteria_filter(df).tolist() == [True, False]
+
+
+def test_withdrawn_scoring():
+    df = pd.DataFrame(
+        {
+            "url": ["a", "b", "c"],
+            "status": [CS.DB_UNFETCHED] * 3,
+            "metadata": ['{"withdrawn": "true"}', '{"x": "1"}', None],
+        }
+    )
+    out = enrich.apply_withdrawn(df)
+    assert out["status"].tolist() == [CS.DB_WITHDRAWN, CS.DB_UNFETCHED, CS.DB_UNFETCHED]
+
+
+def test_stubs_deterministic():
+    assert enrich.thumbnail_stub("http://a.com/x") == enrich.thumbnail_stub("http://a.com/x")
+    assert enrich.translate_title_stub("Titel", "de") == "[de->en] Titel"
+    assert enrich.translate_title_stub("Title", "en") == "Title"
+
+
+def test_free_generate():
+    cfg = CrawlConfig(num_partitions=4)
+    fl = tools.free_generate(
+        ["http://A.com/x?&y=1#f", "http://a.com/x?y=1", "ftp://no/x", "http://b.com/ok.html"],
+        cfg,
+        CUR,
+    )
+    # normalized, filtered, deduped; '?y=1' rejected by regex filter [?]
+    assert set(fl["url"]) == {"http://b.com/ok.html"}
+    assert (fl["segnum"] == 1).all()
+
+
+def test_sitemap_parsing():
+    xml = """<?xml version="1.0"?><urlset>
+      <url><loc>http://a.com/1</loc><lastmod>2024-01-01</lastmod></url>
+      <url><loc> http://a.com/2 </loc></url></urlset>"""
+    entries = tools.parse_sitemap_xml(xml)
+    assert [e["url"] for e in entries] == ["http://a.com/1", "http://a.com/2"]
+    assert entries[0]["lastmod"] == "2024-01-01"
+    assert tools.sitemap_seed_lines([xml]) == ["http://a.com/1", "http://a.com/2"]
+
+
+def test_feed_injector_lines():
+    feed = tools.FakeCollectionsFeed(n_entries=25, page_size=10)
+    lines = tools.feed_inject_lines(feed)
+    assert len(lines) == 25
+    assert "collection=" in lines[0] and "org=" in lines[0]
+    assert any("withdrawn=true" in ln for ln in lines)
+
+
+def test_cleaning_job(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame(
+        {
+            "url": ["a", "b", "c", "d"],
+            "status": [CS.DB_FETCHED, CS.DB_GONE, CS.DB_DUPLICATE, CS.DB_REDIR_PERM],
+        }
+    )
+    out = tools.cleaning_job(rd.from_pandas(df)).to_pandas()
+    assert set(out["url"]) == {"b", "c", "d"}
+
+
+def test_linkrank(ray_session):
+    import ray.data as rd
+
+    # star graph: hub -> a,b,c ; a,b,c -> hub
+    edges = pd.DataFrame(
+        {
+            "url": ["hub", "hub", "hub", "a", "b", "c"],
+            "dst": ["a", "b", "c", "hub", "hub", "hub"],
+        }
+    )
+    out = tools.linkrank(rd.from_pandas(edges), iterations=40).to_pandas().set_index("url")
+    # hub receives 3 full contributions; leaves split hub's rank
+    assert out.loc["hub", "rank"] > out.loc["a", "rank"]
+    assert out.loc["a", "rank"] == pytest.approx(out.loc["b", "rank"], rel=1e-6)
+    # fixed point sanity: r_hub = 0.15 + 0.85*3*r_leaf ; r_leaf = 0.15 + 0.85*r_hub/3
+    r_hub, r_leaf = out.loc["hub", "rank"], out.loc["a", "rank"]
+    assert r_hub == pytest.approx(0.15 + 0.85 * 3 * r_leaf, abs=0.05)
+
+
+def test_warc_export_and_segment_tools(tmp_path, ray_session):
+    from coherencebot_ray.pipelines.crawl import CrawlDriver
+    from coherencebot_ray.sources.synth import EPOCH, synth_frontier
+
+    cfg = CrawlConfig(num_partitions=2, topn=50, server_delay_s=0.0)
+    d = CrawlDriver(str(tmp_path / "c"), cfg)
+    d.bootstrap(synth_frontier(60, 5, cfg))
+    d.run_round(EPOCH)
+    seg = d.seg_dir(1)
+
+    stats = tools.segment_stats(seg)
+    assert stats["fetch_out"] > 0 and stats["docs"] > 0
+
+    n = tools.export_warcish(seg, str(tmp_path / "warc"))
+    assert n > 0
+    import glob as g
+    import json as j
+
+    rec = j.loads(open(sorted(g.glob(str(tmp_path / "warc" / "*.jsonl")))[0]).readline())
+    assert rec["WARC-Type"] == "response" and rec["WARC-Target-URI"].startswith("http://")
+
+    out_csv = str(tmp_path / "dump.csv")
+    rows = tools.dump_segment_csv(seg, "fetch_out", out_csv, columns=["url", "status"])
+    assert rows == stats["fetch_out"]
