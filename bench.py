@@ -85,6 +85,20 @@ def run_headline() -> dict:
 
     st = fo.column("status").to_numpy()
     fetched = int(np.isin(st, [CS.FETCH_SUCCESS, CS.FETCH_GONE, CS.FETCH_REDIR_TEMP, CS.FETCH_REDIR_PERM, CS.FETCH_RETRY, CS.FETCH_NOTMODIFIED]).sum())
+
+    # determinism evidence across parallelism levels: crawl order (per
+    # partition fetch_order) and URL-seen set must be identical at N and
+    # 4N cpus — hash both
+    import hashlib
+
+    fo2 = pq.read_table(os.path.join(d.seg_dir(1), "fetch_out"), columns=["url", "part", "fetch_order"])
+    fdf = fo2.to_pandas()
+    fdf = fdf[fdf["fetch_order"] >= 0].sort_values(["part", "fetch_order"])
+    crawl_order_hash = hashlib.md5("\x1f".join(fdf["url"]).encode()).hexdigest()
+    t1 = d.store.read_table(1)
+    urls_sorted = sorted(t1.column("url").to_pylist())
+    urlseen_hash = hashlib.md5("\x1f".join(urls_sorted).encode()).hexdigest()
+
     shutil.rmtree(wd, ignore_errors=True)
     return {
         "cycle_s": cycle,
@@ -92,6 +106,8 @@ def run_headline() -> dict:
         "fetched": fetched,
         "generated": m["counters"]["generated"],
         "fetched_urls_per_sec": fetched / m["timings_s"]["fetch"] if m["timings_s"].get("fetch") else 0.0,
+        "crawl_order_hash": crawl_order_hash,
+        "urlseen_hash": urlseen_hash,
     }
 
 
@@ -147,6 +163,8 @@ def main() -> None:
         "fetched_urls_per_sec": round(head["fetched_urls_per_sec"], 1),
         "generated": head["generated"],
         "stage_timings": head["stage_timings"],
+        "crawl_order_hash": head["crawl_order_hash"],
+        "urlseen_hash": head["urlseen_hash"],
     }
     ray.shutdown()
     print(json.dumps(out))
@@ -176,6 +194,8 @@ def scaling() -> None:
                 "throughput_8cpu": round(lo["generated"] / t_lo, 1),
                 "throughput_32cpu": round(hi["generated"] / t_hi, 1),
                 "scaling_efficiency": round(eff, 3),
+                "crawl_order_equal": lo.get("crawl_order_hash") == hi.get("crawl_order_hash"),
+                "urlseen_equal": lo.get("urlseen_hash") == hi.get("urlseen_hash"),
                 "sf": lo["sf"],
             }
         )

@@ -349,10 +349,14 @@ class CrawlDriver:
     # ------------------------------------------------------------------
     def bootstrap(self, frontier_table: pa.Table) -> None:
         """Install generation 0 from a seed/synthetic frontier table."""
-        parts = frontier_table.column("part").to_numpy()
+        # one sort + zero-copy slices (not P full-table filters)
+        order = pa.compute.sort_indices(frontier_table.column("part"))
+        t = frontier_table.take(order)
+        parts = t.column("part").to_numpy()
+        bounds = np.flatnonzero(np.r_[True, parts[1:] != parts[:-1]])
         by_part = {
-            int(p): frontier_table.filter(pa.compute.equal(frontier_table["part"], int(p)))
-            for p in np.unique(parts)
+            int(parts[s]): t.slice(s, e - s)
+            for s, e in zip(bounds, np.r_[bounds[1:], len(parts)])
         }
         self.store.write_generation(
             by_part, gen=0, parent_gen=None, counters={"bootstrap_rows": frontier_table.num_rows}

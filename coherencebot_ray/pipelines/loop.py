@@ -1,0 +1,98 @@
+"""The production crawl loop (bin/crawl analogue, src/bin/crawl:316-470).
+
+Per round: [feed inject] → [hostdb update] → generate→fetch+parse→
+updatedb (CrawlDriver.run_round) → [invertlinks] → [dedup] → [index].
+A ``.STOP`` file in the workdir ends the loop after the current round
+(src/bin/crawl:319-322); every step is resumable (round manifests +
+versioned generations).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from ..config import CrawlConfig
+from ..model import CrawlStatus as CS
+from .crawl import CrawlDriver
+
+
+def crawl_loop(
+    workdir: str,
+    cfg: CrawlConfig | None = None,
+    seeds: list[str] | None = None,
+    rounds: int = 1,
+    start_time_ms: int | None = None,
+    round_interval_ms: int = 86_400_000,
+    use_feed: bool = False,
+    hostdb_every: int = 0,
+    dedup_every: int = 0,
+    invertlinks_every: int = 0,
+    index_every: int = 0,
+    protocol=None,
+) -> list[dict]:
+    """Run ``rounds`` crawl rounds; returns per-round metrics."""
+    import ray.data as rd
+
+    from ..stages import jobs, tools
+
+    cfg = cfg or CrawlConfig()
+    d = CrawlDriver(workdir, cfg, protocol=protocol)
+    now = start_time_ms if start_time_ms is not None else int(time.time() * 1000)
+
+    if d.store.latest_gen() is None:
+        lines = list(seeds or [])
+        if use_feed:
+            lines += tools.feed_inject_lines(tools.FakeCollectionsFeed())
+        if not lines:
+            raise ValueError("no frontier: provide seeds or --feed")
+        d.inject(lines, now)
+
+    hostdb_overrides = None
+    results = []
+    for r in range(rounds):
+        if os.path.exists(os.path.join(workdir, ".STOP")):
+            break
+        cur = now + r * round_interval_ms
+
+        if use_feed and r > 0:
+            d.inject(tools.feed_inject_lines(tools.FakeCollectionsFeed()), cur)
+
+        if hostdb_every and r % hostdb_every == 0:
+            gen = d.store.latest_gen()
+            hostdb = jobs.update_hostdb(d.store.read(gen)).to_pandas()
+            # per-host generate overrides (Generator.java:415-453 analogue):
+            # demote hosts with many gone pages
+            hostdb_overrides = {
+                row["host"]: (max(1, int(10 - row["gone"])), 0)
+                for _, row in hostdb.iterrows()
+                if row["gone"] > 5
+            } or None
+
+        metrics = d.run_round(cur, hostdb=hostdb_overrides)
+        gen = metrics["gen"]
+
+        if invertlinks_every and r % invertlinks_every == 0:
+            ol = tools.read_segment(d.seg_dir(gen), "outlinks")
+            if ol.count():
+                linkdb = jobs.invertlinks(ol, cfg)
+                linkdb.write_parquet(os.path.join(workdir, "linkdb", f"gen={gen:06d}"))
+                metrics["linkdb_rows"] = "written"
+
+        if dedup_every and r % dedup_every == 0:
+            frontier = d.store.read(gen)
+            dups = jobs.dedup(frontier, cfg)
+            marked = jobs.apply_duplicate_marks(d.store.read(gen), dups)
+            n_dups = int((marked.to_pandas()["status"] == CS.DB_DUPLICATE).sum())
+            metrics["duplicates_marked"] = n_dups
+
+        if index_every and r % index_every == 0:
+            docs = tools.read_segment(d.seg_dir(gen), "docs")
+            if docs.count():
+                idx = jobs.indexer_join(d.store.read(gen), docs, None, cfg)
+                tools.write_index(idx, os.path.join(workdir, "index", f"gen={gen:06d}"))
+                metrics["indexed"] = "written"
+
+        results.append(metrics)
+    return results

@@ -656,6 +656,79 @@ GROUP BY o_orderkey ORDER BY o_orderkey
 """
 
 
+def q_linkrank(sf_dir: str):
+    """WebGraph/LinkRank analogue (scoring/webgraph/LinkRank): 2 power
+    iterations over the order->part edge graph, rank rounded to 4 dp
+    (sum-order float drift ~1e-12 must stay below the rounding grain)."""
+    from ..stages.tools import linkrank
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "url": "o" + df["l_orderkey"].astype(str),
+                "dst": "p" + df["l_partkey"].astype(str),
+            }
+        )
+
+    edges = li.map_batches(to_edges, batch_format="pandas")
+    out = linkrank(edges, iterations=2).to_pandas()
+    out["rank_e4"] = np.floor(out["rank"].astype(np.float64) * 1e4 + 0.5).astype(np.int64)
+    return out[["url", "rank_e4"]].sort_values("url").reset_index(drop=True)
+
+
+_LINKRANK_SQL = """
+WITH e AS (
+  SELECT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst FROM lineitem
+),
+nodes AS (SELECT DISTINCT src AS url FROM e UNION SELECT DISTINCT dst FROM e),
+od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+r1 AS (
+  SELECT n.url,
+         0.15 + 0.85 * coalesce(sum(1.0 / od.outdeg), 0) AS r
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.url
+  LEFT JOIN od ON od.src = e.src
+  GROUP BY n.url
+),
+r2 AS (
+  SELECT n.url,
+         0.15 + 0.85 * coalesce(sum(r1.r / od.outdeg), 0) AS r
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.url
+  LEFT JOIN od ON od.src = e.src
+  LEFT JOIN r1 ON r1.url = e.src
+  GROUP BY n.url
+)
+SELECT url, CAST(FLOOR(r * 10000 + 0.5) AS BIGINT) AS rank_e4 FROM r2 ORDER BY url
+"""
+
+
+def q_sliding_window(sf_dir: str):
+    """Sliding windows (1h window, 15min slide) via explode-to-covering
+    windows + one grouped sum."""
+    from ..ops.window import sliding_window_counts
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+    out = sliding_window_counts(ds, window_s=3600, slide_s=900).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+
+
+_SLIDING_SQL = """
+WITH e AS (
+  SELECT user_id, (CAST(FLOOR(epoch(ts)) AS BIGINT) // 900) * 900 AS base FROM events
+), x AS (
+  SELECT user_id, base - k * 900 AS window_start
+  FROM e, unnest([0, 1, 2, 3]) AS t(k)
+)
+SELECT user_id, window_start, count(*) AS n_events
+FROM x GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_crawl_round(sf_dir: str):
     """Flagship: one full generate→fetch→parse→updatedb round on a
     frontier derived from the documents table, fake protocol. Non-SQL
@@ -704,7 +777,9 @@ def build_queries() -> dict:
         "knn_ivf": q_knn_ivf,
         "embedding_neardup": q_embedding_neardup,
         "window_tumbling": q_window_tumbling,
+        "sliding_window": q_sliding_window,
         "sessionize": q_sessionize,
+        "linkrank": q_linkrank,
         "media_features": q_media_features,
         "q1_agg": q_q1_agg,
         "q3_join": q_q3_join,
@@ -729,7 +804,9 @@ def build_oracle_sql() -> dict:
         "knn_cosine": _KNN_SQL,
         "embedding_neardup": _NEARDUP_SQL,
         "window_tumbling": _TUMBLING_SQL,
+        "sliding_window": _SLIDING_SQL,
         "sessionize": _SESSION_SQL,
+        "linkrank": _LINKRANK_SQL,
         "media_features": _MEDIA_SQL,
         "q1_agg": _Q1_SQL,
         "q3_join": _Q3_SQL,

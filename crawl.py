@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""CLI crawl-loop driver (bin/crawl analogue).
+
+Examples:
+  python crawl.py --workdir /tmp/crawl --seeds seeds.txt --rounds 3
+  python crawl.py --workdir /tmp/crawl --feed --rounds 2 --topn 5000
+  python crawl.py --workdir /tmp/crawl --synthetic 10000 --rounds 1
+
+Owns its Ray session (guarded init/shutdown); drive programmatically via
+coherencebot_ray.pipelines.loop.crawl_loop instead when embedding.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--seeds", help="seed file (url[\\tk=v]* lines)")
+    ap.add_argument("--synthetic", type=int, default=0, help="bootstrap a synthetic frontier of N urls")
+    ap.add_argument("--feed", action="store_true", help="inject from the (fake) collections feed")
+    ap.add_argument("--rounds", type=int, default=1)
+    ap.add_argument("--topn", type=int, default=50_000)
+    ap.add_argument("--num-partitions", type=int, default=16)
+    ap.add_argument("--schedule", choices=["default", "adaptive"], default="default")
+    ap.add_argument("--hostdb-every", type=int, default=0)
+    ap.add_argument("--dedup-every", type=int, default=0)
+    ap.add_argument("--invertlinks-every", type=int, default=0)
+    ap.add_argument("--index-every", type=int, default=0)
+    ap.add_argument("--num-cpus", type=int, default=32)
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from coherencebot_ray.config import CrawlConfig
+    from coherencebot_ray.pipelines.loop import crawl_loop
+
+    cfg = CrawlConfig(
+        num_partitions=args.num_partitions,
+        topn=args.topn,
+        schedule=args.schedule,
+        server_delay_s=0.0,  # fake protocol: no wall-clock politeness sleeps
+    )
+
+    seeds = None
+    if args.seeds:
+        with open(args.seeds) as f:
+            seeds = f.read().splitlines()
+    elif args.synthetic:
+        from coherencebot_ray.pipelines.crawl import CrawlDriver
+        from coherencebot_ray.sources.synth import synth_frontier
+
+        CrawlDriver(args.workdir, cfg).bootstrap(synth_frontier(args.synthetic, max(1, args.synthetic // 50), cfg))
+        seeds = []
+
+    results = crawl_loop(
+        args.workdir,
+        cfg,
+        seeds=seeds,
+        rounds=args.rounds,
+        use_feed=args.feed,
+        hostdb_every=args.hostdb_every,
+        dedup_every=args.dedup_every,
+        invertlinks_every=args.invertlinks_every,
+        index_every=args.index_every,
+    )
+    for m in results:
+        print(json.dumps(m))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

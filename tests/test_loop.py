@@ -1,0 +1,40 @@
+"""Crawl-loop driver (bin/crawl analogue): seed inject, multi-round
+growth, .STOP file, feed mode."""
+
+import os
+
+import pytest
+
+from coherencebot_ray.config import CrawlConfig
+from coherencebot_ray.pipelines.loop import crawl_loop
+
+CFG = CrawlConfig(num_partitions=4, topn=300, server_delay_s=0.0)
+SEEDS = [f"http://host{i}.example/start" for i in range(5)]
+T0 = 1_700_000_000_000
+
+
+def test_loop_rounds_grow_frontier(tmp_path, ray_session):
+    res = crawl_loop(
+        str(tmp_path / "w"), CFG, seeds=SEEDS, rounds=2, start_time_ms=T0,
+        round_interval_ms=40 * 86400 * 1000,
+    )
+    assert [m["gen"] for m in res] == [1, 2]
+    assert res[1]["counters"]["generated"] > res[0]["counters"]["generated"]
+
+
+def test_stop_file_halts_loop(tmp_path, ray_session):
+    wd = str(tmp_path / "w2")
+    os.makedirs(wd)
+    open(os.path.join(wd, ".STOP"), "w").close()
+    res = crawl_loop(wd, CFG, seeds=SEEDS, rounds=3, start_time_ms=T0)
+    assert res == []  # stopped before round 1
+
+
+def test_feed_mode(tmp_path, ray_session):
+    res = crawl_loop(str(tmp_path / "w3"), CFG, rounds=1, use_feed=True, start_time_ms=T0)
+    assert res[0]["counters"]["generated"] > 0
+
+
+def test_no_seeds_raises(tmp_path, ray_session):
+    with pytest.raises(ValueError):
+        crawl_loop(str(tmp_path / "w4"), CFG, rounds=1, start_time_ms=T0)
