@@ -171,6 +171,12 @@ def main() -> None:
 
 
 def scaling() -> None:
+    """N vs 4N cpu levels. Default 4 vs 16: measured parse CPU time
+    doubles from 16 to 32 concurrent workers on this VM (hypervisor
+    core overcommit), so 32 'cpus' deliver ~16 cores of throughput —
+    8v32 conflates engine scaling with host contention. Override with
+    GRAFT_SCALE_LEVELS="8,32"."""
+
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_TIER="scaling")
         out = subprocess.run(
@@ -182,20 +188,34 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(8), run(32)
-    t_lo, t_hi = lo["value"], hi["value"]
-    eff = (t_lo / t_hi) / (32 / 8)
+    lo_n, hi_n = (
+        [int(x) for x in os.environ.get("GRAFT_SCALE_LEVELS", "4,16").split(",")]
+    )
+    reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
+    pairs = []
+    for _ in range(reps):
+        lo, hi = run(lo_n), run(hi_n)
+        pairs.append((lo, hi))
+    effs = sorted((lo["value"] / hi["value"]) / (hi_n / lo_n) for lo, hi in pairs)
+    med = effs[len(effs) // 2] if reps % 2 else (effs[reps // 2 - 1] + effs[reps // 2]) / 2
+    lo, hi = pairs[-1]
     print(
         json.dumps(
             {
                 "metric": "scaling_efficiency",
-                "sec_8cpu": t_lo,
-                "sec_32cpu": t_hi,
-                "throughput_8cpu": round(lo["generated"] / t_lo, 1),
-                "throughput_32cpu": round(hi["generated"] / t_hi, 1),
-                "scaling_efficiency": round(eff, 3),
-                "crawl_order_equal": lo.get("crawl_order_hash") == hi.get("crawl_order_hash"),
-                "urlseen_equal": lo.get("urlseen_hash") == hi.get("urlseen_hash"),
+                "n_cpus": [lo_n, hi_n],
+                "sec_n": [round(p[0]["value"], 1) for p in pairs],
+                "sec_4n": [round(p[1]["value"], 1) for p in pairs],
+                "throughput_n": round(lo["generated"] / lo["value"], 1),
+                "throughput_4n": round(hi["generated"] / hi["value"], 1),
+                "scaling_efficiency": round(med, 3),
+                "scaling_efficiency_reps": [round(e, 3) for e in effs],
+                "crawl_order_equal": all(
+                    p[0]["crawl_order_hash"] == p[1]["crawl_order_hash"] for p in pairs
+                ),
+                "urlseen_equal": all(
+                    p[0]["urlseen_hash"] == p[1]["urlseen_hash"] for p in pairs
+                ),
                 "sf": lo["sf"],
             }
         )

@@ -171,10 +171,44 @@ class ValidatorURLFilter:
             return False
 
 
+class PathURLFilter:
+    """urlfilter-path analogue: reject URLs whose path contains a listed
+    segment (e.g. /cgi-bin/, /~)."""
+
+    name = "path"
+
+    def __init__(self, denied_segments: tuple = ("/cgi-bin/", "/~")):
+        self.denied = tuple(denied_segments)
+
+    def __call__(self, url: str) -> bool:
+        rest = url.split("://", 1)[-1]
+        path = rest[rest.find("/"):] if "/" in rest else "/"
+        return not any(seg in path for seg in self.denied)
+
+
+class ExemptionURLFilter:
+    """urlfilter-ignoreexempt analogue: URLs matching an exemption rule
+    bypass the db.ignore.external.links restriction. Used as a predicate
+    by the parse stage; standalone it accepts everything."""
+
+    name = "ignoreexempt"
+
+    def __init__(self, exempt_patterns: tuple = ()):
+        self.patterns = [re.compile(p) for p in exempt_patterns]
+
+    def is_exempt(self, url: str) -> bool:
+        return any(p.search(url) for p in self.patterns)
+
+    def __call__(self, url: str) -> bool:
+        return True
+
+
 _REGISTRY = {
     "regex": RegexURLFilter,
     "fast": FastURLFilter,
     "validator": ValidatorURLFilter,
+    "path": PathURLFilter,
+    "ignoreexempt": ExemptionURLFilter,
     "prefix": PrefixURLFilter,
     "suffix": SuffixURLFilter,
     "domain": DomainURLFilter,

@@ -129,28 +129,65 @@ def _write_df(df: pd.DataFrame, path: str, schema: pa.Schema | None = None) -> N
     pq.write_table(t, path, compression="zstd")
 
 
-class _GenTask:
-    def __init__(self, cfg, cur_time_ms, gen_time_ms, limit, files_by_part, fl_dir, hostdb, filters):
-        self.cfg, self.cur, self.gen_time, self.limit = cfg, cur_time_ms, gen_time_ms, limit
-        self.files_by_part, self.fl_dir, self.hostdb = files_by_part, fl_dir, hostdb
-        self.filters = filters
+class _GenScanTask:
+    """Phase 1a: per (partition, subshard-file) eligibility scan.
+
+    Splits the mega-partition scan straggler across subshard files. When
+    per-host counting is OFF (gen_max_count <= 0, no hostdb) candidates
+    are pre-pruned to the per-partition top-``limit`` by score — exact,
+    because the selector takes at most ``limit`` rows in score order.
+    With counting on, all eligible rows ship (the selector may need
+    more than ``limit`` candidates past capped hosts).
+    """
+
+    def __init__(self, cfg, cur_time_ms, limit, cand_dir, filters, can_prune):
+        self.cfg, self.cur, self.limit = cfg, cur_time_ms, limit
+        self.cand_dir, self.filters, self.can_prune = cand_dir, filters, can_prune
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         _pin_arrow_threads()
-        from ..stages.generate import eligibility_filter, select_partition
+        from ..stages.generate import eligibility_filter
+
+        out = []
+        for part, fidx, fpath in zip(batch["part"], batch["fidx"], batch["file"]):
+            df = pq.read_table([fpath], partitioning=None).to_pandas()
+            elig = eligibility_filter(df, self.cfg, self.cur, self.filters)
+            if self.can_prune and len(elig) > self.limit:
+                scores = elig["score"].to_numpy(dtype=np.float32)
+                keep = np.argpartition(-scores, self.limit - 1)[: self.limit]
+                elig = elig.iloc[np.sort(keep)]  # preserve input order for ties
+            if len(elig):
+                _write_df(
+                    elig,
+                    os.path.join(self.cand_dir, f"part-{int(part)}", f"cand-{int(fidx)}.parquet"),
+                )
+            out.append({"part": int(part), "eligible": int(len(elig))})
+        return pd.DataFrame(out)
+
+
+class _GenSelectTask:
+    """Phase 1b: per-partition selector over the (small) candidate set."""
+
+    def __init__(self, cfg, cur_time_ms, gen_time_ms, limit, cand_dir, fl_dir, hostdb):
+        self.cfg, self.cur, self.gen_time, self.limit = cfg, cur_time_ms, gen_time_ms, limit
+        self.cand_dir, self.fl_dir, self.hostdb = cand_dir, fl_dir, hostdb
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        _pin_arrow_threads()
+        from ..stages.generate import select_partition
 
         out = []
         for part in batch["part"]:
-            files = self.files_by_part.get(int(part), [])
+            part = int(part)
+            files = sorted(glob.glob(os.path.join(self.cand_dir, f"part-{part}", "cand-*.parquet")))
             if not files:
-                out.append({"part": int(part), "selected": 0})
+                out.append({"part": part, "selected": 0})
                 continue
-            df = pq.read_table(files, partitioning=None).to_pandas()
-            elig = eligibility_filter(df, self.cfg, self.cur, self.filters)
+            elig = pq.read_table(files, partitioning=None).to_pandas()
             sel = select_partition(elig, self.cfg, self.limit, self.gen_time, self.hostdb)
             if len(sel):
-                _write_df(sel, os.path.join(self.fl_dir, f"part-{int(part)}", "data-0.parquet"), FETCHLIST_SCHEMA)
-            out.append({"part": int(part), "selected": int(len(sel))})
+                _write_df(sel, os.path.join(self.fl_dir, f"part-{part}", "data-0.parquet"), FETCHLIST_SCHEMA)
+            out.append({"part": part, "selected": int(len(sel))})
         return pd.DataFrame(out)
 
 
@@ -233,6 +270,7 @@ class _FetchParseTask:
                         OUTLINKS_SEG_SCHEMA,
                     )
                 cp = parsed[parsed["rtype"] == "crawl_parse"]
+                cp = _preagg_links(cp)
                 # scatter by TARGET partition — deterministic file names
                 for tgt, g in cp.groupby("part"):
                     _write_df(
@@ -244,6 +282,40 @@ class _FetchParseTask:
             n_docs = int((parsed["rtype"] == "doc").sum()) if len(parsed) else 0
             stats.append(_fp_stat(part, n_fetched, n_docs, t_fetch, t_parse))
         return pd.DataFrame(stats)
+
+
+def _preagg_links(cp: pd.DataFrame) -> pd.DataFrame:
+    """Partial-combine LINKED contributions per target url BEFORE the
+    cross-partition scatter (OPIC sums are additive; the updatedb kernel
+    adds the partials). Cuts the exchange ~(outlinks per page)×. Note:
+    the db.update.max.inlinks top-k cap then applies to per-source-
+    partition partials rather than individual links — exact whenever a
+    url has <= max_inlinks contributors, the overwhelming case."""
+    linked = cp["status"] == CS.LINKED
+    if not linked.any():
+        return cp
+    lk = cp[linked].sort_values("score", ascending=False, kind="stable")
+    g = lk.groupby("url", sort=False, as_index=False)
+    agg = g.agg(
+        host=("host", "first"),
+        part=("part", "first"),
+        fetch_time=("fetch_time", "first"),
+        fetch_interval=("fetch_interval", "first"),
+        anchor=("anchor", "first"),
+    )
+    # deterministic f32 sum in score-desc order per url
+    lk2 = lk.sort_values("url", kind="stable")
+    u = lk2["url"].to_numpy()
+    starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    sums = np.add.reduceat(lk2["score"].to_numpy(dtype=np.float32), starts, dtype=np.float32)
+    sum_by_url = dict(zip(u[starts], sums))
+    agg["score"] = agg["url"].map(sum_by_url).astype(np.float32)
+    agg["status"] = int(CS.LINKED)
+    agg["rtype"] = "crawl_parse"
+    for c in ("doc_id", "spans", "signature", "metadata", "dst"):
+        agg[c] = None
+    agg = agg.reindex(columns=cp.columns, fill_value=None)
+    return pd.concat([cp[~linked], agg], ignore_index=True)
 
 
 def _fp_stat(part, fetched, docs, t_fetch, t_parse):
@@ -336,7 +408,11 @@ class CrawlDriver:
         self.workdir = workdir
         self.cfg = cfg or CrawlConfig()
         self.protocol = protocol
-        self.store = FrontierStore(os.path.join(workdir, "frontier"), self.cfg.num_partitions)
+        self.store = FrontierStore(
+            os.path.join(workdir, "frontier"),
+            self.cfg.num_partitions,
+            skew_split_rows=self.cfg.skew_split_rows,
+        )
         os.makedirs(os.path.join(workdir, "segments"), exist_ok=True)
 
     # ------------------------------------------------------------------
@@ -434,15 +510,25 @@ class CrawlDriver:
         }
         parts = sorted(files_by_part)
 
-        # -- generate ---------------------------------------------------
+        # -- generate (scan subshards in parallel, then select per part) -
         t = time.monotonic()
-        gen_task = _GenTask(
-            cfg, cur_time_ms, cur_time_ms, limit, files_by_part,
-            os.path.join(seg, "fetchlist"), hostdb, filters,
+        cand_dir = os.path.join(seg, "gen_cand")
+        can_prune = cfg.gen_max_count <= 0 and hostdb is None
+        scan_items = [
+            {"part": p, "fidx": i, "file": f}
+            for p in parts
+            for i, f in enumerate(files_by_part[p])
+        ]
+        scan_task = _GenScanTask(cfg, cur_time_ms, limit, cand_dir, filters, can_prune)
+        rd.from_items(scan_items, override_num_blocks=max(1, len(scan_items))).map_batches(
+            scan_task, batch_format="pandas", batch_size=1
+        ).to_pandas()
+        sel_task = _GenSelectTask(
+            cfg, cur_time_ms, cur_time_ms, limit, cand_dir, os.path.join(seg, "fetchlist"), hostdb
         )
         gen_stats = (
             rd.from_items([{"part": p} for p in parts], override_num_blocks=max(1, len(parts)))
-            .map_batches(gen_task, batch_format="pandas", batch_size=1)
+            .map_batches(sel_task, batch_format="pandas", batch_size=1)
             .to_pandas()
         )
         timings["generate"] = time.monotonic() - t

@@ -39,10 +39,32 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
+def _subshards(t: pa.Table, skew_split_rows: int):
+    """Yield (sub, n_sub, shard_table): power-of-two url-hash subshards
+    for tables above the skew threshold (same hash rule the updatedb
+    subtasks use, so shard files map 1:1 to merge subtasks)."""
+    if t.num_rows <= skew_split_rows:
+        yield 0, 1, t
+        return
+    import pandas as pd
+
+    raw = -(-t.num_rows // skew_split_rows)
+    n_sub = 1 << (raw - 1).bit_length()
+    urls = pd.Series(t.column("url").to_pylist())
+    h = pd.util.hash_pandas_object(urls, index=False).to_numpy()
+    assign = h % n_sub
+    import numpy as np
+
+    for sub in range(n_sub):
+        idx = np.flatnonzero(assign == sub)
+        yield sub, n_sub, t.take(idx)
+
+
 class FrontierStore:
-    def __init__(self, root: str, num_partitions: int = 16):
+    def __init__(self, root: str, num_partitions: int = 16, skew_split_rows: int = 100_000):
         self.root = root
         self.num_partitions = num_partitions
+        self.skew_split_rows = skew_split_rows
         os.makedirs(root, exist_ok=True)
 
     # ------------------------------------------------------------------
@@ -86,18 +108,21 @@ class FrontierStore:
                 t = tables_by_part[part]
                 pdir = os.path.join(tmp, f"part={part}")
                 os.makedirs(pdir)
-                fpath = os.path.join(pdir, "data-0.parquet")
-                pq.write_table(t, fpath, compression="zstd")
-                # cuckoo URL-seen shard alongside (rebuildable from parquet)
-                from .cuckoo import CuckooFilter
+                names = []
+                for sub, n_sub, shard in _subshards(t, self.skew_split_rows):
+                    fpath = os.path.join(pdir, f"data-{sub}.parquet")
+                    pq.write_table(shard, fpath, compression="zstd")
+                    names.append(os.path.basename(fpath))
+                    # cuckoo URL-seen shard alongside (rebuildable)
+                    from .cuckoo import CuckooFilter
 
-                cf = CuckooFilter(capacity=max(1024, 2 * t.num_rows))
-                cf.add_many(t.column("url").to_pylist())
-                with open(fpath.replace(".parquet", ".seen"), "wb") as fh:
-                    fh.write(cf.to_bytes())
+                    cf = CuckooFilter(capacity=max(1024, 2 * shard.num_rows))
+                    cf.add_many(shard.column("url").to_pylist())
+                    with open(fpath.replace(".parquet", ".seen"), "wb") as fh:
+                        fh.write(cf.to_bytes())
                 # manifest stores gen-relative paths for rename-safety
                 partitions[str(part)] = {
-                    "files": [os.path.join(f"gen={gen:06d}", f"part={part}", "data-0.parquet")],
+                    "files": [os.path.join(f"gen={gen:06d}", f"part={part}", n) for n in names],
                     "rows": t.num_rows,
                     "source_gen": gen,
                 }

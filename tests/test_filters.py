@@ -63,3 +63,21 @@ def test_chain_and_vectorized_mask():
     mask = chain.accept_many(urls)
     assert mask.tolist() == [True, False, False, True]
     assert mask.dtype == np.bool_
+
+
+def test_path_filter():
+    from coherencebot_ray.functions.filters import PathURLFilter
+
+    p = PathURLFilter()
+    assert not p("http://a.com/cgi-bin/script")
+    assert not p("http://a.com/~user/page")
+    assert p("http://a.com/normal/page")
+
+
+def test_exemption_filter():
+    from coherencebot_ray.functions.filters import ExemptionURLFilter
+
+    e = ExemptionURLFilter((r"\.cdn\.example/",))
+    assert e.is_exempt("http://img.cdn.example/x.png")
+    assert not e.is_exempt("http://other.com/x")
+    assert e("http://anything/")  # standalone: accept-all
