@@ -656,6 +656,69 @@ GROUP BY o_orderkey ORDER BY o_orderkey
 """
 
 
+def q_mergedb(sf_dir: str):
+    """J12 CrawlDbMerger (CrawlDbMerger.java:82-119): newest
+    calculateLastFetchTime wins. db2 rows are OLDER fetches of every
+    3rd url, so they win only against db1 rows that are UNFETCHED
+    (lastFetchTime 0)."""
+    import ray.data as rd
+
+    from ..stages.jobs import mergedb
+
+    ids = DV.read_doc_ids(sf_dir)
+    db1 = DV.derived_frontier(ids)
+    db2 = DV.derived_frontier(ids[ids % 3 == 0])
+    db2["status"] = CS.DB_FETCHED
+    db2["fetch_time"] = db2["fetch_time"] - 200_000_000_000
+    db2["score"] = 9.875  # exact in f32/f64
+    out = mergedb([rd.from_pandas(db1), rd.from_pandas(db2)], CrawlConfig()).to_pandas()
+    out = out[["url", "status", "fetch_time", "score"]]
+    out["status"] = out["status"].astype(np.int64)
+    out["fetch_time"] = out["fetch_time"].astype(np.int64)
+    out["score"] = out["score"].astype(np.float64)
+    return out.sort_values("url").reset_index(drop=True)
+
+
+_MERGEDB_SQL = f"""
+WITH db1 AS (
+  SELECT doc_id, {DV.URL_SQL} AS url, {DV.STATUS_CASE_SQL} AS status,
+         {DV.FETCH_TIME_SQL} AS fetch_time, {DV.SCORE_SQL} AS score
+  FROM documents
+), db2 AS (
+  SELECT doc_id, {DV.URL_SQL} AS url, 2 AS status,
+         {DV.FETCH_TIME_SQL} - 200000000000 AS fetch_time, 9.875 AS score
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT db1.url,
+  CASE WHEN db2.url IS NOT NULL AND db1.status = 1 THEN db2.status ELSE db1.status END AS status,
+  CASE WHEN db2.url IS NOT NULL AND db1.status = 1 THEN db2.fetch_time ELSE db1.fetch_time END AS fetch_time,
+  CASE WHEN db2.url IS NOT NULL AND db1.status = 1 THEN db2.score ELSE db1.score END AS score
+FROM db1 LEFT JOIN db2 ON db1.url = db2.url
+ORDER BY db1.url
+"""
+
+
+def q_criteria_filter(sf_dir: str):
+    """index-criteria min-length gate (CriteriaIndexer.java:52,555):
+    docs shorter than the threshold are rejected from indexing."""
+    from ..functions.enrich import criteria_filter
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        keep = criteria_filter(df, min_length=300)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy()[keep]})
+
+    out = ds.map_batches(gate, batch_format="pandas").to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_CRITERIA_SQL = """
+SELECT doc_id FROM documents WHERE length(text) >= 300 ORDER BY doc_id
+"""
+
+
 def q_linkrank(sf_dir: str):
     """WebGraph/LinkRank analogue (scoring/webgraph/LinkRank): 2 power
     iterations over the order->part edge graph, rank rounded to 4 dp
@@ -766,6 +829,8 @@ def build_queries() -> dict:
         "hostdb": q_hostdb,
         "readdb_stats": q_readdb_stats,
         "readdb_topn": q_readdb_topn,
+        "mergedb": q_mergedb,
+        "criteria_filter": q_criteria_filter,
         "indexer_join": q_indexer_join,
         "dedup_exact_docs": q_dedup_exact_docs,
         "minhash_lsh": q_minhash_lsh,
@@ -797,6 +862,8 @@ def build_oracle_sql() -> dict:
         "hostdb": _HOSTDB_SQL,
         "readdb_stats": _STATS_SQL,
         "readdb_topn": _TOPN_SQL,
+        "mergedb": _MERGEDB_SQL,
+        "criteria_filter": _CRITERIA_SQL,
         "indexer_join": _INDEXER_SQL,
         "dedup_exact_docs": _DEDUP_DOCS_SQL,
         "text_quality": _QUALITY_SQL,

@@ -227,3 +227,67 @@ def test_multiple_urls_in_partition():
     assert out.loc["http://a.com/2", "status"] == CS.DB_FETCHED
     assert out.loc["http://b.com/new", "status"] == CS.DB_UNFETCHED
     assert len(out) == 3
+
+
+# ---------------------------------------------------------------------------
+# TestCrawlDbStates.testCrawlDbStatTransitionInject port (:206-260):
+# injecting over any existing db status keeps the existing status;
+# injecting a new URL yields DB_UNFETCHED.
+# ---------------------------------------------------------------------------
+
+
+def test_inject_transition_matrix():
+    from coherencebot_ray.functions.inject import inject_merge
+
+    db_statuses = [s for s in DB_FROM if s is not None]
+    for from_db in [None] + db_statuses:
+        rows = []
+        injected = datum(CS.INJECTED, score=0.1)
+        if from_db is not None:
+            rows.append(datum(from_db))
+        rows.append(injected)
+        out = inject_merge(pd.DataFrame(rows), CrawlConfig())
+        assert len(out) == 1
+        expected = CS.DB_UNFETCHED if from_db is None else from_db
+        got = out["status"].iloc[0]
+        assert got == expected, (
+            f"inject over {CS.name(from_db) if from_db else '<absent>'}: "
+            f"got {CS.name(got)} expected {CS.name(expected)}"
+        )
+
+
+def test_signature_reset_on_retry_and_gone():
+    """TestCrawlDbStates signature handling: retry/gone keep the OLD
+    signature (CrawlDbReducer.java:288,303)."""
+    sig = hashlib.md5(b"old").digest()
+    for fstatus in (CS.FETCH_RETRY, CS.FETCH_GONE):
+        out = run([datum(CS.DB_FETCHED, signature=sig), datum(fstatus)])
+        assert out["signature"].iloc[0] == sig, CS.name(fstatus)
+
+
+def test_notmodified_continuous_refetches():
+    """testCrawlDbReducerNotModified analogue: repeated refetches of an
+    unchanged page stay DB_NOTMODIFIED and (adaptive) back off the
+    interval; forceRefetch kicks in when interval exceeds the max."""
+    sig = hashlib.md5(b"stable page").digest()
+    row = datum(CS.DB_FETCHED, signature=sig, interval=1000, modified=CUR - 5000)
+    cur = CUR
+    interval = 1000
+    for i in range(6):
+        fetch = datum(CS.FETCH_SUCCESS, fetch_time=cur, interval=interval)
+        out = run([row, fetch, datum(CS.SIGNATURE, signature=sig)], schedule="adaptive")
+        status = out["status"].iloc[0]
+        assert status == CS.DB_NOTMODIFIED
+        new_interval = int(out["fetch_interval"].iloc[0])
+        assert new_interval >= interval  # adaptive backoff grows
+        interval = new_interval
+        row = datum(
+            CS.DB_NOTMODIFIED,
+            signature=sig,
+            interval=interval,
+            fetch_time=int(out["fetch_time"].iloc[0]),
+            modified=int(out["modified_time"].iloc[0]),
+        )
+        cur = int(out["fetch_time"].iloc[0])
+    # eventually interval growth is capped by the schedule max
+    assert interval <= 31_536_000
