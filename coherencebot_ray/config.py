@@ -54,6 +54,12 @@ class CrawlConfig:
     score_external_factor: float = 1.0  # db.score.link.external
     interval_parse_md: bool = False
 
+    # --- execution sizing --------------------------------------------------
+    # cpus reserved per partition task (map_batches num_cpus): raise to 2
+    # on hosts where logical cpus overcommit physical cores so heavy
+    # pandas tasks don't thrash (concurrency = session_cpus / this)
+    task_num_cpus: int = 1
+
     # --- skew handling -----------------------------------------------------
     # a partition whose frontier exceeds this row count has its updatedb
     # merge split into hash(url) subshards (mega-host partitions would

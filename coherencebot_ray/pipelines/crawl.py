@@ -519,16 +519,17 @@ class CrawlDriver:
             for p in parts
             for i, f in enumerate(files_by_part[p])
         ]
+        task_cpus = cfg.task_num_cpus
         scan_task = _GenScanTask(cfg, cur_time_ms, limit, cand_dir, filters, can_prune)
         rd.from_items(scan_items, override_num_blocks=max(1, len(scan_items))).map_batches(
-            scan_task, batch_format="pandas", batch_size=1
+            scan_task, batch_format="pandas", batch_size=1, num_cpus=task_cpus
         ).to_pandas()
         sel_task = _GenSelectTask(
             cfg, cur_time_ms, cur_time_ms, limit, cand_dir, os.path.join(seg, "fetchlist"), hostdb
         )
         gen_stats = (
             rd.from_items([{"part": p} for p in parts], override_num_blocks=max(1, len(parts)))
-            .map_batches(sel_task, batch_format="pandas", batch_size=1)
+            .map_batches(sel_task, batch_format="pandas", batch_size=1, num_cpus=task_cpus)
             .to_pandas()
         )
         timings["generate"] = time.monotonic() - t
@@ -548,7 +549,7 @@ class CrawlDriver:
         fp_task = _FetchParseTask(cfg, cur_time_ms, seg, self.protocol, seen_files_by_part)
         fp_stats = (
             rd.from_items([{"part": p} for p in active], override_num_blocks=len(active))
-            .map_batches(fp_task, batch_format="pandas", batch_size=1)
+            .map_batches(fp_task, batch_format="pandas", batch_size=1, num_cpus=task_cpus)
             .to_pandas()
         )
         timings["fetch_parse"] = time.monotonic() - t
@@ -576,7 +577,7 @@ class CrawlDriver:
         upd_task = _UpdateTask(cfg, cur_time_ms, seg, files_by_part, self.store.root, new_gen)
         upd_stats = (
             rd.from_items(descr, override_num_blocks=len(descr))
-            .map_batches(upd_task, batch_format="pandas", batch_size=1)
+            .map_batches(upd_task, batch_format="pandas", batch_size=1, num_cpus=task_cpus)
             .to_pandas()
         )
         written = (
