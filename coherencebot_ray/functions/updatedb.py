@@ -100,7 +100,14 @@ def merge_partition(
     links = datums[is_link]
     if len(links):
         # top-k by score (desc), stable → deterministic; aggregate sum in
-        # float32 like the reference's float accumulation
+        # float32 like the reference's float accumulation.
+        # DELIBERATE DIVERGENCE: the reference's InlinkPriorityQueue
+        # (CrawlDbReducer.java:328-341, inverted lessThan over Hadoop
+        # PriorityQueue.insert) observably retains the LOWEST-scoring k
+        # inlinks when a url has > db.update.max.inlinks (10000) of them.
+        # This port pins the documented intent ("best scoring inlinks
+        # kept"): it retains the HIGHEST-scoring k. The two differ only
+        # for urls with >10000 inlink contributions in a single round.
         links = links.sort_values("score", ascending=False, kind="stable")
         links = links.groupby("url", sort=False).head(cfg.max_inlinks)
         # vectorized per-url f32 sum: sort rows by url (stable keeps the
@@ -240,6 +247,11 @@ def merge_partition(
         f_status, [CS.FETCH_SUCCESS, CS.FETCH_REDIR_TEMP, CS.FETCH_REDIR_PERM, CS.FETCH_NOTMODIFIED]
     )
     o_meta_np, f_meta_np, pmeta_np = o_meta.to_numpy(), f_meta.to_numpy(), m["parse_meta"].to_numpy()
+    # No real fetch datum: the highest-score link IS the effective fetch
+    # datum (CrawlDbReducer.java result.set(fetch) with fetch =
+    # linkList.get(0)), so its metadata rides along as f_meta.
+    l_meta_np = m["l_metadata"].to_numpy() if "l_metadata" in m.columns else np.full(len(m), None, dtype=object)
+    f_meta_np = np.where(use_link, l_meta_np, f_meta_np)
 
     def _present(arr):
         return np.array(

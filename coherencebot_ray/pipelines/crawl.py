@@ -224,21 +224,30 @@ class _FetchParseTask:
             fl = pq.read_table(fl_path).to_pandas()
             t0 = time.monotonic()
             fetch_out = FetchPartition(cfg, self.cur, self.protocol)(fl)
-            # drop redirect-discovery rows whose target is already in this
-            # partition's URL-seen shard (cuckoo; FP-safe: a false positive
-            # only skips a LINKED row for a URL the frontier already has)
-            seen = self._load_seen(part)
-            if seen and len(fetch_out):
+            # Split redirect-discovery LINKED rows out of fetch_out: they
+            # are partitioned by TARGET host (stages/fetch.py) and join the
+            # crawl_parse cross-partition exchange below, so a cross-host
+            # redirect target lands in its own frontier partition.
+            redirs = None
+            n_maybe_known = 0
+            if len(fetch_out):
                 is_disc = (fetch_out["status"] == CS.LINKED).to_numpy()
                 if is_disc.any():
-                    urls = fetch_out.loc[is_disc, "url"].to_numpy()
-                    mask_seen = np.zeros(len(urls), dtype=bool)
-                    for cf in seen:
-                        mask_seen |= cf.contains_many(urls)
-                    same_part = fetch_out.loc[is_disc, "part"].to_numpy() == part
-                    drop_idx = fetch_out.index[is_disc][mask_seen & same_part]
-                    if len(drop_idx):
-                        fetch_out = fetch_out.drop(index=drop_idx)
+                    redirs = fetch_out[is_disc]
+                    fetch_out = fetch_out[~is_disc]
+                    # Cuckoo URL-seen consult is a METRIC prefilter only: a
+                    # cuckoo "seen" answer can be a false positive, so a
+                    # discovery row is NEVER dropped on it (the url-keyed
+                    # updatedb merge no-ops exactly for known urls at zero
+                    # score). "not seen" is exact => definitely-new count.
+                    for tgt, gg in redirs.groupby("part"):
+                        seen = self._load_seen(int(tgt))
+                        if seen:
+                            urls = gg["url"].to_numpy()
+                            mask_seen = np.zeros(len(urls), dtype=bool)
+                            for cf in seen:
+                                mask_seen |= cf.contains_many(urls)
+                            n_maybe_known += int(mask_seen.sum())
             t_fetch = time.monotonic() - t0
 
             t0 = time.monotonic()
@@ -254,6 +263,7 @@ class _FetchParseTask:
                     os.path.join(seg, "content", f"part-{part}", "data-0.parquet"),
                     CONTENT_SCHEMA,
                 )
+            cp_frames = []
             if len(parsed):
                 docs = parsed[parsed["rtype"] == "doc"]
                 if len(docs):
@@ -269,7 +279,38 @@ class _FetchParseTask:
                         os.path.join(seg, "outlinks", f"part-{part}", "data-0.parquet"),
                         OUTLINKS_SEG_SCHEMA,
                     )
-                cp = parsed[parsed["rtype"] == "crawl_parse"]
+                cp_frames.append(parsed[parsed["rtype"] == "crawl_parse"])
+            if redirs is not None and len(redirs):
+                # redirect-discovery LINKED rows join the exchange, keyed by
+                # target partition (computed in stages/fetch.py)
+                r = pd.DataFrame(
+                    {
+                        "rtype": "crawl_parse",
+                        "url": redirs["url"].to_numpy(),
+                        "host": redirs["host"].to_numpy(),
+                        "part": redirs["part"].to_numpy(),
+                        "doc_id": None,
+                        "spans": None,
+                        "status": redirs["status"].to_numpy(),
+                        "score": redirs["score"].to_numpy(),
+                        "signature": None,
+                        "fetch_interval": redirs["fetch_interval"].to_numpy(),
+                        "anchor": None,
+                        "dst": None,
+                        "metadata": redirs["metadata"].to_numpy(),
+                        "fetch_time": redirs["fetch_time"].to_numpy(),
+                    }
+                )
+                cp_frames.append(r)
+            if cp_frames:
+                cp = (
+                    pd.concat(
+                        [f.reindex(columns=cp_frames[0].columns) for f in cp_frames],
+                        ignore_index=True,
+                    )
+                    if len(cp_frames) > 1
+                    else cp_frames[0]
+                )
                 cp = _preagg_links(cp)
                 # scatter by TARGET partition — deterministic file names
                 for tgt, g in cp.groupby("part"):
@@ -280,7 +321,9 @@ class _FetchParseTask:
                     )
             n_fetched = int((fetch_out["fetch_order"] >= 0).sum()) if len(fetch_out) else 0
             n_docs = int((parsed["rtype"] == "doc").sum()) if len(parsed) else 0
-            stats.append(_fp_stat(part, n_fetched, n_docs, t_fetch, t_parse))
+            st = _fp_stat(part, n_fetched, n_docs, t_fetch, t_parse)
+            st["disc_maybe_known"] = n_maybe_known
+            stats.append(st)
         return pd.DataFrame(stats)
 
 
@@ -319,7 +362,8 @@ def _preagg_links(cp: pd.DataFrame) -> pd.DataFrame:
 
 
 def _fp_stat(part, fetched, docs, t_fetch, t_parse):
-    return {"part": part, "fetched": fetched, "docs": docs, "t_fetch": t_fetch, "t_parse": t_parse}
+    return {"part": part, "fetched": fetched, "docs": docs, "t_fetch": t_fetch,
+            "t_parse": t_parse, "disc_maybe_known": 0}
 
 
 class _UpdateTask:

@@ -39,7 +39,7 @@ import numpy as np
 import pandas as pd
 
 from ..config import CrawlConfig
-from ..functions.urlutil import get_host
+from ..functions.urlutil import get_host, partition_for_hosts
 from ..model import CrawlStatus as CS
 from ..sources.fake_protocol import FakeProtocol
 
@@ -142,13 +142,25 @@ class FetchPartition:
                 meta["_redirect_to_"] = resp.redirect_to
                 if status == CS.FETCH_REDIR_PERM:
                     repr_url = resp.redirect_to  # chooseRepr: perm redirect wins
-                # emit discovery row for the target (updatedb will add it)
+                # emit discovery row for the target (updatedb will add it).
+                # The row is partitioned by the TARGET host's hash (same as
+                # parse-stage outlink LINKED rows) so a cross-host redirect
+                # target lands in its own frontier partition and the
+                # host<->partition politeness invariant holds.
                 tgt_host = get_host(resp.redirect_to)
+                tgt_part = int(
+                    partition_for_hosts(
+                        np.array([tgt_host], dtype=object),
+                        cfg.num_partitions,
+                        cfg.partition_seed,
+                        cfg.partition_mode,
+                    )[0]
+                )
                 rows.append(
                     {
                         "url": resp.redirect_to,
                         "host": tgt_host,
-                        "part": int(row["part"]),
+                        "part": tgt_part,
                         "status": CS.LINKED,
                         "fetch_time": fetch_at,
                         "retries": 0,

@@ -179,3 +179,37 @@ def test_fake_protocol_determinism():
     b = [p.fetch(u).status for u in urls]
     assert a == b
     assert "success" in a and ("moved" in a or "temp_moved" in a)
+
+
+def test_redirect_discovery_partitioned_by_target_host():
+    """A cross-host redirect target's LINKED discovery row must carry the
+    TARGET host's hash partition (host<->partition politeness invariant),
+    not the source row's partition."""
+    from coherencebot_ray.functions.urlutil import partition_for_hosts
+
+    proto = ScriptedProtocol(
+        {
+            "http://src.com/mv": FakeResponse(
+                "moved", b"", "text/html", "http://other-host.org/landing"
+            ),
+        }
+    )
+    cfg = CrawlConfig()
+    src_part = int(
+        partition_for_hosts(
+            np.array(["src.com"], dtype=object),
+            cfg.num_partitions, cfg.partition_seed, cfg.partition_mode,
+        )[0]
+    )
+    tgt_part = int(
+        partition_for_hosts(
+            np.array(["other-host.org"], dtype=object),
+            cfg.num_partitions, cfg.partition_seed, cfg.partition_mode,
+        )[0]
+    )
+    assert src_part != tgt_part, "fixture hosts must hash apart"
+    out = run_fetch([fl_row("http://src.com/mv", part=src_part)], cfg, proto)
+    linked = out[out["status"] == CS.LINKED]
+    assert list(linked["url"]) == ["http://other-host.org/landing"]
+    assert list(linked["host"]) == ["other-host.org"]
+    assert list(linked["part"]) == [tgt_part]
