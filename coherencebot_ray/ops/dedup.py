@@ -168,9 +168,19 @@ def minhash_lsh_pairs(
 ):
     """MinHash+LSH near-dup pairs verified by true Jaccard >= threshold.
 
-    Returns Dataset of (a, b, jaccard). Verification joins candidate ids
-    back to texts (collected here — candidate sets are band-collision
-    bounded; at larger scale replace with an id-bucket join)."""
+    Returns Dataset of (a, b, jaccard). Fully distributed — the verify
+    step never collects candidates or scans the corpus on the driver:
+
+      1. map_batches: doc -> (band_id, band_hash, doc_id) LSH rows
+      2. bucketed groupby on the band key -> candidate (a, b) pairs
+      3. candidate halves (doc_id=a / doc_id=b) co-grouped with the docs
+         table by hash(doc_id) bucket -> each half picks up its text
+      4. bucketed groupby on (a, b) -> exact Jaccard verify per pair
+
+    Exchanges 2-4 all move band-collision-bounded candidate rows (plus
+    one pass of the docs table in 3); nothing is corpus-cardinality on
+    any single node.
+    """
     hasher = MinHasher(n_perm=n_perm)
 
     def bands(df: pd.DataFrame) -> pd.DataFrame:
@@ -190,27 +200,83 @@ def minhash_lsh_pairs(
 
     band_ds = docs_ds.map_batches(bands, batch_format="pandas")
     cand = bucketed_group_apply(band_ds, ["band_id", "band_hash"], pairs_bucket)
-    cand_pd = cand.to_pandas().drop_duplicates()
-    if len(cand_pd) == 0:
-        import ray.data as rd
 
-        return rd.from_pandas(pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"), "jaccard": pd.Series(dtype="float64")}))
+    # 3. attach texts: candidate halves ∪ docs, co-grouped by doc_id hash
+    def halves(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return _empty_half()
+        a = df["a"].to_numpy(dtype=np.int64)
+        b = df["b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate([a, b]),
+                "a": np.concatenate([a, a]),
+                "b": np.concatenate([b, b]),
+                "side": ["a"] * len(a) + ["b"] * len(b),
+                "text": "",
+            }
+        )
 
-    import ray
-    import ray.data as rd
+    def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return _empty_half()
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "a": np.int64(-1),
+                "b": np.int64(-1),
+                "side": "t",
+                "text": df[text_col].fillna("").to_numpy(),
+            }
+        )
 
-    involved = set(cand_pd["a"]) | set(cand_pd["b"])
-    texts = {
-        r["doc_id"]: r[text_col]
-        for batch in docs_ds.iter_batches(batch_format="pandas")
-        for r in batch[batch["doc_id"].isin(involved)][["doc_id", text_col]].to_dict("records")
-    }
-    a = cand_pd["a"].to_numpy()
-    b = cand_pd["b"].to_numpy()
-    j = np.array([jaccard(texts.get(x, ""), texts.get(y, "")) for x, y in zip(a, b)])
-    keep = j >= threshold
-    return rd.from_pandas(
-        pd.DataFrame({"a": a[keep], "b": b[keep], "jaccard": np.round(j[keep], 6)})
+    def attach_text(g: pd.DataFrame) -> pd.DataFrame:
+        is_txt = g["side"] == "t"
+        h = g[~is_txt].drop_duplicates(subset=["a", "b", "side"])
+        if len(h) == 0:
+            return _empty_half()
+        texts = dict(zip(g.loc[is_txt, "doc_id"], g.loc[is_txt, "text"]))
+        h = h.copy()
+        h["text"] = h["doc_id"].map(texts).fillna("")
+        return h
+
+    half_ds = cand.map_batches(halves, batch_format="pandas")
+    docs_tagged = docs_ds.map_batches(doc_rows, batch_format="pandas")
+    with_text = bucketed_group_apply(half_ds.union(docs_tagged), "doc_id", attach_text)
+
+    # 4. verify per pair: co-group the two halves by (a, b)
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"a": [], "b": [], "jaccard": []}
+        for (pa, pb), grp in g.groupby(["a", "b"], sort=False):
+            ta = grp.loc[grp["side"] == "a", "text"]
+            tb = grp.loc[grp["side"] == "b", "text"]
+            j = jaccard(
+                ta.iloc[0] if len(ta) else "", tb.iloc[0] if len(tb) else ""
+            )
+            if j >= threshold:
+                out["a"].append(int(pa))
+                out["b"].append(int(pb))
+                out["jaccard"].append(round(j, 6))
+        return pd.DataFrame(
+            {
+                "a": pd.Series(out["a"], dtype="int64"),
+                "b": pd.Series(out["b"], dtype="int64"),
+                "jaccard": pd.Series(out["jaccard"], dtype="float64"),
+            }
+        )
+
+    return bucketed_group_apply(with_text, ["a", "b"], verify)
+
+
+def _empty_half() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(dtype="int64"),
+            "a": pd.Series(dtype="int64"),
+            "b": pd.Series(dtype="int64"),
+            "side": pd.Series(dtype="object"),
+            "text": pd.Series(dtype="object"),
+        }
     )
 
 
@@ -225,12 +291,18 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, text_col: str = "text"):
                 rows.append({"doc_id": doc_id, "h": int(h), "band_id": band_id, "key": key})
         return pd.DataFrame(rows) if rows else pd.DataFrame({"doc_id": [], "h": [], "band_id": [], "key": []})
 
+    def _empty_pairs() -> pd.DataFrame:
+        return pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "hamming": pd.Series(dtype="int64")}
+        )
+
     def pairs_one(g: pd.DataFrame) -> pd.DataFrame:
         d = g.drop_duplicates("doc_id").sort_values("doc_id")
         ids = d["doc_id"].to_numpy()
         hs = d["h"].to_numpy()
         if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+            return _empty_pairs()
         a, b, hd = [], [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
@@ -239,21 +311,24 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, text_col: str = "text"):
                     a.append(ids[i])
                     b.append(ids[j])
                     hd.append(dist)
-        return pd.DataFrame({"a": a, "b": b, "hamming": hd})
+        return pd.DataFrame(
+            {"a": pd.Series(a, dtype="int64"), "b": pd.Series(b, dtype="int64"),
+             "hamming": pd.Series(hd, dtype="int64")}
+        )
 
     def pairs_bucket(bk: pd.DataFrame) -> pd.DataFrame:
         outs = [pairs_one(g) for _, g in bk.groupby(["band_id", "key"], sort=False)]
         outs = [o for o in outs if len(o)]
         if not outs:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+            return _empty_pairs()
         return pd.concat(outs, ignore_index=True)
 
     from .agg import bucketed_group_apply
 
     hash_ds = docs_ds.map_batches(hashes, batch_format="pandas")
     out = bucketed_group_apply(hash_ds, ["band_id", "key"], pairs_bucket)
-    # same pair can match in several bands -> distinct
-    pd_out = out.to_pandas().drop_duplicates(subset=["a", "b"]) if out.count() else pd.DataFrame({"a": [], "b": [], "hamming": []})
-    import ray.data as rd
-
-    return rd.from_pandas(pd_out)
+    # same pair can match in several bands -> distinct (a, b), bucketed
+    # (pair-cardinality, never collected on the driver)
+    return bucketed_group_apply(
+        out, ["a", "b"], lambda g: g.drop_duplicates(subset=["a", "b"])
+    )

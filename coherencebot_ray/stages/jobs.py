@@ -309,8 +309,10 @@ def mergedb(dbs: list, cfg: CrawlConfig):
 
 def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone: bool = True):
     """n-way co-group by url (IndexerMapReduce.java:183-298) as a
-    per-partition pandas merge; linkdb (small vs frontier) is joined by
-    a second groupby on url bucket within partition.
+    per-bucket pandas merge. ALL THREE inputs (frontier, docs, linkdb)
+    ride one tagged union + groupby(hash(url) % B) exchange — the
+    linkdb is frontier-cardinality (one row per inlinked URL), so it is
+    co-grouped on the join key like the others, never broadcast.
 
     Emits one row per indexable page: url, title, text, score_boost,
     n_inlinks, anchors.
@@ -329,11 +331,6 @@ def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone:
             {"url": df["url"].to_numpy(), "part": df["part"].to_numpy(), "title": titles, "text": texts}
         )
 
-    import ray
-
-    linkdb_pd = linkdb_ds.to_pandas() if linkdb_ds is not None else None
-    link_ref = ray.put(linkdb_pd)
-
     def join_part(g: pd.DataFrame) -> pd.DataFrame:
         f = g[g["rjoin"] == "db"]
         d = g[g["rjoin"] == "doc"]
@@ -345,9 +342,11 @@ def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone:
         )
         if delete_gone:
             m = m[~m["status"].isin([CS.DB_GONE, CS.DB_DUPLICATE, CS.DB_REDIR_PERM, CS.DB_REDIR_TEMP])]
-        ldb = ray.get(link_ref)
-        if ldb is not None and len(ldb):
-            m = m.merge(ldb[["url", "n_inlinks", "anchors"]], on="url", how="left")
+        ldb = g[g["rjoin"] == "link"]
+        if len(ldb):
+            m = m.drop(columns=["n_inlinks", "anchors"], errors="ignore").merge(
+                ldb[["url", "n_inlinks", "anchors"]], on="url", how="left"
+            )
             m["n_inlinks"] = m["n_inlinks"].fillna(0).astype(np.int64)
             m["anchors"] = m["anchors"].apply(lambda a: a if isinstance(a, (list, np.ndarray)) else [])
         else:
@@ -368,9 +367,14 @@ def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone:
     # typed sentinels: union blocks must agree on dtypes or the exchange
     # coerces conflicting columns to null
     _UNION_DEFAULTS = [
-        ("url", ""), ("part", 0), ("status", -1), ("score", 0.0),
-        ("title", ""), ("text", ""), ("rjoin", ""),
+        ("url", ""), ("status", -1), ("score", 0.0),
+        ("title", ""), ("text", ""), ("rjoin", ""), ("n_inlinks", 0),
+        ("anchors", None),
     ]
+
+    from ..ops.agg import stable_bucket
+
+    n_buckets = max(64, cfg.num_partitions)
 
     def align(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame()
@@ -378,18 +382,30 @@ def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone:
         for c, default in _UNION_DEFAULTS:
             if c in df.columns:
                 out[c] = df[c].to_numpy()
+            elif default is None:
+                out[c] = np.full(n, None, dtype=object)
             else:
                 out[c] = np.full(n, default, dtype=type(default) if not isinstance(default, str) else object)
         out["score"] = out["score"].astype(np.float64)
         out["status"] = out["status"].astype(np.int64)
-        out["part"] = out["part"].astype(np.int64)
+        out["n_inlinks"] = out["n_inlinks"].astype(np.int64)
+        # co-group key: the JOIN key's hash, shared by all three inputs
+        out["jb"] = stable_bucket(out["url"], n_buckets) if n else np.array([], dtype=np.int32)
         return out
 
     f_tagged = frontier_ds.map_batches(
-        lambda df: align(df[["url", "part", "status", "score"]].assign(rjoin="db")),
+        lambda df: align(df[["url", "status", "score"]].assign(rjoin="db")),
         batch_format="pandas",
     )
     d_tagged = docs_ds.map_batches(docs_project, batch_format="pandas").map_batches(
         lambda df: align(df.assign(rjoin="doc")), batch_format="pandas"
     )
-    return f_tagged.union(d_tagged).groupby("part").map_groups(join_part, batch_format="pandas")
+    unioned = f_tagged.union(d_tagged)
+    if linkdb_ds is not None:
+        unioned = unioned.union(
+            linkdb_ds.map_batches(
+                lambda df: align(df[["url", "n_inlinks", "anchors"]].assign(rjoin="link")),
+                batch_format="pandas",
+            )
+        )
+    return unioned.groupby("jb").map_groups(join_part, batch_format="pandas")

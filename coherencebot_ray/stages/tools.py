@@ -167,52 +167,146 @@ def export_warcish(seg_dir: str, out_dir: str) -> int:
 # ---------------------------------------------------------------------------
 
 
-def linkrank(edges_ds, iterations: int = 3, damping: float = 0.85, n_buckets: int = 64):
+class _RankShard:
+    """One hash(node)-shard of the LinkRank state: the shard's out-edges,
+    outdegrees and rank vector. Pregel-style vertex sharding — graph
+    state lives IN the shard actors (spread across the cluster), never
+    as a driver dict (10^10 nodes won't fit one heap).
+
+    Per iteration each shard (1) emits per-destination-shard partial
+    contribution sums for its sources, (2) folds the contributions
+    addressed to it into r' = (1-d) + d·Σw. The driver only routes
+    object refs between shards.
+    """
+
+    def __init__(self, shard_id: int, n_shards: int, damping: float):
+        self.sid, self.n, self.d = shard_id, n_shards, damping
+        self._edge_frames: list[pd.DataFrame] = []
+        self.ranks: pd.Series | None = None
+        self.outdeg: pd.Series | None = None
+
+    def add_edges(self, df: pd.DataFrame) -> int:
+        self._edge_frames.append(df)
+        return len(df)
+
+    def add_nodes(self, urls: np.ndarray) -> int:
+        # dst-only nodes (sinks) registered so they get a rank row
+        self._edge_frames.append(pd.DataFrame({"url": urls, "dst": None}))
+        return len(urls)
+
+    def seal(self) -> int:
+        """Freeze edges in deterministic order; init outdeg + ranks."""
+        if self._edge_frames:
+            e = pd.concat(self._edge_frames, ignore_index=True)
+        else:
+            e = pd.DataFrame({"url": pd.Series(dtype="object"), "dst": pd.Series(dtype="object")})
+        self._edge_frames = []
+        real = e[e["dst"].notna()].sort_values(["url", "dst"], kind="stable")
+        self.edges = real.reset_index(drop=True)
+        nodes = pd.Index(e["url"].drop_duplicates().sort_values())
+        self.outdeg = (
+            self.edges.groupby("url", sort=True).size().reindex(nodes, fill_value=0)
+        )
+        self.ranks = pd.Series(1.0, index=nodes)
+        return len(nodes)
+
+    def contribs(self) -> dict:
+        """Per-target-shard partial contribution sums for this shard's
+        out-edges: {target_shard: (dst ndarray, w ndarray)}."""
+        if len(self.edges) == 0:
+            return {}
+        src = self.edges["url"]
+        w = self.ranks.reindex(src).fillna(1.0).to_numpy() / np.maximum(
+            self.outdeg.reindex(src).fillna(1).to_numpy(dtype=np.float64), 1.0
+        )
+        out = pd.DataFrame({"dst": self.edges["dst"].to_numpy(), "w": w})
+        agg = out.groupby("dst", sort=True, as_index=False)["w"].sum()
+        tgt = _shard_of(agg["dst"].to_numpy(), self.n)
+        res = {}
+        for t in np.unique(tgt):
+            m = tgt == t
+            res[int(t)] = (agg.loc[m, "dst"].to_numpy(), agg.loc[m, "w"].to_numpy())
+        return res
+
+    def apply(self, incoming: list) -> int:
+        """Fold contribution partials (ordered by source shard id for
+        deterministic float accumulation) into the new rank vector."""
+        idx = self.ranks.index
+        sums = np.zeros(len(idx), dtype=np.float64)
+        touched = np.zeros(len(idx), dtype=bool)
+        for part in incoming:
+            if part is None:
+                continue
+            dsts, ws = part
+            pos = idx.get_indexer(dsts)
+            ok = pos >= 0
+            np.add.at(sums, pos[ok], ws[ok])
+            touched[pos[ok]] = True
+        r = np.where(touched, (1.0 - self.d) + self.d * sums, 1.0 - self.d)
+        self.ranks = pd.Series(r, index=self.ranks.index)
+        return len(r)
+
+    def result(self) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"url": self.ranks.index.to_numpy(), "rank": np.round(self.ranks.to_numpy(), 9)}
+        )
+
+
+def _shard_of(values: np.ndarray, n_shards: int) -> np.ndarray:
+    h = pd.util.hash_pandas_object(pd.Series(values), index=False).to_numpy(dtype=np.uint64)
+    return (h % np.uint64(n_shards)).astype(np.int64)
+
+
+def linkrank(edges_ds, iterations: int = 3, damping: float = 0.85, n_shards: int = 8, n_buckets: int | None = None):
     """Power iteration over (url=src, dst) edges:
     r_{t+1}(v) = (1-d) + d * Σ_{u→v} r_t(u)/outdeg(u).
 
-    Each iteration = one bucketed aggregate (ops/agg.py); the rank vector
-    rides along as a broadcast dict (small side: ranks are per-node
-    floats — at web scale swap for a rank table co-partitioned with the
-    edge list). Returns Dataset (url, rank) rounded to 9 dp.
+    Implemented as Pregel-style sharded rank actors (the documented
+    escape hatch for iterative algorithms the Dataset API can't express
+    without an exchange per iteration): nodes+edges hash(node)-sharded
+    across ``n_shards`` actors; each iteration is one contribution round
+    (shard-to-shard partial sums, routed as object refs by the driver)
+    plus one local fold. Driver memory is O(n_shards) refs — no
+    node-cardinality driver state. Multigraph semantics: duplicate
+    (src, dst) rows each contribute (scoring/webgraph/LinkRank.java
+    analogue). Returns Dataset (url, rank) rounded to 9 dp.
     """
     import ray
     import ray.data as rd
 
-    from ..ops.agg import bucketed_sum
+    if n_buckets is not None:  # legacy arg name
+        n_shards = min(n_shards, n_buckets)
+    RankShard = ray.remote(_RankShard)
+    shards = [RankShard.remote(i, n_shards, damping) for i in range(n_shards)]
 
-    # outdegree (one pass)
-    def deg(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"url": df["url"].to_numpy(), "outdeg": 1})
+    def route(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df):
+            t_src = _shard_of(df["url"].to_numpy(), n_shards)
+            for t in np.unique(t_src):
+                ray.get(shards[int(t)].add_edges.remote(df[t_src == t][["url", "dst"]]))
+            dsts = df["dst"].drop_duplicates().to_numpy()
+            t_dst = _shard_of(dsts, n_shards)
+            for t in np.unique(t_dst):
+                ray.get(shards[int(t)].add_nodes.remote(dsts[t_dst == t]))
+        return pd.DataFrame({"n": [len(df)]})
 
-    outdeg_pd = bucketed_sum(edges_ds.map_batches(deg, batch_format="pandas"), "url", ["outdeg"], n_buckets=n_buckets).to_pandas()
-    outdeg = dict(zip(outdeg_pd["url"], outdeg_pd["outdeg"]))
-
-    # node set
-    nodes = set(outdeg)
-    for batch in edges_ds.iter_batches(batch_format="pandas"):
-        nodes.update(batch["dst"])
-    ranks = {n: 1.0 for n in nodes}
+    edges_ds.map_batches(route, batch_format="pandas").materialize()
+    ray.get([s.seal.remote() for s in shards])
 
     for _ in range(iterations):
-        state = ray.put((ranks, outdeg))
+        rounds = ray.get([s.contribs.remote() for s in shards])
+        # route partials to target shards, ordered by source shard id
+        # (deterministic accumulation order)
+        ray.get(
+            [
+                shards[t].apply.remote([rounds[srcs].get(t) for srcs in range(n_shards)])
+                for t in range(n_shards)
+            ]
+        )
 
-        def contrib(df: pd.DataFrame) -> pd.DataFrame:
-            r, od = ray.get(state)
-            src = df["url"].to_numpy()
-            w = np.array([r.get(s, 1.0) / od.get(s, 1) for s in src])
-            return pd.DataFrame({"dst": df["dst"].to_numpy(), "w": w})
-
-        agg = bucketed_sum(
-            edges_ds.map_batches(contrib, batch_format="pandas"), "dst", ["w"], n_buckets=n_buckets
-        ).to_pandas()
-        new_ranks = {n: (1.0 - damping) for n in nodes}
-        for dst, w in zip(agg["dst"], agg["w"]):
-            new_ranks[dst] = (1.0 - damping) + damping * w
-        ranks = new_ranks
-
-    out = pd.DataFrame({"url": list(ranks), "rank": np.round(list(ranks.values()), 9)})
-    return rd.from_pandas(out.sort_values("url").reset_index(drop=True))
+    refs = [s.result.remote() for s in shards]
+    # materialize while the shard actors are alive (block ownership)
+    return rd.from_pandas_refs(refs).materialize()
 
 
 # ---------------------------------------------------------------------------
