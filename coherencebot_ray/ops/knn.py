@@ -94,12 +94,37 @@ def build_centroids(embeddings_ds, n_centroids: int = 16, iters: int = 3, vec_co
     return C
 
 
-def knn_ivf(embeddings_ds, query_ids: list[int], k: int = 10, n_centroids: int = 16, nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding"):
+def first_centroids(embeddings_ds, n_centroids: int = 16, id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic IVF seeding: the n_centroids lowest-id vectors,
+    normalized, no refinement — exactly mirrorable in SQL for the
+    correctness oracle (id-pruned read; the centroid set is tiny)."""
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.select([id_col, vec_col]).filter(pc.less(t[id_col], pa.scalar(n_centroids)))
+
+    sm = embeddings_ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    sm = sm.drop_duplicates(id_col).sort_values(id_col)
+    return _normalize(_batch_matrix(sm, vec_col))
+
+
+def knn_ivf(embeddings_ds, query_ids: list[int], k: int = 10, n_centroids: int = 16, nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding", centroid_mode: str = "kmeans"):
     """IVF ANN: restrict the scan to vectors whose centroid is among the
-    query's nprobe nearest centroids. Same output shape as knn_brute."""
+    query's nprobe nearest centroids. Same output shape as knn_brute.
+
+    ``centroid_mode``: "kmeans" (sampled mini-kmeans, default) or
+    "first" (deterministic lowest-id seeding, SQL-mirrorable). Centroid
+    similarities are rounded to 6 dp with ties broken by centroid index
+    so assignment/probing is float-stable across engines.
+    """
     import ray
 
-    C = build_centroids(embeddings_ds, n_centroids, vec_col=vec_col)
+    if centroid_mode == "first":
+        C = first_centroids(embeddings_ds, n_centroids, id_col=id_col, vec_col=vec_col)
+    else:
+        C = build_centroids(embeddings_ds, n_centroids, vec_col=vec_col)
     c_ref = ray.put(C)
 
     qset = set(int(q) for q in query_ids)
@@ -111,7 +136,9 @@ def knn_ivf(embeddings_ds, query_ids: list[int], k: int = 10, n_centroids: int =
     qdf = pd.concat(qrows).drop_duplicates(id_col).sort_values(id_col)
     Q = _normalize(_batch_matrix(qdf, vec_col))
     qids = qdf[id_col].to_numpy()
-    q_probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    # rounded sims + stable sort: ties broken by centroid index (matches
+    # the SQL oracle's ORDER BY round(sim,6) DESC, cid ASC)
+    q_probe = np.argsort(-np.round(Q @ C.T, 6), axis=1, kind="stable")[:, :nprobe]
     q_ref = ray.put((qids, Q, q_probe))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -119,7 +146,7 @@ def knn_ivf(embeddings_ds, query_ids: list[int], k: int = 10, n_centroids: int =
         C_ = ray.get(c_ref)
         X = _normalize(_batch_matrix(df, vec_col))
         ids = df[id_col].to_numpy()
-        assign = np.argmax(X @ C_.T, axis=1)
+        assign = np.argmax(np.round(X @ C_.T, 6), axis=1)  # first max = lowest cid
         sims = X @ Q_.T
         out = {"query_id": [], "neighbor_id": [], "sim": []}
         for j, q in enumerate(qids_):

@@ -348,19 +348,98 @@ SELECT doc_id, dup_of FROM w WHERE doc_id <> dup_of ORDER BY doc_id
 
 
 def q_minhash_lsh(sf_dir: str):
-    """MinHash+LSH near-dup pairs (Jaccard >= 0.8). Non-SQL (rows-only)."""
+    """MinHash+LSH near-dup pairs (true Jaccard >= 0.8 among 8-band
+    64-perm collisions); jaccard as integer ppm for float-stable
+    comparison. Oracle: same signatures/banding/verify in SQL (the
+    permutation constants are embedded in the generated SQL)."""
     from ..ops.dedup import minhash_lsh_pairs
 
     out = minhash_lsh_pairs(_read(sf_dir, "documents", columns=["doc_id", "text"])).to_pandas()
+    out["jaccard_ppm"] = np.floor(out["jaccard"].astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    out = out[["a", "b", "jaccard_ppm"]]
+    for c in ("a", "b"):
+        out[c] = out[c].astype(np.int64)
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def _minhash_sql() -> str:
+    from ..ops.dedup import MinHasher
+
+    h = MinHasher(n_perm=64, seed=42)
+    perms = ", ".join(
+        f"({i}, {int(a)}, {int(b)})" for i, (a, b) in enumerate(zip(h.a, h.b))
+    )
+    # signature arithmetic mirrors MinHasher.signature exactly: numpy
+    # uint64 wrap-around = explicit % 2^64 on HUGEINT before % mersenne
+    return f"""
+WITH perms(i, pa, pb) AS (VALUES {perms}),
+toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents),
+sh_long AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+  FROM toks, unnest(range(1, greatest(len(ts) - 2, 0) + 1)) AS u(i)
+  WHERE len(ts) >= 3
+),
+sh_short AS (SELECT doc_id, array_to_string(ts, ' ') AS s FROM toks WHERE len(ts) BETWEEN 1 AND 2),
+sh AS (SELECT DISTINCT doc_id, s FROM (SELECT * FROM sh_long UNION ALL SELECT * FROM sh_short)),
+hs AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 16)) AS UBIGINT) AS h FROM sh),
+sigs AS (
+  SELECT doc_id, p.i,
+    min(CAST((CAST(p.pa AS HUGEINT) * (h % 2305843009213693951) + p.pb) % 18446744073709551616 % 2305843009213693951 AS UBIGINT)) AS sig
+  FROM hs, perms p GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, i // 8 AS band_id, list(sig ORDER BY i) AS band_sig
+  FROM sigs GROUP BY doc_id, i // 8
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.band_id = y.band_id AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id
+),
+shl AS (SELECT doc_id, list(s) AS ss FROM sh GROUP BY doc_id),
+ver AS (
+  SELECT c.a, c.b, len(list_intersect(sa.ss, sb.ss)) AS inter,
+         len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)) AS uni
+  FROM cand c JOIN shl sa ON sa.doc_id = c.a JOIN shl sb ON sb.doc_id = c.b
+)
+SELECT a, b, CAST(FLOOR(inter * 1.0 / uni * 1000000 + 0.5) AS BIGINT) AS jaccard_ppm
+FROM ver WHERE inter * 1.0 / uni >= 0.8 ORDER BY a, b
+"""
 
 
 def q_simhash(sf_dir: str):
-    """SimHash near-dup pairs (hamming <= 3). Non-SQL (rows-only)."""
+    """SimHash near-dup pairs (hamming <= 3). The 4x16-bit band blocking
+    is lossless for hamming <= 3 (pigeonhole), so the oracle is the
+    plain all-pairs hamming scan over SQL-recomputed simhashes."""
     from ..ops.dedup import simhash_pairs
 
     out = simhash_pairs(_read(sf_dir, "documents", columns=["doc_id", "text"])).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+_SIMHASH_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents
+),
+cnt AS (SELECT doc_id, t, count(*) AS w FROM tok GROUP BY 1, 2),
+th AS (SELECT doc_id, w, CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT) AS h FROM cnt),
+bits AS (
+  SELECT doc_id, b.i AS bit,
+         sum(CASE WHEN (h >> b.i) & 1 = 1 THEN w ELSE -w END) AS acc
+  FROM th, (SELECT unnest(range(64)) AS i) b
+  GROUP BY 1, 2
+),
+sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << bit ELSE 0 END) AS UBIGINT) AS s
+  FROM bits GROUP BY doc_id
+)
+SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.s, y.s)) AS hamming
+FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.s, y.s)) <= 3
+ORDER BY a, b
+"""
 
 
 def q_text_quality(sf_dir: str):
@@ -410,7 +489,9 @@ FROM documents ORDER BY doc_id
 
 
 def q_langid(sf_dir: str):
-    """Language-ID heuristic counts per predicted lang. Non-SQL."""
+    """Language-ID heuristic counts per predicted lang. Oracle: the
+    stopword-profile argmax (first language in profile order wins ties)
+    recomputed in SQL."""
     from ..ops.text import langid
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -419,7 +500,35 @@ def q_langid(sf_dir: str):
         return pd.DataFrame({"lang_pred": langid(df["text"])})
 
     out = ds.map_batches(lid, batch_format="pandas").groupby("lang_pred").count().to_pandas()
+    out = out.rename(columns={"count()": "n"})
+    out["n"] = out["n"].astype(np.int64)
     return out.sort_values("lang_pred").reset_index(drop=True)
+
+
+def _langid_sql() -> str:
+    from ..ops.text import _LANG_PROFILES
+
+    score_cols = ",\n    ".join(
+        f"len(list_intersect(ts, [{', '.join(repr(w) for w in sorted(stops))}])) AS {lang}"
+        for lang, stops in _LANG_PROFILES.items()
+    )
+    langs = list(_LANG_PROFILES)
+    g = "greatest(" + ", ".join(langs) + ")"
+    case = f"CASE WHEN {g} = 0 THEN 'und' " + " ".join(
+        f"WHEN {l} = {g} THEN '{l}'" for l in langs[:-1]
+    ) + f" ELSE '{langs[-1]}' END"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+')[1:200] AS ts FROM documents
+),
+sc AS (
+  SELECT doc_id,
+    {score_cols}
+  FROM toks
+),
+pick AS (SELECT doc_id, {case} AS lang_pred FROM sc)
+SELECT lang_pred, count(*) AS n FROM pick GROUP BY 1 ORDER BY 1
+"""
 
 
 def q_knn_cosine(sf_dir: str):
@@ -471,16 +580,47 @@ ORDER BY a, b
 
 
 def q_knn_ivf(sf_dir: str):
-    """IVF-bucketed ANN (scale path of knn). Non-SQL; recall checked in
-    pytest against knn_brute."""
+    """IVF-bucketed ANN (scale path of knn) with deterministic first-N
+    centroid seeding so the exact same IVF algorithm is expressible as
+    the SQL oracle; kmeans-mode recall is additionally checked in pytest
+    against knn_brute."""
     from ..ops.knn import knn_ivf
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = knn_ivf(ds, query_ids=list(range(8)), k=10).to_pandas()
+    out = knn_ivf(ds, query_ids=list(range(8)), k=10, centroid_mode="first").to_pandas()
     out = out[["query_id", "neighbor_id", "rank"]]
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+_KNN_IVF_SQL = """
+WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+e AS (SELECT vec_id, embedding FROM embeddings),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY round(list_cosine_similarity(e.embedding, c.ce), 6) DESC, c.cid ASC) AS rn
+    FROM e, c) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+      row_number() OVER (PARTITION BY q.qid ORDER BY round(list_cosine_similarity(q.qe, c.ce), 6) DESC, c.cid ASC) AS rn
+    FROM q, c) WHERE rn <= 4
+),
+s AS (
+  SELECT q.qid, e.vec_id AS nid, round(list_cosine_similarity(q.qe, e.embedding), 6) AS sim
+  FROM q JOIN probes p ON p.qid = q.qid
+       JOIN asg a ON a.cid = p.cid
+       JOIN e ON e.vec_id = a.vec_id
+  WHERE e.vec_id <> q.qid
+),
+r AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank FROM s)
+SELECT qid AS query_id, nid AS neighbor_id, rank FROM r WHERE rank <= 10
+ORDER BY query_id, rank
+"""
 
 
 def q_window_tumbling(sf_dir: str):
@@ -794,8 +934,12 @@ FROM x GROUP BY 1, 2 ORDER BY 1, 2
 
 def q_crawl_round(sf_dir: str):
     """Flagship: one full generate→fetch→parse→updatedb round on a
-    frontier derived from the documents table, fake protocol. Non-SQL
-    (rows-only): returns the new frontier (url, status)."""
+    frontier derived from the documents table, fake protocol. Returns
+    the new frontier (url, status). Oracle: the whole round re-derived
+    in SQL from the fake protocol's md5 hash rules — eligibility window,
+    robots dead-host rule, fetch status buckets, the updatedb state
+    transitions they imply, plus redirect-target and html-outlink
+    discovery arithmetic (FakeProtocol outlink_targets/_redirect_target)."""
     import tempfile
 
     import pyarrow as pa
@@ -814,6 +958,65 @@ def q_crawl_round(sf_dir: str):
         out = d.store.read_table(1).to_pandas()[["url", "status"]]
         out["status"] = out["status"].astype(np.int64)
         return out.sort_values("url").reset_index(drop=True)
+
+
+# The round, re-derived from the fake protocol's pure-hash rules
+# (sources/fake_protocol.py): md5-bucket fetch statuses, robots
+# dead-host rule (rh % 53), html-vs-pdf split (hh % 10), redirect
+# target /r/{hh%100000}, outlink targets /page/{(hh+k*2654435761)%1e5}
+# + 1 external host{hh%1000}.example. Status codes are CrawlStatus DB_*.
+_CRAWL_ROUND_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         'http://host' || (doc_id % 97) || '.example/doc/' || doc_id AS url,
+         'host' || (doc_id % 97) || '.example' AS host,
+         CASE doc_id % 7 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 3 THEN 6
+              WHEN 4 THEN 3 WHEN 5 THEN 2 ELSE 1 END AS status,
+         1700000000000 + (doc_id % 1000) * 1000 AS fetch_time
+  FROM documents
+),
+sel AS (
+  SELECT *, CAST(('0x' || substr(md5(url), 1, 16)) AS UBIGINT) AS hh,
+            CAST(('0x' || substr(md5('robots:' || host), 1, 16)) AS UBIGINT) AS rh
+  FROM f WHERE fetch_time <= 1700000010000
+),
+fetched AS (
+  SELECT url, host, CAST(hh AS HUGEINT) AS hh, hh % 100 AS bucket, rh % 53 = 0 AS dead,
+    CASE
+      WHEN rh % 53 = 0 THEN 3
+      WHEN hh % 100 < 80 THEN 2
+      WHEN hh % 100 < 85 THEN 3
+      WHEN hh % 100 < 90 THEN 5
+      WHEN hh % 100 < 93 THEN 4
+      WHEN hh % 100 < 96 THEN 1
+      ELSE 3
+    END AS new_status
+  FROM sel
+),
+redirs AS (
+  SELECT DISTINCT 'http://' || host || '/r/' || (hh % 100000) AS url
+  FROM fetched WHERE NOT dead AND bucket BETWEEN 85 AND 92
+),
+html AS (SELECT * FROM fetched WHERE NOT dead AND bucket < 80 AND hh % 10 <> 0),
+outlinks AS (
+  SELECT DISTINCT ol AS url FROM (
+    SELECT 'http://' || host || '/page/' || ((hh + k * 2654435761) % 100000) AS ol
+    FROM html, unnest([0, 1, 2, 3]) AS t(k)
+    UNION ALL
+    SELECT 'http://host' || (hh % 1000) || '.example/page/' || ((hh // 256) % 100000) AS ol
+    FROM html
+  )
+),
+newurls AS (SELECT url FROM redirs UNION SELECT url FROM outlinks),
+final AS (
+  SELECT f.url, coalesce(x.new_status, f.status) AS status
+  FROM f LEFT JOIN fetched x ON f.url = x.url
+  UNION ALL
+  SELECT n.url, 1 AS status FROM newurls n
+  WHERE n.url NOT IN (SELECT url FROM f)
+)
+SELECT url, status FROM final ORDER BY url
+"""
 
 
 # ===========================================================================
@@ -877,6 +1080,9 @@ def build_oracle_sql() -> dict:
         "media_features": _MEDIA_SQL,
         "q1_agg": _Q1_SQL,
         "q3_join": _Q3_SQL,
-        # rows-only (non-SQL-expressible): minhash_lsh, simhash, langid,
-        # knn_ivf, crawl_round
+        "minhash_lsh": _minhash_sql(),
+        "simhash": _SIMHASH_SQL,
+        "langid": _langid_sql(),
+        "knn_ivf": _KNN_IVF_SQL,
+        "crawl_round": _CRAWL_ROUND_SQL,
     }
