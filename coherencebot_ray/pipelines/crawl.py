@@ -191,6 +191,46 @@ class _GenSelectTask:
         return pd.DataFrame(out)
 
 
+class _GenWritebackTask:
+    """Generator CrawlDbUpdater analogue (Generator.java:642-691): stamp
+    the selected urls' gen_time into the frontier store as a NEW
+    generation, so a second generate before updatedb skips in-flight
+    urls (re-entrancy) and urls generated-but-never-fetched stay locked
+    for crawl.gen.delay."""
+
+    def __init__(self, cfg, gen_time_ms, seg, files_by_part, store_root, wb_gen):
+        self.cfg, self.gen_time, self.seg = cfg, gen_time_ms, seg
+        self.files_by_part, self.store_root, self.wb_gen = files_by_part, store_root, wb_gen
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        _pin_arrow_threads()
+        from ..state.cuckoo import CuckooFilter
+
+        out = []
+        for part in batch["part"]:
+            part = int(part)
+            files = self.files_by_part.get(part, [])
+            fl = os.path.join(self.seg, "fetchlist", f"part-{part}", "data-0.parquet")
+            if not files or not os.path.exists(fl):
+                out.append({"part": part, "rows": 0})
+                continue
+            df = pq.read_table(files, partitioning=None).to_pandas()
+            sel = set(pq.read_table(fl, columns=["url"]).column("url").to_pylist())
+            mask = df["url"].isin(sel)
+            df.loc[mask, "gen_time"] = self.gen_time
+            dest = os.path.join(
+                self.store_root, f"gen={self.wb_gen:06d}.tmp", f"part={part}", "data-0.parquet"
+            )
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            pq.write_table(frontier_table_from_pandas(df), dest, compression="zstd")
+            cf = CuckooFilter(capacity=max(1024, 2 * len(df)))
+            cf.add_many(df["url"].to_numpy())
+            with open(dest.replace(".parquet", ".seen"), "wb") as fh:
+                fh.write(cf.to_bytes())
+            out.append({"part": part, "rows": int(len(df))})
+        return pd.DataFrame(out)
+
+
 class _FetchParseTask:
     """Fused fetch+parse for one fetchlist partition."""
 
@@ -543,45 +583,30 @@ class CrawlDriver:
         self.store.clean_tmp()
 
         topn = topn if topn is not None else cfg.topn
-        limit = max(1, topn // cfg.num_partitions)
         timings: dict[str, float] = {}
 
-        man = self.store.manifest(gen)
-        files_by_part = {
-            int(p): [os.path.join(self.store.root, f) for f in ent["files"]]
-            for p, ent in man["partitions"].items()
-            if ent["files"]
-        }
+        files_by_part = self._files_by_part(gen)
         parts = sorted(files_by_part)
 
         # -- generate (scan subshards in parallel, then select per part) -
         t = time.monotonic()
-        cand_dir = os.path.join(seg, "gen_cand")
-        can_prune = cfg.gen_max_count <= 0 and hostdb is None
-        scan_items = [
-            {"part": p, "fidx": i, "file": f}
-            for p in parts
-            for i, f in enumerate(files_by_part[p])
-        ]
-        task_cpus = cfg.task_num_cpus
-        scan_task = _GenScanTask(cfg, cur_time_ms, limit, cand_dir, filters, can_prune)
-        rd.from_items(scan_items, override_num_blocks=max(1, len(scan_items))).map_batches(
-            scan_task, batch_format="pandas", batch_size=1, num_cpus=task_cpus
-        ).to_pandas()
-        sel_task = _GenSelectTask(
-            cfg, cur_time_ms, cur_time_ms, limit, cand_dir, os.path.join(seg, "fetchlist"), hostdb
-        )
-        gen_stats = (
-            rd.from_items([{"part": p} for p in parts], override_num_blocks=max(1, len(parts)))
-            .map_batches(sel_task, batch_format="pandas", batch_size=1, num_cpus=task_cpus)
-            .to_pandas()
-        )
+        gen_stats = self._generate_phase(seg, cur_time_ms, topn, hostdb, filters, files_by_part, parts)
         timings["generate"] = time.monotonic() - t
         n_generated = int(gen_stats["selected"].sum())
         if n_generated == 0:
             self.store.begin_generation(new_gen)
             self.store.commit_generation({}, gen=new_gen, parent_gen=gen, counters={"generated": 0})
-            return self._commit_round(new_gen, gen, [], timings, {"generated": 0}, t0)
+            return self._commit_round(new_gen, gen, [], timings, {"generated": 0}, t0, seg)
+
+        # -- Generator CrawlDbUpdater write-back (generate.update.crawldb)
+        if cfg.gen_update_crawldb:
+            t = time.monotonic()
+            active_wb = sorted(int(p) for p in gen_stats[gen_stats["selected"] > 0]["part"])
+            gen = self._gen_writeback(seg, cur_time_ms, files_by_part, gen, active_wb)
+            new_gen = gen + 1
+            files_by_part = self._files_by_part(gen)
+            timings["gen_writeback"] = time.monotonic() - t
+        task_cpus = cfg.task_num_cpus
 
         # -- fetch + parse (fused) --------------------------------------
         t = time.monotonic()
@@ -610,6 +635,7 @@ class CrawlDriver:
         touched = sorted(touched)
         self.store.begin_generation(new_gen)
         # skew splitting: a mega-host partition's merge shards by url hash
+        man = self.store.manifest(gen)
         rows_by_part = {int(p): ent["rows"] for p, ent in man["partitions"].items()}
         descr = []
         for p in touched:
@@ -642,10 +668,86 @@ class CrawlDriver:
         self.store.commit_generation(written, gen=new_gen, parent_gen=gen, counters=counters)
         timings["updatedb"] = time.monotonic() - t
 
-        return self._commit_round(new_gen, gen, touched, timings, counters, t0)
+        return self._commit_round(new_gen, gen, touched, timings, counters, t0, seg)
 
     # ------------------------------------------------------------------
-    def _commit_round(self, new_gen, parent_gen, touched, timings, counters, t0) -> dict:
+    def _files_by_part(self, gen: int) -> dict:
+        man = self.store.manifest(gen)
+        return {
+            int(p): [os.path.join(self.store.root, f) for f in ent["files"]]
+            for p, ent in man["partitions"].items()
+            if ent["files"]
+        }
+
+    def _generate_phase(self, seg, cur_time_ms, topn, hostdb, filters, files_by_part, parts):
+        """Scan + select (J2): writes fetchlist/part-*/data-0.parquet."""
+        import ray.data as rd
+
+        cfg = self.cfg
+        limit = max(1, topn // cfg.num_partitions)
+        cand_dir = os.path.join(seg, "gen_cand")
+        can_prune = cfg.gen_max_count <= 0 and hostdb is None
+        scan_items = [
+            {"part": p, "fidx": i, "file": f}
+            for p in parts
+            for i, f in enumerate(files_by_part[p])
+        ]
+        task_cpus = cfg.task_num_cpus
+        scan_task = _GenScanTask(cfg, cur_time_ms, limit, cand_dir, filters, can_prune)
+        rd.from_items(scan_items, override_num_blocks=max(1, len(scan_items))).map_batches(
+            scan_task, batch_format="pandas", batch_size=1, num_cpus=task_cpus
+        ).to_pandas()
+        sel_task = _GenSelectTask(
+            cfg, cur_time_ms, cur_time_ms, limit, cand_dir, os.path.join(seg, "fetchlist"), hostdb
+        )
+        return (
+            rd.from_items([{"part": p} for p in parts], override_num_blocks=max(1, len(parts)))
+            .map_batches(sel_task, batch_format="pandas", batch_size=1, num_cpus=task_cpus)
+            .to_pandas()
+        )
+
+    def _gen_writeback(self, seg, cur_time_ms, files_by_part, parent_gen, active) -> int:
+        """Commit a new generation with gen_time stamped on the selected
+        urls (Generator.java:642-691). Returns the new latest gen."""
+        import ray.data as rd
+
+        wb_gen = parent_gen + 1
+        self.store.begin_generation(wb_gen)
+        task = _GenWritebackTask(
+            self.cfg, cur_time_ms, seg, files_by_part, self.store.root, wb_gen
+        )
+        stats = (
+            rd.from_items([{"part": p} for p in active], override_num_blocks=max(1, len(active)))
+            .map_batches(task, batch_format="pandas", batch_size=1, num_cpus=self.cfg.task_num_cpus)
+            .to_pandas()
+        )
+        written = {int(p): int(r) for p, r in zip(stats["part"], stats["rows"]) if r > 0}
+        self.store.commit_generation(
+            written, gen=wb_gen, parent_gen=parent_gen,
+            counters={"gen_writeback_parts": len(written)},
+        )
+        return wb_gen
+
+    def generate(self, cur_time_ms: int, topn: int | None = None, hostdb: dict | None = None, filters=None) -> dict:
+        """Standalone J2/J3 generate job: writes a fetchlist segment and
+        (per cfg.gen_update_crawldb) the CrawlDbUpdater gen_time
+        write-back. Re-running generate before updatedb then selects
+        DISJOINT urls (Generator re-entrancy)."""
+        gen = self.store.latest_gen()
+        assert gen is not None, "bootstrap or inject first"
+        seg = self.seg_dir(gen + 1)
+        os.makedirs(seg, exist_ok=True)
+        files_by_part = self._files_by_part(gen)
+        parts = sorted(files_by_part)
+        topn = topn if topn is not None else self.cfg.topn
+        gen_stats = self._generate_phase(seg, cur_time_ms, topn, hostdb, filters, files_by_part, parts)
+        n = int(gen_stats["selected"].sum())
+        if n > 0 and self.cfg.gen_update_crawldb:
+            active = sorted(int(p) for p in gen_stats[gen_stats["selected"] > 0]["part"])
+            self._gen_writeback(seg, cur_time_ms, files_by_part, gen, active)
+        return {"seg": seg, "generated": n}
+
+    def _commit_round(self, new_gen, parent_gen, touched, timings, counters, t0, seg=None) -> dict:
         metrics = {
             "gen": new_gen,
             "parent_gen": parent_gen,
@@ -654,7 +756,7 @@ class CrawlDriver:
             "wall_s": round(time.monotonic() - t0, 3),
             "counters": counters,
         }
-        path = os.path.join(self.seg_dir(new_gen), "_ROUND.json")
+        path = os.path.join(seg or self.seg_dir(new_gen), "_ROUND.json")
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
         with open(tmp, "w") as f:

@@ -61,8 +61,10 @@ def eligibility_filter(
     df["fetch_time"], df["fetch_interval"] = ft, itv
 
     # gen-delay: rows already carrying a generate time are awaiting
-    # fetch+update and are skipped (Generator.java:238-244)
-    mask &= df["gen_time"].to_numpy() == 0
+    # fetch+update and are skipped until crawl.gen.delay expires
+    # (Generator.java:238-244: skip while genTime + genDelay > curTime)
+    gt = df["gen_time"].to_numpy()
+    mask &= (gt == 0) | (gt + cfg.gen_delay_ms <= cur_time_ms)
 
     if expr:
         try:

@@ -130,57 +130,100 @@ class ParseBatch:
         )
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        """Columnar parse pass: the only per-document Python is the html/
+        pdf extractor and the signer; the row plumbing (outlink
+        normalize/filter/host, output assembly) is batched — normalize_
+        many/accept_many/hosts_of run ONCE over every href in the batch,
+        and output rows accumulate into per-column lists (no iterrows,
+        no list-of-dicts DataFrame)."""
         cfg = self.cfg
-        out_rows: list[dict] = []
-        ok = batch[batch["status"] == CS.FETCH_SUCCESS] if len(batch) else batch
-        for _, row in ok.iterrows():
-            url = row["url"]
-            content = row["content"]
+        if len(batch) == 0:
+            return _empty_parse_out()
+        ok = batch[batch["status"] == CS.FETCH_SUCCESS]
+        if len(ok) == 0:
+            return _empty_parse_out()
+        urls = ok["url"].to_numpy()
+        hosts = ok["host"].to_numpy()
+        parts = ok["part"].to_numpy()
+        contents = ok["content"].to_numpy()
+        ctypes = ok["content_type"].to_numpy() if "content_type" in ok.columns else np.full(len(ok), None, dtype=object)
+        scores = ok["score"].to_numpy()
+        fts = ok["fetch_time"].to_numpy()
+        fis = ok["fetch_interval"].to_numpy()
+
+        # pass 1: extract spans/links/signature per doc; flatten hrefs
+        parsed: list[tuple] = []  # (i, spans, link_start, n_links, signature)
+        hrefs: list[str] = []
+        href_anchor: list[str] = []
+        for i in range(len(ok)):
+            content = contents[i]
             if content is None:
                 continue
-            ctype = row.get("content_type") or "text/html"
+            ctype = ctypes[i] or "text/html"
             if "pdf" in ctype:
                 spans, links, text = parse_pdf(bytes(content))
             else:
                 spans, links, text = parse_html(bytes(content))
+            signature = self.signer(text, bytes(content), urls[i])
+            parsed.append((i, spans, len(hrefs), len(links), signature))
+            for href, anchor in links:
+                hrefs.append(href)
+                href_anchor.append(anchor)
 
-            signature = self.signer(text, bytes(content), url)
-            src_host = row["host"]
-            page_score = float(row["score"])
+        # batched outlink chain: one normalize/filter/host pass per batch
+        normed = self.normalizers.normalize_many(hrefs, SCOPE_OUTLINK) if hrefs else []
+        acc = np.zeros(len(normed), dtype=bool)
+        dst_hosts = np.full(len(normed), "", dtype=object)
+        nn = [j for j, v in enumerate(normed) if v is not None]
+        if nn:
+            nn_urls = [normed[j] for j in nn]
+            acc_v = self.filters.accept_many(nn_urls)
+            from ..functions.urlutil import hosts_of
 
-            # --- doc row (interleaved spans, input_hint shape) ----------
-            out_rows.append(
-                {
-                    "rtype": "doc",
-                    "url": url,
-                    "host": src_host,
-                    "part": int(row["part"]),
-                    "doc_id": url,
-                    "spans": [
-                        {"kind": k, "text": t, "media_ref": m, "offset": i}
-                        for i, (k, t, m) in enumerate(spans)
-                    ],
-                    "status": 0,
-                    "score": 0.0,
-                    "signature": signature,
-                    "fetch_interval": int(row["fetch_interval"]),
-                    "anchor": None,
-                    "dst": None,
-                    "metadata": None,
-                    "fetch_time": int(row["fetch_time"]),
-                }
-            )
+            host_v = hosts_of(np.asarray(nn_urls, dtype=object)).to_numpy()
+            for k, j in enumerate(nn):
+                acc[j] = acc_v[k]
+                dst_hosts[j] = host_v[k]
 
-            # --- outlinks: normalize, filter, cap, distribute score -----
+        # pass 2: columnar output assembly (same row order as before:
+        # doc, then per-link outlink+LINKED, then SIGNATURE)
+        cols: dict[str, list] = {c: [] for c in _PARSE_COLS}
+
+        def emit(rtype, url, host, part, doc_id, spans, status, score,
+                 signature, fetch_interval, anchor, dst, fetch_time):
+            cols["rtype"].append(rtype)
+            cols["url"].append(url)
+            cols["host"].append(host)
+            cols["part"].append(part)
+            cols["doc_id"].append(doc_id)
+            cols["spans"].append(spans)
+            cols["status"].append(status)
+            cols["score"].append(score)
+            cols["signature"].append(signature)
+            cols["fetch_interval"].append(fetch_interval)
+            cols["anchor"].append(anchor)
+            cols["dst"].append(dst)
+            cols["metadata"].append(None)
+            cols["fetch_time"].append(fetch_time)
+
+        max_ol = cfg.max_outlinks_per_page
+        for i, spans, lstart, n_links, signature in parsed:
+            url, src_host = urls[i], hosts[i]
+            part, ft, fi = int(parts[i]), int(fts[i]), int(fis[i])
+            emit("doc", url, src_host, part, url,
+                 [{"kind": k, "text": t, "media_ref": m, "offset": o}
+                  for o, (k, t, m) in enumerate(spans)],
+                 0, 0.0, signature, fi, None, None, ft)
+
             kept: list[tuple] = []
             seen_dst = set()
-            for href, anchor in links:
-                if len(kept) >= cfg.max_outlinks_per_page:
+            for j in range(lstart, lstart + n_links):
+                if len(kept) >= max_ol:
                     break  # db.max.outlinks.per.page (ParseOutputFormat.java:164-166)
-                nu = self.normalizers.normalize(href, SCOPE_OUTLINK)
-                if nu is None or not self.filters.accept(nu):
+                if not acc[j]:
                     continue
-                dst_host = get_host(nu)
+                nu = normed[j]
+                dst_host = dst_hosts[j]
                 if cfg.ignore_internal_links and dst_host == src_host:
                     continue
                 if cfg.ignore_external_links and dst_host != src_host:
@@ -188,11 +231,10 @@ class ParseBatch:
                 if nu in seen_dst:
                     continue
                 seen_dst.add(nu)
-                kept.append((nu, anchor, dst_host))
+                kept.append((nu, href_anchor[j], dst_host))
 
-            n_valid = len(kept)
-            if n_valid:
-                share = np.float32(page_score) / np.float32(n_valid)
+            if kept:
+                share = np.float32(float(scores[i])) / np.float32(len(kept))
                 for nu, anchor, dst_host in kept:
                     factor = (
                         cfg.score_internal_factor
@@ -200,67 +242,21 @@ class ParseBatch:
                         else cfg.score_external_factor
                     )
                     contrib = float(np.float32(share) * np.float32(factor))
-                    out_rows.append(
-                        {
-                            "rtype": "outlink",
-                            "url": url,
-                            "host": src_host,
-                            "part": int(row["part"]),
-                            "doc_id": None,
-                            "spans": None,
-                            "status": 0,
-                            "score": 0.0,
-                            "signature": None,
-                            "fetch_interval": 0,
-                            "anchor": anchor,
-                            "dst": nu,
-                            "metadata": None,
-                            "fetch_time": int(row["fetch_time"]),
-                        }
-                    )
-                    # LINKED datum for updatedb (ParseOutputFormat.java:317-366)
-                    out_rows.append(
-                        {
-                            "rtype": "crawl_parse",
-                            "url": nu,
-                            "host": dst_host,
-                            "part": -1,  # re-partitioned to the TARGET below
-                            "doc_id": None,
-                            "spans": None,
-                            "status": int(CS.LINKED),
-                            "score": contrib,
-                            "signature": None,
-                            "fetch_interval": int(cfg.interval_default),
-                            "anchor": anchor,
-                            "dst": None,
-                            "metadata": None,
-                            "fetch_time": int(row["fetch_time"]),
-                        }
-                    )
+                    emit("outlink", url, src_host, part, None, None, 0, 0.0,
+                         None, 0, anchor, nu, ft)
+                    # LINKED datum for updatedb (ParseOutputFormat.java:317-366);
+                    # part=-1 re-partitioned to the TARGET below
+                    emit("crawl_parse", nu, dst_host, -1, None, None,
+                         int(CS.LINKED), contrib, None, int(cfg.interval_default),
+                         anchor, None, ft)
 
             # SIGNATURE datum (ParseOutputFormat.java:236-244)
-            out_rows.append(
-                {
-                    "rtype": "crawl_parse",
-                    "url": url,
-                    "host": src_host,
-                    "part": int(row["part"]),
-                    "doc_id": None,
-                    "spans": None,
-                    "status": int(CS.SIGNATURE),
-                    "score": 0.0,
-                    "signature": signature,
-                    "fetch_interval": 0,
-                    "anchor": None,
-                    "dst": None,
-                    "metadata": None,
-                    "fetch_time": int(row["fetch_time"]),
-                }
-            )
+            emit("crawl_parse", url, src_host, part, None, None,
+                 int(CS.SIGNATURE), 0.0, signature, 0, None, None, ft)
 
-        if not out_rows:
+        if not cols["rtype"]:
             return _empty_parse_out()
-        out = pd.DataFrame(out_rows)
+        out = pd.DataFrame(cols)
         # assign target partition for LINKED rows (vectorized)
         linked = (out["rtype"] == "crawl_parse") & (out["status"] == CS.LINKED)
         if linked.any():

@@ -165,3 +165,35 @@ def test_generate_ray_pipeline(ray_session):
     t_pd = t.to_pandas()
     part_of_host = dict(zip(t_pd["host"], t_pd["part"]))
     assert all(part_of_host[h] == p for h, p in zip(out["host"], out["part"]))
+
+
+def test_generate_writeback_reentrant(tmp_path, ray_session):
+    """Generator CrawlDbUpdater (Generator.java:642-691): with
+    generate.update.crawldb on, a second generate WITHOUT an intervening
+    updatedb must select a disjoint URL set (gen_time write-back)."""
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    from coherencebot_ray.pipelines.crawl import CrawlDriver, _frontier_pa
+    from coherencebot_ray.sources.synth import EPOCH, synth_frontier
+
+    cfg = CrawlConfig(num_partitions=2, topn=20, server_delay_s=0.0, gen_update_crawldb=True)
+    d = CrawlDriver(str(tmp_path / "c"), cfg)
+    d.bootstrap(synth_frontier(200, 8, cfg))
+
+    def fetchlist_urls(seg):
+        urls = set()
+        for f in _glob.glob(f"{seg}/fetchlist/part-*/data-0.parquet"):
+            urls |= set(pq.read_table(f, columns=["url"]).column("url").to_pylist())
+        return urls
+
+    r1 = d.generate(EPOCH + 1000)
+    u1 = fetchlist_urls(r1["seg"])
+    assert len(u1) > 0
+    r2 = d.generate(EPOCH + 2000)
+    u2 = fetchlist_urls(r2["seg"])
+    assert u1.isdisjoint(u2), f"overlap: {u1 & u2}"
+    # after the gen-delay expires the locked urls become eligible again
+    r3 = d.generate(EPOCH + 2000 + cfg.gen_delay_ms + 1000)
+    u3 = fetchlist_urls(r3["seg"])
+    assert u3 & u1
