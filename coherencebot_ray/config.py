@@ -82,6 +82,11 @@ class CrawlConfig:
     adaptive_sync_delta: bool = True
     adaptive_sync_delta_rate: float = 0.3
 
+    # --- mime-adaptive schedule (MimeAdaptiveFetchSchedule.java:52-163) ----
+    mime_rates: tuple = ()  # (mime, inc_rate, dec_rate) rows; db.fetch.schedule.mime.file
+    mime_default_inc_rate: float = 0.2  # db.fetch.schedule.adaptive.inc_rate (:87)
+    mime_default_dec_rate: float = 0.2  # db.fetch.schedule.adaptive.dec_rate (:88)
+
     # --- signatures (SignatureFactory, TextProfileSignature.java) ----------
     signature_impl: str = "md5"  # md5 | text_md5 | text_profile
     tp_min_token_len: int = 2  # db.signature.text_profile.min_token_len
@@ -95,6 +100,10 @@ class CrawlConfig:
     linkdb_max_inlinks: int = 10_000  # linkdb.max.inlinks
     linkdb_ignore_internal: bool = True  # linkdb.ignore.internal.links (LinkDb default)
     linkdb_ignore_external: bool = False
+
+    # --- scoring filter chain (scoring/ScoringFilter.java:42-246) ----------
+    scoring_filters: tuple = ("opic",)  # ordered plugin names; "withdrawn"
+    # reads extra["live_seeds"] ({seed_url: {metadata}}) when registered
 
     # --- url filter / normalizer chains ------------------------------------
     normalizers: tuple = ("basic", "regex")

@@ -115,7 +115,13 @@ class AdaptiveSchedule:
         modified_time: np.ndarray,
         state: np.ndarray,
         fixed_interval: np.ndarray | None = None,
+        inc: "np.ndarray | np.float32 | None" = None,
+        dec: "np.ndarray | np.float32 | None" = None,
     ) -> ScheduleResult:
+        # inc/dec may be per-row arrays (MimeAdaptiveSchedule) or the
+        # schedule's scalar rates
+        inc = self.inc if inc is None else inc
+        dec = self.dec if dec is None else dec
         n = len(fetch_time)
         fetch_time = fetch_time.astype(np.int64)
         itv = np.where(interval == 0, self.default_interval, interval).astype(np.float32)
@@ -131,8 +137,8 @@ class AdaptiveSchedule:
 
         mod = np.where(nonfixed & (mod <= 0), fetch_time, mod)
         mod_state = nonfixed & (state == STATUS_MODIFIED)
-        itv = np.where(mod_state, itv * self.dec, itv)
-        itv = np.where(nonfixed & (state == STATUS_NOTMODIFIED), itv * self.inc, itv)
+        itv = np.where(mod_state, itv * dec, itv)
+        itv = np.where(nonfixed & (state == STATUS_NOTMODIFIED), itv * inc, itv)
         mod = np.where(mod_state, fetch_time, mod)
 
         if self.sync_delta:
@@ -154,6 +160,56 @@ class AdaptiveSchedule:
             fetch_interval=stored.astype(np.int32),
             modified_time=mod.astype(np.int64),
             retries=np.zeros(n, dtype=np.uint8),
+        )
+
+
+def clean_mime(values) -> np.ndarray:
+    """MimeUtil.cleanMimeType analogue: lowercase, strip parameters
+    ('text/html; charset=utf-8' -> 'text/html')."""
+    out = np.empty(len(values), dtype=object)
+    for i, v in enumerate(values):
+        out[i] = v.split(";")[0].strip().lower() if isinstance(v, str) and v else ""
+    return out
+
+
+class MimeAdaptiveSchedule(AdaptiveSchedule):
+    """MimeAdaptiveFetchSchedule (crawl/MimeAdaptiveFetchSchedule.java:
+    52-163): AdaptiveFetchSchedule whose inc/dec rates are looked up per
+    row from the fetch datum's Content-Type; unknown mimes use the
+    schedule's default rates (which default to 0.2/0.2, :87-88 — NOT
+    adaptive's 0.4 inc).
+
+    ``mime_rates``: iterable of (mime, inc_rate, dec_rate) — the TSV
+    mime file rows (:146-160)."""
+
+    name = "mime_adaptive"
+    wants_mime = True
+
+    def __init__(self, mime_rates=(), default_inc: float = 0.2, default_dec: float = 0.2, **kw):
+        super().__init__(inc_rate=default_inc, dec_rate=default_dec, **kw)
+        self.rate_map = {
+            str(m).lower(): (
+                np.float32(1.0) + np.float32(i),
+                np.float32(1.0) - np.float32(d),
+            )
+            for m, i, d in mime_rates
+        }
+
+    def set_fetch_schedule(self, fetch_time, interval, modified_time, state,
+                           fixed_interval=None, mime=None) -> ScheduleResult:
+        if mime is None or not self.rate_map:
+            return super().set_fetch_schedule(
+                fetch_time, interval, modified_time, state, fixed_interval
+            )
+        n = len(fetch_time)
+        inc = np.full(n, self.inc, dtype=np.float32)
+        dec = np.full(n, self.dec, dtype=np.float32)
+        for i, mm in enumerate(clean_mime(mime)):
+            r = self.rate_map.get(mm)
+            if r is not None:
+                inc[i], dec[i] = r
+        return super().set_fetch_schedule(
+            fetch_time, interval, modified_time, state, fixed_interval, inc=inc, dec=dec
         )
 
 
@@ -225,6 +281,18 @@ def make_schedule(name: str, cfg) -> DefaultSchedule | AdaptiveSchedule:
             max_interval_cfg=cfg.interval_max,
             inc_rate=cfg.adaptive_inc_rate,
             dec_rate=cfg.adaptive_dec_rate,
+            min_interval=cfg.adaptive_min_interval,
+            max_interval=cfg.adaptive_max_interval,
+            sync_delta=cfg.adaptive_sync_delta,
+            sync_delta_rate=cfg.adaptive_sync_delta_rate,
+        )
+    if name == "mime_adaptive":
+        return MimeAdaptiveSchedule(
+            mime_rates=getattr(cfg, "mime_rates", ()),
+            default_inc=getattr(cfg, "mime_default_inc_rate", 0.2),
+            default_dec=getattr(cfg, "mime_default_dec_rate", 0.2),
+            default_interval=cfg.interval_default,
+            max_interval_cfg=cfg.interval_max,
             min_interval=cfg.adaptive_min_interval,
             max_interval=cfg.adaptive_max_interval,
             sync_delta=cfg.adaptive_sync_delta,

@@ -48,6 +48,7 @@ _DATUM_COLS = [
     "repr_url",
     "fixed_interval",
     "metadata",
+    "content_type",
 ]
 
 _DB_CODES = np.array(sorted(CS._DB), dtype=np.int64)
@@ -55,7 +56,7 @@ _FETCH_CODES = np.array(sorted(CS._FETCH), dtype=np.int64)
 
 
 def empty_datums() -> pd.DataFrame:
-    return pd.DataFrame({c: pd.Series(dtype="object" if c in ("url", "host", "signature", "metadata", "repr_url") else "int64") for c in _DATUM_COLS})
+    return pd.DataFrame({c: pd.Series(dtype="object" if c in ("url", "host", "signature", "metadata", "repr_url", "content_type") else "int64") for c in _DATUM_COLS})
 
 
 def _latest_per_url(df: pd.DataFrame) -> pd.DataFrame:
@@ -161,12 +162,14 @@ def merge_partition(
     m["has_fetch"] = m.index.isin(fetch.index)
 
     def col(src, name, default):
-        return src[name].reindex(urls, fill_value=default) if len(src) else pd.Series(default, index=urls, dtype=object if default is None else None)
+        if len(src) and name in src.columns:
+            return src[name].reindex(urls, fill_value=default)
+        return pd.Series(default, index=urls, dtype=object if default is None else None)
 
     for c in ("status", "fetch_time", "retries", "fetch_interval", "score", "modified_time", "gen_time", "fixed_interval"):
         m[f"o_{c}"] = pd.to_numeric(col(old, c, 0), errors="coerce").fillna(0)
         m[f"f_{c}"] = pd.to_numeric(col(fetch, c, 0), errors="coerce").fillna(0)
-    for c in ("host", "part", "signature", "metadata", "repr_url"):
+    for c in ("host", "part", "signature", "metadata", "repr_url", "content_type"):
         m[f"o_{c}"] = col(old, c, None)
         m[f"f_{c}"] = col(fetch, c, None)
     if len(link_agg):
@@ -307,12 +310,17 @@ def merge_partition(
         mod_state = np.where(is_succ & old_sig_ok & ~sig_equal, sch.STATUS_MODIFIED, mod_state)
         mod_state = np.where(is_succ & old_sig_ok & sig_equal, sch.STATUS_NOTMODIFIED, mod_state)
 
+        sched_kw = {}
+        if getattr(schedule, "wants_mime", False):
+            # MimeAdaptive: Content-Type rides the fetch datum
+            sched_kw["mime"] = m["f_content_type"].to_numpy()
         res = schedule.set_fetch_schedule(
             fetch_time=f_fetch_time,
             interval=r_interval,
             modified_time=f_modified,
             state=mod_state,
             fixed_interval=r_fixed,
+            **sched_kw,
         )
         r_fetch_time = np.where(success_class, res.fetch_time, r_fetch_time)
         r_interval = np.where(success_class, res.fetch_interval, r_interval)
@@ -371,12 +379,18 @@ def merge_partition(
         r_fetch_time = np.where(gone, g_ft, r_fetch_time)
         r_interval = np.where(gone, g_itv, r_interval)
 
-    # OPIC updateDbScore: score = (old if exists else result).score + Σ links
+    # ScoringFilters.updateDbScore hook chain (ScoringFilter.java:93-105;
+    # OPIC: score = (old if exists else result).score + Σ links;
+    # scoring-withdrawn may rewrite status/metadata)
+    from .scoring import make_scoring
+
+    scoring = make_scoring(cfg, live_seeds=cfg.extra.get("live_seeds"))
     link_sum = m["link_sum"].to_numpy(dtype=np.float32)
     base = np.where(has_old, o_score, r_score).astype(np.float32)
-    r_score = (base + link_sum).astype(np.float32)
-    # LINKED-no-old keeps initialScore base of 0 (already in r_score path)
-    r_score = np.where(ln, link_sum.astype(np.float32), r_score).astype(np.float32)
+    # LINKED-no-old keeps OPIC initialScore base of 0
+    base = np.where(ln, np.float32(0.0), base).astype(np.float32)
+    r_score, r_status, r_meta = scoring.update_db_score(base, link_sum, r_status, r_meta)
+    r_score = r_score.astype(np.float32)
 
     host = m["f_host"].where(m["has_fetch"], m["l_host"])
     host = host.where(host.notna(), m["o_host"])

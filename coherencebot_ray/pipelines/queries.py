@@ -282,6 +282,80 @@ SELECT url, score FROM (
 """
 
 
+def q_crawlcomplete(sf_dir: str):
+    """CrawlCompletionStats by host (util/CrawlCompletionStats.java:
+    194-252): FETCHED = DB_FETCHED|DB_NOTMODIFIED, else UNFETCHED."""
+    import ray.data as rd
+
+    from ..stages.jobs import crawl_completion_stats
+
+    df = DV.derived_frontier(DV.read_doc_ids(sf_dir))
+    out = crawl_completion_stats(rd.from_pandas(df[["url", "host", "status"]])).to_pandas()
+    out["fetched"] = out["fetched"].astype(np.int64)
+    out["unfetched"] = out["unfetched"].astype(np.int64)
+    return out.sort_values("key").reset_index(drop=True)
+
+
+_CRAWLCOMPLETE_SQL = f"""
+WITH f AS (SELECT {DV.HOST_SQL} AS key, {DV.STATUS_CASE_SQL} AS status FROM documents)
+SELECT key,
+       count(*) FILTER (status IN (2, 6)) AS fetched,
+       count(*) FILTER (status NOT IN (2, 6)) AS unfetched
+FROM f GROUP BY key ORDER BY key
+"""
+
+
+def q_domainstats(sf_dir: str):
+    """DomainStatistics fetched-count by domain
+    (util/domain/DomainStatistics.java:174-199)."""
+    import ray.data as rd
+
+    from ..stages.jobs import domain_statistics
+
+    df = DV.derived_frontier(DV.read_doc_ids(sf_dir))
+    out = domain_statistics(
+        rd.from_pandas(df[["url", "host", "status"]]), mode="domain"
+    ).to_pandas()
+    out["fetched"] = out["fetched"].astype(np.int64)
+    return out.sort_values("key").reset_index(drop=True)
+
+
+_DOMAINSTATS_SQL = f"""
+WITH f AS (SELECT {DV.HOST_SQL} AS key, {DV.STATUS_CASE_SQL} AS status FROM documents)
+SELECT key, count(*) AS fetched
+FROM f WHERE status IN (2, 6) GROUP BY key ORDER BY key
+"""
+
+
+def q_protocolstats(sf_dir: str):
+    """ProtocolStatusStatistics (util/ProtocolStatusStatistics.java:
+    140-179): counts per metadata['_pst_'] code, UNFETCHED when the key
+    is absent. The derived frontier stamps _pst_ from doc_id % 5."""
+    import ray.data as rd
+
+    from ..stages.jobs import protocol_status_stats
+
+    df = DV.derived_frontier(DV.read_doc_ids(sf_dir))
+    ids = DV.read_doc_ids(sf_dir)
+    codes = np.array(["200", "301", "404", "503", None], dtype=object)[ids % 5]
+    df["metadata"] = [
+        None if c is None else f'{{"_pst_": "{c}"}}' for c in codes
+    ]
+    out = protocol_status_stats(rd.from_pandas(df[["url", "metadata"]])).to_pandas()
+    out["count"] = out["count"].astype(np.int64)
+    return out.sort_values("code").reset_index(drop=True)
+
+
+_PROTOCOLSTATS_SQL = """
+WITH f AS (
+  SELECT CASE doc_id % 5 WHEN 0 THEN '200' WHEN 1 THEN '301' WHEN 2 THEN '404'
+         WHEN 3 THEN '503' ELSE 'UNFETCHED' END AS code
+  FROM documents
+)
+SELECT code, count(*) AS count FROM f GROUP BY code ORDER BY code
+"""
+
+
 def q_indexer_join(sf_dir: str):
     """J11 IndexerMapReduce n-way join analogue over orders ⋈ customer ⋈
     nation with OPIC indexer damping sqrt(score) in integer micro-units."""
@@ -1052,6 +1126,9 @@ def build_queries() -> dict:
         "q1_agg": q_q1_agg,
         "q3_join": q_q3_join,
         "crawl_round": q_crawl_round,
+        "crawlcomplete": q_crawlcomplete,
+        "domainstats": q_domainstats,
+        "protocolstats": q_protocolstats,
     }
 
 
@@ -1085,4 +1162,7 @@ def build_oracle_sql() -> dict:
         "langid": _langid_sql(),
         "knn_ivf": _KNN_IVF_SQL,
         "crawl_round": _CRAWL_ROUND_SQL,
+        "crawlcomplete": _CRAWLCOMPLETE_SQL,
+        "domainstats": _DOMAINSTATS_SQL,
+        "protocolstats": _PROTOCOLSTATS_SQL,
     }

@@ -99,7 +99,13 @@ def select_partition(
     """
     if len(g) == 0:
         return _empty_fetchlist(g)
-    order = np.argsort(-g["score"].to_numpy(dtype=np.float32), kind="stable")
+    # scfilters.generatorSortValue (Generator.java:248; OPIC = score)
+    from ..functions.scoring import make_scoring
+
+    sort_value = make_scoring(cfg).generator_sort_value(
+        g["score"].to_numpy(dtype=np.float32)
+    )
+    order = np.argsort(-sort_value, kind="stable")
     g = g.iloc[order]
 
     key_col = "domain" if cfg.gen_count_mode == "domain" else "host"

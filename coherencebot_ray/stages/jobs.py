@@ -352,7 +352,10 @@ def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone:
         else:
             m["n_inlinks"] = 0
             m["anchors"] = [[] for _ in range(len(m))]
-        boost = np.power(m["score"].to_numpy(dtype=np.float32), np.float32(0.5))
+        # scfilters.indexerScore (OPIC: score^0.5, OPICScoringFilter.java:157-166)
+        from ..functions.scoring import make_scoring
+
+        boost = make_scoring(cfg).indexer_score(m["score"].to_numpy(dtype=np.float32))
         return pd.DataFrame(
             {
                 "url": m["url"].to_numpy(),
@@ -409,3 +412,114 @@ def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone:
             )
         )
     return unioned.groupby("jb").map_groups(join_part, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Aux stat jobs: crawl completion / domain statistics / protocol status
+# (util/CrawlCompletionStats.java:194-252, util/domain/DomainStatistics.java:
+# 160-237, util/ProtocolStatusStatistics.java:140-179) — each is one
+# partial-combined bucketed aggregate over the frontier; no row ever
+# leaves a task un-aggregated.
+# ---------------------------------------------------------------------------
+
+_FETCHED_STATUSES = (CS.DB_FETCHED, CS.DB_NOTMODIFIED)
+
+
+def _stat_key(df: pd.DataFrame, mode: str) -> np.ndarray:
+    from ..functions.urlutil import domains_of, hosts_of
+
+    if mode == "host":
+        return (
+            df["host"].to_numpy()
+            if "host" in df.columns
+            else hosts_of(df["url"].to_numpy()).to_numpy()
+        )
+    hosts = (
+        df["host"]
+        if "host" in df.columns
+        else hosts_of(df["url"].to_numpy())
+    )
+    if mode == "domain":
+        return domains_of(np.asarray(hosts, dtype=object)).to_numpy()
+    if mode == "tld":
+        return np.array(
+            [h.rsplit(".", 1)[-1] if isinstance(h, str) and "." in h else (h or "") for h in np.asarray(hosts, dtype=object)],
+            dtype=object,
+        )
+    raise ValueError(f"unknown stats mode: {mode}")
+
+
+def crawl_completion_stats(frontier_ds, mode: str = "host"):
+    """Per host-or-domain FETCHED/UNFETCHED counts
+    (CrawlCompletionStats.java:194-252: DB_FETCHED|DB_NOTMODIFIED count
+    as fetched, everything else as unfetched).
+    Returns Dataset (key, fetched, unfetched)."""
+    from ..ops.agg import bucketed_sum
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"key": pd.Series(dtype="object"), "fetched": pd.Series(dtype="int64"),
+                 "unfetched": pd.Series(dtype="int64")}
+            )
+        fetched = np.isin(df["status"].to_numpy(), _FETCHED_STATUSES)
+        return pd.DataFrame(
+            {"key": _stat_key(df, mode), "fetched": fetched.astype(np.int64),
+             "unfetched": (~fetched).astype(np.int64)}
+        )
+
+    return bucketed_sum(
+        frontier_ds.map_batches(pre, batch_format="pandas"), "key", ["fetched", "unfetched"]
+    )
+
+
+def domain_statistics(frontier_ds, mode: str = "host"):
+    """Fetched-page count per host/domain/tld
+    (DomainStatistics.java:174-199: only DB_FETCHED|DB_NOTMODIFIED rows
+    counted). Returns Dataset (key, fetched)."""
+    from ..ops.agg import bucketed_sum
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"key": pd.Series(dtype="object"), "fetched": pd.Series(dtype="int64")}
+            )
+        d = df[np.isin(df["status"].to_numpy(), _FETCHED_STATUSES)]
+        if len(d) == 0:
+            return pd.DataFrame(
+                {"key": pd.Series(dtype="object"), "fetched": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame({"key": _stat_key(d, mode), "fetched": np.int64(1)})
+
+    return bucketed_sum(
+        frontier_ds.map_batches(pre, batch_format="pandas"), "key", ["fetched"]
+    )
+
+
+def protocol_status_stats(frontier_ds):
+    """Counts per protocol status code stored in metadata['_pst_']
+    (ProtocolStatusStatistics.java:140-149; rows without the key count
+    as UNFETCHED). Returns Dataset (code, count)."""
+    import json as _json
+
+    from ..ops.agg import bucketed_sum
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"code": pd.Series(dtype="object"), "count": pd.Series(dtype="int64")}
+            )
+        codes = []
+        for m in df["metadata"].to_numpy():
+            code = "UNFETCHED"
+            if isinstance(m, str) and m:
+                try:
+                    code = str(_json.loads(m).get("_pst_", "UNFETCHED"))
+                except ValueError:
+                    pass
+            codes.append(code)
+        return pd.DataFrame({"code": np.array(codes, dtype=object), "count": np.int64(1)})
+
+    return bucketed_sum(
+        frontier_ds.map_batches(pre, batch_format="pandas"), "code", ["count"]
+    )

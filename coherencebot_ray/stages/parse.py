@@ -117,9 +117,12 @@ class ParseBatch:
     """Callable class for map_batches (actor pool); stateless per batch."""
 
     def __init__(self, cfg: CrawlConfig):
+        from ..functions.scoring import make_scoring
+
         self.cfg = cfg
         self.normalizers = URLNormalizers(cfg.normalizers)
         self.filters = URLFilters(cfg.filters)
+        self.scoring = make_scoring(cfg)
         self.signer = make_signer(
             cfg.signature_impl,
             **(
@@ -234,7 +237,8 @@ class ParseBatch:
                 kept.append((nu, href_anchor[j], dst_host))
 
             if kept:
-                share = np.float32(float(scores[i])) / np.float32(len(kept))
+                # scfilters.distributeScoreToOutlinks (OPIC share)
+                share = self.scoring.distribute_share(float(scores[i]), len(kept))
                 for nu, anchor, dst_host in kept:
                     factor = (
                         cfg.score_internal_factor

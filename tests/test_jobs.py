@@ -179,3 +179,39 @@ def test_indexer_join(ray_session):
     # OPIC indexer damping: boost = sqrt(score)
     row = frontier.iloc[0]
     assert out.loc["http://h.com/0", "score_boost"] == pytest.approx(np.sqrt(row["score"]), rel=1e-5)
+
+
+def test_aux_stat_jobs(ray_session):
+    """crawlcomplete / domainstats / protocolstats aggregate semantics
+    (CrawlCompletionStats.java:220-222, DomainStatistics.java:174-199,
+    ProtocolStatusStatistics.java:146-149)."""
+    import ray.data as rd
+
+    from coherencebot_ray.stages.jobs import (
+        crawl_completion_stats,
+        domain_statistics,
+        protocol_status_stats,
+    )
+
+    df = pd.DataFrame(
+        {
+            "url": [f"http://a.com/{i}" for i in range(4)] + ["http://b.org/x"],
+            "host": ["a.com"] * 4 + ["b.org"],
+            "status": [CS.DB_FETCHED, CS.DB_NOTMODIFIED, CS.DB_UNFETCHED, CS.DB_GONE, CS.DB_FETCHED],
+            "metadata": ['{"_pst_": "200"}', '{"_pst_": "404"}', None, "", '{"_pst_": "200"}'],
+        }
+    )
+    ds = rd.from_pandas(df)
+    cc = crawl_completion_stats(ds).to_pandas().set_index("key")
+    assert cc.loc["a.com", "fetched"] == 2 and cc.loc["a.com", "unfetched"] == 2
+    assert cc.loc["b.org", "fetched"] == 1 and cc.loc["b.org", "unfetched"] == 0
+
+    dstat = domain_statistics(ds, mode="host").to_pandas().set_index("key")
+    assert dstat.loc["a.com", "fetched"] == 2 and dstat.loc["b.org", "fetched"] == 1
+    tld = domain_statistics(ds, mode="tld").to_pandas().set_index("key")
+    assert tld.loc["com", "fetched"] == 2 and tld.loc["org", "fetched"] == 1
+
+    ps = protocol_status_stats(ds).to_pandas().set_index("code")
+    assert ps.loc["200", "count"] == 2
+    assert ps.loc["404", "count"] == 1
+    assert ps.loc["UNFETCHED", "count"] == 2

@@ -213,3 +213,72 @@ def test_warc_export_and_segment_tools(tmp_path, ray_session):
     out_csv = str(tmp_path / "dump.csv")
     rows = tools.dump_segment_csv(seg, "fetch_out", out_csv, columns=["url", "status"])
     assert rows == stats["fetch_out"]
+
+
+def test_withdrawn_scoring_filter_chain():
+    """TestWithdrawnScoringFilter port (scoring-withdrawn plugin,
+    src/plugin/scoring-withdrawn/src/test/.../TestWithdrawnScoringFilter.java):
+    a datum whose collection.seed is absent from the live seed set is
+    marked DB_WITHDRAWN; a live seed's metadata is overlaid."""
+    import json
+
+    import numpy as np
+
+    from coherencebot_ray.functions.scoring import make_scoring
+    from coherencebot_ray.config import CrawlConfig
+
+    live = {"https://example.com": {"collection.title": "Publications", "org.slug": "example-us"}}
+    cfg = CrawlConfig(scoring_filters=("opic", "withdrawn"), extra={"live_seeds": live})
+    chain = make_scoring(cfg, live_seeds=live)
+
+    score = np.array([1.0, 1.0, 1.0], dtype=np.float32)
+    links = np.array([0.5, 0.0, 0.0], dtype=np.float32)
+    status = np.array([CS.DB_NOTMODIFIED, CS.DB_NOTMODIFIED, CS.DB_NOTMODIFIED], dtype=np.int64)
+    meta = np.array(
+        [json.dumps({"collection.seed": "https://example.com"}),
+         json.dumps({"collection.seed": "https://www.example.com"}),  # not live
+         None],
+        dtype=object,
+    )
+    s2, st2, m2 = chain.update_db_score(score, links, status, meta)
+    # OPIC still adds inlink scores
+    assert s2[0] == np.float32(1.5)
+    # live seed: status kept, metadata overlaid
+    assert st2[0] == CS.DB_NOTMODIFIED
+    assert json.loads(m2[0])["collection.title"] == "Publications"
+    # dead seed: withdrawn
+    assert st2[1] == CS.DB_WITHDRAWN
+    # no seed key: untouched
+    assert st2[2] == CS.DB_NOTMODIFIED and m2[2] is None
+
+
+def test_withdrawn_through_updatedb_kernel():
+    """The withdrawn plugin runs inside merge_partition when registered
+    (updateDbScore hook chain)."""
+    import hashlib
+    import json
+
+    import pandas as pd
+
+    from coherencebot_ray.functions.updatedb import merge_partition
+
+    CUR = 1_700_000_000_000
+    meta = json.dumps({"collection.seed": "https://dead.example"})
+    rows = pd.DataFrame([
+        {"url": "http://dead.example/p", "host": "dead.example", "part": 0,
+         "status": CS.DB_FETCHED, "fetch_time": CUR - 1000, "retries": 0,
+         "fetch_interval": 86400, "score": 1.0,
+         "signature": hashlib.md5(b"x").digest(), "modified_time": 0,
+         "gen_time": 0, "repr_url": None, "fixed_interval": 0, "metadata": meta},
+        {"url": "http://dead.example/p", "host": "dead.example", "part": 0,
+         "status": CS.FETCH_SUCCESS, "fetch_time": CUR, "retries": 0,
+         "fetch_interval": 86400, "score": 1.0,
+         "signature": hashlib.md5(b"x").digest(), "modified_time": 0,
+         "gen_time": 0, "repr_url": None, "fixed_interval": 0, "metadata": meta},
+    ])
+    cfg = CrawlConfig(
+        scoring_filters=("opic", "withdrawn"),
+        extra={"live_seeds": {"https://alive.example": {}}},
+    )
+    out = merge_partition(rows, cfg, CUR)
+    assert list(out["status"]) == [CS.DB_WITHDRAWN]

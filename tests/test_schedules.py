@@ -110,3 +110,38 @@ def test_calculate_last_fetch_time():
 def test_factory():
     assert isinstance(sch.make_schedule("default", CFG), sch.DefaultSchedule)
     assert isinstance(sch.make_schedule("adaptive", CFG), sch.AdaptiveSchedule)
+
+
+def test_mime_adaptive_schedule():
+    """MimeAdaptiveFetchSchedule (MimeAdaptiveFetchSchedule.java:52-163):
+    per-mime inc/dec rates override the defaults; unknown mimes and
+    missing Content-Type fall back to default rates (0.2/0.2)."""
+    import numpy as np
+
+    from coherencebot_ray.functions import schedules as sch
+
+    s = sch.MimeAdaptiveSchedule(
+        mime_rates=(("text/html", 0.5, 0.1), ("application/pdf", 0.1, 0.4)),
+    )
+    ft = np.array([1_000_000] * 4, dtype=np.int64)
+    itv = np.array([1000, 1000, 1000, 1000], dtype=np.int64)
+    mod = np.zeros(4, dtype=np.int64)
+    state = np.array([sch.STATUS_NOTMODIFIED] * 4, dtype=np.int64)
+    mime = np.array(
+        ["text/html; charset=utf-8", "application/pdf", "image/png", None], dtype=object
+    )
+    res = s.set_fetch_schedule(ft, itv, mod, state, mime=mime)
+    # NOTMODIFIED -> interval * (1 + inc): html 1.5x, pdf 1.1x, default 1.2x
+    assert list(res.fetch_interval) == [1500, 1100, 1200, 1200]
+
+    state_m = np.array([sch.STATUS_MODIFIED] * 4, dtype=np.int64)
+    res2 = s.set_fetch_schedule(ft, itv, mod, state_m, mime=mime)
+    # MODIFIED -> interval * (1 - dec): html 0.9x, pdf 0.6x, default 0.8x
+    assert list(res2.fetch_interval) == [900, 600, 800, 800]
+
+    # factory wiring
+    from coherencebot_ray.config import CrawlConfig
+
+    cfg = CrawlConfig(schedule="mime_adaptive", mime_rates=(("text/html", 0.5, 0.1),))
+    made = sch.make_schedule("mime_adaptive", cfg)
+    assert made.wants_mime and made.rate_map["text/html"]

@@ -291,3 +291,29 @@ def test_notmodified_continuous_refetches():
         cur = int(out["fetch_time"].iloc[0])
     # eventually interval growth is capped by the schedule max
     assert interval <= 31_536_000
+
+
+def test_mime_adaptive_in_merge():
+    """MimeAdaptive rates apply per fetch datum's content_type through
+    the updatedb kernel (Content-Type rides the datum; unknown/missing
+    mime uses the 0.2/0.2 defaults)."""
+    sig = hashlib.md5(b"same").digest()
+    rows = []
+    for i, (u, ct) in enumerate(
+        [("http://h.com/html", "text/html"), ("http://h.com/pdf", "application/pdf"),
+         ("http://h.com/none", None)]
+    ):
+        rows.append(datum(CS.DB_FETCHED, url=u, interval=1000, signature=sig, fetch_time=CUR - 10_000))
+        d = datum(CS.FETCH_SUCCESS, url=u, interval=1000, signature=sig, fetch_time=CUR)
+        d["content_type"] = ct
+        rows.append(d)
+    out = run(
+        rows,
+        schedule="mime_adaptive",
+        mime_rates=(("text/html", 0.5, 0.1), ("application/pdf", 0.1, 0.4)),
+        adaptive_sync_delta=False,
+    ).set_index("url")
+    # same signature -> NOTMODIFIED -> interval * (1 + inc)
+    assert out.loc["http://h.com/html", "fetch_interval"] == 1500
+    assert out.loc["http://h.com/pdf", "fetch_interval"] == 1100
+    assert out.loc["http://h.com/none", "fetch_interval"] == 1200
