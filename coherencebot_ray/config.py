@@ -60,6 +60,12 @@ class CrawlConfig:
     # pandas tasks don't thrash (concurrency = session_cpus / this)
     task_num_cpus: int = 1
 
+    # above this partition count the fetch+parse tasks stop scattering
+    # crawl_parse files per TARGET partition (P^2 small files) and write
+    # one file per SOURCE partition instead; a Ray Data groupby("part")
+    # exchange then produces the per-target files (P total)
+    scatter_direct_max_parts: int = 256
+
     # --- skew handling -----------------------------------------------------
     # a partition whose frontier exceeds this row count has its updatedb
     # merge split into hash(url) subshards (mega-host partitions would

@@ -352,13 +352,23 @@ class _FetchParseTask:
                     else cp_frames[0]
                 )
                 cp = _preagg_links(cp)
-                # scatter by TARGET partition — deterministic file names
-                for tgt, g in cp.groupby("part"):
+                if cfg.num_partitions > cfg.scatter_direct_max_parts:
+                    # P^2-file guard: one file per SOURCE partition; the
+                    # per-target split happens in a Ray Data hash
+                    # exchange after the phase (run_round)
                     _write_df(
-                        g.drop(columns=["rtype", "doc_id", "spans", "dst"]),
-                        os.path.join(seg, "crawl_parse", f"part-{int(tgt)}", f"from-{part}.parquet"),
+                        cp.drop(columns=["rtype", "doc_id", "spans", "dst"]),
+                        os.path.join(seg, "crawl_parse_raw", f"from-{part}.parquet"),
                         CRAWL_PARSE_SCHEMA,
                     )
+                else:
+                    # scatter by TARGET partition — deterministic file names
+                    for tgt, g in cp.groupby("part"):
+                        _write_df(
+                            g.drop(columns=["rtype", "doc_id", "spans", "dst"]),
+                            os.path.join(seg, "crawl_parse", f"part-{int(tgt)}", f"from-{part}.parquet"),
+                            CRAWL_PARSE_SCHEMA,
+                        )
             n_fetched = int((fetch_out["fetch_order"] >= 0).sum()) if len(fetch_out) else 0
             n_docs = int((parsed["rtype"] == "doc").sum()) if len(parsed) else 0
             st = _fp_stat(part, n_fetched, n_docs, t_fetch, t_parse)
@@ -560,6 +570,23 @@ class CrawlDriver:
             tables, gen=new_gen, parent_gen=gen, counters={"urls_injected": int(len(seeds))}
         )
 
+    def sitemap_round(self, hosts: list[str], cur_time_ms: int) -> dict:
+        """J14 SitemapProcessor round: fetch robots-declared sitemaps for
+        ``hosts`` through the protocol (actor-pool stage), then inject the
+        discovered URLs (priority -> score, changefreq -> interval) into
+        the frontier (util/SitemapProcessor.java:82-520)."""
+        from ..stages.tools import sitemap_processor
+
+        rows = sitemap_processor(hosts, self.cfg, self.protocol).to_pandas()
+        if len(rows) == 0:
+            return {"discovered": 0}
+        lines = [
+            f"{u}\tnutch.score={s}\tnutch.fetchInterval={fi}"
+            for u, s, fi in zip(rows["url"], rows["score"], rows["fetch_interval"])
+        ]
+        res = self.inject(lines, cur_time_ms)
+        return {"discovered": int(len(rows)), "inject": res}
+
     # ------------------------------------------------------------------
     def run_round(
         self,
@@ -624,6 +651,25 @@ class CrawlDriver:
         timings["fetch_parse"] = time.monotonic() - t
         timings["fetch"] = round(float(fp_stats["t_fetch"].sum()), 3)
         timings["parse"] = round(float(fp_stats["t_parse"].sum()), 3)
+
+        # -- crawl_parse exchange (only at high partition counts) -------
+        raw_files = sorted(glob.glob(os.path.join(seg, "crawl_parse_raw", "*.parquet")))
+        if raw_files:
+            t = time.monotonic()
+            cp_dir = os.path.join(seg, "crawl_parse")
+
+            def write_target(g: pd.DataFrame) -> pd.DataFrame:
+                tgt = int(g["part"].iloc[0])
+                _write_df(g, os.path.join(cp_dir, f"part-{tgt}", "data-0.parquet"), CRAWL_PARSE_SCHEMA)
+                return pd.DataFrame({"part": [tgt], "rows": [len(g)]})
+
+            (
+                rd.read_parquet(raw_files, partitioning=None)
+                .groupby("part")
+                .map_groups(write_target, batch_format="pandas")
+                .to_pandas()
+            )
+            timings["cp_exchange"] = time.monotonic() - t
 
         # -- updatedb (touched partitions only) -------------------------
         t = time.monotonic()

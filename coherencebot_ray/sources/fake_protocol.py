@@ -42,6 +42,7 @@ class FakeResponse:
 class FakeRobots:
     disallow: tuple
     crawl_delay: float | None
+    sitemaps: tuple = ()  # robots.txt "Sitemap:" lines
 
 
 class FakeProtocol:
@@ -61,7 +62,9 @@ class FakeProtocol:
             delay = 120.0
         elif hh % 13 == 0:
             delay = 2.0
-        return FakeRobots(disallow=disallow, crawl_delay=delay)
+        # every 5th host advertises a sitemap (SitemapProcessor discovery)
+        sitemaps = (f"http://{host}/sitemap.xml",) if hh % 5 == 0 else ()
+        return FakeRobots(disallow=disallow, crawl_delay=delay, sitemaps=sitemaps)
 
     def robots_allows(self, robots: FakeRobots, url: str) -> bool:
         path = url.split("://", 1)[-1]
@@ -71,6 +74,10 @@ class FakeProtocol:
     # ---------------- fetch -----------------
     def fetch(self, url: str) -> FakeResponse:
         hh = _h(url)
+        path = url.split("://", 1)[-1]
+        path = path[path.find("/"):] if "/" in path else "/"
+        if path == "/sitemap.xml" or path.startswith("/sitemap-"):
+            return self._sitemap_body(url)
         bucket = hh % 100
         if bucket < 80:
             return self._success(url, hh)
@@ -134,6 +141,42 @@ class FakeProtocol:
             f"<h1>{sents[1][:40].title()}</h1>\n{img}\n{paras}{anchors}</body></html>"
         )
         return html.encode("utf-8")
+
+    _CHANGEFREQS = ("daily", "weekly", "monthly")
+
+    def _sitemap_body(self, url: str) -> FakeResponse:
+        """Deterministic sitemap: hosts with hash%4==0 serve a one-level
+        <sitemapindex> pointing at two child urlsets; others serve an
+        urlset of 5 /sm/ urls with lastmod/changefreq/priority."""
+        host = url.split("://", 1)[-1].split("/", 1)[0]
+        sh = _h("sitemap:" + host)
+        is_index = sh % 4 == 0
+        if is_index and url.endswith("/sitemap.xml"):
+            body = (
+                "<sitemapindex>"
+                + "".join(
+                    f"<sitemap><loc>http://{host}/sitemap-{i}.xml</loc></sitemap>"
+                    for i in range(2)
+                )
+                + "</sitemapindex>"
+            )
+            return FakeResponse("success", body.encode(), "application/xml")
+        child = 0
+        if "/sitemap-" in url:
+            child = int(url.rsplit("-", 1)[1].split(".")[0])
+        entries = []
+        for i in range(5):
+            loc = f"http://{host}/sm/{(sh + child * 101 + i * 7919) % 100000}"
+            cf = self._CHANGEFREQS[(sh + i) % len(self._CHANGEFREQS)]
+            pri = ((sh + i) % 10) / 10.0
+            entries.append(
+                f"<url><loc>{loc}</loc><lastmod>2026-01-0{i + 1}</lastmod>"
+                f"<changefreq>{cf}</changefreq><priority>{pri:.1f}</priority></url>"
+            )
+        return FakeResponse(
+            "success", ("<urlset>" + "".join(entries) + "</urlset>").encode(),
+            "application/xml",
+        )
 
     def _pdf_body(self, url: str, hh: int) -> bytes:
         # opaque binary payload with an embedded deterministic text layer the

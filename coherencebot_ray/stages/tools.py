@@ -315,15 +315,57 @@ def linkrank(edges_ds, iterations: int = 3, damping: float = 0.85, n_shards: int
 
 _LOC_RE = re.compile(r"<loc>\s*(.*?)\s*</loc>", re.S)
 _LASTMOD_RE = re.compile(r"<lastmod>\s*(.*?)\s*</lastmod>", re.S)
+_URL_ENT_RE = re.compile(r"<url>(.*?)</url>", re.S)
+_CHANGEFREQ_RE = re.compile(r"<changefreq>\s*(.*?)\s*</changefreq>", re.S)
+_PRIORITY_RE = re.compile(r"<priority>\s*(.*?)\s*</priority>", re.S)
+
+# crawler-commons changefreq -> seconds (SitemapProcessor sets the datum
+# fetchInterval from the sitemap changefreq)
+CHANGEFREQ_SECONDS = {
+    "always": 60,
+    "hourly": 3600,
+    "daily": 86400,
+    "weekly": 604800,
+    "monthly": 2_592_000,
+    "yearly": 31_536_000,
+    "never": 31_536_000,
+}
+
+
+def is_sitemap_index(xml: str) -> bool:
+    return "<sitemapindex" in xml
 
 
 def parse_sitemap_xml(xml: str) -> list[dict]:
-    """Extract url/lastmod entries from a (urlset) sitemap document."""
-    locs = _LOC_RE.findall(xml)
-    mods = _LASTMOD_RE.findall(xml)
+    """Extract url/lastmod/changefreq/priority entries from an urlset
+    sitemap document (for a <sitemapindex>, returns the child sitemap
+    locs with kind='sitemap')."""
+    if is_sitemap_index(xml):
+        return [{"url": u, "kind": "sitemap"} for u in _LOC_RE.findall(xml)]
+    ents = _URL_ENT_RE.findall(xml)
+    if not ents:  # bare <loc> list (legacy behavior)
+        mods = _LASTMOD_RE.findall(xml)
+        return [
+            {"url": loc, "lastmod": mods[i] if i < len(mods) else None, "kind": "url"}
+            for i, loc in enumerate(_LOC_RE.findall(xml))
+        ]
     out = []
-    for i, loc in enumerate(locs):
-        out.append({"url": loc, "lastmod": mods[i] if i < len(mods) else None})
+    for e in ents:
+        loc = _LOC_RE.search(e)
+        if not loc:
+            continue
+        mod = _LASTMOD_RE.search(e)
+        cf = _CHANGEFREQ_RE.search(e)
+        pri = _PRIORITY_RE.search(e)
+        out.append(
+            {
+                "url": loc.group(1),
+                "lastmod": mod.group(1) if mod else None,
+                "changefreq": cf.group(1).lower() if cf else None,
+                "priority": float(pri.group(1)) if pri else None,
+                "kind": "url",
+            }
+        )
     return out
 
 
@@ -334,6 +376,92 @@ def sitemap_seed_lines(sitemap_docs: list[str]) -> list[str]:
         for ent in parse_sitemap_xml(xml):
             lines.append(ent["url"])
     return lines
+
+
+class SitemapFetchTask:
+    """Per-host sitemap FETCH stage (util/SitemapProcessor.java:82-520):
+    robots.txt-declared sitemaps fetched through the protocol client,
+    one level of <sitemapindex> followed, entries normalized+filtered,
+    priority -> nutch.score and changefreq -> nutch.fetchInterval.
+
+    Callable class for map_batches over a hosts table — protocol client,
+    normalizer and filter chains built once per actor."""
+
+    def __init__(self, cfg, protocol=None):
+        from ..functions.filters import URLFilters
+        from ..functions.normalizers import SCOPE_DEFAULT, URLNormalizers
+        from ..sources.fake_protocol import FakeProtocol
+
+        self.cfg = cfg
+        self.protocol = protocol if protocol is not None else FakeProtocol()
+        self.normalizers = URLNormalizers(cfg.normalizers)
+        self.filters = URLFilters(cfg.filters)
+        self._scope = SCOPE_DEFAULT
+
+    def _fetch_xml(self, url: str) -> str | None:
+        resp = self.protocol.fetch(url)
+        if resp.status != "success" or not resp.content:
+            return None
+        try:
+            return bytes(resp.content).decode("utf-8", errors="replace")
+        except Exception:
+            return None
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {"url": [], "host": [], "score": [], "fetch_interval": [], "lastmod": []}
+        for host in batch["host"]:
+            rb = self.protocol.robots(host)
+            sitemap_urls = list(getattr(rb, "sitemaps", ()) or ())
+            seen_sm: set[str] = set()
+            while sitemap_urls:
+                sm = sitemap_urls.pop(0)
+                if sm in seen_sm or len(seen_sm) > 50:  # bound recursion
+                    continue
+                seen_sm.add(sm)
+                xml = self._fetch_xml(sm)
+                if xml is None:
+                    continue
+                for ent in parse_sitemap_xml(xml):
+                    if ent.get("kind") == "sitemap":
+                        sitemap_urls.append(ent["url"])
+                        continue
+                    nu = self.normalizers.normalize(ent["url"], self._scope)
+                    if nu is None or not self.filters.accept(nu):
+                        continue
+                    pri = ent.get("priority")
+                    cf = ent.get("changefreq")
+                    rows["url"].append(nu)
+                    rows["host"].append(host)
+                    rows["score"].append(
+                        float(pri) if pri is not None else float(self.cfg.score_injected)
+                    )
+                    rows["fetch_interval"].append(
+                        CHANGEFREQ_SECONDS.get(cf, self.cfg.interval_default)
+                    )
+                    rows["lastmod"].append(ent.get("lastmod"))
+        return pd.DataFrame(
+            {
+                "url": pd.Series(rows["url"], dtype="object"),
+                "host": pd.Series(rows["host"], dtype="object"),
+                "score": pd.Series(rows["score"], dtype="float64"),
+                "fetch_interval": pd.Series(rows["fetch_interval"], dtype="int64"),
+                "lastmod": pd.Series(rows["lastmod"], dtype="object"),
+            }
+        )
+
+
+def sitemap_processor(hosts, cfg, protocol=None, concurrency=None):
+    """J14 SitemapProcessor: hosts -> Dataset of discovered sitemap URL
+    rows (url, host, score, fetch_interval, lastmod). ``hosts`` is a
+    list of host strings or a Dataset with a ``host`` column."""
+    import ray.data as rd
+
+    if not hasattr(hosts, "map_batches"):
+        hosts = rd.from_items([{"host": h} for h in hosts])
+    kwargs = {"concurrency": concurrency} if concurrency is not None else {}
+    return hosts.map_batches(
+        SitemapFetchTask(cfg, protocol), batch_format="pandas", **kwargs
+    )
 
 
 # ---------------------------------------------------------------------------

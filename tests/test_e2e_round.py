@@ -108,3 +108,26 @@ def test_round_metrics_recorded(driver):
         rec = json.load(f)
     assert rec["counters"]["generated"] > 0
     assert {"generate", "fetch", "parse", "updatedb"} <= set(rec["timings_s"])
+
+
+def test_scatter_shuffle_fallback(tmp_path, ray_session):
+    """At num_partitions > scatter_direct_max_parts the crawl_parse
+    exchange switches from per-target files (P^2) to a Ray Data hash
+    shuffle; the resulting frontier must be identical to direct mode."""
+    from coherencebot_ray.sources.synth import EPOCH, synth_frontier
+
+    outs = []
+    for cap in (256, 0):  # direct vs forced-shuffle
+        cfg = CrawlConfig(
+            num_partitions=4, topn=200, server_delay_s=0.0,
+            scatter_direct_max_parts=cap,
+        )
+        d = CrawlDriver(str(tmp_path / f"c{cap}"), cfg)
+        d.bootstrap(synth_frontier(300, 10, cfg))
+        d.run_round(EPOCH + 1000)
+        f = d.store.read_table(d.store.latest_gen()).to_pandas()
+        outs.append(
+            f[["url", "status", "fetch_time", "score"]]
+            .sort_values("url").reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])

@@ -282,3 +282,50 @@ def test_withdrawn_through_updatedb_kernel():
     )
     out = merge_partition(rows, cfg, CUR)
     assert list(out["status"]) == [CS.DB_WITHDRAWN]
+
+
+def test_sitemap_fetch_stage(tmp_path, ray_session):
+    """J14 sitemap FETCH stage e2e (SitemapProcessor.java:82-520):
+    robots-declared sitemaps fetched through the protocol, sitemapindex
+    followed one level, priority/changefreq mapped to score/interval,
+    discovered URLs injected into the frontier."""
+    import numpy as np
+
+    from coherencebot_ray.pipelines.crawl import CrawlDriver, _frontier_pa
+    from coherencebot_ray.sources.fake_protocol import FakeProtocol, _h
+    from coherencebot_ray.sources.synth import EPOCH, synth_frontier
+    from coherencebot_ray.stages.tools import sitemap_processor
+
+    proto = FakeProtocol()
+    # find fixture hosts: one advertising a plain urlset, one an index
+    urlset_host = index_host = none_host = None
+    for i in range(400):
+        h = f"host{i}.example"
+        has_sm = _h("robots:" + h) % 5 == 0
+        is_idx = _h("sitemap:" + h) % 4 == 0
+        if has_sm and not is_idx and urlset_host is None:
+            urlset_host = h
+        elif has_sm and is_idx and index_host is None:
+            index_host = h
+        elif not has_sm and none_host is None:
+            none_host = h
+    assert urlset_host and index_host and none_host
+
+    cfg = CrawlConfig(num_partitions=2, server_delay_s=0.0)
+    rows = sitemap_processor([urlset_host, index_host, none_host], cfg, proto).to_pandas()
+    by_host = rows.groupby("host").size().to_dict()
+    assert by_host.get(urlset_host) == 5          # one urlset
+    assert by_host.get(index_host) == 10          # index -> 2 children x 5
+    assert none_host not in by_host
+    assert rows["url"].str.contains("/sm/").all()
+    assert set(rows["fetch_interval"]) <= set([86400, 604800, 2_592_000])
+
+    # e2e: discovered urls land in the frontier with sitemap score/interval
+    d = CrawlDriver(str(tmp_path / "c"), cfg, protocol=proto)
+    d.bootstrap(synth_frontier(50, 4, cfg))
+    res = d.sitemap_round([urlset_host, index_host], EPOCH)
+    assert res["discovered"] == 15
+    front = d.store.read_table(d.store.latest_gen()).to_pandas()
+    sm_rows = front[front["url"].str.contains("/sm/")]
+    assert len(sm_rows) == len(set(rows[rows["host"] != none_host]["url"]))
+    assert (sm_rows["fetch_interval"].to_numpy() > 0).all()
