@@ -146,6 +146,7 @@ class _GenScanTask:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         _pin_arrow_threads()
+        t_busy = time.monotonic()
         from ..stages.generate import eligibility_filter
 
         out = []
@@ -162,7 +163,9 @@ class _GenScanTask:
                     os.path.join(self.cand_dir, f"part-{int(part)}", f"cand-{int(fidx)}.parquet"),
                 )
             out.append({"part": int(part), "eligible": int(len(elig))})
-        return pd.DataFrame(out)
+        df = pd.DataFrame(out)
+        df["busy"] = (time.monotonic() - t_busy) / max(1, len(out))
+        return df
 
 
 class _GenSelectTask:
@@ -174,6 +177,7 @@ class _GenSelectTask:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         _pin_arrow_threads()
+        t_busy = time.monotonic()
         from ..stages.generate import select_partition
 
         out = []
@@ -188,7 +192,44 @@ class _GenSelectTask:
             if len(sel):
                 _write_df(sel, os.path.join(self.fl_dir, f"part-{part}", "data-0.parquet"), FETCHLIST_SCHEMA)
             out.append({"part": part, "selected": int(len(sel))})
-        return pd.DataFrame(out)
+        df = pd.DataFrame(out)
+        df["busy"] = (time.monotonic() - t_busy) / max(1, len(out))
+        return df
+
+
+class _GenFusedTask:
+    """Fused scan+select for a whole partition in ONE task — the common
+    case (few subshard files). The scan/select split (with candidate
+    spill files) only pays off for mega-partitions whose scan must fan
+    out across many subshard files; for everyone else it costs a second
+    Ray job barrier plus a parquet round-trip."""
+
+    def __init__(self, cfg, cur_time_ms, gen_time_ms, limit, fl_dir, files_by_part, hostdb, filters):
+        self.cfg, self.cur, self.gen_time, self.limit = cfg, cur_time_ms, gen_time_ms, limit
+        self.fl_dir, self.files_by_part = fl_dir, files_by_part
+        self.hostdb, self.filters = hostdb, filters
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        _pin_arrow_threads()
+        t_busy = time.monotonic()
+        from ..stages.generate import eligibility_filter, select_partition
+
+        out = []
+        for part in batch["part"]:
+            part = int(part)
+            files = self.files_by_part.get(part, [])
+            if not files:
+                out.append({"part": part, "selected": 0})
+                continue
+            df = pq.read_table(files, partitioning=None).to_pandas()
+            elig = eligibility_filter(df, self.cfg, self.cur, self.filters)
+            sel = select_partition(elig, self.cfg, self.limit, self.gen_time, self.hostdb)
+            if len(sel):
+                _write_df(sel, os.path.join(self.fl_dir, f"part-{part}", "data-0.parquet"), FETCHLIST_SCHEMA)
+            out.append({"part": part, "selected": int(len(sel))})
+        df = pd.DataFrame(out)
+        df["busy"] = (time.monotonic() - t_busy) / max(1, len(out))
+        return df
 
 
 class _GenWritebackTask:
@@ -250,6 +291,7 @@ class _FetchParseTask:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         _pin_arrow_threads()
+        t_busy = time.monotonic()
         from ..stages.fetch import FetchPartition
         from ..stages.parse import ParseBatch
 
@@ -374,7 +416,9 @@ class _FetchParseTask:
             st = _fp_stat(part, n_fetched, n_docs, t_fetch, t_parse)
             st["disc_maybe_known"] = n_maybe_known
             stats.append(st)
-        return pd.DataFrame(stats)
+        df = pd.DataFrame(stats)
+        df["busy"] = (time.monotonic() - t_busy) / max(1, len(stats))
+        return df
 
 
 def _preagg_links(cp: pd.DataFrame) -> pd.DataFrame:
@@ -424,6 +468,7 @@ class _UpdateTask:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         _pin_arrow_threads()
+        t_busy = time.monotonic()
         from ..functions.updatedb import _DATUM_COLS, merge_partition
         from ..functions.urlutil import domains_of
         from ..stages.updatedb import apply_purges
@@ -494,7 +539,9 @@ class _UpdateTask:
             status = merged["status"].to_numpy()
             hist = {CS.name(int(s)): int(c) for s, c in zip(*np.unique(status, return_counts=True))}
             out.append({"part": part, "rows": len(merged), "hist": json.dumps(hist)})
-        return pd.DataFrame(out)
+        df = pd.DataFrame(out)
+        df["busy"] = (time.monotonic() - t_busy) / max(1, len(out))
+        return df
 
 
 class CrawlDriver:
@@ -619,6 +666,7 @@ class CrawlDriver:
         t = time.monotonic()
         gen_stats = self._generate_phase(seg, cur_time_ms, topn, hostdb, filters, files_by_part, parts)
         timings["generate"] = time.monotonic() - t
+        timings["busy_generate"] = gen_stats.attrs.get("busy_s", 0.0)
         n_generated = int(gen_stats["selected"].sum())
         if n_generated == 0:
             self.store.begin_generation(new_gen)
@@ -651,6 +699,9 @@ class CrawlDriver:
         timings["fetch_parse"] = time.monotonic() - t
         timings["fetch"] = round(float(fp_stats["t_fetch"].sum()), 3)
         timings["parse"] = round(float(fp_stats["t_parse"].sum()), 3)
+        timings["busy_fetch_parse"] = (
+            float(fp_stats["busy"].sum()) if "busy" in fp_stats.columns else 0.0
+        )
 
         # -- crawl_parse exchange (only at high partition counts) -------
         raw_files = sorted(glob.glob(os.path.join(seg, "crawl_parse_raw", "*.parquet")))
@@ -696,6 +747,7 @@ class CrawlDriver:
             .map_batches(upd_task, batch_format="pandas", batch_size=1, num_cpus=task_cpus)
             .to_pandas()
         )
+        timings["busy_updatedb"] = float(upd_stats["busy"].sum()) if "busy" in upd_stats.columns else 0.0
         written = (
             upd_stats.groupby("part")["rows"].sum().astype(int).to_dict()
         )
@@ -733,24 +785,72 @@ class CrawlDriver:
         limit = max(1, topn // cfg.num_partitions)
         cand_dir = os.path.join(seg, "gen_cand")
         can_prune = cfg.gen_max_count <= 0 and hostdb is None
-        scan_items = [
-            {"part": p, "fidx": i, "file": f}
-            for p in parts
-            for i, f in enumerate(files_by_part[p])
-        ]
         task_cpus = cfg.task_num_cpus
-        scan_task = _GenScanTask(cfg, cur_time_ms, limit, cand_dir, filters, can_prune)
-        rd.from_items(scan_items, override_num_blocks=max(1, len(scan_items))).map_batches(
-            scan_task, batch_format="pandas", batch_size=1, num_cpus=task_cpus
-        ).to_pandas()
-        sel_task = _GenSelectTask(
-            cfg, cur_time_ms, cur_time_ms, limit, cand_dir, os.path.join(seg, "fetchlist"), hostdb
-        )
-        return (
-            rd.from_items([{"part": p} for p in parts], override_num_blocks=max(1, len(parts)))
-            .map_batches(sel_task, batch_format="pandas", batch_size=1, num_cpus=task_cpus)
-            .to_pandas()
-        )
+        fl_dir = os.path.join(seg, "fetchlist")
+
+        # partitions with few subshard files run scan+select FUSED in one
+        # task (one Ray job, no barrier, no candidate spill); only
+        # mega-partitions (many subshards) take the two-phase path so
+        # their scan parallelizes across files
+        fused_parts = [p for p in parts if len(files_by_part[p]) <= 2]
+        split_parts = [p for p in parts if len(files_by_part[p]) > 2]
+
+        frames = []
+        busy = 0.0
+
+        # split-part scan overlaps the fused job (two Ray jobs share the
+        # cluster; the select of split parts only needs ITS scan done)
+        scan_result: dict = {}
+        scan_thread = None
+        if split_parts:
+            import threading
+
+            scan_items = [
+                {"part": p, "fidx": i, "file": f}
+                for p in split_parts
+                for i, f in enumerate(files_by_part[p])
+            ]
+            scan_task = _GenScanTask(cfg, cur_time_ms, limit, cand_dir, filters, can_prune)
+
+            def _run_scan():
+                scan_result["stats"] = (
+                    rd.from_items(scan_items, override_num_blocks=max(1, len(scan_items)))
+                    .map_batches(scan_task, batch_format="pandas", batch_size=1, num_cpus=task_cpus)
+                    .to_pandas()
+                )
+
+            scan_thread = threading.Thread(target=_run_scan, daemon=True)
+            scan_thread.start()
+
+        if fused_parts:
+            fused_task = _GenFusedTask(
+                cfg, cur_time_ms, cur_time_ms, limit, fl_dir, files_by_part, hostdb, filters
+            )
+            fused_stats = (
+                rd.from_items([{"part": p} for p in fused_parts], override_num_blocks=len(fused_parts))
+                .map_batches(fused_task, batch_format="pandas", batch_size=1, num_cpus=task_cpus)
+                .to_pandas()
+            )
+            busy += float(fused_stats["busy"].sum()) if "busy" in fused_stats.columns else 0.0
+            frames.append(fused_stats[["part", "selected"]])
+
+        if split_parts:
+            scan_thread.join()
+            scan_stats = scan_result["stats"]
+            sel_task = _GenSelectTask(
+                cfg, cur_time_ms, cur_time_ms, limit, cand_dir, fl_dir, hostdb
+            )
+            sel_stats = (
+                rd.from_items([{"part": p} for p in split_parts], override_num_blocks=len(split_parts))
+                .map_batches(sel_task, batch_format="pandas", batch_size=1, num_cpus=task_cpus)
+                .to_pandas()
+            )
+            busy += float(scan_stats["busy"].sum()) if "busy" in scan_stats.columns and len(scan_stats) else 0.0
+            busy += float(sel_stats["busy"].sum()) if "busy" in sel_stats.columns else 0.0
+            frames.append(sel_stats[["part", "selected"]])
+        gen_stats = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame({"part": [], "selected": []})
+        gen_stats.attrs["busy_s"] = busy
+        return gen_stats
 
     def _gen_writeback(self, seg, cur_time_ms, files_by_part, parent_gen, active) -> int:
         """Commit a new generation with gen_time stamped on the selected
