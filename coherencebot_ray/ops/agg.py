@@ -40,13 +40,16 @@ def bucketed_group_apply(
     bucket_fn,
     n_buckets: int = 64,
     pre: "callable | None" = None,
+    keep_bucket: bool = False,
 ):
     """ds -> per-bucket ``bucket_fn(DataFrame) -> DataFrame``.
 
     ``pre`` (optional) runs per input batch BEFORE bucketing (use it for
     partial combines so the shuffle moves pre-aggregated rows).
-    ``bucket_fn`` receives every row of a bucket (bucket col dropped) and
-    must handle multiple keys — typically a vectorized pandas groupby.
+    ``bucket_fn`` receives every row of a bucket (bucket col dropped
+    unless ``keep_bucket`` — then it stays as ``BUCKET_COL``, e.g. for
+    deterministic per-bucket output file names) and must handle multiple
+    keys — typically a vectorized pandas groupby.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
 
@@ -69,7 +72,7 @@ def bucketed_group_apply(
         return df
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return bucket_fn(g.drop(columns=[BUCKET_COL]))
+        return bucket_fn(g if keep_bucket else g.drop(columns=[BUCKET_COL]))
 
     return (
         ds.map_batches(add_bucket, batch_format="pandas")

@@ -292,130 +292,199 @@ class _FetchParseTask:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         _pin_arrow_threads()
         t_busy = time.monotonic()
-        from ..stages.fetch import FetchPartition
-        from ..stages.parse import ParseBatch
-
         cfg, seg = self.cfg, self.seg
         stats = []
         for part in batch["part"]:
             part = int(part)
             fl_path = os.path.join(seg, "fetchlist", f"part-{part}", "data-0.parquet")
             if not os.path.exists(fl_path):
-                stats.append(_fp_stat(part, 0, 0, 0.0, 0.0))
+                st = _fp_stat(part, 0, 0, 0.0, 0.0)
+                st["selected"] = 0
+                stats.append(st)
                 continue
             fl = pq.read_table(fl_path).to_pandas()
-            t0 = time.monotonic()
-            fetch_out = FetchPartition(cfg, self.cur, self.protocol)(fl)
-            # Split redirect-discovery LINKED rows out of fetch_out: they
-            # are partitioned by TARGET host (stages/fetch.py) and join the
-            # crawl_parse cross-partition exchange below, so a cross-host
-            # redirect target lands in its own frontier partition.
-            redirs = None
-            n_maybe_known = 0
-            if len(fetch_out):
-                is_disc = (fetch_out["status"] == CS.LINKED).to_numpy()
-                if is_disc.any():
-                    redirs = fetch_out[is_disc]
-                    fetch_out = fetch_out[~is_disc]
-                    # Cuckoo URL-seen consult is a METRIC prefilter only: a
-                    # cuckoo "seen" answer can be a false positive, so a
-                    # discovery row is NEVER dropped on it (the url-keyed
-                    # updatedb merge no-ops exactly for known urls at zero
-                    # score). "not seen" is exact => definitely-new count.
-                    for tgt, gg in redirs.groupby("part"):
-                        seen = self._load_seen(int(tgt))
-                        if seen:
-                            urls = gg["url"].to_numpy()
-                            mask_seen = np.zeros(len(urls), dtype=bool)
-                            for cf in seen:
-                                mask_seen |= cf.contains_many(urls)
-                            n_maybe_known += int(mask_seen.sum())
-            t_fetch = time.monotonic() - t0
+            stats.append(
+                _fetch_parse_one(cfg, self.cur, seg, part, fl, self.protocol, self._load_seen)
+            )
+        df = pd.DataFrame(stats)
+        df["busy"] = (time.monotonic() - t_busy) / max(1, len(stats))
+        return df
 
-            t0 = time.monotonic()
-            parsed = ParseBatch(cfg)(fetch_out)
-            t_parse = time.monotonic() - t0
 
-            # fetch datums (without content bytes — narrow segment record)
-            fo = fetch_out[_FETCH_DATUM_COLS]
-            _write_df(fo, os.path.join(seg, "fetch_out", f"part-{part}", "data-0.parquet"), FETCH_OUT_SCHEMA)
-            if cfg.store_content:
+def _fetch_parse_one(cfg, cur_time_ms, seg, part, fl, protocol, load_seen) -> dict:
+    """Fetch+parse one partition's fetchlist (in-memory frame) and write
+    the segment artifacts; returns the partition's stat row."""
+    from ..stages.fetch import FetchPartition
+    from ..stages.parse import ParseBatch
+
+    t0 = time.monotonic()
+    fetch_out = FetchPartition(cfg, cur_time_ms, protocol)(fl)
+    # Split redirect-discovery LINKED rows out of fetch_out: they
+    # are partitioned by TARGET host (stages/fetch.py) and join the
+    # crawl_parse cross-partition exchange below, so a cross-host
+    # redirect target lands in its own frontier partition.
+    redirs = None
+    n_maybe_known = 0
+    if len(fetch_out):
+        is_disc = (fetch_out["status"] == CS.LINKED).to_numpy()
+        if is_disc.any():
+            redirs = fetch_out[is_disc]
+            fetch_out = fetch_out[~is_disc]
+            # Cuckoo URL-seen consult is a METRIC prefilter only: a
+            # cuckoo "seen" answer can be a false positive, so a
+            # discovery row is NEVER dropped on it (the url-keyed
+            # updatedb merge no-ops exactly for known urls at zero
+            # score). "not seen" is exact => definitely-new count.
+            for tgt, gg in redirs.groupby("part"):
+                seen = load_seen(int(tgt))
+                if seen:
+                    urls = gg["url"].to_numpy()
+                    mask_seen = np.zeros(len(urls), dtype=bool)
+                    for cf in seen:
+                        mask_seen |= cf.contains_many(urls)
+                    n_maybe_known += int(mask_seen.sum())
+    t_fetch = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    parsed = ParseBatch(cfg)(fetch_out)
+    t_parse = time.monotonic() - t0
+
+    # fetch datums (without content bytes — narrow segment record)
+    fo = fetch_out[_FETCH_DATUM_COLS]
+    _write_df(fo, os.path.join(seg, "fetch_out", f"part-{part}", "data-0.parquet"), FETCH_OUT_SCHEMA)
+    if cfg.store_content:
+        _write_df(
+            fetch_out[["url", "content", "content_type"]],
+            os.path.join(seg, "content", f"part-{part}", "data-0.parquet"),
+            CONTENT_SCHEMA,
+        )
+    cp_frames = []
+    if len(parsed):
+        docs = parsed[parsed["rtype"] == "doc"]
+        if len(docs):
+            _write_df(
+                docs[["doc_id", "url", "host", "part", "spans", "signature", "fetch_time"]],
+                os.path.join(seg, "docs", f"part-{part}", "data-0.parquet"),
+                DOCS_SEG_SCHEMA,
+            )
+        ol = parsed[parsed["rtype"] == "outlink"]
+        if len(ol):
+            _write_df(
+                ol[["url", "host", "part", "dst", "anchor"]],
+                os.path.join(seg, "outlinks", f"part-{part}", "data-0.parquet"),
+                OUTLINKS_SEG_SCHEMA,
+            )
+        cp_frames.append(parsed[parsed["rtype"] == "crawl_parse"])
+    if redirs is not None and len(redirs):
+        # redirect-discovery LINKED rows join the exchange, keyed by
+        # target partition (computed in stages/fetch.py)
+        r = pd.DataFrame(
+            {
+                "rtype": "crawl_parse",
+                "url": redirs["url"].to_numpy(),
+                "host": redirs["host"].to_numpy(),
+                "part": redirs["part"].to_numpy(),
+                "doc_id": None,
+                "spans": None,
+                "status": redirs["status"].to_numpy(),
+                "score": redirs["score"].to_numpy(),
+                "signature": None,
+                "fetch_interval": redirs["fetch_interval"].to_numpy(),
+                "anchor": None,
+                "dst": None,
+                "metadata": redirs["metadata"].to_numpy(),
+                "fetch_time": redirs["fetch_time"].to_numpy(),
+            }
+        )
+        cp_frames.append(r)
+    if cp_frames:
+        cp = (
+            pd.concat(
+                [f.reindex(columns=cp_frames[0].columns) for f in cp_frames],
+                ignore_index=True,
+            )
+            if len(cp_frames) > 1
+            else cp_frames[0]
+        )
+        cp = _preagg_links(cp)
+        if cfg.num_partitions > cfg.scatter_direct_max_parts:
+            # P^2-file guard: one file per SOURCE partition; the
+            # per-target split happens in a Ray Data hash
+            # exchange after the phase (run_round)
+            _write_df(
+                cp.drop(columns=["rtype", "doc_id", "spans", "dst"]),
+                os.path.join(seg, "crawl_parse_raw", f"from-{part}.parquet"),
+                CRAWL_PARSE_SCHEMA,
+            )
+        else:
+            # scatter by TARGET partition — deterministic file names
+            for tgt, g in cp.groupby("part"):
                 _write_df(
-                    fetch_out[["url", "content", "content_type"]],
-                    os.path.join(seg, "content", f"part-{part}", "data-0.parquet"),
-                    CONTENT_SCHEMA,
+                    g.drop(columns=["rtype", "doc_id", "spans", "dst"]),
+                    os.path.join(seg, "crawl_parse", f"part-{int(tgt)}", f"from-{part}.parquet"),
+                    CRAWL_PARSE_SCHEMA,
                 )
-            cp_frames = []
-            if len(parsed):
-                docs = parsed[parsed["rtype"] == "doc"]
-                if len(docs):
-                    _write_df(
-                        docs[["doc_id", "url", "host", "part", "spans", "signature", "fetch_time"]],
-                        os.path.join(seg, "docs", f"part-{part}", "data-0.parquet"),
-                        DOCS_SEG_SCHEMA,
-                    )
-                ol = parsed[parsed["rtype"] == "outlink"]
-                if len(ol):
-                    _write_df(
-                        ol[["url", "host", "part", "dst", "anchor"]],
-                        os.path.join(seg, "outlinks", f"part-{part}", "data-0.parquet"),
-                        OUTLINKS_SEG_SCHEMA,
-                    )
-                cp_frames.append(parsed[parsed["rtype"] == "crawl_parse"])
-            if redirs is not None and len(redirs):
-                # redirect-discovery LINKED rows join the exchange, keyed by
-                # target partition (computed in stages/fetch.py)
-                r = pd.DataFrame(
-                    {
-                        "rtype": "crawl_parse",
-                        "url": redirs["url"].to_numpy(),
-                        "host": redirs["host"].to_numpy(),
-                        "part": redirs["part"].to_numpy(),
-                        "doc_id": None,
-                        "spans": None,
-                        "status": redirs["status"].to_numpy(),
-                        "score": redirs["score"].to_numpy(),
-                        "signature": None,
-                        "fetch_interval": redirs["fetch_interval"].to_numpy(),
-                        "anchor": None,
-                        "dst": None,
-                        "metadata": redirs["metadata"].to_numpy(),
-                        "fetch_time": redirs["fetch_time"].to_numpy(),
-                    }
-                )
-                cp_frames.append(r)
-            if cp_frames:
-                cp = (
-                    pd.concat(
-                        [f.reindex(columns=cp_frames[0].columns) for f in cp_frames],
-                        ignore_index=True,
-                    )
-                    if len(cp_frames) > 1
-                    else cp_frames[0]
-                )
-                cp = _preagg_links(cp)
-                if cfg.num_partitions > cfg.scatter_direct_max_parts:
-                    # P^2-file guard: one file per SOURCE partition; the
-                    # per-target split happens in a Ray Data hash
-                    # exchange after the phase (run_round)
-                    _write_df(
-                        cp.drop(columns=["rtype", "doc_id", "spans", "dst"]),
-                        os.path.join(seg, "crawl_parse_raw", f"from-{part}.parquet"),
-                        CRAWL_PARSE_SCHEMA,
-                    )
-                else:
-                    # scatter by TARGET partition — deterministic file names
-                    for tgt, g in cp.groupby("part"):
-                        _write_df(
-                            g.drop(columns=["rtype", "doc_id", "spans", "dst"]),
-                            os.path.join(seg, "crawl_parse", f"part-{int(tgt)}", f"from-{part}.parquet"),
-                            CRAWL_PARSE_SCHEMA,
-                        )
-            n_fetched = int((fetch_out["fetch_order"] >= 0).sum()) if len(fetch_out) else 0
-            n_docs = int((parsed["rtype"] == "doc").sum()) if len(parsed) else 0
-            st = _fp_stat(part, n_fetched, n_docs, t_fetch, t_parse)
-            st["disc_maybe_known"] = n_maybe_known
-            stats.append(st)
+    n_fetched = int((fetch_out["fetch_order"] >= 0).sum()) if len(fetch_out) else 0
+    n_docs = int((parsed["rtype"] == "doc").sum()) if len(parsed) else 0
+    st = _fp_stat(part, n_fetched, n_docs, t_fetch, t_parse)
+    st["disc_maybe_known"] = n_maybe_known
+    st["selected"] = int(len(fl))
+    return st
+
+
+class _RoundPartTask:
+    """FULLY FUSED round phase for one frontier partition: generate
+    (eligibility+select, in-memory) -> fetch -> parse in a single task —
+    no cross-phase barrier, no fetchlist read-back. The fetchlist is
+    still persisted first (resume/debug artifact and the gen-writeback
+    input). Used for partitions with few subshard files; mega-partitions
+    take the two-phase scan/select + fetch path."""
+
+    def __init__(self, cfg, cur_time_ms, limit, seg, files_by_part, hostdb, filters, protocol, seen_files_by_part):
+        self.cfg, self.cur, self.limit, self.seg = cfg, cur_time_ms, limit, seg
+        self.files_by_part, self.hostdb, self.filters = files_by_part, hostdb, filters
+        self.protocol = protocol
+        self.seen_files_by_part = seen_files_by_part or {}
+
+    def _load_seen(self, part: int):
+        from ..state.cuckoo import CuckooFilter
+
+        shards = []
+        for f in self.seen_files_by_part.get(part, []):
+            if os.path.exists(f):
+                with open(f, "rb") as fh:
+                    shards.append(CuckooFilter.from_bytes(fh.read()))
+        return shards
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        _pin_arrow_threads()
+        t_busy = time.monotonic()
+        from ..stages.generate import eligibility_filter, select_partition
+
+        stats = []
+        for part in batch["part"]:
+            part = int(part)
+            files = self.files_by_part.get(part, [])
+            if not files:
+                st = _fp_stat(part, 0, 0, 0.0, 0.0)
+                st["selected"] = 0
+                stats.append(st)
+                continue
+            df = pq.read_table(files, partitioning=None).to_pandas()
+            elig = eligibility_filter(df, self.cfg, self.cur, self.filters)
+            sel = select_partition(elig, self.cfg, self.limit, self.cur, self.hostdb)
+            if len(sel) == 0:
+                st = _fp_stat(part, 0, 0, 0.0, 0.0)
+                st["selected"] = 0
+                stats.append(st)
+                continue
+            _write_df(
+                sel, os.path.join(self.seg, "fetchlist", f"part-{part}", "data-0.parquet"),
+                FETCHLIST_SCHEMA,
+            )
+            stats.append(
+                _fetch_parse_one(self.cfg, self.cur, self.seg, part, sel, self.protocol, self._load_seen)
+            )
         df = pd.DataFrame(stats)
         df["busy"] = (time.monotonic() - t_busy) / max(1, len(stats))
         return df
@@ -661,47 +730,76 @@ class CrawlDriver:
 
         files_by_part = self._files_by_part(gen)
         parts = sorted(files_by_part)
-
-        # -- generate (scan subshards in parallel, then select per part) -
-        t = time.monotonic()
-        gen_stats = self._generate_phase(seg, cur_time_ms, topn, hostdb, filters, files_by_part, parts)
-        timings["generate"] = time.monotonic() - t
-        timings["busy_generate"] = gen_stats.attrs.get("busy_s", 0.0)
-        n_generated = int(gen_stats["selected"].sum())
-        if n_generated == 0:
-            self.store.begin_generation(new_gen)
-            self.store.commit_generation({}, gen=new_gen, parent_gen=gen, counters={"generated": 0})
-            return self._commit_round(new_gen, gen, [], timings, {"generated": 0}, t0, seg)
-
-        # -- Generator CrawlDbUpdater write-back (generate.update.crawldb)
-        if cfg.gen_update_crawldb:
-            t = time.monotonic()
-            active_wb = sorted(int(p) for p in gen_stats[gen_stats["selected"] > 0]["part"])
-            gen = self._gen_writeback(seg, cur_time_ms, files_by_part, gen, active_wb)
-            new_gen = gen + 1
-            files_by_part = self._files_by_part(gen)
-            timings["gen_writeback"] = time.monotonic() - t
+        limit = max(1, topn // cfg.num_partitions)
         task_cpus = cfg.task_num_cpus
-
-        # -- fetch + parse (fused) --------------------------------------
-        t = time.monotonic()
-        active = sorted(int(p) for p in gen_stats[gen_stats["selected"] > 0]["part"])
         seen_files_by_part = {
             p: [f.replace(".parquet", ".seen") for f in files]
             for p, files in files_by_part.items()
         }
-        fp_task = _FetchParseTask(cfg, cur_time_ms, seg, self.protocol, seen_files_by_part)
+
+        # -- generate+fetch+parse: ONE task per partition (no phase
+        # barrier) for the common few-subshard case; mega-partitions
+        # (many subshards) run the two-phase scan/select + fetch path so
+        # their scan fans out across files
+        t = time.monotonic()
+        fused_parts = [p for p in parts if len(files_by_part[p]) <= 2]
+        split_parts = [p for p in parts if len(files_by_part[p]) > 2]
+        frames = []
+        if fused_parts:
+            rp_task = _RoundPartTask(
+                cfg, cur_time_ms, limit, seg, files_by_part, hostdb, filters,
+                self.protocol, seen_files_by_part,
+            )
+            frames.append(
+                rd.from_items([{"part": p} for p in fused_parts], override_num_blocks=len(fused_parts))
+                .map_batches(rp_task, batch_format="pandas", batch_size=1, num_cpus=task_cpus)
+                .to_pandas()
+            )
+        if split_parts:
+            sub_files = {p: files_by_part[p] for p in split_parts}
+            gen_stats2 = self._generate_phase(
+                seg, cur_time_ms, topn, hostdb, filters, sub_files, split_parts
+            )
+            active2 = sorted(int(p) for p in gen_stats2[gen_stats2["selected"] > 0]["part"])
+            if active2:
+                fp_task = _FetchParseTask(cfg, cur_time_ms, seg, self.protocol, seen_files_by_part)
+                fp2 = (
+                    rd.from_items([{"part": p} for p in active2], override_num_blocks=len(active2))
+                    .map_batches(fp_task, batch_format="pandas", batch_size=1, num_cpus=task_cpus)
+                    .to_pandas()
+                )
+                fp2["busy"] = fp2.get("busy", 0.0)
+                frames.append(fp2)
         fp_stats = (
-            rd.from_items([{"part": p} for p in active], override_num_blocks=len(active))
-            .map_batches(fp_task, batch_format="pandas", batch_size=1, num_cpus=task_cpus)
-            .to_pandas()
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame({"part": [], "selected": [], "fetched": [], "docs": [],
+                               "t_fetch": [], "t_parse": [], "busy": []})
         )
-        timings["fetch_parse"] = time.monotonic() - t
+        timings["gen_fetch_parse"] = time.monotonic() - t
         timings["fetch"] = round(float(fp_stats["t_fetch"].sum()), 3)
         timings["parse"] = round(float(fp_stats["t_parse"].sum()), 3)
         timings["busy_fetch_parse"] = (
             float(fp_stats["busy"].sum()) if "busy" in fp_stats.columns else 0.0
         )
+        n_generated = int(fp_stats["selected"].sum()) if "selected" in fp_stats.columns else 0
+        if n_generated == 0:
+            self.store.begin_generation(new_gen)
+            self.store.commit_generation({}, gen=new_gen, parent_gen=gen, counters={"generated": 0})
+            return self._commit_round(new_gen, gen, [], timings, {"generated": 0}, t0, seg)
+
+        active = sorted(int(p) for p in fp_stats[fp_stats["selected"] > 0]["part"])
+
+        # -- Generator CrawlDbUpdater write-back (generate.update.crawldb)
+        # runs after the fused phase — the fetchlists it folds in are on
+        # disk; updatedb then bases on the write-back generation so
+        # selected-but-unfetched urls keep their gen_time lock
+        if cfg.gen_update_crawldb:
+            t = time.monotonic()
+            gen = self._gen_writeback(seg, cur_time_ms, files_by_part, gen, active)
+            new_gen = gen + 1
+            files_by_part = self._files_by_part(gen)
+            timings["gen_writeback"] = time.monotonic() - t
 
         # -- crawl_parse exchange (only at high partition counts) -------
         raw_files = sorted(glob.glob(os.path.join(seg, "crawl_parse_raw", "*.parquet")))

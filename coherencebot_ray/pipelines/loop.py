@@ -61,13 +61,21 @@ def crawl_loop(
 
         if hostdb_every and r % hostdb_every == 0:
             gen = d.store.latest_gen()
-            hostdb = jobs.update_hostdb(d.store.read(gen)).to_pandas()
             # per-host generate overrides (Generator.java:415-453 analogue):
-            # demote hosts with many gone pages
+            # demote hosts with many gone pages. Prune to override-worthy
+            # hosts BEFORE collecting (the full hostdb is host-cardinality),
+            # then build the dict from columns — no iterrows.
+            bad = (
+                jobs.update_hostdb(d.store.read(gen))
+                .map_batches(
+                    lambda df: df[df["gone"] > 5][["host", "gone"]],
+                    batch_format="pandas",
+                )
+                .to_pandas()
+            )
             hostdb_overrides = {
-                row["host"]: (max(1, int(10 - row["gone"])), 0)
-                for _, row in hostdb.iterrows()
-                if row["gone"] > 5
+                h: (max(1, int(10 - g)), 0)
+                for h, g in zip(bad["host"], bad["gone"])
             } or None
 
         metrics = d.run_round(cur, hostdb=hostdb_overrides)

@@ -1006,6 +1006,30 @@ FROM x GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_nodedumper(sf_dir: str):
+    """WebGraph NodeDumper top-50 nodes by inlink degree over the
+    order->part edge graph (scoring/webgraph/NodeDumper.java)."""
+    from ..stages.tools import node_dumper
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"url": "o" + df["l_orderkey"].astype(str), "dst": "p" + df["l_partkey"].astype(str)}
+        )
+
+    out = node_dumper(li.map_batches(to_edges, batch_format="pandas"), topn=50).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+_NODEDUMPER_SQL = """
+WITH e AS (SELECT 'p' || l_partkey AS url FROM lineitem)
+SELECT url, count(*) AS n FROM e GROUP BY url
+ORDER BY n DESC, url ASC LIMIT 50
+"""
+
+
 def q_crawl_round(sf_dir: str):
     """Flagship: one full generate→fetch→parse→updatedb round on a
     frontier derived from the documents table, fake protocol. Returns
@@ -1129,6 +1153,7 @@ def build_queries() -> dict:
         "crawlcomplete": q_crawlcomplete,
         "domainstats": q_domainstats,
         "protocolstats": q_protocolstats,
+        "nodedumper": q_nodedumper,
     }
 
 
@@ -1165,4 +1190,5 @@ def build_oracle_sql() -> dict:
         "crawlcomplete": _CRAWLCOMPLETE_SQL,
         "domainstats": _DOMAINSTATS_SQL,
         "protocolstats": _PROTOCOLSTATS_SQL,
+        "nodedumper": _NODEDUMPER_SQL,
     }

@@ -526,3 +526,152 @@ def write_index(docs_ds, out_dir: str, fmt: str = "parquet") -> None:
         docs_ds.write_json(out_dir)
     else:
         raise ValueError(f"unknown index sink format: {fmt}")
+
+
+# ---------------------------------------------------------------------------
+# SegmentMerger (segment/SegmentMerger.java): union several segments,
+# keep the latest record per url per component
+# ---------------------------------------------------------------------------
+
+
+def merge_segments(seg_dirs: list[str], out_dir: str, n_buckets: int = 64) -> dict:
+    """Merge the fetch_out/docs components of several segments (latest
+    fetch_time per url wins, like SegmentMerger's last-writer-by-segment
+    semantics) and union+dedup the outlinks edges. Writes merged
+    per-bucket parquet under ``out_dir`` (resumable layout). Everything
+    is one bucketed exchange per component — no driver materialization.
+    """
+    import ray.data as rd
+
+    from ..ops.agg import bucketed_group_apply
+
+    counts: dict[str, int] = {}
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _files(what):
+        out = []
+        for sd in seg_dirs:
+            out.extend(sorted(glob.glob(os.path.join(sd, what, "part-*", "*.parquet"))))
+        return out
+
+    import pyarrow as pa
+
+    from ..ops.agg import stable_bucket
+
+    def _merge_component(files, dest, dedup_fn):
+        """Arrow batches end to end: the component's parquet schema rides
+        through the bucket exchange untouched (a pandas round-trip would
+        re-infer all-null object columns as Arrow null and break the
+        union)."""
+        ds = rd.read_parquet(files, partitioning=None)
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            b = stable_bucket(t.column("url").to_pandas(), n_buckets)
+            return t.append_column("__bucket", pa.array(b, pa.int32()))
+
+        def per_bucket(t: pa.Table) -> pa.Table:
+            b = t.column("__bucket")[0].as_py() if t.num_rows else 0
+            t2 = t.drop_columns(["__bucket"])
+            df = dedup_fn(t2.to_pandas())
+            os.makedirs(dest, exist_ok=True)
+            out_t = pa.Table.from_pandas(df, schema=t2.schema, preserve_index=False)
+            pq.write_table(out_t, os.path.join(dest, f"bucket-{int(b)}.parquet"), compression="zstd")
+            return pa.table({"rows": pa.array([len(df)], pa.int64())})
+
+        stats = (
+            ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(per_bucket, batch_format="pyarrow")
+            .to_pandas()
+        )
+        return int(stats["rows"].sum()) if len(stats) else 0
+
+    def _latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("fetch_time", ascending=False, kind="stable")
+        return g[~g["url"].duplicated()]
+
+    for what in ("fetch_out", "docs"):
+        files = _files(what)
+        counts[what] = (
+            _merge_component(files, os.path.join(out_dir, what), _latest) if files else 0
+        )
+
+    ol_files = _files("outlinks")
+    counts["outlinks"] = (
+        _merge_component(
+            ol_files, os.path.join(out_dir, "outlinks"),
+            lambda g: g.drop_duplicates(subset=["url", "dst"]),
+        )
+        if ol_files
+        else 0
+    )
+    return counts
+
+
+# ---------------------------------------------------------------------------
+# WebGraph ScoreUpdater + NodeDumper (scoring/webgraph/ScoreUpdater.java,
+# NodeDumper.java)
+# ---------------------------------------------------------------------------
+
+
+def score_updater(frontier_ds, ranks_ds, clear_score: float = 0.0, n_buckets: int = 64):
+    """ScoreUpdater: join LinkRank scores back into the frontier by url —
+    rows with a rank get score=rank, rows absent from the webgraph get
+    ``clear_score`` (ScoreUpdater.java reduce semantics). One tagged
+    union + url-hash bucket co-group; no broadcast of either side."""
+    from ..ops.agg import bucketed_group_apply
+
+    def tag_front(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.copy()
+        d["__t"] = "f"
+        d["rank"] = np.nan
+        return d
+
+    def tag_rank(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"url": df["url"].to_numpy(), "rank": df["rank"].to_numpy(dtype=np.float64)})
+        out["__t"] = "r"
+        return out
+
+    def apply_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        f = g[g["__t"] == "f"]
+        if len(f) == 0:
+            return pd.DataFrame()
+        r = g[g["__t"] == "r"]
+        rmap = dict(zip(r["url"], r["rank"])) if len(r) else {}
+        f = f.copy()
+        f["score"] = f["url"].map(rmap).fillna(clear_score).astype(np.float32)
+        return f.drop(columns=["__t", "rank"], errors="ignore")
+
+    tagged = frontier_ds.map_batches(tag_front, batch_format="pandas").union(
+        ranks_ds.map_batches(tag_rank, batch_format="pandas")
+    )
+    return bucketed_group_apply(tagged, "url", apply_bucket, n_buckets=n_buckets)
+
+
+def node_dumper(edges_ds, topn: int = 50, by: str = "inlinks", n_buckets: int = 64):
+    """NodeDumper: top-N nodes by inlink or outlink degree over the
+    (url=src, dst) edge table. Partial per-batch counts -> bucketed sum
+    -> per-bucket top-N -> tiny global top-N (only B*topn rows ever
+    reach the driver-side final sort)."""
+    import ray.data as rd
+
+    from ..ops.agg import bucketed_sum
+
+    key = "dst" if by == "inlinks" else "url"
+
+    def deg(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"url": pd.Series(dtype="object"), "n": pd.Series(dtype="int64")})
+        c = df[key].value_counts()
+        return pd.DataFrame({"url": c.index.to_numpy(), "n": c.to_numpy()})
+
+    sums = bucketed_sum(edges_ds.map_batches(deg, batch_format="pandas"), "url", ["n"], n_buckets=n_buckets)
+
+    def bucket_topn(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["n", "url"], ascending=[False, True], kind="stable").head(topn)
+
+    from ..ops.agg import bucketed_group_apply
+
+    cand = bucketed_group_apply(sums, "url", bucket_topn, n_buckets=n_buckets).to_pandas()
+    out = cand.sort_values(["n", "url"], ascending=[False, True], kind="stable").head(topn)
+    return rd.from_pandas(out.reset_index(drop=True))

@@ -107,7 +107,7 @@ def test_round_metrics_recorded(driver):
     with open(p) as f:
         rec = json.load(f)
     assert rec["counters"]["generated"] > 0
-    assert {"generate", "fetch", "parse", "updatedb"} <= set(rec["timings_s"])
+    assert {"gen_fetch_parse", "fetch", "parse", "updatedb"} <= set(rec["timings_s"])
 
 
 def test_scatter_shuffle_fallback(tmp_path, ray_session):

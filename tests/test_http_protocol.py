@@ -1,0 +1,116 @@
+"""HttpProtocol unit tests with a stubbed session (no network in this
+environment). Status mapping per FetcherThread.java:377-458; robots
+parsing per lib-http/HttpRobotRulesParser.java + robots.txt spec."""
+
+import pandas as pd
+import pytest
+
+from coherencebot_ray.config import CrawlConfig
+from coherencebot_ray.model import CrawlStatus as CS
+from coherencebot_ray.sources.http_protocol import HttpProtocol, parse_robots_txt
+from coherencebot_ray.stages.fetch import FetchPartition
+
+CUR = 1_700_000_000_000
+
+
+class _Resp:
+    def __init__(self, status_code=200, content=b"", headers=None, text=""):
+        self.status_code = status_code
+        self.content = content
+        self.headers = headers or {}
+        self.text = text
+
+
+class _Session:
+    def __init__(self, routes):
+        self.routes = routes
+        self.headers = {}
+
+    def get(self, url, **kw):
+        v = self.routes.get(url)
+        if v is None:
+            return _Resp(404)
+        if isinstance(v, Exception):
+            raise v
+        return v
+
+
+def test_status_mapping():
+    s = _Session(
+        {
+            "http://a.com/ok": _Resp(200, b"<html/>", {"Content-Type": "text/html; charset=utf-8"}),
+            "http://a.com/404": _Resp(404),
+            "http://a.com/410": _Resp(410),
+            "http://a.com/mv": _Resp(301, headers={"Location": "http://a.com/new"}),
+            "http://a.com/tmp": _Resp(307, headers={"Location": "/rel"}),
+            "http://a.com/boom": _Resp(500),
+            "http://a.com/err": ConnectionError("refused"),
+        }
+    )
+    p = HttpProtocol(session=s)
+    assert p.fetch("http://a.com/ok").status == "success"
+    assert p.fetch("http://a.com/ok").content_type == "text/html"
+    assert p.fetch("http://a.com/404").status == "notfound"
+    assert p.fetch("http://a.com/410").status == "gone"
+    mv = p.fetch("http://a.com/mv")
+    assert mv.status == "moved" and mv.redirect_to == "http://a.com/new"
+    tmp = p.fetch("http://a.com/tmp")
+    # relative Location resolved against the url's host
+    assert tmp.status == "temp_moved" and tmp.redirect_to == "http://a.com/rel"
+    assert p.fetch("http://a.com/boom").status == "exception"
+    assert p.fetch("http://a.com/err").status == "exception"
+
+
+def test_robots_parsing_and_errors():
+    txt = """
+# comment
+User-agent: googlebot
+Disallow: /google-only/
+
+User-agent: *
+Disallow: /private/
+Crawl-delay: 2
+Sitemap: http://a.com/sitemap.xml
+"""
+    rb = parse_robots_txt(txt, "coherencebot-ray/0.2")
+    assert rb.disallow == ("/private/",)
+    assert rb.crawl_delay == 2.0
+    assert rb.sitemaps == ("http://a.com/sitemap.xml",)
+    # specific agent group beats *
+    rb2 = parse_robots_txt(txt, "googlebot/2.1")
+    assert rb2.disallow == ("/google-only/",)
+
+    s = _Session({"http://a.com/robots.txt": _Resp(200, text=txt)})
+    p = HttpProtocol(session=s)
+    rb3 = p.robots("a.com")
+    assert rb3.disallow == ("/private/",)
+    assert not p.robots_allows(rb3, "http://a.com/private/x")
+    assert p.robots_allows(rb3, "http://a.com/pub")
+    # robots fetch failure -> allow-all (EMPTY_RULES)
+    p2 = HttpProtocol(session=_Session({"http://b.com/robots.txt": ConnectionError()}))
+    assert p2.robots("b.com").disallow == ()
+
+
+def test_http_protocol_through_fetch_stage():
+    """The real client plugs into FetchPartition unchanged."""
+    s = _Session(
+        {
+            "http://h.com/robots.txt": _Resp(200, text="User-agent: *\nDisallow: /no/\n"),
+            "http://h.com/a": _Resp(200, b"<html><title>t</title></html>", {"Content-Type": "text/html"}),
+            "http://h.com/no/x": _Resp(200, b"x"),
+        }
+    )
+    proto = HttpProtocol(session=s)
+    cfg = CrawlConfig(server_delay_s=0.0)
+    rows = []
+    for u in ("http://h.com/a", "http://h.com/no/x"):
+        rows.append(
+            dict(url=u, host="h.com", domain="h.com", part=0, status=CS.DB_UNFETCHED,
+                 fetch_time=CUR - 1000, retries=0, fetch_interval=86400, score=1.0,
+                 signature=None, modified_time=0, gen_time=CUR, repr_url=None,
+                 fixed_interval=0, metadata=None, segnum=1, sort_score=1.0,
+                 fetch_delay_ms=0)
+        )
+    out = FetchPartition(cfg, CUR, proto)(pd.DataFrame(rows)).set_index("url")
+    assert out.loc["http://h.com/a", "status"] == CS.FETCH_SUCCESS
+    assert out.loc["http://h.com/no/x", "status"] == CS.FETCH_GONE  # robots denied

@@ -329,3 +329,68 @@ def test_sitemap_fetch_stage(tmp_path, ray_session):
     sm_rows = front[front["url"].str.contains("/sm/")]
     assert len(sm_rows) == len(set(rows[rows["host"] != none_host]["url"]))
     assert (sm_rows["fetch_interval"].to_numpy() > 0).all()
+
+
+def test_segment_merger(tmp_path, ray_session):
+    """SegmentMerger analogue: latest fetch_time per url wins across
+    segments; outlink edges union+dedup (segment/SegmentMerger.java)."""
+    import pyarrow.parquet as pq_
+    import glob as _glob
+
+    from coherencebot_ray.pipelines.crawl import CrawlDriver
+    from coherencebot_ray.sources.synth import EPOCH, synth_frontier
+    from coherencebot_ray.stages.tools import merge_segments
+
+    cfg = CrawlConfig(num_partitions=2, topn=40, server_delay_s=0.0)
+    d = CrawlDriver(str(tmp_path / "c"), cfg)
+    d.bootstrap(synth_frontier(120, 6, cfg))
+    d.run_round(EPOCH + 1000)
+    d.run_round(EPOCH + 100_000_000_000)  # far future: same urls eligible again
+    segs = [d.seg_dir(1), d.seg_dir(2)]
+    out = str(tmp_path / "merged")
+    counts = merge_segments(segs, out)
+    merged = pq_.read_table(_glob.glob(f"{out}/fetch_out/*.parquet")).to_pandas()
+    assert merged["url"].is_unique
+    assert counts["fetch_out"] == len(merged)
+    # every merged row carries the LATEST fetch_time seen for that url
+    raw = pq_.read_table(
+        _glob.glob(f"{segs[0]}/fetch_out/part-*/*.parquet")
+        + _glob.glob(f"{segs[1]}/fetch_out/part-*/*.parquet")
+    ).to_pandas()
+    latest = raw.groupby("url")["fetch_time"].max()
+    m = merged.set_index("url")["fetch_time"]
+    assert (m == latest.reindex(m.index)).all()
+
+
+def test_score_updater_and_node_dumper(ray_session):
+    """WebGraph ScoreUpdater (rank -> frontier score, absent nodes
+    cleared) and NodeDumper top-N by degree (scoring/webgraph/*)."""
+    import ray.data as rd
+
+    from coherencebot_ray.stages.tools import node_dumper, score_updater
+
+    frontier = pd.DataFrame(
+        {
+            "url": ["u1", "u2", "u3"],
+            "host": "h",
+            "status": CS.DB_FETCHED,
+            "score": np.float32(9.9),
+        }
+    )
+    ranks = pd.DataFrame({"url": ["u1", "u2"], "rank": [0.7, 0.3]})
+    out = score_updater(rd.from_pandas(frontier), rd.from_pandas(ranks)).to_pandas().set_index("url")
+    assert out.loc["u1", "score"] == np.float32(0.7)
+    assert out.loc["u2", "score"] == np.float32(0.3)
+    assert out.loc["u3", "score"] == np.float32(0.0)  # cleared
+
+    edges = pd.DataFrame(
+        {
+            "url": ["a", "b", "c", "a", "b", "a"],
+            "dst": ["x", "x", "x", "y", "y", "z"],
+        }
+    )
+    top = node_dumper(rd.from_pandas(edges), topn=2, by="inlinks").to_pandas()
+    assert list(top["url"]) == ["x", "y"]
+    assert list(top["n"]) == [3, 2]
+    top_out = node_dumper(rd.from_pandas(edges), topn=1, by="outlinks").to_pandas()
+    assert list(top_out["url"]) == ["a"] and list(top_out["n"]) == [3]
