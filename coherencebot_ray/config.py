@@ -107,6 +107,10 @@ class CrawlConfig:
     linkdb_ignore_internal: bool = True  # linkdb.ignore.internal.links (LinkDb default)
     linkdb_ignore_external: bool = False
 
+    # --- indexing filter chain (indexer/IndexingFilter.java) ---------------
+    indexing_filters: tuple = ()  # e.g. ("basic","anchor","more","metadata",
+    # "static","criteria"); empty = raw join output (index-* plugins)
+
     # --- scoring filter chain (scoring/ScoringFilter.java:42-246) ----------
     scoring_filters: tuple = ("opic",)  # ordered plugin names; "withdrawn"
     # reads extra["live_seeds"] ({seed_url: {metadata}}) when registered

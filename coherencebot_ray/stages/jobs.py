@@ -356,7 +356,7 @@ def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone:
         from ..functions.scoring import make_scoring
 
         boost = make_scoring(cfg).indexer_score(m["score"].to_numpy(dtype=np.float32))
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "url": m["url"].to_numpy(),
                 "title": m["title"].to_numpy(),
@@ -366,6 +366,13 @@ def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone:
                 "anchors": m["anchors"].to_numpy(),
             }
         )
+        if cfg.indexing_filters:
+            # IndexingFilter chain (index-basic/anchor/more/metadata/
+            # static/criteria) enriches or drops documents
+            from ..functions.indexing import IndexingFilters
+
+            out = IndexingFilters(cfg.indexing_filters, cfg).apply(out)
+        return out
 
     # typed sentinels: union blocks must agree on dtypes or the exchange
     # coerces conflicting columns to null

@@ -394,3 +394,78 @@ def test_score_updater_and_node_dumper(ray_session):
     assert list(top["n"]) == [3, 2]
     top_out = node_dumper(rd.from_pandas(edges), topn=1, by="outlinks").to_pandas()
     assert list(top_out["url"]) == ["a"] and list(top_out["n"]) == [3]
+
+
+def test_indexing_filter_chain(ray_session):
+    """IndexingFilters chain (index-basic/anchor/more/metadata/static/
+    criteria plugin family, src/plugin/index-*): field enrichment +
+    drop semantics, standalone and through indexer_join."""
+    import ray.data as rd
+
+    from coherencebot_ray.functions.indexing import IndexingFilters
+
+    df = pd.DataFrame(
+        {
+            "url": ["http://a.com/long", "http://a.com/short"],
+            "title": ["T" * 300, "small"],
+            "text": ["x" * 5000, "tiny"],
+            "fetch_time": [111, 222],
+            "anchors": [["one", "two", "one"], []],
+            "content_type": ["application/pdf", None],
+            "metadata": ['{"collection.id": "c1"}', None],
+        }
+    )
+    cfg = CrawlConfig(extra={"index_metadata_keys": ("collection.id",),
+                             "index_static_fields": {"site": "demo"}})
+    chain = IndexingFilters(("basic", "anchor", "more", "metadata", "static", "criteria"), cfg)
+    out = chain.apply(df)
+    # criteria drops the short doc (index.criteria.minlength=4000)
+    assert list(out["url"]) == ["http://a.com/long"]
+    row = out.iloc[0]
+    assert len(row["title"]) == 100          # indexer.max.title.length
+    assert row["host"] == "a.com"
+    assert row["tstamp"] == 111
+    assert row["anchor"] == ["one", "two"]   # deduped, order kept
+    assert row["contentLength"] == 5000
+    assert row["primaryType"] == "application"
+    assert row["meta_collection.id"] == "c1"
+    assert row["site"] == "demo"
+
+    # through indexer_join (cfg.indexing_filters switch)
+    frontier = pd.DataFrame(
+        {"url": [f"http://h.com/{i}" for i in range(2)], "host": "h.com",
+         "part": 0, "status": CS.DB_FETCHED, "score": np.float32(1.0)}
+    )
+    docs = pd.DataFrame(
+        {"url": [f"http://h.com/{i}" for i in range(2)], "part": 0,
+         "spans": [[{"kind": "title", "text": f"T{i}", "media_ref": "", "offset": 0},
+                    {"kind": "text", "text": "b" * 5000, "media_ref": "", "offset": 1}]
+                   for i in range(2)]}
+    )
+    from coherencebot_ray.stages import jobs
+
+    out2 = jobs.indexer_join(
+        rd.from_pandas(frontier), rd.from_pandas(docs), None,
+        CrawlConfig(indexing_filters=("basic", "anchor", "more")),
+    ).to_pandas()
+    assert {"host", "tstamp", "contentLength", "anchor"} <= set(out2.columns)
+    assert len(out2) == 2
+
+
+def test_html_parse_filter_chain():
+    """HtmlParseFilters registered chain (parse/HtmlParseFilters.java):
+    summary/langid/thumb/translate run in order over a parsed batch."""
+    from coherencebot_ray.functions.parsefilters import HtmlParseFilters
+
+    spans = [
+        {"kind": "title", "text": "der bericht und das thema", "media_ref": "", "offset": 0},
+        {"kind": "text", "text": "die analyse ist nicht ein problem mit der zeit und das ende", "media_ref": "", "offset": 1},
+    ]
+    df = pd.DataFrame({"doc_id": ["d1"], "url": ["http://x.de/a"], "spans": [spans]})
+    out = HtmlParseFilters(("summary", "langid", "thumb", "translate"), CrawlConfig()).apply(df)
+    row = out.iloc[0]
+    assert row["lang"] == "de"
+    assert row["summary"]  # non-empty extractive summary
+    media = [s for s in row["spans"] if s["kind"] == "media"]
+    assert len(media) == 1 and media[0]["media_ref"].startswith("http://thumbs.example/")
+    assert row["title_en"].startswith("[de->en] ")
