@@ -252,6 +252,10 @@ def scaling() -> None:
         if lo.get("busy_s") and hi.get("busy_s")
     ]
     w_med, w_q1, w_q3 = med_iqr(wall_effs)
+    # best-conditions estimate: hypervisor noise only ADDS wall time, so
+    # the per-level minimum is the least-biased estimate of the true
+    # (quiet-host) wall; their ratio estimates the noise-free efficiency
+    best_eff = (min(p[0]["value"] for p in pairs) / min(p[1]["value"] for p in pairs)) / ratio
     lo, hi = pairs[-1]
     out = {
         "metric": "scaling_efficiency",
@@ -265,6 +269,7 @@ def scaling() -> None:
         "throughput_4n": round(hi["generated"] / hi["value"], 1),
         "scaling_efficiency": w_med,
         "scaling_efficiency_iqr": [w_q1, w_q3],
+        "scaling_efficiency_best": round(best_eff, 3),
         "scaling_efficiency_reps": [round(e, 3) for e in sorted(wall_effs)],
         "probe_normalized_efficiency": med_iqr(norm_effs)[0] if norm_effs else None,
         "probe_normalized_iqr": list(med_iqr(norm_effs)[1:]) if norm_effs else None,
