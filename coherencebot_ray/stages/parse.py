@@ -21,6 +21,7 @@ kind=heading (parse-headings analogue); <p>/text -> kind=text;
 from __future__ import annotations
 
 import json
+import re
 from html.parser import HTMLParser
 
 import numpy as np
@@ -86,6 +87,50 @@ def parse_html(content: bytes) -> tuple[list[tuple], list[tuple], str]:
     p.close()
     text = " ".join(s[1] for s in p.spans if s[0] in ("title", "heading", "text"))
     return p.spans, p.links, text
+
+
+_FEED_ITEM_RE = re.compile(r"<(?:item|entry)\b(.*?)</(?:item|entry)>", re.S | re.I)
+_FEED_TITLE_RE = re.compile(r"<title[^>]*>\s*(.*?)\s*</title>", re.S | re.I)
+_FEED_LINK_RE = re.compile(
+    r"<link[^>]*?href=[\"']([^\"']+)[\"']|<link[^>]*>\s*([^<\s]+)\s*</link>", re.S | re.I
+)
+_FEED_DESC_RE = re.compile(
+    r"<(?:description|summary|content)[^>]*>\s*(.*?)\s*</(?:description|summary|content)>",
+    re.S | re.I,
+)
+
+
+def parse_feed(content: bytes) -> tuple[list[tuple], list[tuple], str]:
+    """parse-feed plugin analogue (src/plugin/feed): RSS/Atom documents
+    become one doc whose items are heading+text spans and whose item
+    links are outlinks (anchor = item title). Stdlib regex parser — no
+    rome/feedparser in this environment."""
+    try:
+        xml = content.decode("utf-8", errors="replace")
+    except Exception:
+        return [], [], ""
+    spans: list[tuple] = []
+    links: list[tuple] = []
+    feed_title = _FEED_TITLE_RE.search(xml)
+    if feed_title:
+        spans.append(("title", feed_title.group(1), ""))
+    for m in _FEED_ITEM_RE.finditer(xml):
+        item = m.group(1)
+        t = _FEED_TITLE_RE.search(item)
+        title = t.group(1) if t else ""
+        if title:
+            spans.append(("heading", title, ""))
+        d = _FEED_DESC_RE.search(item)
+        if d and d.group(1):
+            spans.append(("text", d.group(1), ""))
+        lk = _FEED_LINK_RE.search(item)
+        if lk:
+            href = lk.group(1) or lk.group(2)
+            if href:
+                spans.append(("link", title, href))
+                links.append((href, title))
+    text = " ".join(s[1] for s in spans if s[0] in ("title", "heading", "text"))
+    return spans, links, text
 
 
 def parse_pdf(content: bytes) -> tuple[list[tuple], list[tuple], str]:
@@ -165,6 +210,8 @@ class ParseBatch:
             ctype = ctypes[i] or "text/html"
             if "pdf" in ctype:
                 spans, links, text = parse_pdf(bytes(content))
+            elif "rss" in ctype or "atom" in ctype:
+                spans, links, text = parse_feed(bytes(content))
             else:
                 spans, links, text = parse_html(bytes(content))
             signature = self.signer(text, bytes(content), urls[i])

@@ -213,3 +213,29 @@ def test_redirect_discovery_partitioned_by_target_host():
     assert list(linked["url"]) == ["http://other-host.org/landing"]
     assert list(linked["host"]) == ["other-host.org"]
     assert list(linked["part"]) == [tgt_part]
+
+
+def test_file_protocol(tmp_path):
+    """protocol-file analogue: local files through the fetch stage,
+    directory listings as link pages, jail enforcement."""
+    from coherencebot_ray.sources.file_protocol import FileProtocol
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "page.html").write_text("<html><title>P</title></html>")
+    (d / "doc.txt").write_text("hello")
+    proto = FileProtocol(root=str(tmp_path))
+
+    r = proto.fetch(f"file://{d}/page.html")
+    assert r.status == "success" and r.content_type == "text/html"
+    r2 = proto.fetch(f"file://{d}")
+    assert r2.status == "success" and b"page.html" in r2.content
+    assert proto.fetch(f"file://{d}/missing.html").status == "notfound"
+    assert proto.fetch("file:///etc/passwd").status == "gone"  # outside jail
+
+    # through FetchPartition
+    cfg = CrawlConfig(server_delay_s=0.0)
+    out = run_fetch(
+        [fl_row(f"file://{d}/doc.txt", host="localfile")], cfg, proto
+    ).set_index("url")
+    assert out.iloc[0]["status"] == CS.FETCH_SUCCESS

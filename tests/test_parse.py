@@ -124,3 +124,26 @@ def test_text_profile_signature_option():
     out2 = ParseBatch(cfg)(pd.DataFrame([fetch_row("http://a.com/other", html2)]))
     sig2 = out2[(out2["rtype"] == "crawl_parse") & (out2["status"] == CS.SIGNATURE)].iloc[0]["signature"]
     assert sig == sig2
+
+
+def test_parse_feed():
+    """parse-feed plugin analogue: RSS/Atom -> spans + outlinks."""
+    from coherencebot_ray.stages.parse import parse_feed
+
+    rss = b"""<?xml version="1.0"?>
+<rss><channel><title>Policy Feed</title>
+<item><title>Report A</title><link>http://x.com/a</link>
+<description>Annual review</description></item>
+<item><title>Report B</title><link>http://x.com/b</link></item>
+</channel></rss>"""
+    spans, links, text = parse_feed(rss)
+    kinds = [s[0] for s in spans]
+    assert kinds[0] == "title" and spans[0][1] == "Policy Feed"
+    assert links == [("http://x.com/a", "Report A"), ("http://x.com/b", "Report B")]
+    assert "Annual review" in text
+
+    atom = b"""<feed><title>AF</title>
+<entry><title>E1</title><link href="http://y.com/1"/><summary>S1</summary></entry>
+</feed>"""
+    spans2, links2, _ = parse_feed(atom)
+    assert links2 == [("http://y.com/1", "E1")]
