@@ -54,18 +54,29 @@ class MinHasher:
         v = (self.a[:, None] * (h[None, :] % _MERSENNE) + self.b[:, None]) % _MERSENNE
         return v.min(axis=1).astype(np.uint64)
 
-    def band_rows(self, df: pd.DataFrame, n_bands: int = 8, text_col: str = "text") -> pd.DataFrame:
-        """doc rows -> (band_id, band_hash, doc_id) LSH rows."""
+    def band_rows(self, df: pd.DataFrame, n_bands: int = 8, text_col: str = "text", with_text: bool = False) -> pd.DataFrame:
+        """doc rows -> (band_id, band_hash, doc_id[, text]) LSH rows.
+
+        ``with_text`` ships the document text with every band row so the
+        Jaccard verify can run INSIDE the band bucket (n_bands x text
+        volume through one exchange instead of a second corpus-wide
+        id-join exchange — faster until documents are very large)."""
         rows_per_band = self.n_perm // n_bands
-        out_doc, out_band, out_hash = [], [], []
+        out_doc, out_band, out_hash, out_text = [], [], [], []
         for doc_id, text in zip(df["doc_id"], df[text_col]):
-            sig = self.signature(text if isinstance(text, str) else "")
+            text = text if isinstance(text, str) else ""
+            sig = self.signature(text)
             for b in range(n_bands):
                 band = sig[b * rows_per_band : (b + 1) * rows_per_band]
                 out_doc.append(doc_id)
                 out_band.append(b)
                 out_hash.append(hashlib.md5(band.tobytes()).hexdigest()[:16])
-        return pd.DataFrame({"doc_id": out_doc, "band_id": out_band, "band_hash": out_hash})
+                if with_text:
+                    out_text.append(text)
+        cols = {"doc_id": out_doc, "band_id": out_band, "band_hash": out_hash}
+        if with_text:
+            cols["text"] = out_text
+        return pd.DataFrame(cols)
 
 
 def candidate_pairs_from_band_group(g: pd.DataFrame, max_bucket: int = 200) -> pd.DataFrame:
@@ -169,114 +180,59 @@ def minhash_lsh_pairs(
     """MinHash+LSH near-dup pairs verified by true Jaccard >= threshold.
 
     Returns Dataset of (a, b, jaccard). Fully distributed — the verify
-    step never collects candidates or scans the corpus on the driver:
+    never collects candidates or scans the corpus on the driver:
 
-      1. map_batches: doc -> (band_id, band_hash, doc_id) LSH rows
-      2. bucketed groupby on the band key -> candidate (a, b) pairs
-      3. candidate halves (doc_id=a / doc_id=b) co-grouped with the docs
-         table by hash(doc_id) bucket -> each half picks up its text
-      4. bucketed groupby on (a, b) -> exact Jaccard verify per pair
+      1. map_batches: doc -> (band_id, band_hash, doc_id, text) LSH rows
+         (text rides the band row: n_bands x text volume through ONE
+         exchange, so the Jaccard verify runs inside the band bucket)
+      2. bucketed groupby on the band key -> candidate pairs verified
+         in place against the bucket's texts
+      3. small bucketed dedup on (a, b) (a pair can collide in several
+         bands)
 
-    Exchanges 2-4 all move band-collision-bounded candidate rows (plus
-    one pass of the docs table in 3); nothing is corpus-cardinality on
-    any single node.
+    For very large documents where n_bands x text volume dominates,
+    trade step 1's text shipping for a doc_id-hash join of candidate
+    halves back to the docs table (the pre-optimization layout; the
+    machinery is `bucketed_group_apply` either way).
     """
     hasher = MinHasher(n_perm=n_perm)
 
     def bands(df: pd.DataFrame) -> pd.DataFrame:
-        return hasher.band_rows(df, n_bands=n_bands, text_col=text_col)
+        return hasher.band_rows(df, n_bands=n_bands, text_col=text_col, with_text=True)
+
+    def _empty_pairs() -> pd.DataFrame:
+        return pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "jaccard": pd.Series(dtype="float64")}
+        )
 
     def pairs_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        outs = [
-            candidate_pairs_from_band_group(g)
-            for _, g in b.groupby(["band_id", "band_hash"], sort=False)
-        ]
-        outs = [o for o in outs if len(o)]
-        if not outs:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
-        return pd.concat(outs, ignore_index=True)
+        out = {"a": [], "b": [], "jaccard": []}
+        for _, g in b.groupby(["band_id", "band_hash"], sort=False):
+            cand = candidate_pairs_from_band_group(g)
+            if not len(cand):
+                continue
+            texts = dict(zip(g["doc_id"], g["text"]))
+            for pa, pb in zip(cand["a"], cand["b"]):
+                j = jaccard(texts.get(pa, ""), texts.get(pb, ""))
+                if j >= threshold:
+                    out["a"].append(int(pa))
+                    out["b"].append(int(pb))
+                    out["jaccard"].append(round(j, 6))
+        if not out["a"]:
+            return _empty_pairs()
+        return pd.DataFrame(
+            {"a": pd.Series(out["a"], dtype="int64"),
+             "b": pd.Series(out["b"], dtype="int64"),
+             "jaccard": pd.Series(out["jaccard"], dtype="float64")}
+        )
 
     from .agg import bucketed_group_apply
 
     band_ds = docs_ds.map_batches(bands, batch_format="pandas")
-    cand = bucketed_group_apply(band_ds, ["band_id", "band_hash"], pairs_bucket)
-
-    # 3. attach texts: candidate halves ∪ docs, co-grouped by doc_id hash
-    def halves(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return _empty_half()
-        a = df["a"].to_numpy(dtype=np.int64)
-        b = df["b"].to_numpy(dtype=np.int64)
-        return pd.DataFrame(
-            {
-                "doc_id": np.concatenate([a, b]),
-                "a": np.concatenate([a, a]),
-                "b": np.concatenate([b, b]),
-                "side": ["a"] * len(a) + ["b"] * len(b),
-                "text": "",
-            }
-        )
-
-    def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return _empty_half()
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
-                "a": np.int64(-1),
-                "b": np.int64(-1),
-                "side": "t",
-                "text": df[text_col].fillna("").to_numpy(),
-            }
-        )
-
-    def attach_text(g: pd.DataFrame) -> pd.DataFrame:
-        is_txt = g["side"] == "t"
-        h = g[~is_txt].drop_duplicates(subset=["a", "b", "side"])
-        if len(h) == 0:
-            return _empty_half()
-        texts = dict(zip(g.loc[is_txt, "doc_id"], g.loc[is_txt, "text"]))
-        h = h.copy()
-        h["text"] = h["doc_id"].map(texts).fillna("")
-        return h
-
-    half_ds = cand.map_batches(halves, batch_format="pandas")
-    docs_tagged = docs_ds.map_batches(doc_rows, batch_format="pandas")
-    with_text = bucketed_group_apply(half_ds.union(docs_tagged), "doc_id", attach_text)
-
-    # 4. verify per pair: co-group the two halves by (a, b)
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        out = {"a": [], "b": [], "jaccard": []}
-        for (pa, pb), grp in g.groupby(["a", "b"], sort=False):
-            ta = grp.loc[grp["side"] == "a", "text"]
-            tb = grp.loc[grp["side"] == "b", "text"]
-            j = jaccard(
-                ta.iloc[0] if len(ta) else "", tb.iloc[0] if len(tb) else ""
-            )
-            if j >= threshold:
-                out["a"].append(int(pa))
-                out["b"].append(int(pb))
-                out["jaccard"].append(round(j, 6))
-        return pd.DataFrame(
-            {
-                "a": pd.Series(out["a"], dtype="int64"),
-                "b": pd.Series(out["b"], dtype="int64"),
-                "jaccard": pd.Series(out["jaccard"], dtype="float64"),
-            }
-        )
-
-    return bucketed_group_apply(with_text, ["a", "b"], verify)
-
-
-def _empty_half() -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "doc_id": pd.Series(dtype="int64"),
-            "a": pd.Series(dtype="int64"),
-            "b": pd.Series(dtype="int64"),
-            "side": pd.Series(dtype="object"),
-            "text": pd.Series(dtype="object"),
-        }
+    verified = bucketed_group_apply(band_ds, ["band_id", "band_hash"], pairs_bucket)
+    return bucketed_group_apply(
+        verified, ["a", "b"], lambda g: g.drop_duplicates(subset=["a", "b"])
     )
 
 
