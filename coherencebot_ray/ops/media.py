@@ -26,6 +26,48 @@ def real_decode(payload: bytes):  # pragma: no cover - stub by design
     raise DecodeUnavailable("no media codec libraries in this environment")
 
 
+def probe_image(payload: bytes) -> tuple[str, int, int] | None:
+    """REAL container-header probe (no codec library needed): returns
+    (format, width, height) for PNG / GIF / JPEG / BMP payloads, None
+    for anything else. Pixel decode stays stubbed; dimension/type
+    extraction is what a metadata pass at 100 TB actually needs."""
+    if payload is None or len(payload) < 12:
+        return None
+    b = bytes(payload[:64]) if len(payload) >= 64 else bytes(payload)
+    # PNG: 8-byte magic, IHDR width/height big-endian at offsets 16/20
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        p = bytes(payload[16:24])
+        return ("png", int.from_bytes(p[0:4], "big"), int.from_bytes(p[4:8], "big"))
+    # GIF87a/89a: logical screen size little-endian at offsets 6/8
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        p = bytes(payload[6:10])
+        return ("gif", int.from_bytes(p[0:2], "little"), int.from_bytes(p[2:4], "little"))
+    # BMP: 'BM', width/height little-endian int32 at offsets 18/22
+    if b[:2] == b"BM" and len(payload) >= 26:
+        p = bytes(payload[18:26])
+        return ("bmp", int.from_bytes(p[0:4], "little"), abs(int.from_bytes(p[4:8], "little", signed=True)))
+    # JPEG: scan markers for SOF0/1/2 (height/width big-endian in frame header)
+    if b[:2] == b"\xff\xd8":
+        data = bytes(payload)
+        i = 2
+        while i + 9 < len(data):
+            if data[i] != 0xFF:
+                i += 1
+                continue
+            marker = data[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2):
+                h = int.from_bytes(data[i + 5 : i + 7], "big")
+                w = int.from_bytes(data[i + 7 : i + 9], "big")
+                return ("jpeg", w, h)
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+            i += 2 + max(2, seg_len)
+        return None
+    return None
+
+
 class MediaFeatureExtractor:
     """Actor-pool stage: binary media column -> typed feature columns.
 
@@ -54,6 +96,19 @@ class MediaFeatureExtractor:
                 "kind": np.where(n_bytes % 3 == 0, "video", np.where(n_bytes % 3 == 1, "image", "audio")),
             }
         )
+        # REAL header probe overrides the deterministic fake for payloads
+        # that are actual PNG/GIF/JPEG/BMP containers
+        probes = payloads.map(lambda b: probe_image(b) if b is not None else None)
+        hit = probes.notna().to_numpy()
+        if hit.any():
+            fmt = probes.map(lambda p: p[0] if p else None)
+            out.loc[hit, "kind"] = "image"
+            out.loc[hit, "width"] = probes.map(lambda p: p[1] if p else 0)[hit].to_numpy()
+            out.loc[hit, "height"] = probes.map(lambda p: p[2] if p else 0)[hit].to_numpy()
+            out.loc[hit, "n_frames"] = 1
+            out["format"] = fmt.to_numpy()
+        else:
+            out["format"] = None
         return out
 
 

@@ -30,6 +30,8 @@ def crawl_loop(
     dedup_every: int = 0,
     invertlinks_every: int = 0,
     index_every: int = 0,
+    sitemaps_every: int = 0,
+    warc_out: str | None = None,
     protocol=None,
 ) -> list[dict]:
     """Run ``rounds`` crawl rounds; returns per-round metrics."""
@@ -78,8 +80,25 @@ def crawl_loop(
                 for h, g in zip(bad["host"], bad["gone"])
             } or None
 
+        if sitemaps_every and r % sitemaps_every == 0:
+            # robots-declared sitemap discovery over the frontier's hosts
+            # (SitemapProcessor round; host list pruned distributed)
+            # (columns= pushdown on gen=/part= paths trips a Ray parquet
+            # reader bug; project per batch instead)
+            hosts = (
+                d.store.read(d.store.latest_gen())
+                .map_batches(lambda df: df[["host"]].drop_duplicates(), batch_format="pandas")
+                .to_pandas()["host"].drop_duplicates().tolist()
+            )
+            d.sitemap_round(hosts, cur)
+
         metrics = d.run_round(cur, hostdb=hostdb_overrides)
         gen = metrics["gen"]
+
+        if warc_out:
+            metrics["warc_records"] = tools.export_warc(
+                d.seg_dir(gen), os.path.join(warc_out, f"gen={gen:06d}")
+            )
 
         if invertlinks_every and r % invertlinks_every == 0:
             ol = tools.read_segment(d.seg_dir(gen), "outlinks")

@@ -162,6 +162,48 @@ def export_warcish(seg_dir: str, out_dir: str) -> int:
     return total
 
 
+def export_warc(seg_dir: str, out_dir: str, warc_date: str = "2026-01-01T00:00:00Z") -> int:
+    """REAL WARC/1.0 export (ISO 28500 record framing; tools/warc/
+    WARCExporter analogue written directly — the format is plain
+    headers + payload, no library needed). One ``part-N.warc`` file per
+    segment partition (resumable); resource records carry the stored
+    content with its content type. Returns record count. ``warc_date``
+    is injected for determinism (no wall-clock in the output)."""
+    import hashlib as _hashlib
+
+    os.makedirs(out_dir, exist_ok=True)
+    total = 0
+    for f in sorted(glob.glob(os.path.join(seg_dir, "content", "part-*", "*.parquet"))):
+        part = os.path.basename(os.path.dirname(f))
+        t = pq.read_table(f, partitioning=None)
+        path = os.path.join(out_dir, f"{part}.warc")
+        with open(path, "wb") as fh:
+            for url, content, ctype in zip(
+                t.column("url").to_pylist(),
+                t.column("content").to_pylist(),
+                t.column("content_type").to_pylist(),
+            ):
+                if content is None:
+                    continue
+                payload = bytes(content)
+                rec_id = _hashlib.md5(url.encode()).hexdigest()
+                headers = (
+                    "WARC/1.0\r\n"
+                    "WARC-Type: resource\r\n"
+                    f"WARC-Target-URI: {url}\r\n"
+                    f"WARC-Date: {warc_date}\r\n"
+                    f"WARC-Record-ID: <urn:uuid:{rec_id}>\r\n"
+                    f"Content-Type: {ctype or 'application/octet-stream'}\r\n"
+                    f"Content-Length: {len(payload)}\r\n"
+                    "\r\n"
+                ).encode()
+                fh.write(headers)
+                fh.write(payload)
+                fh.write(b"\r\n\r\n")
+                total += 1
+    return total
+
+
 # ---------------------------------------------------------------------------
 # LinkRank (scoring/webgraph/LinkRank analogue): iterative link analysis
 # ---------------------------------------------------------------------------

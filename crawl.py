@@ -26,7 +26,10 @@ def main() -> int:
     ap.add_argument("--rounds", type=int, default=1)
     ap.add_argument("--topn", type=int, default=50_000)
     ap.add_argument("--num-partitions", type=int, default=16)
-    ap.add_argument("--schedule", choices=["default", "adaptive"], default="default")
+    ap.add_argument("--schedule", choices=["default", "adaptive", "mime_adaptive"], default="default")
+    ap.add_argument("--sitemaps-every", type=int, default=0, help="run the sitemap fetch round every N rounds")
+    ap.add_argument("--generate-update-crawldb", action="store_true", help="Generator CrawlDbUpdater gen_time write-back")
+    ap.add_argument("--warc-out", help="export WARC/1.0 records of each round's content to this dir")
     ap.add_argument("--hostdb-every", type=int, default=0)
     ap.add_argument("--dedup-every", type=int, default=0)
     ap.add_argument("--invertlinks-every", type=int, default=0)
@@ -56,6 +59,7 @@ def main() -> int:
         topn=args.topn,
         schedule=args.schedule,
         server_delay_s=0.0,  # fake protocol: no wall-clock politeness sleeps
+        gen_update_crawldb=args.generate_update_crawldb,
     )
 
     seeds = None
@@ -79,6 +83,8 @@ def main() -> int:
         dedup_every=args.dedup_every,
         invertlinks_every=args.invertlinks_every,
         index_every=args.index_every,
+        sitemaps_every=args.sitemaps_every,
+        warc_out=args.warc_out,
     )
     for m in results:
         print(json.dumps(m))

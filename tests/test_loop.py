@@ -38,3 +38,26 @@ def test_feed_mode(tmp_path, ray_session):
 def test_no_seeds_raises(tmp_path, ray_session):
     with pytest.raises(ValueError):
         crawl_loop(str(tmp_path / "w4"), CFG, rounds=1, start_time_ms=T0)
+
+
+def test_loop_with_sitemaps_and_warc(tmp_path, ray_session):
+    """Crawl loop with sitemap rounds and WARC export wired in."""
+    from coherencebot_ray.config import CrawlConfig
+    from coherencebot_ray.pipelines.loop import crawl_loop
+
+    cfg = CrawlConfig(num_partitions=2, topn=40, server_delay_s=0.0)
+    res = crawl_loop(
+        str(tmp_path / "w"),
+        cfg,
+        seeds=[f"http://host{i}.example/doc/{i}" for i in range(30)],
+        rounds=2,
+        start_time_ms=1_700_000_000_000,
+        sitemaps_every=1,
+        warc_out=str(tmp_path / "warc"),
+    )
+    assert len(res) == 2
+    assert all(m["counters"]["generated"] > 0 for m in res)
+    assert all(m.get("warc_records", 0) > 0 for m in res)
+    import glob as _glob
+
+    assert _glob.glob(str(tmp_path / "warc" / "gen=*" / "part-*.warc"))

@@ -202,3 +202,41 @@ def test_media_stub_and_frame_sampler():
     assert (frames["frame_idx"] % 2 == 0).all()
     with pytest.raises(DecodeUnavailable):
         real_decode(b"payload")
+
+
+def test_probe_image_headers():
+    """Real container-header decode (no codec libs): PNG/GIF/JPEG/BMP
+    dimensions from crafted byte headers."""
+    from coherencebot_ray.ops.media import probe_image
+
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+           + (640).to_bytes(4, "big") + (480).to_bytes(4, "big") + b"\x08\x06" + b"\x00" * 10)
+    assert probe_image(png) == ("png", 640, 480)
+
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 6
+    assert probe_image(gif) == ("gif", 320, 200)
+
+    bmp = (b"BM" + b"\x00" * 16 + (800).to_bytes(4, "little")
+           + (-600).to_bytes(4, "little", signed=True) + b"\x00" * 8)
+    assert probe_image(bmp) == ("bmp", 800, 600)
+
+    # JPEG: SOI + APP0 segment + SOF0 frame header
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+            + (1080).to_bytes(2, "big") + (1920).to_bytes(2, "big") + b"\x03" + b"\x00" * 9)
+    assert probe_image(b"\xff\xd8" + app0 + sof0) == ("jpeg", 1920, 1080)
+
+    assert probe_image(b"plain text payload here") is None
+    assert probe_image(None) is None
+
+
+def test_media_probe_through_extractor():
+    from coherencebot_ray.ops.media import MediaFeatureExtractor
+
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+           + (64).to_bytes(4, "big") + (32).to_bytes(4, "big") + b"\x00" * 12)
+    df = pd.DataFrame({"doc_id": [1, 2], "media": [png, b"not-an-image"]})
+    out = MediaFeatureExtractor()(df).set_index("doc_id")
+    assert out.loc[1, "format"] == "png"
+    assert out.loc[1, "width"] == 64 and out.loc[1, "height"] == 32
+    assert out.loc[2, "format"] is None  # fake-decode path retained

@@ -469,3 +469,30 @@ def test_html_parse_filter_chain():
     media = [s for s in row["spans"] if s["kind"] == "media"]
     assert len(media) == 1 and media[0]["media_ref"].startswith("http://thumbs.example/")
     assert row["title_en"].startswith("[de->en] ")
+
+
+def test_warc_export_real_format(tmp_path, ray_session):
+    """export_warc writes spec-shaped WARC/1.0 resource records."""
+    from coherencebot_ray.pipelines.crawl import CrawlDriver
+    from coherencebot_ray.sources.synth import EPOCH, synth_frontier
+    from coherencebot_ray.stages.tools import export_warc
+
+    cfg = CrawlConfig(num_partitions=2, topn=30, server_delay_s=0.0)
+    d = CrawlDriver(str(tmp_path / "c"), cfg)
+    d.bootstrap(synth_frontier(60, 5, cfg))
+    d.run_round(EPOCH)
+    out = str(tmp_path / "warc")
+    n = export_warc(d.seg_dir(1), out)
+    assert n > 0
+    import glob as _glob
+
+    files = _glob.glob(f"{out}/part-*.warc")
+    assert files
+    blob = open(files[0], "rb").read()
+    assert blob.startswith(b"WARC/1.0\r\n")
+    assert b"WARC-Type: resource\r\n" in blob
+    assert b"WARC-Target-URI: http" in blob
+    # record framing: header block, payload, blank-line terminator
+    first = blob.split(b"\r\n\r\n", 1)[0].decode()
+    cl = [l for l in first.splitlines() if l.startswith("Content-Length: ")]
+    assert cl and int(cl[0].split(": ")[1]) > 0
