@@ -69,8 +69,9 @@ def run_headline() -> dict:
 
     n_urls, n_hosts, topn = _CRAWL_SCALE.get(_SCALE_TIER or SF, _CRAWL_SCALE["0.1"])
     # fixed partition count so both scaling levels run the identical job
+    n_parts = int(os.environ.get("GRAFT_BENCH_PARTS", "64"))
     cfg = CrawlConfig(
-        num_partitions=64, topn=topn, server_delay_s=0.0, gen_max_count=-1,
+        num_partitions=n_parts, topn=topn, server_delay_s=0.0, gen_max_count=-1,
         task_num_cpus=2 if NUM_CPUS >= 32 else 1,
     )
     wd = f"/tmp/bench_crawl_{NUM_CPUS}"
