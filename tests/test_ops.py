@@ -240,3 +240,31 @@ def test_media_probe_through_extractor():
     assert out.loc[1, "format"] == "png"
     assert out.loc[1, "width"] == 64 and out.loc[1, "height"] == 32
     assert out.loc[2, "format"] is None  # fake-decode path retained
+
+
+def test_embedding_neardup_exact_and_lsh(ray_session):
+    """Exact block cross-join vs LSH bucketed path: LSH must find every
+    engineered high-sim near-dup (recall at the tuned threshold) and
+    emit only verified pairs (exact precision)."""
+    import ray.data as rd
+
+    from coherencebot_ray.ops.knn import embedding_neardup_lsh, embedding_neardup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((120, 16))
+    # 10 engineered near-dups: tiny perturbations of the first 10 rows
+    dups = base[:10] + 0.01 * rng.standard_normal((10, 16))
+    M = np.vstack([base, dups])
+    df = pd.DataFrame({"vec_id": np.arange(len(M)), "embedding": list(M.astype(np.float32))})
+    ds = rd.from_pandas(df)
+
+    exact = embedding_neardup_pairs(ds, threshold=0.98).to_pandas()
+    pairs_exact = set(zip(exact["a"], exact["b"]))
+    # all 10 engineered pairs found by the exact path
+    assert {(i, 120 + i) for i in range(10)} <= pairs_exact
+
+    lsh = embedding_neardup_lsh(ds, threshold=0.98).to_pandas()
+    pairs_lsh = set(zip(lsh["a"], lsh["b"]))
+    assert pairs_lsh <= pairs_exact                  # exact precision
+    recall = len(pairs_lsh & pairs_exact) / len(pairs_exact)
+    assert recall >= 0.99                            # tuned for s>=0.95
