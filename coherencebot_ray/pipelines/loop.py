@@ -32,6 +32,7 @@ def crawl_loop(
     index_every: int = 0,
     sitemaps_every: int = 0,
     warc_out: str | None = None,
+    gc_keep_gens: int = 0,
     protocol=None,
 ) -> list[dict]:
     """Run ``rounds`` crawl rounds; returns per-round metrics."""
@@ -99,6 +100,9 @@ def crawl_loop(
             metrics["warc_records"] = tools.export_warc(
                 d.seg_dir(gen), os.path.join(warc_out, f"gen={gen:06d}")
             )
+
+        if gc_keep_gens > 0:
+            metrics["gc"] = d.store.gc(keep_gens=gc_keep_gens)
 
         if invertlinks_every and r % invertlinks_every == 0:
             ol = tools.read_segment(d.seg_dir(gen), "outlinks")

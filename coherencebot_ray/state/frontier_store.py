@@ -263,6 +263,48 @@ class FrontierStore:
             return None
         return pa.concat_tables([pq.read_table(f, partitioning=None) for f in fl], promote_options="default")
 
+    def gc(self, keep_gens: int = 2) -> dict:
+        """Garbage-collect old generations (CrawlDb current/old rotation
+        analogue, generalized): keep the newest ``keep_gens`` manifests;
+        any data/seen file not referenced by a kept manifest is deleted,
+        and emptied generation directories are removed. Carried-forward
+        files referenced across generations are kept wherever they live,
+        so kept generations stay fully readable. Returns counts."""
+        latest = self.latest_gen()
+        if latest is None:
+            return {"kept_gens": 0, "removed_files": 0, "removed_dirs": 0}
+        gens = sorted(
+            int(n.split("=")[1])
+            for n in os.listdir(self.root)
+            if n.startswith("gen=") and not n.endswith(".tmp")
+        )
+        kept = [g for g in gens if g > latest - keep_gens]
+        referenced: set[str] = set()
+        for g in kept:
+            for ent in self.manifest(g)["partitions"].values():
+                for f in ent["files"]:
+                    referenced.add(f)
+                    referenced.add(f.replace(".parquet", ".seen"))
+        removed_files = removed_dirs = 0
+        for g in gens:
+            if g in kept:
+                continue
+            gdir = self._gen_dir(g)
+            keep_dir = False
+            for dirpath, _, files in os.walk(gdir):
+                for name in files:
+                    rel = os.path.relpath(os.path.join(dirpath, name), self.root)
+                    if rel in referenced:
+                        keep_dir = True
+                    elif name != "_MANIFEST.json":
+                        os.remove(os.path.join(dirpath, name))
+                        removed_files += 1
+            if keep_dir:
+                continue  # old gen still hosts carried-forward files
+            shutil.rmtree(gdir, ignore_errors=True)
+            removed_dirs += 1
+        return {"kept_gens": len(kept), "removed_files": removed_files, "removed_dirs": removed_dirs}
+
     def clean_tmp(self) -> None:
         for name in os.listdir(self.root):
             if name.endswith(".tmp") and os.path.isdir(os.path.join(self.root, name)):

@@ -30,6 +30,7 @@ def main() -> int:
     ap.add_argument("--sitemaps-every", type=int, default=0, help="run the sitemap fetch round every N rounds")
     ap.add_argument("--generate-update-crawldb", action="store_true", help="Generator CrawlDbUpdater gen_time write-back")
     ap.add_argument("--warc-out", help="export WARC/1.0 records of each round's content to this dir")
+    ap.add_argument("--gc-keep-gens", type=int, default=0, help="garbage-collect frontier generations, keeping the newest N")
     ap.add_argument("--hostdb-every", type=int, default=0)
     ap.add_argument("--dedup-every", type=int, default=0)
     ap.add_argument("--invertlinks-every", type=int, default=0)
@@ -85,6 +86,7 @@ def main() -> int:
         index_every=args.index_every,
         sitemaps_every=args.sitemaps_every,
         warc_out=args.warc_out,
+        gc_keep_gens=args.gc_keep_gens,
     )
     for m in results:
         print(json.dumps(m))
