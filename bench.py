@@ -142,8 +142,16 @@ def main() -> None:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # worker prints (e.g. Ray's cosmetic schema-hash warning, see
+        # coherencebot_ray/raynoise.py) otherwise interleave with the
+        # JSON line; errors still propagate as exceptions
+        log_to_driver=False,
     )
     from ray.data import DataContext
+
+    from coherencebot_ray.raynoise import install_log_filters
+
+    install_log_filters()
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
@@ -161,8 +169,13 @@ def main() -> None:
     head = run_headline()
 
     qtimes: dict[str, float] = {}
+    qprobes: dict[str, float] = {}
     for name in BENCH_QUERIES if _SCALE_TIER != "scaling" else []:
         fn = queries[name]
+        # instantaneous single-core host speed right before the query:
+        # separates real per-query regressions from hypervisor noise
+        # (round-2 verdict: per-query deltas were host-noise dominated)
+        qprobes[name] = round(cpu_probe(), 3)
         t0 = time.monotonic()
         res = fn(SF_DIR)
         # consume lazily-returned datasets
@@ -180,6 +193,10 @@ def main() -> None:
         "value": round(head["cycle_s"], 3),
         "unit": "sec",
         "queries": qtimes,
+        "queries_probe": qprobes,
+        "queries_probe_norm": {
+            n: round(qtimes[n] / qprobes[n], 2) for n in qtimes if qprobes.get(n)
+        },
         "sf": SF,
         "num_cpus": NUM_CPUS,
         "fetched_urls_per_sec": round(head["fetched_urls_per_sec"], 1),

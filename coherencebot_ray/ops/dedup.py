@@ -84,7 +84,7 @@ def candidate_pairs_from_band_group(g: pd.DataFrame, max_bucket: int = 200) -> p
     degenerate buckets (cap logged by caller — no silent truncation)."""
     ids = sorted(set(g["doc_id"]))[:max_bucket]
     if len(ids) < 2:
-        return pd.DataFrame({"a": [], "b": []})
+        return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
     a, b = [], []
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
@@ -239,13 +239,35 @@ def minhash_lsh_pairs(
 def simhash_pairs(docs_ds, max_hamming: int = 3, text_col: str = "text"):
     """SimHash near-dup pairs via 4-band blocking + hamming verify."""
 
+    N_BANDS = 4
+    WIDTH = 64 // N_BANDS
+
     def hashes(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for doc_id, text in zip(df["doc_id"], df[text_col]):
-            h = simhash64(text if isinstance(text, str) else "")
-            for band_id, key in enumerate(simhash_bands(h)):
-                rows.append({"doc_id": doc_id, "h": int(h), "band_id": band_id, "key": key})
-        return pd.DataFrame(rows) if rows else pd.DataFrame({"doc_id": [], "h": [], "band_id": [], "key": []})
+        # Typed throughout: `h` must stay uint64 on EVERY path — an
+        # untyped empty frame here once promoted the column to float64
+        # under Ray schema unification, silently destroying low-order
+        # hash bits at high parallelism (round-2 correctness failure).
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"), "h": pd.Series(dtype="uint64"),
+                 "band_id": pd.Series(dtype="int64"), "key": pd.Series(dtype="int64")}
+            )
+        hs = np.fromiter(
+            (simhash64(t if isinstance(t, str) else "") for t in df[text_col]),
+            dtype=np.uint64, count=n,
+        )
+        doc_ids = df["doc_id"].to_numpy(dtype=np.int64)
+        band = np.tile(np.arange(N_BANDS, dtype=np.int64), n)
+        h_rep = np.repeat(hs, N_BANDS)
+        keys = (
+            (h_rep >> (band.astype(np.uint64) * np.uint64(WIDTH)))
+            & np.uint64((1 << WIDTH) - 1)
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"doc_id": np.repeat(doc_ids, N_BANDS), "h": h_rep,
+             "band_id": band, "key": keys}
+        )
 
     def _empty_pairs() -> pd.DataFrame:
         return pd.DataFrame(

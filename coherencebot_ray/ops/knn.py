@@ -24,6 +24,44 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _typed_partial(out: dict) -> pd.DataFrame:
+    """Typed (query_id, neighbor_id, sim) frame — the dtypes must hold on
+    the empty path too, or Ray schema unification promotes int/uint
+    columns to float64 (round-2 simhash lesson)."""
+    return pd.DataFrame(
+        {"query_id": pd.Series(out["query_id"], dtype="int64"),
+         "neighbor_id": pd.Series(out["neighbor_id"], dtype="int64"),
+         "sim": pd.Series(out["sim"], dtype="float64")}
+    )
+
+
+def _prune_topk(cids: np.ndarray, csims: np.ndarray, k: int):
+    """Batch-local candidate prune in the FINAL order (sim desc,
+    neighbor_id asc) so ties straddling the k-th value keep the same
+    winners regardless of batch partitioning."""
+    if len(cids) > k:
+        order = np.lexsort((cids, -csims))[:k]
+        return cids[order], csims[order]
+    return cids, csims
+
+
+def pick_query_vectors(embeddings_ds, query_ids, id_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
+    """Distributed id-pruned pick of query vectors: an Arrow filter runs
+    inside map_batches and only the (tiny) hit set reaches the driver —
+    never a full-corpus driver scan (same pattern as first_centroids)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    qarr = pa.array(sorted(set(int(q) for q in query_ids)), type=pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[id_col], pa.int64())
+        return t.select([id_col, vec_col]).filter(pc.is_in(ids, value_set=qarr))
+
+    qdf = embeddings_ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    return qdf.drop_duplicates(id_col).sort_values(id_col)
+
+
 def knn_brute(embeddings_ds, query_ids: list[int], k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"):
     """Exact cosine top-k for each query id (queries are rows of the same
     table). Returns Dataset (query_id, neighbor_id, sim, rank); self
@@ -32,14 +70,7 @@ def knn_brute(embeddings_ds, query_ids: list[int], k: int = 10, id_col: str = "v
     import ray
     import ray.data as rd
 
-    qset = set(int(q) for q in query_ids)
-
-    qrows = []
-    for batch in embeddings_ds.iter_batches(batch_format="pandas"):
-        hit = batch[batch[id_col].isin(qset)]
-        if len(hit):
-            qrows.append(hit[[id_col, vec_col]])
-    qdf = pd.concat(qrows).drop_duplicates(id_col).sort_values(id_col)
+    qdf = pick_query_vectors(embeddings_ds, query_ids, id_col, vec_col)
     Q = _normalize(_batch_matrix(qdf, vec_col))  # (nq, d)
     qids = qdf[id_col].to_numpy()
     q_ref = ray.put((qids, Q))
@@ -53,14 +84,11 @@ def knn_brute(embeddings_ds, query_ids: list[int], k: int = 10, id_col: str = "v
         for j, q in enumerate(qids_):
             col = np.round(sims[:, j], 6)
             mask = ids != q  # exclude self
-            cids, csims = ids[mask], col[mask]
-            if len(cids) > k:
-                idx = np.argpartition(-csims, k)[:k]
-                cids, csims = cids[idx], csims[idx]
-            out["query_id"].extend([q] * len(cids))
+            cids, csims = _prune_topk(ids[mask], col[mask], k)
+            out["query_id"].extend([int(q)] * len(cids))
             out["neighbor_id"].extend(cids.tolist())
             out["sim"].extend(csims.tolist())
-        return pd.DataFrame(out)
+        return _typed_partial(out)
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="stable").head(k)
@@ -127,13 +155,7 @@ def knn_ivf(embeddings_ds, query_ids: list[int], k: int = 10, n_centroids: int =
         C = build_centroids(embeddings_ds, n_centroids, vec_col=vec_col)
     c_ref = ray.put(C)
 
-    qset = set(int(q) for q in query_ids)
-    qrows = []
-    for batch in embeddings_ds.iter_batches(batch_format="pandas"):
-        hit = batch[batch[id_col].isin(qset)]
-        if len(hit):
-            qrows.append(hit[[id_col, vec_col]])
-    qdf = pd.concat(qrows).drop_duplicates(id_col).sort_values(id_col)
+    qdf = pick_query_vectors(embeddings_ds, query_ids, id_col, vec_col)
     Q = _normalize(_batch_matrix(qdf, vec_col))
     qids = qdf[id_col].to_numpy()
     # rounded sims + stable sort: ties broken by centroid index (matches
@@ -152,15 +174,11 @@ def knn_ivf(embeddings_ds, query_ids: list[int], k: int = 10, n_centroids: int =
         for j, q in enumerate(qids_):
             in_probe = np.isin(assign, probes[j])
             mask = in_probe & (ids != q)
-            cids = ids[mask]
-            csims = np.round(sims[mask, j], 6)
-            if len(cids) > k:
-                idx = np.argpartition(-csims, k)[:k]
-                cids, csims = cids[idx], csims[idx]
-            out["query_id"].extend([q] * len(cids))
+            cids, csims = _prune_topk(ids[mask], np.round(sims[mask, j], 6), k)
+            out["query_id"].extend([int(q)] * len(cids))
             out["neighbor_id"].extend(cids.tolist())
             out["sim"].extend(csims.tolist())
-        return pd.DataFrame(out)
+        return _typed_partial(out)
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="stable").head(k)
@@ -201,11 +219,23 @@ def embedding_neardup_pairs(
     import os
     import tempfile
 
+    import ray
     import ray.data as rd
 
     from .agg import stable_bucket
 
-    scratch = scratch or tempfile.mkdtemp(prefix="neardup_", dir="/tmp")
+    if scratch is None:
+        # chunk writers and pair readers are separate Ray tasks: a
+        # node-local /tmp default only works single-node. Fail fast on a
+        # multi-node cluster instead of FileNotFoundError mid-job.
+        alive = [n for n in ray.nodes() if n.get("Alive")] if ray.is_initialized() else []
+        if len(alive) > 1:
+            raise ValueError(
+                "embedding_neardup_pairs on a multi-node cluster needs an "
+                "explicit shared-filesystem scratch= path (node-local /tmp "
+                "is invisible to pair tasks on other nodes)"
+            )
+        scratch = tempfile.mkdtemp(prefix="neardup_", dir="/tmp")
     os.makedirs(scratch, exist_ok=True)
 
     def add_chunk(df: pd.DataFrame) -> pd.DataFrame:
@@ -256,7 +286,11 @@ def embedding_neardup_pairs(
                 out["a"].append(int(x))
                 out["b"].append(int(y))
                 out["sim"].append(round(float(s), 6))
-        return pd.DataFrame(out)
+        return pd.DataFrame(
+            {"a": pd.Series(out["a"], dtype="int64"),
+             "b": pd.Series(out["b"], dtype="int64"),
+             "sim": pd.Series(out["sim"], dtype="float64")}
+        )
 
     pairs = [{"ci": i, "cj": j} for i in chunks for j in chunks if i <= j]
     return rd.from_items(pairs, override_num_blocks=max(1, len(pairs))).map_batches(

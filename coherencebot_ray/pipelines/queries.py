@@ -831,31 +831,72 @@ FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
 
 
 def q_q3_join(sf_dir: str):
-    """TPC-H Q3-shaped join: segment-filtered customers' order revenue."""
+    """TPC-H Q3-shaped join: segment-filtered customers' order revenue.
+
+    Distributed semi-join shape (no fact table ever touches the driver):
+      * BUILDING custkeys (dimension-sized) are broadcast ONCE via
+        ray.put and read per task;
+      * orders is filtered distributed and tagged 'o';
+      * lineitem revenue is partial-combined per batch and tagged 'l';
+      * one bucketed exchange on orderkey joins the two sides.
+    """
     import ray
 
+    from ..ops.agg import bucketed_group_apply
+
     c = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    c_pd = c.to_pandas()
-    keys = set(c_pd[c_pd["c_mktsegment"] == "BUILDING"]["c_custkey"])
+    keys_pd = c.map_batches(
+        lambda df: pd.DataFrame(
+            {"c_custkey": df.loc[df["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy(np.int64)}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    keys_ref = ray.put(np.sort(keys_pd["c_custkey"].to_numpy(np.int64)))
+
     o = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    o_pd = o.to_pandas()
-    ok = set(o_pd[o_pd["o_custkey"].isin(keys)]["o_orderkey"])
-    ok_ref = ray.put(ok)
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
-    from ..ops.agg import bucketed_sum
-
-    def prep(df: pd.DataFrame) -> pd.DataFrame:
-        keep = ray.get(ok_ref)
-        d = df[df["l_orderkey"].isin(keep)]
-        rev = _cents(
-            d["l_extendedprice"].to_numpy(np.float64) * (1.0 - d["l_discount"].to_numpy(np.float64))
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        keep = ray.get(keys_ref)
+        d = df[np.isin(df["o_custkey"].to_numpy(np.int64), keep)]
+        return pd.DataFrame(
+            {"key": d["o_orderkey"].to_numpy(np.int64),
+             "revenue_cents": np.zeros(len(d), dtype=np.int64),
+             "__t": pd.Series(["o"] * len(d), dtype=object)}
         )
-        return pd.DataFrame({"l_orderkey": d["l_orderkey"].to_numpy(), "revenue_cents": rev})
 
-    pre = li.map_batches(prep, batch_format="pandas")
-    out = bucketed_sum(pre, "l_orderkey", ["revenue_cents"]).to_pandas()
-    out.columns = ["o_orderkey", "revenue_cents"]
+    def tag_lineitem(df: pd.DataFrame) -> pd.DataFrame:
+        rev = _cents(
+            df["l_extendedprice"].to_numpy(np.float64) * (1.0 - df["l_discount"].to_numpy(np.float64))
+        )
+        d = pd.DataFrame({"key": df["l_orderkey"].to_numpy(np.int64), "revenue_cents": rev})
+        d = d.groupby("key", sort=False, as_index=False).sum()
+        d["__t"] = pd.Series(["l"] * len(d), dtype=object)
+        return d
+
+    def _empty_out() -> pd.DataFrame:
+        return pd.DataFrame(
+            {"o_orderkey": pd.Series(dtype="int64"), "revenue_cents": pd.Series(dtype="int64")}
+        )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o_keys = g.loc[g["__t"] == "o", "key"].to_numpy(np.int64)
+        l = g[g["__t"] == "l"]
+        if len(o_keys) == 0 or len(l) == 0:
+            return _empty_out()
+        l = l[np.isin(l["key"].to_numpy(np.int64), np.sort(o_keys))]
+        if len(l) == 0:
+            return _empty_out()
+        agg = l.groupby("key", sort=False, as_index=False)["revenue_cents"].sum()
+        return pd.DataFrame(
+            {"o_orderkey": agg["key"].to_numpy(np.int64),
+             "revenue_cents": agg["revenue_cents"].to_numpy(np.int64)}
+        )
+
+    tagged = o.map_batches(tag_orders, batch_format="pandas").union(
+        li.map_batches(tag_lineitem, batch_format="pandas")
+    )
+    out = bucketed_group_apply(tagged, "key", join_bucket).to_pandas()
     out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
     return out.sort_values("o_orderkey").reset_index(drop=True)
 

@@ -677,7 +677,12 @@ def score_updater(frontier_ds, ranks_ds, clear_score: float = 0.0, n_buckets: in
     def apply_bucket(g: pd.DataFrame) -> pd.DataFrame:
         f = g[g["__t"] == "f"]
         if len(f) == 0:
-            return pd.DataFrame()
+            # typed zero-ROW frame with the output schema, never a
+            # zero-COLUMN frame (Ray logs a schema-mismatch warning and
+            # may unify dtypes badly)
+            out = f.copy().drop(columns=["__t", "rank"], errors="ignore")
+            out["score"] = pd.Series(dtype="float32")
+            return out
         r = g[g["__t"] == "r"]
         rmap = dict(zip(r["url"], r["rank"])) if len(r) else {}
         f = f.copy()
