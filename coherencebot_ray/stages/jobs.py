@@ -71,22 +71,64 @@ def dedup(frontier_ds, cfg: CrawlConfig):
 
 
 def apply_duplicate_marks(frontier_ds, dups_ds):
-    """Merge-back (StatusUpdateReducer analogue): join per partition."""
-    import ray
+    """Merge-back (StatusUpdateReducer analogue, DeduplicationJob.java
+    StatusUpdateReducer): flip losers to DB_DUPLICATE.
 
-    dup_urls = set(dups_ds.to_pandas()["url"]) if dups_ds.count() else set()
-    ref = ray.put(dup_urls)
+    Distributed co-group — duplicate cardinality is corpus-scale (10-50%
+    of a real crawl), so the mark set must NEVER materialize on the
+    driver. Both sides shuffle once on hash(url); within a bucket the
+    frontier rows whose url appears among that bucket's marks flip.
 
-    def mark(df: pd.DataFrame) -> pd.DataFrame:
-        urls = ray.get(ref)
-        if not urls:
-            return df
-        df = df.copy()
-        hit = df["url"].isin(urls) & df["status"].isin([CS.DB_FETCHED, CS.DB_NOTMODIFIED])
-        df.loc[hit, "status"] = CS.DB_DUPLICATE
-        return df
+    The mark side is aligned to the frontier's exact column dtypes with
+    typed filler values BEFORE the union: mismatched union schemas make
+    Ray's block unification promote columns (uint8 status -> float64 via
+    nulls), which is precisely the bug class behind the round-2 simhash
+    failure. A one-row probe of the frontier supplies the dtypes."""
+    from ..ops.agg import bucketed_group_apply
 
-    return frontier_ds.map_batches(mark, batch_format="pandas")
+    try:
+        probe = frontier_ds.take_batch(1, batch_format="pandas")
+    except (ValueError, StopIteration):
+        return frontier_ds  # empty frontier: nothing to mark
+    front_cols = list(probe.columns)
+    front_dtypes = {c: probe.dtypes[c] for c in front_cols}
+
+    def tag_front(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.copy()
+        d["__t"] = np.zeros(len(d), dtype=np.int8)
+        return d
+
+    def tag_dup(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        cols = {}
+        for c in front_cols:
+            dt = front_dtypes[c]
+            if c == "url":
+                cols[c] = df["url"].astype(object).to_numpy()
+            elif dt == np.dtype(object):
+                cols[c] = np.array([None] * n, dtype=object)
+            else:
+                cols[c] = np.zeros(n, dtype=dt)
+        out = pd.DataFrame(cols, columns=front_cols)
+        out["__t"] = np.ones(n, dtype=np.int8)
+        return out
+
+    def mark_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g[g["__t"] == 0].drop(columns=["__t"])
+        dup_urls = g.loc[g["__t"] == 1, "url"]
+        if len(out) and len(dup_urls):
+            hit = out["url"].isin(set(dup_urls)) & out["status"].isin(
+                [CS.DB_FETCHED, CS.DB_NOTMODIFIED]
+            )
+            if hit.any():
+                out = out.copy()
+                out.loc[hit, "status"] = front_dtypes["status"].type(CS.DB_DUPLICATE)
+        return out
+
+    tagged = frontier_ds.map_batches(tag_front, batch_format="pandas").union(
+        dups_ds.map_batches(tag_dup, batch_format="pandas")
+    )
+    return bucketed_group_apply(tagged, "url", mark_bucket)
 
 
 # ---------------------------------------------------------------------------
