@@ -90,7 +90,7 @@ class CrawlConfig:
 
     # --- mime-adaptive schedule (MimeAdaptiveFetchSchedule.java:52-163) ----
     mime_rates: tuple = ()  # (mime, inc_rate, dec_rate) rows; db.fetch.schedule.mime.file
-    mime_default_inc_rate: float = 0.2  # db.fetch.schedule.adaptive.inc_rate (:87)
+    mime_default_inc_rate: float = 0.4  # db.fetch.schedule.adaptive.inc_rate (:87; stock value nutch-default.xml:506)
     mime_default_dec_rate: float = 0.2  # db.fetch.schedule.adaptive.dec_rate (:88)
 
     # --- signatures (SignatureFactory, TextProfileSignature.java) ----------

@@ -176,8 +176,10 @@ class MimeAdaptiveSchedule(AdaptiveSchedule):
     """MimeAdaptiveFetchSchedule (crawl/MimeAdaptiveFetchSchedule.java:
     52-163): AdaptiveFetchSchedule whose inc/dec rates are looked up per
     row from the fetch datum's Content-Type; unknown mimes use the
-    schedule's default rates (which default to 0.2/0.2, :87-88 — NOT
-    adaptive's 0.4 inc).
+    schedule's default rates. setConf (:87-88) falls back to 0.2/0.2
+    only when db.fetch.schedule.adaptive.inc_rate/dec_rate are absent,
+    but a stock deployment always has them (nutch-default.xml:506-519
+    sets 0.4/0.2), so the effective reference defaults are 0.4/0.2.
 
     ``mime_rates``: iterable of (mime, inc_rate, dec_rate) — the TSV
     mime file rows (:146-160)."""
@@ -185,7 +187,7 @@ class MimeAdaptiveSchedule(AdaptiveSchedule):
     name = "mime_adaptive"
     wants_mime = True
 
-    def __init__(self, mime_rates=(), default_inc: float = 0.2, default_dec: float = 0.2, **kw):
+    def __init__(self, mime_rates=(), default_inc: float = 0.4, default_dec: float = 0.2, **kw):
         super().__init__(inc_rate=default_inc, dec_rate=default_dec, **kw)
         self.rate_map = {
             str(m).lower(): (
@@ -289,7 +291,7 @@ def make_schedule(name: str, cfg) -> DefaultSchedule | AdaptiveSchedule:
     if name == "mime_adaptive":
         return MimeAdaptiveSchedule(
             mime_rates=getattr(cfg, "mime_rates", ()),
-            default_inc=getattr(cfg, "mime_default_inc_rate", 0.2),
+            default_inc=getattr(cfg, "mime_default_inc_rate", 0.4),
             default_dec=getattr(cfg, "mime_default_dec_rate", 0.2),
             default_interval=cfg.interval_default,
             max_interval_cfg=cfg.interval_max,

@@ -911,11 +911,16 @@ class CrawlDriver:
             scan_task = _GenScanTask(cfg, cur_time_ms, limit, cand_dir, filters, can_prune)
 
             def _run_scan():
-                scan_result["stats"] = (
-                    rd.from_items(scan_items, override_num_blocks=max(1, len(scan_items)))
-                    .map_batches(scan_task, batch_format="pandas", batch_size=1, num_cpus=task_cpus)
-                    .to_pandas()
-                )
+                # capture failures: an exception dying in a daemon thread
+                # would otherwise surface as a bare KeyError on 'stats'
+                try:
+                    scan_result["stats"] = (
+                        rd.from_items(scan_items, override_num_blocks=max(1, len(scan_items)))
+                        .map_batches(scan_task, batch_format="pandas", batch_size=1, num_cpus=task_cpus)
+                        .to_pandas()
+                    )
+                except BaseException as e:  # noqa: BLE001
+                    scan_result["error"] = e
 
             scan_thread = threading.Thread(target=_run_scan, daemon=True)
             scan_thread.start()
@@ -934,6 +939,8 @@ class CrawlDriver:
 
         if split_parts:
             scan_thread.join()
+            if "error" in scan_result:
+                raise scan_result["error"]
             scan_stats = scan_result["stats"]
             sel_task = _GenSelectTask(
                 cfg, cur_time_ms, cur_time_ms, limit, cand_dir, fl_dir, hostdb

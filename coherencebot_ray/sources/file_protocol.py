@@ -37,9 +37,13 @@ class FileProtocol:
         path = url[len("file:"):]
         while path.startswith("//"):
             path = path[1:]
-        path = os.path.abspath(path)
-        if self.root and not path.startswith(self.root + os.sep) and path != self.root:
-            return None  # outside the jail
+        # realpath (not abspath) on both sides: a symlink inside the
+        # jail pointing outside must not pass the containment check
+        path = os.path.realpath(path)
+        if self.root:
+            root = os.path.realpath(self.root)
+            if not path.startswith(root + os.sep) and path != root:
+                return None  # outside the jail
         return path
 
     def fetch(self, url: str) -> FakeResponse:

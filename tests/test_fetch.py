@@ -233,6 +233,14 @@ def test_file_protocol(tmp_path):
     assert proto.fetch(f"file://{d}/missing.html").status == "notfound"
     assert proto.fetch("file:///etc/passwd").status == "gone"  # outside jail
 
+    # symlink inside the jail pointing outside must NOT escape: the
+    # containment check resolves realpath on both sides
+    import os
+
+    os.symlink("/etc", str(d / "leak"))
+    assert proto.fetch(f"file://{d}/leak/passwd").status == "gone"
+    assert proto.fetch(f"file://{d}/leak").status == "gone"
+
     # through FetchPartition
     cfg = CrawlConfig(server_delay_s=0.0)
     out = run_fetch(

@@ -115,7 +115,9 @@ def test_factory():
 def test_mime_adaptive_schedule():
     """MimeAdaptiveFetchSchedule (MimeAdaptiveFetchSchedule.java:52-163):
     per-mime inc/dec rates override the defaults; unknown mimes and
-    missing Content-Type fall back to default rates (0.2/0.2)."""
+    missing Content-Type fall back to the default rates — 0.4/0.2, the
+    stock db.fetch.schedule.adaptive.inc_rate/dec_rate values
+    (nutch-default.xml:506-519) that setConf (:87-88) reads."""
     import numpy as np
 
     from coherencebot_ray.functions import schedules as sch
@@ -131,8 +133,8 @@ def test_mime_adaptive_schedule():
         ["text/html; charset=utf-8", "application/pdf", "image/png", None], dtype=object
     )
     res = s.set_fetch_schedule(ft, itv, mod, state, mime=mime)
-    # NOTMODIFIED -> interval * (1 + inc): html 1.5x, pdf 1.1x, default 1.2x
-    assert list(res.fetch_interval) == [1500, 1100, 1200, 1200]
+    # NOTMODIFIED -> interval * (1 + inc): html 1.5x, pdf 1.1x, default 1.4x
+    assert list(res.fetch_interval) == [1500, 1100, 1400, 1400]
 
     state_m = np.array([sch.STATUS_MODIFIED] * 4, dtype=np.int64)
     res2 = s.set_fetch_schedule(ft, itv, mod, state_m, mime=mime)
