@@ -991,7 +991,9 @@ def q_linkrank(sf_dir: str):
         )
 
     edges = li.map_batches(to_edges, batch_format="pandas")
-    out = linkrank(edges, iterations=2).to_pandas()
+    # n_shards pinned: the shard count sets float accumulation order, and
+    # this query's hash must be identical across cluster/parallelism sizes
+    out = linkrank(edges, iterations=2, n_shards=8).to_pandas()
     out["rank_e4"] = np.floor(out["rank"].astype(np.float64) * 1e4 + 0.5).astype(np.int64)
     return out[["url", "rank_e4"]].sort_values("url").reset_index(drop=True)
 

@@ -299,7 +299,7 @@ def _shard_of(values: np.ndarray, n_shards: int) -> np.ndarray:
     return (h % np.uint64(n_shards)).astype(np.int64)
 
 
-def linkrank(edges_ds, iterations: int = 3, damping: float = 0.85, n_shards: int = 8, n_buckets: int | None = None):
+def linkrank(edges_ds, iterations: int = 3, damping: float = 0.85, n_shards: int | None = None, n_buckets: int | None = None):
     """Power iteration over (url=src, dst) edges:
     r_{t+1}(v) = (1-d) + d * Σ_{u→v} r_t(u)/outdeg(u).
 
@@ -316,20 +316,31 @@ def linkrank(edges_ds, iterations: int = 3, damping: float = 0.85, n_shards: int
     import ray
     import ray.data as rd
 
+    if n_shards is None:
+        # scale with the cluster: ~1 shard per 2 cpus, bounded. Note the
+        # shard count changes float accumulation order (1e-16 level), so
+        # callers needing bit-identical output across cluster sizes
+        # (e.g. the oracle query) must pin n_shards explicitly.
+        cpus = ray.cluster_resources().get("CPU", 8)
+        n_shards = int(min(64, max(4, cpus // 2)))
     if n_buckets is not None:  # legacy arg name
         n_shards = min(n_shards, n_buckets)
     RankShard = ray.remote(_RankShard)
     shards = [RankShard.remote(i, n_shards, damping) for i in range(n_shards)]
 
     def route(df: pd.DataFrame) -> pd.DataFrame:
+        # fire all shard sends for the batch, then gather ONCE — the
+        # serial per-shard ray.get round-trips were transport-bound
+        refs = []
         if len(df):
             t_src = _shard_of(df["url"].to_numpy(), n_shards)
             for t in np.unique(t_src):
-                ray.get(shards[int(t)].add_edges.remote(df[t_src == t][["url", "dst"]]))
+                refs.append(shards[int(t)].add_edges.remote(df[t_src == t][["url", "dst"]]))
             dsts = df["dst"].drop_duplicates().to_numpy()
             t_dst = _shard_of(dsts, n_shards)
             for t in np.unique(t_dst):
-                ray.get(shards[int(t)].add_nodes.remote(dsts[t_dst == t]))
+                refs.append(shards[int(t)].add_nodes.remote(dsts[t_dst == t]))
+            ray.get(refs)
         return pd.DataFrame({"n": [len(df)]})
 
     edges_ds.map_batches(route, batch_format="pandas").materialize()
