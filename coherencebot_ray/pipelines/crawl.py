@@ -686,11 +686,12 @@ class CrawlDriver:
             tables, gen=new_gen, parent_gen=gen, counters={"urls_injected": int(len(seeds))}
         )
 
-    def sitemap_round(self, hosts: list[str], cur_time_ms: int) -> dict:
+    def sitemap_round(self, hosts, cur_time_ms: int) -> dict:
         """J14 SitemapProcessor round: fetch robots-declared sitemaps for
-        ``hosts`` through the protocol (actor-pool stage), then inject the
-        discovered URLs (priority -> score, changefreq -> interval) into
-        the frontier (util/SitemapProcessor.java:82-520)."""
+        ``hosts`` (a host-string list or a Dataset with a ``host`` column)
+        through the protocol (actor-pool stage), then inject the discovered
+        URLs (priority -> score, changefreq -> interval) into the frontier
+        (util/SitemapProcessor.java:82-520)."""
         from ..stages.tools import sitemap_processor
 
         rows = sitemap_processor(hosts, self.cfg, self.protocol).to_pandas()

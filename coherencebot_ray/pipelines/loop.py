@@ -31,6 +31,8 @@ def crawl_loop(
     invertlinks_every: int = 0,
     index_every: int = 0,
     sitemaps_every: int = 0,
+    sitemap_host_slices: int = 1,
+    sitemap_hosts_cap: int = 100_000,
     warc_out: str | None = None,
     gc_keep_gens: int = 0,
     protocol=None,
@@ -83,15 +85,29 @@ def crawl_loop(
 
         if sitemaps_every and r % sitemaps_every == 0:
             # robots-declared sitemap discovery over the frontier's hosts
-            # (SitemapProcessor round; host list pruned distributed)
+            # (SitemapProcessor round). The host list NEVER lands on the
+            # driver (host cardinality is ~1e8 at web scale): per-batch
+            # distinct -> host-keyed exchange for the global distinct,
+            # sliced by host-hash so each sitemap round walks 1/Nth of
+            # the host space (rotating across rounds), with a hard cap.
             # (columns= pushdown on gen=/part= paths trips a Ray parquet
             # reader bug; project per batch instead)
-            hosts = (
+            slice_id = (r // sitemaps_every) % sitemap_host_slices
+
+            def pick_hosts(df, _sid=slice_id, _n=sitemap_host_slices):
+                h = df[["host"]].drop_duplicates()
+                if _n > 1:
+                    h = h[tools._shard_of(h["host"].to_numpy(), _n) == _sid]
+                return h
+
+            hosts_ds = (
                 d.store.read(d.store.latest_gen())
-                .map_batches(lambda df: df[["host"]].drop_duplicates(), batch_format="pandas")
-                .to_pandas()["host"].drop_duplicates().tolist()
+                .map_batches(pick_hosts, batch_format="pandas")
+                .groupby("host")
+                .map_groups(lambda g: g.head(1), batch_format="pandas")
+                .limit(sitemap_hosts_cap)
             )
-            d.sitemap_round(hosts, cur)
+            d.sitemap_round(hosts_ds, cur)
 
         metrics = d.run_round(cur, hostdb=hostdb_overrides)
         gen = metrics["gen"]

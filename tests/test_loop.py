@@ -61,3 +61,20 @@ def test_loop_with_sitemaps_and_warc(tmp_path, ray_session):
     import glob as _glob
 
     assert _glob.glob(str(tmp_path / "warc" / "gen=*" / "part-*.warc"))
+
+
+def test_loop_sitemap_host_slicing(tmp_path, ray_session):
+    """Sitemap rounds walk a rotating 1/N slice of the host space with a
+    hard cap — never a driver-side list of every host."""
+    cfg = CrawlConfig(num_partitions=2, topn=40, server_delay_s=0.0)
+    res = crawl_loop(
+        str(tmp_path / "w"),
+        cfg,
+        seeds=[f"http://host{i}.example/doc/{i}" for i in range(20)],
+        rounds=2,
+        start_time_ms=T0,
+        sitemaps_every=1,
+        sitemap_host_slices=4,
+        sitemap_hosts_cap=3,
+    )
+    assert len(res) == 2 and all(m["counters"]["generated"] > 0 for m in res)
