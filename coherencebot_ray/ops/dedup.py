@@ -176,12 +176,15 @@ def minhash_lsh_pairs(
     n_perm: int = 64,
     n_bands: int = 8,
     text_col: str = "text",
+    with_text: bool = True,
 ):
     """MinHash+LSH near-dup pairs verified by true Jaccard >= threshold.
 
     Returns Dataset of (a, b, jaccard). Fully distributed — the verify
-    never collects candidates or scans the corpus on the driver:
+    never collects candidates or scans the corpus on the driver. Two
+    verify layouts, same results:
 
+    ``with_text=True`` (default — small/medium documents):
       1. map_batches: doc -> (band_id, band_hash, doc_id, text) LSH rows
          (text rides the band row: n_bands x text volume through ONE
          exchange, so the Jaccard verify runs inside the band bucket)
@@ -190,15 +193,15 @@ def minhash_lsh_pairs(
       3. small bucketed dedup on (a, b) (a pair can collide in several
          bands)
 
-    For very large documents where n_bands x text volume dominates,
-    trade step 1's text shipping for a doc_id-hash join of candidate
-    halves back to the docs table (the pre-optimization layout; the
-    machinery is `bucketed_group_apply` either way).
+    ``with_text=False`` (large documents): band rows carry only ids, so
+    the band exchange moves ~40 bytes/row regardless of document size;
+    candidate pairs are verified by hash-joining each half back to the
+    docs table (two more bucketed exchanges, each moving the corpus text
+    ONCE plus pair-cardinality rows). Use when n_bands x mean doc size
+    dominates: measured crossover on this host is ~2-4 KB mean document
+    size (see BASELINE.md round-3 note).
     """
     hasher = MinHasher(n_perm=n_perm)
-
-    def bands(df: pd.DataFrame) -> pd.DataFrame:
-        return hasher.band_rows(df, n_bands=n_bands, text_col=text_col, with_text=True)
 
     def _empty_pairs() -> pd.DataFrame:
         return pd.DataFrame(
@@ -206,19 +209,125 @@ def minhash_lsh_pairs(
              "jaccard": pd.Series(dtype="float64")}
         )
 
-    def pairs_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        out = {"a": [], "b": [], "jaccard": []}
+    from .agg import bucketed_group_apply
+
+    if with_text:
+        def bands(df: pd.DataFrame) -> pd.DataFrame:
+            return hasher.band_rows(df, n_bands=n_bands, text_col=text_col, with_text=True)
+
+        def pairs_bucket(b: pd.DataFrame) -> pd.DataFrame:
+            out = {"a": [], "b": [], "jaccard": []}
+            for _, g in b.groupby(["band_id", "band_hash"], sort=False):
+                cand = candidate_pairs_from_band_group(g)
+                if not len(cand):
+                    continue
+                texts = dict(zip(g["doc_id"], g["text"]))
+                for pa, pb in zip(cand["a"], cand["b"]):
+                    j = jaccard(texts.get(pa, ""), texts.get(pb, ""))
+                    if j >= threshold:
+                        out["a"].append(int(pa))
+                        out["b"].append(int(pb))
+                        out["jaccard"].append(round(j, 6))
+            if not out["a"]:
+                return _empty_pairs()
+            return pd.DataFrame(
+                {"a": pd.Series(out["a"], dtype="int64"),
+                 "b": pd.Series(out["b"], dtype="int64"),
+                 "jaccard": pd.Series(out["jaccard"], dtype="float64")}
+            )
+
+        band_ds = docs_ds.map_batches(bands, batch_format="pandas")
+        verified = bucketed_group_apply(band_ds, ["band_id", "band_hash"], pairs_bucket)
+        return bucketed_group_apply(
+            verified, ["a", "b"], lambda g: g.drop_duplicates(subset=["a", "b"])
+        )
+
+    # ---- id-join layout: band rows carry no text -------------------------
+    def bands_ids(df: pd.DataFrame) -> pd.DataFrame:
+        return hasher.band_rows(df, n_bands=n_bands, text_col=text_col, with_text=False)
+
+    def cand_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        outs = []
         for _, g in b.groupby(["band_id", "band_hash"], sort=False):
             cand = candidate_pairs_from_band_group(g)
-            if not len(cand):
-                continue
-            texts = dict(zip(g["doc_id"], g["text"]))
-            for pa, pb in zip(cand["a"], cand["b"]):
-                j = jaccard(texts.get(pa, ""), texts.get(pb, ""))
-                if j >= threshold:
-                    out["a"].append(int(pa))
-                    out["b"].append(int(pb))
-                    out["jaccard"].append(round(j, 6))
+            if len(cand):
+                outs.append(cand)
+        if not outs:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    band_ds = docs_ds.map_batches(bands_ids, batch_format="pandas")
+    cands = bucketed_group_apply(band_ds, ["band_id", "band_hash"], cand_bucket)
+    # distinct (a, b) BEFORE the text joins so each pair is verified once
+    cands = bucketed_group_apply(
+        cands, ["a", "b"], lambda g: g.drop_duplicates(subset=["a", "b"])
+    )
+
+    # Tagged-union hash join, one side at a time. Union schemas are
+    # aligned and typed on EVERY path (the round-2 simhash lesson:
+    # mismatched union schemas let Ray promote columns via nulls).
+    def doc_side(stage: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            n = len(df)
+            out = pd.DataFrame(
+                {"key": df["doc_id"].to_numpy(dtype=np.int64) if n else np.array([], dtype=np.int64),
+                 "__t": np.zeros(n, dtype=np.int8),
+                 "other": np.zeros(n, dtype=np.int64),
+                 "txt": df[text_col].astype(object).to_numpy() if n else np.array([], dtype=object)}
+            )
+            if stage == 2:
+                out["txt_a"] = np.array([None] * n, dtype=object)
+            return out
+        return f
+
+    def pair_side_a(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame(
+            {"key": df["a"].to_numpy(dtype=np.int64) if n else np.array([], dtype=np.int64),
+             "__t": np.ones(n, dtype=np.int8),
+             "other": df["b"].to_numpy(dtype=np.int64) if n else np.array([], dtype=np.int64),
+             "txt": np.array([None] * n, dtype=object)}
+        )
+
+    def join_a_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["__t"] == 0]
+        p = g[g["__t"] == 1]
+        if len(p) == 0:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+                 "txt_a": pd.Series(dtype="object")}
+            )
+        texts = dict(zip(d["key"], d["txt"]))
+        return pd.DataFrame(
+            {"a": p["key"].to_numpy(dtype=np.int64),
+             "b": p["other"].to_numpy(dtype=np.int64),
+             "txt_a": np.array([texts.get(k) for k in p["key"]], dtype=object)}
+        )
+
+    def pair_side_b(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame(
+            {"key": df["b"].to_numpy(dtype=np.int64) if n else np.array([], dtype=np.int64),
+             "__t": np.ones(n, dtype=np.int8),
+             "other": df["a"].to_numpy(dtype=np.int64) if n else np.array([], dtype=np.int64),
+             "txt": np.array([None] * n, dtype=object),
+             "txt_a": df["txt_a"].astype(object).to_numpy() if n else np.array([], dtype=object)}
+        )
+
+    def join_b_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["__t"] == 0]
+        p = g[g["__t"] == 1]
+        if len(p) == 0:
+            return _empty_pairs()
+        texts = dict(zip(d["key"], d["txt"]))
+        out = {"a": [], "b": [], "jaccard": []}
+        for pa, pb, ta in zip(p["other"], p["key"], p["txt_a"]):
+            tb = texts.get(pb)
+            j = jaccard(ta if isinstance(ta, str) else "", tb if isinstance(tb, str) else "")
+            if j >= threshold:
+                out["a"].append(int(pa))
+                out["b"].append(int(pb))
+                out["jaccard"].append(round(j, 6))
         if not out["a"]:
             return _empty_pairs()
         return pd.DataFrame(
@@ -227,12 +336,15 @@ def minhash_lsh_pairs(
              "jaccard": pd.Series(out["jaccard"], dtype="float64")}
         )
 
-    from .agg import bucketed_group_apply
-
-    band_ds = docs_ds.map_batches(bands, batch_format="pandas")
-    verified = bucketed_group_apply(band_ds, ["band_id", "band_hash"], pairs_bucket)
+    docs_kv = docs_ds.map_batches(doc_side(1), batch_format="pandas")
+    with_a = bucketed_group_apply(
+        docs_kv.union(cands.map_batches(pair_side_a, batch_format="pandas")),
+        "key", join_a_bucket,
+    )
+    docs_kv2 = docs_ds.map_batches(doc_side(2), batch_format="pandas")
     return bucketed_group_apply(
-        verified, ["a", "b"], lambda g: g.drop_duplicates(subset=["a", "b"])
+        docs_kv2.union(with_a.map_batches(pair_side_b, batch_format="pandas")),
+        "key", join_b_bucket,
     )
 
 

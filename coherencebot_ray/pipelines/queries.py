@@ -22,9 +22,20 @@ EPOCH = DV.EPOCH
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    path = f"{sf_dir}/{table}.parquet"
+    # Strip the writer's pandas key-value metadata: it makes
+    # hash(pa.Schema) raise ("unhashable type: dict"), which made every
+    # read emit Ray's "Failed to hash the schemas" warning
+    # (ray/data/_internal/arrow_ops/transform_pyarrow.py:181).
+    schema = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        import pyarrow as pa
+
+        schema = pa.schema([schema.field(c) for c in columns])
+    return rd.read_parquet(path, columns=columns, schema=schema)
 
 
 def _cents(x: np.ndarray) -> np.ndarray:
@@ -429,6 +440,24 @@ def q_minhash_lsh(sf_dir: str):
     from ..ops.dedup import minhash_lsh_pairs
 
     out = minhash_lsh_pairs(_read(sf_dir, "documents", columns=["doc_id", "text"])).to_pandas()
+    out["jaccard_ppm"] = np.floor(out["jaccard"].astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    out = out[["a", "b", "jaccard_ppm"]]
+    for c in ("a", "b"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_minhash_lsh_idjoin(sf_dir: str):
+    """Same near-dup pairs as ``minhash_lsh`` through the large-document
+    layout (with_text=False): band rows carry ids only and candidate
+    halves are hash-joined back to the docs table for the Jaccard
+    verify. Oracle-checked against the same SQL — both layouts must be
+    bitwise identical."""
+    from ..ops.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), with_text=False
+    ).to_pandas()
     out["jaccard_ppm"] = np.floor(out["jaccard"].astype(np.float64) * 1e6 + 0.5).astype(np.int64)
     out = out[["a", "b", "jaccard_ppm"]]
     for c in ("a", "b"):
@@ -1178,6 +1207,7 @@ def build_queries() -> dict:
         "indexer_join": q_indexer_join,
         "dedup_exact_docs": q_dedup_exact_docs,
         "minhash_lsh": q_minhash_lsh,
+        "minhash_lsh_idjoin": q_minhash_lsh_idjoin,
         "simhash": q_simhash,
         "text_quality": q_text_quality,
         "fingerprint": q_fingerprint,
@@ -1226,6 +1256,7 @@ def build_oracle_sql() -> dict:
         "q1_agg": _Q1_SQL,
         "q3_join": _Q3_SQL,
         "minhash_lsh": _minhash_sql(),
+        "minhash_lsh_idjoin": _minhash_sql(),
         "simhash": _SIMHASH_SQL,
         "langid": _langid_sql(),
         "knn_ivf": _KNN_IVF_SQL,

@@ -136,6 +136,34 @@ def test_minhash_lsh_finds_neardups(ray_session):
     assert not any(3 in p for p in pairs)
 
 
+def test_minhash_lsh_id_join_path_matches_text_path(ray_session):
+    """The with_text=False (doc_id hash-join verify) layout must return
+    exactly the same pairs as the default text-riding layout."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(200)]
+    texts = []
+    for i in range(40):
+        base = " ".join(rng.choice(words, size=30, replace=False))
+        texts.append(base)
+        if i % 4 == 0:  # inject a near-dup of every 4th doc
+            texts.append(base + " extra tail words appended")
+    docs = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    ds = rd.from_pandas(docs)
+
+    def norm(df):
+        return sorted(map(tuple, df[["a", "b"]].to_numpy()))
+
+    out_text = dd.minhash_lsh_pairs(ds, threshold=0.5, with_text=True).to_pandas()
+    out_join = dd.minhash_lsh_pairs(ds, threshold=0.5, with_text=False).to_pandas()
+    assert norm(out_text) == norm(out_join)
+    assert len(out_text) > 0
+    jt = dict(zip(map(tuple, out_text[["a", "b"]].to_numpy()), out_text["jaccard"]))
+    jj = dict(zip(map(tuple, out_join[["a", "b"]].to_numpy()), out_join["jaccard"]))
+    assert jt == jj
+
+
 def test_simhash_pipeline(ray_session):
     import ray.data as rd
 

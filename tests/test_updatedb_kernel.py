@@ -296,7 +296,9 @@ def test_notmodified_continuous_refetches():
 def test_mime_adaptive_in_merge():
     """MimeAdaptive rates apply per fetch datum's content_type through
     the updatedb kernel (Content-Type rides the datum; unknown/missing
-    mime uses the 0.2/0.2 defaults)."""
+    mime uses the stock 0.4/0.2 adaptive defaults — nutch-default.xml
+    sets db.fetch.schedule.adaptive.inc_rate=0.4, which
+    MimeAdaptiveFetchSchedule.setConf inherits)."""
     sig = hashlib.md5(b"same").digest()
     rows = []
     for i, (u, ct) in enumerate(
@@ -316,4 +318,4 @@ def test_mime_adaptive_in_merge():
     # same signature -> NOTMODIFIED -> interval * (1 + inc)
     assert out.loc["http://h.com/html", "fetch_interval"] == 1500
     assert out.loc["http://h.com/pdf", "fetch_interval"] == 1100
-    assert out.loc["http://h.com/none", "fetch_interval"] == 1200
+    assert out.loc["http://h.com/none", "fetch_interval"] == 1400
