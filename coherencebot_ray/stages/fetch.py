@@ -71,6 +71,7 @@ class FetchPartition:
             g = g[g["segnum"] == 1] if (g["segnum"] == 1).any() else g
         g = g.reset_index(drop=True)
 
+        scheme_robots = hasattr(proto, "robots_for")
         robots_cache: dict[str, object] = {}
         host_delay_ms: dict[str, float] = {}
         host_count: dict[str, int] = {}
@@ -95,11 +96,17 @@ class FetchPartition:
                 rows.append(_datum(row, CS.FETCH_GONE, self.cur_time_ms, None, None, {"_skip_": host_dead[host]}))
                 continue
 
-            # robots (cached per host; RobotRulesParser.CACHE analogue)
-            rb = robots_cache.get(host)
+            # robots (cached per host; RobotRulesParser.CACHE analogue —
+            # the reference keys by protocol:host:port, so scheme-aware
+            # protocols get a scheme-qualified key + url-aware lookup)
+            if scheme_robots:
+                rkey = url[: url.find("://")] + ":" + host if "://" in url else host
+            else:
+                rkey = host
+            rb = robots_cache.get(rkey)
             if rb is None:
-                rb = proto.robots(host)
-                robots_cache[host] = rb
+                rb = proto.robots_for(host, url) if scheme_robots else proto.robots(host)
+                robots_cache[rkey] = rb
                 delay_ms = cfg.server_delay_s * 1000.0
                 if rb.crawl_delay is not None:
                     if rb.crawl_delay > cfg.max_crawl_delay_s:
