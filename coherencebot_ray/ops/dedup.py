@@ -197,9 +197,15 @@ def minhash_lsh_pairs(
     the band exchange moves ~40 bytes/row regardless of document size;
     candidate pairs are verified by hash-joining each half back to the
     docs table (two more bucketed exchanges, each moving the corpus text
-    ONCE plus pair-cardinality rows). Use when n_bands x mean doc size
-    dominates: measured crossover on this host is ~2-4 KB mean document
-    size (see BASELINE.md round-3 note).
+    ONCE plus pair-cardinality rows). Exchange-volume accounting:
+    text layout ships n_bands*T text bytes through one exchange; this
+    layout ships ~2*T (one per join side) through two — a 4x reduction
+    at n_bands=8, growing with n_bands. Measured single-node walls are
+    within host noise of each other at 0.5-18 KB mean doc size (three
+    extra local sorts offset the volume saved; BASELINE.md round-3
+    note), so the flag matters when exchanges cross a real network or
+    when n_bands*corpus_text_bytes exceeds cluster exchange capacity —
+    flip it at multi-node scale for corpora above a few KB/doc.
     """
     hasher = MinHasher(n_perm=n_perm)
 
