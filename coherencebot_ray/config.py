@@ -45,6 +45,10 @@ class CrawlConfig:
     timelimit_mins: float = -1.0  # fetcher.timelimit.mins
     store_content: bool = True
     real_sleep: bool = False  # tests only: actually sleep the politeness delay
+    # NutchPublisher hook (fetcher.publisher / publisher/NutchPublisher.java):
+    # when set, fetch tasks append START/REPORTING/END events as JSONL
+    # under this dir (functions/publisher.JsonlPublisher)
+    publisher_dir: str | None = None
 
     # --- parse / outlinks (ParseOutputFormat.java) -------------------------
     max_outlinks_per_page: int = 100  # db.max.outlinks.per.page

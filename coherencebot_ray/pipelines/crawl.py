@@ -318,7 +318,12 @@ def _fetch_parse_one(cfg, cur_time_ms, seg, part, fl, protocol, load_seen) -> di
     from ..stages.parse import ParseBatch
 
     t0 = time.monotonic()
-    fetch_out = FetchPartition(cfg, cur_time_ms, protocol)(fl)
+    publisher = None
+    if cfg.publisher_dir:
+        from ..functions.publisher import JsonlPublisher
+
+        publisher = JsonlPublisher(cfg.publisher_dir)
+    fetch_out = FetchPartition(cfg, cur_time_ms, protocol, publisher=publisher)(fl)
     # Split redirect-discovery LINKED rows out of fetch_out: they
     # are partitioned by TARGET host (stages/fetch.py) and join the
     # crawl_parse cross-partition exchange below, so a cross-host

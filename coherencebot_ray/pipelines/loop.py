@@ -13,6 +13,8 @@ import json
 import os
 import time
 
+import pandas as pd
+
 from ..config import CrawlConfig
 from ..model import CrawlStatus as CS
 from .crawl import CrawlDriver
@@ -131,7 +133,15 @@ def crawl_loop(
             frontier = d.store.read(gen)
             dups = jobs.dedup(frontier, cfg)
             marked = jobs.apply_duplicate_marks(d.store.read(gen), dups)
-            n_dups = int((marked.to_pandas()["status"] == CS.DB_DUPLICATE).sum())
+            # distributed count — the marked frontier is corpus-sized,
+            # never collect it to the driver just to count a status
+            n_dups = int(
+                marked.map_batches(
+                    lambda df: pd.DataFrame({"n": [int((df["status"] == CS.DB_DUPLICATE).sum())]}),
+                    batch_format="pandas",
+                )
+                .sum("n")
+            )
             metrics["duplicates_marked"] = n_dups
 
         if index_every and r % index_every == 0:

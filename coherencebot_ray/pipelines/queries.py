@@ -673,6 +673,21 @@ def q_embedding_neardup(sf_dir: str):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def q_embedding_neardup_lsh(sf_dir: str):
+    """Hyperplane-LSH near-dup pairs (the sub-quadratic scale path).
+    Approximate by construction — found pairs are exact-verified inside
+    their bucket, so every returned pair satisfies the threshold, but
+    recall < 1 is possible; no SQL oracle (rows-only driver check).
+    Deterministic: seeded hyperplanes, in-bucket exact verify."""
+    from ..ops.knn import embedding_neardup_lsh
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = embedding_neardup_lsh(ds, threshold=0.45, n_tables=24, n_bits=6).to_pandas()[["a", "b"]]
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 _NEARDUP_SQL = """
 SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a, embeddings b
@@ -1215,6 +1230,7 @@ def build_queries() -> dict:
         "knn_cosine": q_knn_cosine,
         "knn_ivf": q_knn_ivf,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "window_tumbling": q_window_tumbling,
         "sliding_window": q_sliding_window,
         "sessionize": q_sessionize,

@@ -56,10 +56,14 @@ _STATUS_MAP = {
 class FetchPartition:
     """Callable for ``groupby("part").map_groups`` — fetches one partition."""
 
-    def __init__(self, cfg: CrawlConfig, cur_time_ms: int, protocol=None):
+    def __init__(self, cfg: CrawlConfig, cur_time_ms: int, protocol=None, publisher=None):
         self.cfg = cfg
         self.cur_time_ms = cur_time_ms
         self.protocol = protocol if protocol is not None else FakeProtocol()
+        # NutchPublisher hook (publisher/NutchPublisher.java via
+        # FetcherThreadPublisher): START/REPORTING/END events per
+        # partition, buffered and flushed once at partition end
+        self.publisher = publisher
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
         cfg = self.cfg
@@ -200,7 +204,29 @@ class FetchPartition:
             )
 
         out = pd.DataFrame(rows)
+        if self.publisher is not None and len(out):
+            self._publish(out)
         return out if len(out) else _empty_out(g)
+
+    def _publish(self, out: pd.DataFrame) -> None:
+        from ..functions import publisher as pub
+
+        part = int(out["part"].iloc[0])
+        events = [pub.event(pub.START, None, self.cur_time_ms, part=part)]
+        fetched = out[out["fetch_order"] >= 0]
+        for url, status, ft, ct in zip(
+            fetched["url"], fetched["status"], fetched["fetch_time"], fetched["content_type"]
+        ):
+            events.append(
+                pub.event(pub.REPORTING, url, ft, part=part, status=int(status), contentType=ct)
+            )
+        events.append(
+            pub.event(pub.END, None, self.cur_time_ms, part=part, fetched=int(len(fetched)))
+        )
+        try:
+            self.publisher.publish_many(events)
+        except Exception:
+            pass  # publisher failure must not fail the fetch (reference logs+continues)
 
     def _fetch_following(self, url: str, proto, redirect_seen: set):
         """Follow redirects inline up to http.redirect.max (0 = don't)."""
@@ -252,13 +278,13 @@ def _empty_out(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({c: pd.Series(dtype="object") for c in _OUT_COLS})
 
 
-def fetch(fetchlist_ds, cfg: CrawlConfig, cur_time_ms: int, protocol=None, concurrency=None):
+def fetch(fetchlist_ds, cfg: CrawlConfig, cur_time_ms: int, protocol=None, concurrency=None, publisher=None):
     """Ray Data fetch pipeline: fetchlist Dataset -> fetch_out Dataset.
 
     ``concurrency`` sizes the actor pool; per-partition groups are the
     politeness unit, so any pool size is correct.
     """
-    fp = FetchPartition(cfg, cur_time_ms, protocol)
+    fp = FetchPartition(cfg, cur_time_ms, protocol, publisher=publisher)
 
     def fetch_partition(g):
         return fp(g)

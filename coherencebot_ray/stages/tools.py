@@ -98,10 +98,16 @@ def segment_stats(seg_dir: str) -> dict:
 
 
 def dump_segment_csv(seg_dir: str, what: str, out_path: str, columns=None) -> int:
-    """readseg -dump analogue -> CSV."""
+    """readseg -dump analogue -> CSV. A single-file dump is inherently
+    driver-bound — use it for debugging slices; pass a DIRECTORY path
+    (trailing sep or existing dir) to stream per-block CSV shards
+    instead (the at-scale path, parallel writers, no driver collect)."""
     ds = read_segment(seg_dir, what)
     if columns:
         ds = ds.select_columns(columns)
+    if out_path.endswith(os.sep) or os.path.isdir(out_path):
+        ds.write_csv(out_path.rstrip(os.sep))
+        return int(ds.count())
     df = ds.to_pandas()
     df.to_csv(out_path, index=False)
     return len(df)
@@ -562,6 +568,65 @@ def feed_inject_lines(feed: FakeCollectionsFeed) -> list[str]:
     return lines
 
 
+class CollectionsFeedClient:
+    """Real paged-API feed client (FeedInjector.java:400-525): GETs
+    ``endpoint?params`` with ``x-api-key`` / ``User-Agent`` headers,
+    walks the JSON ``next`` links, and emits the reference's exact seed
+    line shape per complete row::
+
+        url\\tcollection.title=..\\tcollection.id=..\\tcollection.seed=..
+           \\torg.slug=..\\torg.domains=a;b
+
+    Rows missing any of uuid/url/title/org.slug/domains are skipped
+    (FeedInjector.java:498-505). ``session`` is injectable for tests
+    (no network in this environment) — same seam as HttpProtocol.
+    """
+
+    def __init__(self, endpoint: str, params: str, api_key: str = "", agent: str = "coherencebot-ray", session=None):
+        self.endpoint = endpoint
+        self.params = params
+        self.api_key = api_key
+        self.agent = agent
+        if session is not None:
+            self._session = session
+        else:  # pragma: no cover - no network in the test environment
+            import requests
+
+            self._session = requests.Session()
+
+    def seed_lines(self, max_pages: int = 10_000) -> list[str]:
+        url = f"{self.endpoint}?{self.params}"
+        lines: list[str] = []
+        pages = 0
+        while url and pages < max_pages:
+            r = self._session.get(
+                url,
+                headers={"x-api-key": self.api_key, "User-Agent": self.agent},
+                timeout=30,
+            )
+            body = r.json() if callable(getattr(r, "json", None)) else {}
+            for c in body.get("results") or []:
+                try:
+                    seed_url = (c.get("url") or "").strip()
+                    cid = c.get("uuid")
+                    title = c.get("title")
+                    org = c.get("org") or {}
+                    slug = org.get("slug")
+                    domains = list(org.get("domains") or []) + list(c.get("allowed_hosts") or [])
+                    if not (seed_url and cid and title and slug and domains):
+                        continue  # incomplete row: ignore (FeedInjector.java:503)
+                    lines.append(
+                        f"{seed_url}\tcollection.title={title}\tcollection.id={cid}"
+                        f"\tcollection.seed={seed_url}\torg.slug={slug}"
+                        f"\torg.domains={';'.join(domains)}"
+                    )
+                except Exception:
+                    continue
+            url = body.get("next")
+            pages += 1
+        return lines
+
+
 # ---------------------------------------------------------------------------
 # Index sinks (indexer-csv / indexer-dummy / parquet)
 # ---------------------------------------------------------------------------
@@ -581,18 +646,118 @@ def write_index(docs_ds, out_dir: str, fmt: str = "parquet") -> None:
         raise ValueError(f"unknown index sink format: {fmt}")
 
 
+class HttpIndexWriter:
+    """Solr-style HTTP index sink (src/plugin/indexer-solr
+    SolrIndexWriter semantics: batched JSON doc arrays POSTed to the
+    update endpoint, one commit at close). Runs as a map_batches actor
+    stage — one session per actor, one POST per batch, never per row.
+
+    ``session_factory`` is injectable for tests; the default builds a
+    requests.Session (real deployments only — no network in this env).
+    """
+
+    def __init__(self, endpoint: str, session_factory=None, timeout_s: float = 30.0):
+        self.endpoint = endpoint.rstrip("/")
+        self.timeout_s = timeout_s
+        if session_factory is not None:
+            self._session = session_factory()
+        else:  # pragma: no cover - no network in the test environment
+            import requests
+
+            self._session = requests.Session()
+
+    def post_batch(self, df: pd.DataFrame) -> int:
+        docs = df.to_dict(orient="records")
+        r = self._session.post(
+            f"{self.endpoint}/update/json/docs",
+            json=docs,
+            timeout=self.timeout_s,
+        )
+        status = getattr(r, "status_code", 200)
+        if status >= 300:
+            raise RuntimeError(f"index POST failed: HTTP {status}")
+        return len(docs)
+
+    def commit(self) -> None:
+        self._session.post(
+            f"{self.endpoint}/update", json={"commit": {}}, timeout=self.timeout_s
+        )
+
+
+def write_index_http(docs_ds, endpoint: str, session_factory=None, batch_size: int = 500, concurrency: int = 4) -> int:
+    """Stream the docs Dataset into an HTTP index. Returns docs posted.
+    Each actor owns a connection; the final commit happens once from the
+    driver after the stream drains (Solr's close-time commit)."""
+
+    class _Post:
+        def __init__(self):
+            self.w = HttpIndexWriter(endpoint, session_factory)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"n": [self.w.post_batch(df)]}) if len(df) else pd.DataFrame({"n": [0]})
+
+    stats = docs_ds.map_batches(
+        _Post, batch_format="pandas", batch_size=batch_size, concurrency=concurrency
+    )
+    total = int(stats.sum("n") or 0)
+    HttpIndexWriter(endpoint, session_factory).commit()
+    return total
+
+
+def write_index_exchanged(docs_ds, writers: dict, exchanges=None) -> None:
+    """Exchange-routed index writing (exchange/Exchanges.java:144-159 +
+    IndexWriters): ``writers`` maps writer id -> (out_dir, fmt); each
+    document goes to the union of writer ids whose exchange predicate
+    matches (default route / all-writers fallback per the reference —
+    see functions/exchange.Exchanges).
+
+    Execution shape: ONE shared upstream dataset, one vectorized
+    predicate filter per writer (each a zero-copy map_batches over the
+    same blocks) — no per-row routing, no driver materialization. With
+    W writers the docs stream is read W times from the object store,
+    which beats a per-row scatter exchange for the small W (2-5) the
+    reference deploys.
+    """
+    from ..functions.exchange import Exchanges
+
+    exch = exchanges if exchanges is not None else Exchanges(all_writers=tuple(writers))
+
+    def route_for(writer_id: str):
+        def f(df):
+            masks = exch.writer_masks(df)
+            m = masks.get(writer_id)
+            return df[m] if m is not None else df.iloc[0:0]
+
+        return f
+
+    for wid, (out_dir, fmt) in writers.items():
+        write_index(
+            docs_ds.map_batches(route_for(wid), batch_format="pandas"), out_dir, fmt
+        )
+
+
 # ---------------------------------------------------------------------------
 # SegmentMerger (segment/SegmentMerger.java): union several segments,
 # keep the latest record per url per component
 # ---------------------------------------------------------------------------
 
 
-def merge_segments(seg_dirs: list[str], out_dir: str, n_buckets: int = 64) -> dict:
+def merge_segments(seg_dirs: list[str], out_dir: str, n_buckets: int = 64, merge_filters=()) -> dict:
     """Merge the fetch_out/docs components of several segments (latest
     fetch_time per url wins, like SegmentMerger's last-writer-by-segment
     semantics) and union+dedup the outlinks edges. Writes merged
     per-bucket parquet under ``out_dir`` (resumable layout). Everything
     is one bucketed exchange per component — no driver materialization.
+
+    ``merge_filters``: SegmentMergeFilter chain
+    (segment/SegmentMergeFilter.java / SegmentMergeFilters.java) —
+    callables ``(component_name, df) -> bool mask``; a False drops the
+    row from the merged output. Vectorized per bucket after the
+    latest-wins dedup. Divergence from the reference, documented: the
+    reference co-groups ALL components per url before filtering; here
+    each component is filtered independently (a filter that needs
+    another component's columns must return all-True for components it
+    does not understand).
     """
     import ray.data as rd
 
@@ -643,17 +808,32 @@ def merge_segments(seg_dirs: list[str], out_dir: str, n_buckets: int = 64) -> di
         g = g.sort_values("fetch_time", ascending=False, kind="stable")
         return g[~g["url"].duplicated()]
 
+    def _filtered(component: str, base_fn):
+        if not merge_filters:
+            return base_fn
+
+        def f(g: pd.DataFrame) -> pd.DataFrame:
+            g = base_fn(g)
+            for mf in merge_filters:
+                mask = np.asarray(mf(component, g), dtype=bool)
+                g = g[mask]
+            return g
+
+        return f
+
     for what in ("fetch_out", "docs"):
         files = _files(what)
         counts[what] = (
-            _merge_component(files, os.path.join(out_dir, what), _latest) if files else 0
+            _merge_component(files, os.path.join(out_dir, what), _filtered(what, _latest))
+            if files
+            else 0
         )
 
     ol_files = _files("outlinks")
     counts["outlinks"] = (
         _merge_component(
             ol_files, os.path.join(out_dir, "outlinks"),
-            lambda g: g.drop_duplicates(subset=["url", "dst"]),
+            _filtered("outlinks", lambda g: g.drop_duplicates(subset=["url", "dst"])),
         )
         if ol_files
         else 0

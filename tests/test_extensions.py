@@ -1,0 +1,176 @@
+"""Exchange routing, NutchPublisher events, SegmentMergeFilter hook
+(exchange/Exchanges.java, publisher/NutchPublisher.java,
+segment/SegmentMergeFilter.java analogues)."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+from coherencebot_ray.config import CrawlConfig
+from coherencebot_ray.functions import publisher as pub
+from coherencebot_ray.functions.exchange import ExchangeConfig, Exchanges
+from coherencebot_ray.model import CrawlStatus as CS
+from coherencebot_ray.stages.fetch import FetchPartition
+
+CUR = 1_700_000_000_000
+
+
+def _docs():
+    return pd.DataFrame(
+        {
+            "url": ["http://a.com/1", "http://b.org/2", "http://c.com/3"],
+            "score": [0.9, 0.2, 0.5],
+            "lang": ["en", "de", "en"],
+        }
+    )
+
+
+def test_exchange_union_of_matches():
+    ex = Exchanges(
+        [
+            ExchangeConfig("hi", "score > 0.4", ("solr",)),
+            ExchangeConfig("english", 'lang == "en"', ("csv",)),
+        ],
+        all_writers=("solr", "csv"),
+    )
+    m = ex.writer_masks(_docs())
+    assert m["solr"].tolist() == [True, False, True]
+    assert m["csv"].tolist() == [True, False, True]
+
+
+def test_exchange_default_route_for_unmatched():
+    ex = Exchanges(
+        [ExchangeConfig("hi", "score > 0.4", ("solr",))],
+        default_writers=("fallback",),
+        all_writers=("solr", "fallback"),
+    )
+    m = ex.writer_masks(_docs())
+    assert m["solr"].tolist() == [True, False, True]
+    # Exchanges.java:153-156 — default applies only where nothing matched
+    assert m["fallback"].tolist() == [False, True, False]
+
+
+def test_no_exchanges_routes_everywhere():
+    # Exchanges.java:80-83 availableExchanges=false -> all writers
+    ex = Exchanges(all_writers=("a", "b"))
+    m = ex.writer_masks(_docs())
+    assert all(m[w].all() for w in ("a", "b"))
+
+
+def test_exchange_bad_expression_matches_nothing():
+    # JexlExchange.match swallows evaluation errors -> no match
+    ex = Exchanges(
+        [ExchangeConfig("broken", "nosuchcol > 1", ("x",))], all_writers=("x",)
+    )
+    assert not ex.writer_masks(_docs())["x"].any()
+
+
+def test_publisher_events_from_fetch_partition(tmp_path):
+    out_dir = str(tmp_path / "events")
+    p = pub.JsonlPublisher(out_dir)
+    cfg = CrawlConfig(server_delay_s=0.0)
+    g = pd.DataFrame(
+        {
+            "url": ["http://h.com/a", "http://h.com/b"],
+            "host": ["h.com", "h.com"],
+            "part": [3, 3],
+            "score": [1.0, 1.0],
+            "status": [CS.DB_UNFETCHED] * 2,
+            "fetch_time": [CUR - 1000] * 2,
+            "fetch_interval": [2_592_000] * 2,
+            "retries": [0, 0],
+            "signature": [None, None],
+            "metadata": [{}, {}],
+        }
+    )
+    FetchPartition(cfg, CUR, publisher=p)(g)
+    path = os.path.join(out_dir, "events-part-3.jsonl")
+    events = [json.loads(line) for line in open(path)]
+    types = [e["eventType"] for e in events]
+    assert types[0] == pub.START and types[-1] == pub.END
+    reporting = [e for e in events if e["eventType"] == pub.REPORTING]
+    assert {e["url"] for e in reporting} == {"http://h.com/a", "http://h.com/b"}
+    assert events[-1]["metadata"]["fetched"] == 2
+
+
+def test_http_index_writer(ray_session, tmp_path):
+    import glob
+
+    import ray.data as rd
+
+    from coherencebot_ray.stages.tools import write_index_http
+
+    rec = str(tmp_path / "posts")
+
+    # defined INSIDE the test: Ray workers can't import the pytest
+    # module by name, so the stub must be cloudpickled by value
+    class _RecordingSession:
+        """Stub HTTP session recording posts to a directory (actors run
+        in other processes, so recording goes through the filesystem)."""
+
+        def __init__(self, rec_dir):
+            self.rec_dir = rec_dir
+
+        def post(self, url, json=None, timeout=None):
+            import json as _json
+            import os
+            import uuid
+
+            os.makedirs(self.rec_dir, exist_ok=True)
+            with open(os.path.join(self.rec_dir, f"{uuid.uuid4().hex}.json"), "w") as f:
+                _json.dump({"url": url, "body": json}, f)
+
+            class R:
+                status_code = 200
+
+            return R()
+
+    docs = pd.DataFrame({"url": [f"http://x/{i}" for i in range(20)], "score": range(20)})
+    n = write_index_http(
+        rd.from_pandas(docs),
+        "http://solr.example/core1",
+        session_factory=lambda: _RecordingSession(rec),
+        batch_size=8,
+        concurrency=1,
+    )
+    assert n == 20
+    posts = [json.load(open(p)) for p in glob.glob(rec + "/*.json")]
+    doc_posts = [p for p in posts if p["url"].endswith("/update/json/docs")]
+    commits = [p for p in posts if p["url"].endswith("/update") and "commit" in p["body"]]
+    assert sum(len(p["body"]) for p in doc_posts) == 20
+    assert len(commits) == 1
+    urls = {d["url"] for p in doc_posts for d in p["body"]}
+    assert urls == set(docs["url"])
+
+
+def test_segment_merge_filter(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from coherencebot_ray.stages.tools import merge_segments
+
+    seg = tmp_path / "seg1" / "fetch_out" / "part-0"
+    seg.mkdir(parents=True)
+    t = pa.table(
+        {
+            "url": ["http://a.com/x", "http://spam.com/y"],
+            "fetch_time": [10, 20],
+            "status": [33, 33],
+        }
+    )
+    pq.write_table(t, seg / "f.parquet")
+
+    def drop_spam(component, df):
+        if "url" not in df.columns:
+            return np.ones(len(df), dtype=bool)
+        return ~df["url"].str.contains("spam")
+
+    out = tmp_path / "merged"
+    counts = merge_segments(
+        [str(tmp_path / "seg1")], str(out), n_buckets=4, merge_filters=[drop_spam]
+    )
+    assert counts["fetch_out"] == 1
+    got = pq.read_table(str(out / "fetch_out")).to_pandas()
+    assert got["url"].tolist() == ["http://a.com/x"]

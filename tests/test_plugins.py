@@ -157,6 +157,75 @@ def test_feed_injector_lines():
     assert any("withdrawn=true" in ln for ln in lines)
 
 
+def test_collections_feed_client_paged():
+    """Real-API client shape (FeedInjector.java:400-525): next-link
+    paging, x-api-key header, incomplete rows skipped, exact seed-line
+    format."""
+
+    class _Resp:
+        def __init__(self, body):
+            self._body = body
+
+        def json(self):
+            return self._body
+
+    class _Session:
+        def __init__(self):
+            self.calls = []
+
+        def get(self, url, headers=None, timeout=None):
+            self.calls.append((url, headers))
+            if "page=2" in url:
+                return _Resp(
+                    {
+                        "count": 3,
+                        "results": [
+                            {"uuid": "u3", "url": "http://c.org/s3", "title": "T3",
+                             "org": {"slug": "c-org", "domains": ["c.org"]}}
+                        ],
+                        "next": None,
+                    }
+                )
+            return _Resp(
+                {
+                    "count": 3,
+                    "results": [
+                        {"uuid": "u1", "url": "http://a.org/s1 ", "title": "T1",
+                         "org": {"slug": "a-org", "domains": ["a.org", "a2.org"]},
+                         "allowed_hosts": ["extra.org"]},
+                        {"uuid": "u2", "url": "http://b.org/s2", "title": "T2",
+                         "org": {}},  # no slug/domains -> skipped
+                    ],
+                    "next": "http://api.example/collections?page=2",
+                }
+            )
+
+    s = _Session()
+    c = tools.CollectionsFeedClient(
+        "http://api.example/collections", "status=active", api_key="K", session=s
+    )
+    lines = c.seed_lines()
+    assert len(lines) == 2
+    assert lines[0] == (
+        "http://a.org/s1\tcollection.title=T1\tcollection.id=u1"
+        "\tcollection.seed=http://a.org/s1\torg.slug=a-org"
+        "\torg.domains=a.org;a2.org;extra.org"
+    )
+    assert lines[1].startswith("http://c.org/s3\t")
+    assert s.calls[0][1]["x-api-key"] == "K"
+    assert s.calls[0][0] == "http://api.example/collections?status=active"
+    # seed lines parse through the injector reader
+    import json as _json
+
+    from coherencebot_ray.config import CrawlConfig
+    from coherencebot_ray.functions.inject import parse_seed_lines
+
+    parsed = parse_seed_lines(lines, CrawlConfig(), 1_700_000_000_000)
+    assert len(parsed) == 2
+    md = _json.loads(parsed["metadata"].iloc[0])
+    assert md["org.slug"] == "a-org"
+
+
 def test_cleaning_job(ray_session):
     import ray.data as rd
 
