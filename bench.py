@@ -136,7 +136,13 @@ def cpu_probe() -> float:
 def main() -> None:
     import ray
 
+    # size the object store to 50% of memory (Ray Data's own
+    # recommendation; the default 42.9% triggers a resource_manager
+    # warning and shrinks shuffle headroom). The proportion env var is
+    # read at `import ray` time, so pass the byte count explicitly.
+    total_mem = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
     ray.init(
+        object_store_memory=int(total_mem * 0.5),
         address="local",
         num_cpus=NUM_CPUS,
         include_dashboard=False,
@@ -155,6 +161,11 @@ def main() -> None:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # bars are off; disabling name truncation silences the last
+    # advisory WARNING so the bench log is warning-free (Ray's warning
+    # text names DEFAULT_ENABLE_PROGRESS_BAR_NAME_TRUNCATION but the
+    # actual DataContext field is the lowercase one, context.py:492)
+    ctx.enable_progress_bar_name_truncation = False
 
     from coherencebot_ray.pipelines.queries import build_queries
 
