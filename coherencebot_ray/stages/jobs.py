@@ -217,6 +217,50 @@ def invertlinks(outlinks_ds, cfg: CrawlConfig):
     return bucketed_group_apply(partials, "dst", final_bucket)
 
 
+def merge_linkdbs(linkdb_dss: list, cfg: CrawlConfig):
+    """LinkDbMerger (crawl/LinkDbMerger.java:39-110 reduce): union the
+    inlink lists per target url across several linkdbs, dedup by source
+    url (Inlinks is keyed by fromUrl), cap at db.max.inlinks; counts
+    follow the capped list. One bucketed exchange over the union —
+    linkdbs merge without any driver materialization.
+    """
+    max_in = cfg.linkdb_max_inlinks
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"url": pd.Series(dtype="object"), "n_inlinks": pd.Series(dtype="int64"),
+                 "anchors": pd.Series(dtype="object"), "srcs": pd.Series(dtype="object")}
+            )
+        rows = {"url": [], "n_inlinks": [], "anchors": [], "srcs": []}
+        for url, grp in g.groupby("url", sort=False):
+            if len(grp) > 1:
+                # block arrival order is parallelism-dependent; fold in a
+                # stable order so the capped result is deterministic
+                # (MapReduce reduce-value order is unspecified in the
+                # reference too — we pin it down)
+                grp = grp.iloc[np.argsort([str(s) for s in grp["srcs"]], kind="stable")]
+            seen: dict = {}
+            for anchors, srcs in zip(grp["anchors"], grp["srcs"]):
+                for a, s in zip(list(anchors), list(srcs)):
+                    if s not in seen:
+                        seen[s] = a
+                    if len(seen) >= max_in:
+                        break
+                if len(seen) >= max_in:
+                    break
+            rows["url"].append(url)
+            rows["n_inlinks"].append(len(seen))
+            rows["anchors"].append(list(seen.values()))
+            rows["srcs"].append(list(seen.keys()))
+        return pd.DataFrame(rows)
+
+    from ..ops.agg import bucketed_group_apply
+
+    unioned = linkdb_dss[0].union(*linkdb_dss[1:]) if len(linkdb_dss) > 1 else linkdb_dss[0]
+    return bucketed_group_apply(unioned, "url", merge_bucket)
+
+
 # ---------------------------------------------------------------------------
 # J13 UpdateHostDb: per-host aggregates
 # ---------------------------------------------------------------------------

@@ -431,6 +431,115 @@ def test_segment_merger(tmp_path, ray_session):
     assert (m == latest.reindex(m.index)).all()
 
 
+def test_linkdb_merger(ray_session):
+    """TestLinkDbMerger.testMerge port (crawl/TestLinkDbMerger.java:40-102):
+    two linkdbs, overlapping target http://example.com/ gets the UNION of
+    its inlink lists; disjoint targets pass through; cap honored."""
+    import ray.data as rd
+
+    from coherencebot_ray.stages.jobs import merge_linkdbs
+
+    db1 = pd.DataFrame(
+        {
+            "url": ["http://example.com/foo", "http://example.com/"],
+            "n_inlinks": [2, 2],
+            "anchors": [["a", "a"], ["a", "a"]],
+            "srcs": [
+                ["http://example.com/100", "http://example.com/101"],
+                ["http://example.com/110", "http://example.com/111"],
+            ],
+        }
+    )
+    db2 = pd.DataFrame(
+        {
+            "url": ["http://example.com/", "http://example.com/bar"],
+            "n_inlinks": [2, 2],
+            "anchors": [["a", "a"], ["a", "a"]],
+            "srcs": [
+                ["http://foo.com/200", "http://foo.com/201"],
+                ["http://foo.com/210", "http://foo.com/211"],
+            ],
+        }
+    )
+    cfg = CrawlConfig()
+    out = (
+        merge_linkdbs([rd.from_pandas(db1), rd.from_pandas(db2)], cfg)
+        .to_pandas()
+        .set_index("url")
+    )
+    assert len(out) == 3
+    assert sorted(out.loc["http://example.com/", "srcs"]) == [
+        "http://example.com/110", "http://example.com/111",
+        "http://foo.com/200", "http://foo.com/201",
+    ]
+    assert out.loc["http://example.com/", "n_inlinks"] == 4
+    assert out.loc["http://example.com/foo", "srcs"] == [
+        "http://example.com/100", "http://example.com/101"
+    ]
+    assert out.loc["http://example.com/bar", "n_inlinks"] == 2
+    # cap: max 3 inlinks keeps the first 3 by db order
+    cfg3 = CrawlConfig(linkdb_max_inlinks=3)
+    out3 = (
+        merge_linkdbs([rd.from_pandas(db1), rd.from_pandas(db2)], cfg3)
+        .to_pandas()
+        .set_index("url")
+    )
+    assert out3.loc["http://example.com/", "n_inlinks"] == 3
+
+
+def test_segment_merger_randomized_datums(tmp_path, ray_session):
+    """TestSegmentMergerCrawlDatums port (NUTCH-1113/1616/1520 class):
+    randomized sequences of N segments carrying one record for the same
+    url with random fetch statuses; the merged segment must keep exactly
+    one record with the LAST round's status — records must not disappear
+    or regress to an earlier status. Discovery (LINKED) rows for other
+    urls ride along untouched."""
+    import glob as _glob
+    import os as _os
+
+    import numpy as np_
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    from coherencebot_ray.stages.tools import merge_segments
+
+    rnd = np_.random.default_rng(1616)
+    statuses = [
+        CS.FETCH_SUCCESS, CS.FETCH_GONE, CS.FETCH_RETRY,
+        CS.FETCH_REDIR_TEMP, CS.FETCH_REDIR_PERM, CS.FETCH_NOTMODIFIED,
+    ]
+    url = "http://nutch.apache.org/"
+    for trial in range(4):
+        rounds = int(rnd.integers(2, 7))
+        last_status = statuses[int(rnd.integers(len(statuses)))]
+        base = tmp_path / f"t{trial}"
+        segs = []
+        for i in range(rounds):
+            st = last_status if i == rounds - 1 else statuses[int(rnd.integers(len(statuses)))]
+            seg = base / f"{i:07d}" / "fetch_out" / "part-0"
+            seg.mkdir(parents=True)
+            rows = {
+                "url": [url],
+                "fetch_time": [1000 + i],
+                "status": [int(st)],
+            }
+            if rnd.random() < 0.5:  # random LINKED discovery row
+                rows["url"].append(f"http://other{i}.example/")
+                rows["fetch_time"].append(1000 + i)
+                rows["status"].append(int(CS.LINKED))
+            pq_.write_table(pa_.table(rows), seg / "f.parquet")
+            segs.append(str(base / f"{i:07d}"))
+        out = str(base / "merged")
+        merge_segments(segs, out, n_buckets=4)
+        merged = pq_.read_table(_glob.glob(f"{out}/fetch_out/*.parquet")).to_pandas()
+        mine = merged[merged["url"] == url]
+        assert len(mine) == 1, f"trial {trial}: record disappeared or duplicated"
+        assert int(mine["status"].iloc[0]) == int(last_status), (
+            f"trial {trial}: expected last-round status {last_status}, "
+            f"got {mine['status'].iloc[0]}"
+        )
+
+
 def test_score_updater_and_node_dumper(ray_session):
     """WebGraph ScoreUpdater (rank -> frontier score, absent nodes
     cleared) and NodeDumper top-N by degree (scoring/webgraph/*)."""

@@ -293,6 +293,32 @@ def test_notmodified_continuous_refetches():
     assert interval <= 31_536_000
 
 
+def test_url_404_purging():
+    """TestCrawlDbFilter.testUrl404Purging port: with db.update.purge.404
+    a DB_GONE row is dropped from the updated CrawlDb while fetched and
+    unfetched rows survive (CrawlDbFilter.java:76-125)."""
+    from coherencebot_ray.stages.updatedb import apply_purges
+
+    rows = [
+        datum(CS.DB_GONE, url="http://www.example.com/"),
+        datum(CS.DB_FETCHED, url="http://www.example1.com/"),
+        datum(CS.DB_UNFETCHED, url="http://www.example2.com/"),
+    ]
+    merged = run(rows)
+    assert len(merged) == 3
+    out = apply_purges(merged, CrawlConfig(purge_404=True))
+    assert len(out) == 2
+    assert set(out["url"]) == {"http://www.example1.com/", "http://www.example2.com/"}
+    # purge off: everything survives
+    assert len(apply_purges(merged, CrawlConfig())) == 3
+    # orphan purge is independent
+    rows.append(datum(CS.DB_ORPHAN, url="http://www.example3.com/"))
+    merged = run(rows)
+    out = apply_purges(merged, CrawlConfig(purge_orphans=True))
+    assert "http://www.example3.com/" not in set(out["url"])
+    assert "http://www.example.com/" in set(out["url"])
+
+
 def test_mime_adaptive_in_merge():
     """MimeAdaptive rates apply per fetch datum's content_type through
     the updatedb kernel (Content-Type rides the datum; unknown/missing
