@@ -93,13 +93,65 @@ def candidate_pairs_from_band_group(g: pd.DataFrame, max_bucket: int = 200) -> p
     return pd.DataFrame({"a": a, "b": b})
 
 
-def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
-    sa, sb = _token_shingles(text_a, k), _token_shingles(text_b, k)
+def candidate_pairs_whole_bucket(
+    b: pd.DataFrame, max_bucket: int = 200
+) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct within-(band_id, band_hash) doc_id pairs for an ENTIRE
+    bucket frame at once, as two int64 arrays (a < b).
+
+    Replaces the per-group ``groupby -> candidate_pairs_from_band_group``
+    loop in the verify stage: profiling at sf0.1 showed ~90% of the
+    verify UDF's CPU was pandas DataFrame construction for ~40k mostly
+    singleton groups (38k calls, 39s of a 43s bucket pass), not pair
+    work. Here group boundaries come from one lexsort; the only Python
+    loop is over groups with >=2 members (candidate-bearing groups, a
+    tiny fraction). Semantics identical: per-group all-pairs capped at
+    ``max_bucket`` ids, then distinct (a, b) across the bucket's bands.
+    """
+    if len(b) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    bi = b["band_id"].to_numpy()
+    bh = b["band_hash"].to_numpy()
+    did = b["doc_id"].to_numpy(dtype=np.int64)
+    order = np.lexsort((did, bh, bi))
+    bi, bh, did = bi[order], bh[order], did[order]
+    new = np.empty(len(bi), dtype=bool)
+    new[0] = True
+    new[1:] = (bi[1:] != bi[:-1]) | (bh[1:] != bh[:-1])
+    starts = np.flatnonzero(new)
+    ends = np.r_[starts[1:], len(bi)]
+    sizes = ends - starts
+    a_out, b_out = [], []
+    for s, e in zip(starts[sizes >= 2], ends[sizes >= 2]):
+        ids = did[s:e]
+        ids = ids[np.r_[True, ids[1:] != ids[:-1]]]  # defensive in-group dedup
+        m = len(ids)
+        if m < 2:
+            continue
+        if m > max_bucket:
+            ids = ids[:max_bucket]
+            m = max_bucket
+        iu, ju = np.triu_indices(m, k=1)
+        a_out.append(ids[iu])
+        b_out.append(ids[ju])
+    if not a_out:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    pairs = np.unique(
+        np.stack([np.concatenate(a_out), np.concatenate(b_out)], axis=1), axis=0
+    )
+    return pairs[:, 0], pairs[:, 1]
+
+
+def _jaccard_sets(sa: set, sb: set) -> float:
     if not sa and not sb:
         return 1.0
     inter = len(sa & sb)
     union = len(sa) + len(sb) - inter
     return inter / union if union else 0.0
+
+
+def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    return _jaccard_sets(_token_shingles(text_a, k), _token_shingles(text_b, k))
 
 
 def simhash64(text: str) -> np.uint64:
@@ -222,18 +274,31 @@ def minhash_lsh_pairs(
             return hasher.band_rows(df, n_bands=n_bands, text_col=text_col, with_text=True)
 
         def pairs_bucket(b: pd.DataFrame) -> pd.DataFrame:
+            # whole-bucket vectorized candidate generation + shingle each
+            # doc once per bucket: the per-group pandas loop this replaces
+            # spent ~90% of the verify stage's CPU building mini-frames
+            # (profile in candidate_pairs_whole_bucket docstring)
+            cand_a, cand_b = candidate_pairs_whole_bucket(b)
+            if not len(cand_a):
+                return _empty_pairs()
+            texts = dict(zip(b["doc_id"], b["text"]))
+            sh_cache: dict = {}
+
+            def sh(doc_id):
+                s = sh_cache.get(doc_id)
+                if s is None:
+                    t = texts.get(doc_id, "")
+                    s = _token_shingles(t if isinstance(t, str) else "")
+                    sh_cache[doc_id] = s
+                return s
+
             out = {"a": [], "b": [], "jaccard": []}
-            for _, g in b.groupby(["band_id", "band_hash"], sort=False):
-                cand = candidate_pairs_from_band_group(g)
-                if not len(cand):
-                    continue
-                texts = dict(zip(g["doc_id"], g["text"]))
-                for pa, pb in zip(cand["a"], cand["b"]):
-                    j = jaccard(texts.get(pa, ""), texts.get(pb, ""))
-                    if j >= threshold:
-                        out["a"].append(int(pa))
-                        out["b"].append(int(pb))
-                        out["jaccard"].append(round(j, 6))
+            for pa, pb in zip(cand_a, cand_b):
+                j = _jaccard_sets(sh(pa), sh(pb))
+                if j >= threshold:
+                    out["a"].append(int(pa))
+                    out["b"].append(int(pb))
+                    out["jaccard"].append(round(j, 6))
             if not out["a"]:
                 return _empty_pairs()
             return pd.DataFrame(
@@ -253,14 +318,10 @@ def minhash_lsh_pairs(
         return hasher.band_rows(df, n_bands=n_bands, text_col=text_col, with_text=False)
 
     def cand_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for _, g in b.groupby(["band_id", "band_hash"], sort=False):
-            cand = candidate_pairs_from_band_group(g)
-            if len(cand):
-                outs.append(cand)
-        if not outs:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
-        return pd.concat(outs, ignore_index=True)
+        cand_a, cand_b = candidate_pairs_whole_bucket(b)
+        return pd.DataFrame(
+            {"a": pd.Series(cand_a, dtype="int64"), "b": pd.Series(cand_b, dtype="int64")}
+        )
 
     band_ds = docs_ds.map_batches(bands_ids, batch_format="pandas")
     cands = bucketed_group_apply(band_ds, ["band_id", "band_hash"], cand_bucket)
@@ -327,9 +388,17 @@ def minhash_lsh_pairs(
             return _empty_pairs()
         texts = dict(zip(d["key"], d["txt"]))
         out = {"a": [], "b": [], "jaccard": []}
+        sh_cache: dict = {}
+
+        def sh(doc_id, txt):
+            s = sh_cache.get(doc_id)
+            if s is None:
+                s = _token_shingles(txt if isinstance(txt, str) else "")
+                sh_cache[doc_id] = s
+            return s
+
         for pa, pb, ta in zip(p["other"], p["key"], p["txt_a"]):
-            tb = texts.get(pb)
-            j = jaccard(ta if isinstance(ta, str) else "", tb if isinstance(tb, str) else "")
+            j = _jaccard_sets(sh(pa, ta), sh(pb, texts.get(pb)))
             if j >= threshold:
                 out["a"].append(int(pa))
                 out["b"].append(int(pb))

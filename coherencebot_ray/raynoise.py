@@ -17,6 +17,14 @@ batches -> groupby -> map_groups, no repo code):
 2. ``Failed to hash the schemas (for deduplication): unhashable type:
    'dict'`` — Ray's schema-dedup cache can't hash Parquet schemas that
    carry dict-valued pandas metadata; purely cosmetic.
+3. ``Error calculating size for column '...': cannot call `vectorize`
+   on size 0 inputs`` — Ray's pandas block size sampler
+   (pandas_block.py:497-507) calls np.vectorize on the sampled values
+   of object columns; a ZERO-ROW block's empty sample raises inside
+   numpy and Ray logs the fallback. Typed zero-row frames with object
+   (text) columns are correct per this package's empty-frame rule, so
+   the warning is unavoidable noise; Ray catches the error and falls
+   back to index-only sizing.
 
 Install with :func:`install_log_filters` from benchmark / CLI entry
 points (tests keep full logs).
@@ -29,6 +37,7 @@ import logging
 _PATTERNS = (
     "Operator produced a RefBundle with a different schema",
     "Failed to hash the schemas (for deduplication)",
+    "Error calculating size for column",
 )
 
 
