@@ -63,9 +63,12 @@ def bucketed_group_apply(
         if len(keys) == 1:
             b = stable_bucket(df[keys[0]], n_buckets)
         else:
-            h = pd.util.hash_pandas_object(
-                df[keys].astype(str).agg("\x1f".join, axis=1), index=False
-            ).to_numpy(dtype=np.uint64)
+            # hash_pandas_object combines multi-column rows vectorized in
+            # C (row hash = mix of per-column hashes); the previous
+            # astype(str).agg(join, axis=1) ran a Python join per row
+            h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy(
+                dtype=np.uint64
+            )
             b = (h % np.uint64(n_buckets)).astype(np.int32)
         df = df.copy()
         df[BUCKET_COL] = b
