@@ -221,6 +221,56 @@ FROM lineitem GROUP BY 1 ORDER BY 1
 """
 
 
+def q_linkdb_merge(sf_dir: str):
+    """J10b LinkDbMerger: lineitem edges split into two linkdbs by
+    l_orderkey parity, each inverted independently, then merged
+    (crawl/LinkDbMerger.java). The merge dedups inlinks BY SOURCE url,
+    so the oracle counts DISTINCT (src, dst) edges; the anchor is a
+    function of the source so duplicate edges carry identical anchors
+    (fold order can't matter)."""
+    from ..stages.jobs import invertlinks, merge_linkdbs
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_partkey", "l_linenumber"]
+    )
+
+    def to_edges(parity: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            d = df[df["l_orderkey"].to_numpy(np.int64) % 2 == parity]
+            return pd.DataFrame(
+                {
+                    "url": "http://o" + d["l_orderkey"].astype(str) + "l" + d["l_linenumber"].astype(str) + ".example/",
+                    "host": "o" + d["l_orderkey"].astype(str) + ".example",
+                    "dst": "http://p" + d["l_partkey"].astype(str) + ".example/",
+                    "anchor": "s" + d["l_orderkey"].astype(str),
+                }
+            )
+
+        return f
+
+    cfg = CrawlConfig(linkdb_ignore_internal=False, linkdb_max_inlinks=10_000_000)
+    dbs = [
+        invertlinks(li.map_batches(to_edges(p), batch_format="pandas"), cfg)
+        for p in (0, 1)
+    ]
+    out = merge_linkdbs(dbs, cfg).to_pandas()
+    out["min_src"] = out["srcs"].map(min)
+    out["min_anchor"] = out["anchors"].map(min)
+    out = out[["url", "n_inlinks", "min_src", "min_anchor"]]
+    out["n_inlinks"] = out["n_inlinks"].astype(np.int64)
+    return out.sort_values("url").reset_index(drop=True)
+
+
+_LINKDB_MERGE_SQL = """
+WITH e AS (SELECT DISTINCT l_orderkey, l_linenumber, l_partkey FROM lineitem)
+SELECT 'http://p' || l_partkey || '.example/' AS url,
+       count(*) AS n_inlinks,
+       min('http://o' || l_orderkey || 'l' || l_linenumber || '.example/') AS min_src,
+       min('s' || l_orderkey) AS min_anchor
+FROM e GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_hostdb(sf_dir: str):
     """J13 UpdateHostDb: per-host status counts (UpdateHostDbReducer)."""
     import ray.data as rd
@@ -1214,6 +1264,7 @@ def build_queries() -> dict:
         "updatedb_merge": q_updatedb_merge,
         "dedup_urls": q_dedup_urls,
         "invertlinks": q_invertlinks,
+        "linkdb_merge": q_linkdb_merge,
         "hostdb": q_hostdb,
         "readdb_stats": q_readdb_stats,
         "readdb_topn": q_readdb_topn,
@@ -1253,6 +1304,7 @@ def build_oracle_sql() -> dict:
         "updatedb_merge": _UPDATEDB_SQL,
         "dedup_urls": _DEDUP_SQL,
         "invertlinks": _INVERT_SQL,
+        "linkdb_merge": _LINKDB_MERGE_SQL,
         "hostdb": _HOSTDB_SQL,
         "readdb_stats": _STATS_SQL,
         "readdb_topn": _TOPN_SQL,
