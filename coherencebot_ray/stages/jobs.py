@@ -161,6 +161,13 @@ def invertlinks(outlinks_ds, cfg: CrawlConfig):
             d = d[(dst_hosts.to_numpy() != d["host"].to_numpy())]
         if len(d) == 0:
             return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _EMPTY.items()})
+        if len(d) <= max_in:
+            # batch-local cap can't bind: skip the per-batch sort +
+            # cumcount entirely (the final bucket pass re-caps exactly)
+            return pd.DataFrame(
+                {"dst": d["dst"].to_numpy(), "anchor": d["anchor"].to_numpy(),
+                 "src": d["url"].to_numpy(), "w": 1}
+            )
         d = d.sort_values("dst", kind="stable")
         cum = d.groupby("dst", sort=False).cumcount().to_numpy()
         kept = d[cum < max_in]
