@@ -94,7 +94,10 @@ def candidate_pairs_from_band_group(g: pd.DataFrame, max_bucket: int = 200) -> p
 
 
 def candidate_pairs_whole_bucket(
-    b: pd.DataFrame, max_bucket: int = 200
+    b: pd.DataFrame,
+    max_bucket: int = 200,
+    band_col: str = "band_id",
+    hash_col: str = "band_hash",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Distinct within-(band_id, band_hash) doc_id pairs for an ENTIRE
     bucket frame at once, as two int64 arrays (a < b).
@@ -110,8 +113,8 @@ def candidate_pairs_whole_bucket(
     """
     if len(b) == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    bi = b["band_id"].to_numpy()
-    bh = b["band_hash"].to_numpy()
+    bi = b[band_col].to_numpy()
+    bh = b[hash_col].to_numpy()
     did = b["doc_id"].to_numpy(dtype=np.int64)
     order = np.lexsort((did, bh, bi))
     bi, bh, did = bi[order], bh[order], did[order]
@@ -462,31 +465,34 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, text_col: str = "text"):
              "hamming": pd.Series(dtype="int64")}
         )
 
-    def pairs_one(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = d["doc_id"].to_numpy()
-        hs = d["h"].to_numpy()
-        if len(ids) < 2:
-            return _empty_pairs()
-        a, b, hd = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                dist = hamming64(int(hs[i]), int(hs[j]))
-                if dist <= max_hamming:
-                    a.append(ids[i])
-                    b.append(ids[j])
-                    hd.append(dist)
-        return pd.DataFrame(
-            {"a": pd.Series(a, dtype="int64"), "b": pd.Series(b, dtype="int64"),
-             "hamming": pd.Series(hd, dtype="int64")}
-        )
-
     def pairs_bucket(bk: pd.DataFrame) -> pd.DataFrame:
-        outs = [pairs_one(g) for _, g in bk.groupby(["band_id", "key"], sort=False)]
-        outs = [o for o in outs if len(o)]
-        if not outs:
+        # whole-bucket vectorized: candidates via one lexsort (same
+        # machinery as minhash), hamming via XOR + unpackbits popcount
+        # over all candidate pairs at once — no per-group pandas objects
+        # no group cap: the 4-band pigeonhole argument needs EVERY pair
+        # in a colliding band checked for hamming <= 3 to stay lossless
+        cand_a, cand_b = candidate_pairs_whole_bucket(
+            bk, max_bucket=1 << 31, hash_col="key"
+        )
+        if not len(cand_a):
             return _empty_pairs()
-        return pd.concat(outs, ignore_index=True)
+        d = bk.drop_duplicates("doc_id")
+        ids = d["doc_id"].to_numpy(np.int64)
+        hs = d["h"].to_numpy(np.uint64)
+        order = np.argsort(ids)
+        ids, hs = ids[order], hs[order]
+        ha = hs[np.searchsorted(ids, cand_a)]
+        hb = hs[np.searchsorted(ids, cand_b)]
+        x = (ha ^ hb).copy()
+        dist = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1).astype(np.int64)
+        m = dist <= max_hamming
+        if not m.any():
+            return _empty_pairs()
+        return pd.DataFrame(
+            {"a": pd.Series(cand_a[m], dtype="int64"),
+             "b": pd.Series(cand_b[m], dtype="int64"),
+             "hamming": pd.Series(dist[m], dtype="int64")}
+        )
 
     from .agg import bucketed_group_apply
 
