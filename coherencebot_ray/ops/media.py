@@ -46,6 +46,26 @@ def probe_image(payload: bytes) -> tuple[str, int, int] | None:
     if b[:2] == b"BM" and len(payload) >= 26:
         p = bytes(payload[18:26])
         return ("bmp", int.from_bytes(p[0:4], "little"), abs(int.from_bytes(p[4:8], "little", signed=True)))
+    # WebP: RIFF container, 'WEBP' fourcc; VP8X canvas size is 24-bit
+    # little-endian minus one at offsets 24/27; VP8L packs 14-bit dims
+    # after the 0x2F signature byte; lossy VP8 has dims at +26/+28
+    if b[:4] == b"RIFF" and len(payload) >= 30 and bytes(payload[8:12]) == b"WEBP":
+        data = bytes(payload[:40])
+        fourcc = data[12:16]
+        if fourcc == b"VP8X":
+            w = int.from_bytes(data[24:27], "little") + 1
+            h = int.from_bytes(data[27:30], "little") + 1
+            return ("webp", w, h)
+        if fourcc == b"VP8L" and data[20] == 0x2F:
+            bits = int.from_bytes(data[21:25], "little")
+            return ("webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+        if fourcc == b"VP8 " and len(data) >= 30:
+            return (
+                "webp",
+                int.from_bytes(data[26:28], "little") & 0x3FFF,
+                int.from_bytes(data[28:30], "little") & 0x3FFF,
+            )
+        return ("webp", 0, 0)
     # JPEG: scan markers for SOF0/1/2 (height/width big-endian in frame header)
     if b[:2] == b"\xff\xd8":
         data = bytes(payload)
@@ -65,6 +85,52 @@ def probe_image(payload: bytes) -> tuple[str, int, int] | None:
             seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
             i += 2 + max(2, seg_len)
         return None
+    return None
+
+
+_MP3_RATES = {0: 44100, 1: 48000, 2: 32000}  # MPEG-1 sample-rate index
+
+
+def probe_audio(payload: bytes) -> tuple[str, int, int] | None:
+    """REAL audio container probe: returns (format, sample_rate,
+    channels) for WAV and MP3 payloads, None otherwise. Like
+    probe_image, this is header byte parsing only — sample decode stays
+    stubbed."""
+    if payload is None or len(payload) < 12:
+        return None
+    b = bytes(payload[: min(len(payload), 4096)])
+    # WAV: RIFF/WAVE; walk chunks to the 'fmt ' chunk (channels at +2
+    # LE16, sample rate at +4 LE32 within the chunk body)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        i = 12
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            clen = int.from_bytes(b[i + 4 : i + 8], "little")
+            if cid == b"fmt " and i + 16 <= len(b):
+                ch = int.from_bytes(b[i + 10 : i + 12], "little")
+                sr = int.from_bytes(b[i + 12 : i + 16], "little")
+                return ("wav", sr, ch)
+            i += 8 + clen + (clen & 1)
+        return ("wav", 0, 0)
+    # MP3: ID3v2 tag or bare MPEG-1 Layer III frame sync
+    start = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        # syncsafe 28-bit tag length at offsets 6-9
+        taglen = (
+            ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14) | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
+        )
+        start = 10 + taglen
+        if start + 4 > len(b):
+            return ("mp3", 0, 0)
+    h = b[start : start + 4]
+    if len(h) == 4 and h[0] == 0xFF and (h[1] & 0xE0) == 0xE0:
+        version = (h[1] >> 3) & 0x3  # 3 = MPEG-1
+        sr_idx = (h[2] >> 2) & 0x3
+        sr = _MP3_RATES.get(sr_idx, 0) if version == 3 else 0
+        channels = 1 if ((h[3] >> 6) & 0x3) == 3 else 2
+        return ("mp3", sr, channels)
+    if b[:3] == b"ID3":
+        return ("mp3", 0, 0)
     return None
 
 
@@ -96,19 +162,28 @@ class MediaFeatureExtractor:
                 "kind": np.where(n_bytes % 3 == 0, "video", np.where(n_bytes % 3 == 1, "image", "audio")),
             }
         )
-        # REAL header probe overrides the deterministic fake for payloads
-        # that are actual PNG/GIF/JPEG/BMP containers
+        # REAL header probes override the deterministic fake for payloads
+        # that are actual containers: PNG/GIF/JPEG/BMP/WebP images,
+        # WAV/MP3 audio
         probes = payloads.map(lambda b: probe_image(b) if b is not None else None)
         hit = probes.notna().to_numpy()
+        out["format"] = probes.map(lambda p: p[0] if p else None).to_numpy() if hit.any() else None
         if hit.any():
-            fmt = probes.map(lambda p: p[0] if p else None)
             out.loc[hit, "kind"] = "image"
             out.loc[hit, "width"] = probes.map(lambda p: p[1] if p else 0)[hit].to_numpy()
             out.loc[hit, "height"] = probes.map(lambda p: p[2] if p else 0)[hit].to_numpy()
             out.loc[hit, "n_frames"] = 1
-            out["format"] = fmt.to_numpy()
-        else:
-            out["format"] = None
+        aprobes = payloads.map(lambda b: probe_audio(b) if b is not None else None)
+        ahit = aprobes.notna().to_numpy() & ~hit
+        out["sample_rate"] = np.int64(0)
+        out["channels"] = np.int64(0)
+        if ahit.any():
+            if out["format"] is None or "format" not in out.columns:
+                out["format"] = None
+            out.loc[ahit, "kind"] = "audio"
+            out.loc[ahit, "format"] = aprobes.map(lambda p: p[0] if p else None)[ahit].to_numpy()
+            out.loc[ahit, "sample_rate"] = aprobes.map(lambda p: p[1] if p else 0)[ahit].to_numpy()
+            out.loc[ahit, "channels"] = aprobes.map(lambda p: p[2] if p else 0)[ahit].to_numpy()
         return out
 
 

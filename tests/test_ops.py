@@ -258,6 +258,53 @@ def test_probe_image_headers():
     assert probe_image(None) is None
 
 
+def test_probe_webp_and_audio_headers():
+    from coherencebot_ray.ops.media import probe_audio, probe_image
+
+    # WebP VP8X: canvas 24-bit LE minus one at offsets 24/27
+    vp8x = (b"RIFF" + (100).to_bytes(4, "little") + b"WEBP" + b"VP8X"
+            + (10).to_bytes(4, "little") + b"\x00" * 4
+            + (639).to_bytes(3, "little") + (479).to_bytes(3, "little") + b"\x00" * 8)
+    assert probe_image(vp8x) == ("webp", 640, 480)
+    # WebP lossy VP8: 14-bit dims at +26/+28
+    vp8 = (b"RIFF" + (100).to_bytes(4, "little") + b"WEBP" + b"VP8 "
+           + (50).to_bytes(4, "little") + b"\x00" * 6
+           + (320).to_bytes(2, "little") + (240).to_bytes(2, "little") + b"\x00" * 8)
+    assert probe_image(vp8) == ("webp", 320, 240)
+
+    # WAV: fmt chunk -> (wav, sample_rate, channels)
+    fmt = (b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+           + (2).to_bytes(2, "little") + (44100).to_bytes(4, "little") + b"\x00" * 8)
+    wav = b"RIFF" + (1000).to_bytes(4, "little") + b"WAVE" + fmt
+    assert probe_audio(wav) == ("wav", 44100, 2)
+
+    # MP3: ID3v2 tag (syncsafe length 0) + MPEG-1 Layer III frame sync,
+    # 44.1 kHz, stereo
+    id3 = b"ID3\x03\x00\x00\x00\x00\x00\x00"
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00])  # sync, MPEG-1 L3, sr idx 0, stereo
+    assert probe_audio(id3 + frame) == ("mp3", 44100, 2)
+    # mono mode (mode bits 11)
+    frame_mono = bytes([0xFF, 0xFB, 0x90, 0xC0])
+    assert probe_audio(id3 + frame_mono) == ("mp3", 44100, 1)
+
+    assert probe_audio(b"plain text, not audio") is None
+    assert probe_audio(None) is None
+
+
+def test_audio_probe_through_extractor():
+    from coherencebot_ray.ops.media import MediaFeatureExtractor
+
+    fmt = (b"fmt " + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+           + (1).to_bytes(2, "little") + (16000).to_bytes(4, "little") + b"\x00" * 8)
+    wav = b"RIFF" + (1000).to_bytes(4, "little") + b"WAVE" + fmt
+    df = pd.DataFrame({"doc_id": [1, 2], "media": [wav, b"opaque blob payload"]})
+    out = MediaFeatureExtractor()(df).set_index("doc_id")
+    assert out.loc[1, "kind"] == "audio"
+    assert out.loc[1, "format"] == "wav"
+    assert out.loc[1, "sample_rate"] == 16000 and out.loc[1, "channels"] == 1
+    assert out.loc[2, "sample_rate"] == 0  # fake-decode path retained
+
+
 def test_media_probe_through_extractor():
     from coherencebot_ray.ops.media import MediaFeatureExtractor
 
