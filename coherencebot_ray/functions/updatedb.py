@@ -362,6 +362,10 @@ def merge_partition(
         r_status = np.where(retry & under, CS.DB_UNFETCHED, r_status)
         over = retry & ~under
         r_status = np.where(over, CS.DB_GONE, r_status)
+        # NUTCH-578 (a KNOWN GAP in the reference, TODOTestCrawlDbStates):
+        # once the page goes gone the counter must stop growing — clamp
+        # at retry_max so a long continuous retry crawl can't overflow it
+        r_retries = np.where(over, cfg.retry_max, r_retries)
         if over.any():
             g_ft, g_itv = sch.set_page_gone_schedule(f_fetch_time, r_interval, cfg.interval_max)
             # gone schedule applies on the retry-scheduled datum: reference

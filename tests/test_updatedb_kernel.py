@@ -293,6 +293,48 @@ def test_notmodified_continuous_refetches():
     assert interval <= 31_536_000
 
 
+def test_fetch_retry_goes_gone_and_counter_resets():
+    """NUTCH-578 port (TODOTestCrawlDbStates.testCrawlDbReducerPageRetrySchedule
+    — a KNOWN GAP in the reference's own suite): a long continuous crawl
+    of nothing but fetch_retry must (a) keep the retry counter bounded
+    by db.fetch.retry.max (no overflow), (b) settle at db_gone once the
+    max is exceeded, and (c) reset the counter so a later successful
+    fetch starts clean."""
+    retry_max = 3
+    row = datum(CS.DB_UNFETCHED, interval=1000)
+    cur = CUR
+    max_seen_retries = 0
+    statuses = []
+    for i in range(150):
+        fetch = datum(
+            CS.FETCH_RETRY,
+            fetch_time=cur,
+            retries=int(row["retries"]),
+            interval=int(row["fetch_interval"]),
+        )
+        out = run([row, fetch], retry_max=retry_max)
+        st = int(out["status"].iloc[0])
+        rt = int(out["retries"].iloc[0])
+        statuses.append(st)
+        max_seen_retries = max(max_seen_retries, rt)
+        assert rt <= retry_max + 1, f"round {i}: retry counter overflow ({rt})"
+        row = datum(
+            st,
+            retries=rt,
+            interval=int(out["fetch_interval"].iloc[0]),
+            fetch_time=int(out["fetch_time"].iloc[0]),
+        )
+        cur = int(out["fetch_time"].iloc[0]) + 1000
+    # early rounds retry as db_unfetched, then the page goes gone
+    assert CS.DB_UNFETCHED in statuses[:retry_max]
+    assert statuses[-1] == CS.DB_GONE
+    # (c) a successful fetch after the gone phase resets the counter
+    fetch_ok = datum(CS.FETCH_SUCCESS, fetch_time=cur, retries=int(row["retries"]))
+    out = run([row, fetch_ok], retry_max=retry_max)
+    assert int(out["status"].iloc[0]) == CS.DB_FETCHED
+    assert int(out["retries"].iloc[0]) == 0, "retry counter must reset on success"
+
+
 def test_url_404_purging():
     """TestCrawlDbFilter.testUrl404Purging port: with db.update.purge.404
     a DB_GONE row is dropped from the updated CrawlDb while fetched and
