@@ -155,6 +155,17 @@ class AdaptiveSchedule:
 
         stored = _jround_f32(itv)  # setFetchInterval(float) -> Math.round
         new_ft = ref_time + _jround_f64(itv.astype(np.float64) * 1000.0)
+        if self.sync_delta:
+            # NUTCH-1564 fix (a KNOWN GAP in the reference,
+            # TODOTestCrawlDbStates.testAdaptiveFetchScheduleSyncDelta):
+            # when delta is large and the interval clamps at max, the
+            # SYNC_DELTA ref-time shift can push the next fetch into the
+            # PAST, forcing a refetch every cycle. Clamp: the next fetch
+            # is never earlier than fetch_time + min_interval.
+            floor_ft = fetch_time + np.int64(round(self.min_i * 1000.0))
+            new_ft = np.where(
+                nonfixed & (new_ft < floor_ft), floor_ft, new_ft
+            )
         return ScheduleResult(
             fetch_time=new_ft.astype(np.int64),
             fetch_interval=stored.astype(np.int32),

@@ -293,6 +293,63 @@ def test_notmodified_continuous_refetches():
     assert interval <= 31_536_000
 
 
+def test_adaptive_sync_delta_never_schedules_in_past():
+    """NUTCH-1564 port (TODOTestCrawlDbStates.testAdaptiveFetchScheduleSyncDelta):
+    with SYNC_DELTA on, a long-unmodified page's next fetch time must
+    never land in the past (which would force a refetch every cycle).
+    Continuous crawl, fetches every interval/3, 100 rounds."""
+    sig = hashlib.md5(b"never changes").digest()
+    day = 86_400
+    row = datum(CS.DB_FETCHED, signature=sig, interval=2 * day, modified=CUR - 10_000)
+    cur = CUR
+    n_notmodified = 0
+    # ContinuousCrawlTestUtil shape: the CRAWL cycle ticks every 8 hours
+    # (SECONDS_PER_DAY / 3); the page is fetched only when due. 1000
+    # cycles ≈ 333 days — with the adaptive backoff capped at 7 days
+    # that yields ~45 not-modified refetches
+    for i in range(1000):
+        cur += (day // 3) * 1000
+        if int(row["fetch_time"]) > cur:
+            continue  # not due this cycle
+        fetch = datum(
+            CS.FETCH_SUCCESS,
+            fetch_time=cur,
+            interval=int(row["fetch_interval"]),
+            retries=int(row["retries"]),
+            modified=int(row["modified_time"]),
+        )
+        out = run(
+            [row, fetch, datum(CS.SIGNATURE, signature=sig)],
+            schedule="adaptive",
+            adaptive_sync_delta=True,
+            # reference test config: adaptive cap == system max == 7 days
+            # (with the stock adaptive cap of 365 d, interval growth
+            # crosses db.fetch.interval.max and forceRefetch oscillates —
+            # faithful to the reference, but not what this test targets)
+            adaptive_min_interval=float(day),
+            adaptive_max_interval=float(7 * day),
+            interval_max=7 * day,
+        )
+        st = int(out["status"].iloc[0])
+        next_ft = int(out["fetch_time"].iloc[0])
+        if st == CS.DB_NOTMODIFIED:
+            n_notmodified += 1
+            until_next_s = (next_ft - cur) / 1000.0
+            assert until_next_s >= -1, (
+                f"round {i}: next fetch scheduled in the past "
+                f"({until_next_s}s; NUTCH-1564)"
+            )
+        row = datum(
+            st,
+            signature=sig,
+            retries=int(out["retries"].iloc[0]),
+            interval=int(out["fetch_interval"].iloc[0]),
+            fetch_time=next_ft,
+            modified=int(out["modified_time"].iloc[0]),
+        )
+    assert n_notmodified >= 10, "sync-delta branch must actually be exercised"
+
+
 def test_fetch_retry_goes_gone_and_counter_resets():
     """NUTCH-578 port (TODOTestCrawlDbStates.testCrawlDbReducerPageRetrySchedule
     — a KNOWN GAP in the reference's own suite): a long continuous crawl
