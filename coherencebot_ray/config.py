@@ -118,6 +118,15 @@ class CrawlConfig:
     # --- scoring filter chain (scoring/ScoringFilter.java:42-246) ----------
     scoring_filters: tuple = ("opic",)  # ordered plugin names; "withdrawn"
     # reads extra["live_seeds"] ({seed_url: {metadata}}) when registered
+    # scoring-orphan (OrphanScoringFilter.java:42-60): seconds without
+    # inlinks before a page is marked gone / orphaned
+    orphan_mark_gone_after: int = 30 * 24 * 3600  # scoring.orphan.mark.gone.after
+    orphan_mark_orphan_after: int = 40 * 24 * 3600  # scoring.orphan.mark.orphan.after
+    # scoring-metadata (MetadataScoringFilter.java:46-48): metadata keys
+    # propagated datum->content->parse->outlinks
+    scoring_db_md: tuple = ()       # scoring.db.md
+    scoring_content_md: tuple = ()  # scoring.content.md
+    scoring_parse_md: tuple = ()    # scoring.parse.md
 
     # --- url filter / normalizer chains ------------------------------------
     normalizers: tuple = ("basic", "regex")

@@ -45,12 +45,41 @@ class ScoringFilter:
     def distribute_share(self, page_score: np.float32, n_valid: int, cfg) -> np.float32:
         return page_score
 
-    def update_db_score(self, score, link_sum, status, metadata, cfg):
-        """Returns (score, status, metadata) — arrays, possibly rewritten."""
+    def update_db_score(self, score, link_sum, status, metadata, cfg,
+                        link_n=None, now_s=None):
+        """Returns (score, status, metadata) — arrays, possibly rewritten.
+
+        ``link_n`` (per-row inlink-contribution count this round) and
+        ``now_s`` (epoch seconds) mirror the reference hook's ``inlinks``
+        list and wall clock (ScoringFilter.java:180-205); plugins that
+        don't need them ignore them.
+        """
         return score, status, metadata
+
+    def orphaned_score(self, status, metadata, cfg, now_s):
+        """Hook for rows with neither a fetch datum nor inlinks this
+        round (CrawlDbReducer.java:155-165 calls
+        scfilters.orphanedScore before writing old unchanged).
+        Returns (status, metadata)."""
+        return status, metadata
 
     def indexer_score(self, scores: np.ndarray, cfg) -> np.ndarray:
         return scores
+
+    # parse-time metadata hooks (ScoringFilter.java:118-160); per-row
+    # dict in/out — only invoked when a registered plugin overrides them
+    # (ScoringFilters caches which hooks are live, so the default chain
+    # pays nothing in the parse hot path).
+    def pass_score_before_parsing(self, datum_meta: dict, content_meta: dict, cfg) -> None:
+        """datum metadata -> content metadata (passScoreBeforeParsing)."""
+
+    def pass_score_after_parsing(self, content_meta: dict, parse_meta: dict, cfg) -> None:
+        """content metadata -> parse metadata (passScoreAfterParsing)."""
+
+    def outlink_metadata(self, parse_meta: dict, cfg) -> dict:
+        """Metadata entries to stamp on every outlink LINKED datum
+        (distributeScoreToOutlinks' target-metadata side channel)."""
+        return {}
 
 
 class OPICScoringFilter(ScoringFilter):
@@ -75,7 +104,8 @@ class OPICScoringFilter(ScoringFilter):
         # applied by the caller per link (they depend on the dst host)
         return np.float32(page_score) / np.float32(n_valid)
 
-    def update_db_score(self, score, link_sum, status, metadata, cfg):
+    def update_db_score(self, score, link_sum, status, metadata, cfg,
+                        link_n=None, now_s=None):
         # adjust += inlink scores (:93-105); float32 accumulation
         return (score.astype(np.float32) + link_sum.astype(np.float32)).astype(np.float32), status, metadata
 
@@ -97,7 +127,8 @@ class WithdrawnScoringFilter(ScoringFilter):
         # {seed_url: {metadata}} — the FeedInjector seed list
         self.live_seeds = live_seeds or {}
 
-    def update_db_score(self, score, link_sum, status, metadata, cfg):
+    def update_db_score(self, score, link_sum, status, metadata, cfg,
+                        link_n=None, now_s=None):
         if not self.live_seeds:
             return score, status, metadata
         from ..model import CrawlStatus as CS
@@ -123,9 +154,116 @@ class WithdrawnScoringFilter(ScoringFilter):
         return score, status, metadata
 
 
+def _meta_load(md_json) -> dict:
+    if isinstance(md_json, str) and md_json:
+        try:
+            return json.loads(md_json)
+        except ValueError:
+            return {}
+    return {}
+
+
+def _meta_dump(md: dict):
+    return json.dumps(md, sort_keys=True) if md else None
+
+
+class OrphanScoringFilter(ScoringFilter):
+    """scoring-orphan (src/plugin/scoring-orphan/.../
+    OrphanScoringFilter.java:37-110): tracks the last time a page was
+    seen with inlinks via an ``_orphan_`` metadata timestamp. A page
+    unlinked for longer than scoring.orphan.mark.gone.after seconds is
+    marked DB_GONE (the indexer deletes it); unlinked longer than
+    scoring.orphan.mark.orphan.after it is marked DB_ORPHAN (purged
+    from the CrawlDb). Per-row JSON metadata rewrite — only pays when
+    the plugin is registered in cfg.scoring_filters."""
+
+    name = "orphan"
+    ORPHAN_KEY = "_orphan_"
+
+    def update_db_score(self, score, link_sum, status, metadata, cfg,
+                        link_n=None, now_s=None):
+        # updateDbScore(:78-90): inlinks present -> stamp now; else the
+        # orphan check runs on the merged datum.
+        if link_n is None or now_s is None:
+            return score, status, metadata
+        status = np.asarray(status).copy()
+        metadata = np.asarray(metadata, dtype=object).copy()
+        linked = np.asarray(link_n) > 0
+        for i in np.flatnonzero(linked):
+            md = _meta_load(metadata[i])
+            md[self.ORPHAN_KEY] = int(now_s)
+            metadata[i] = _meta_dump(md)
+        for i in np.flatnonzero(~linked):
+            status[i], metadata[i] = self._orphaned_one(
+                int(status[i]), metadata[i], cfg, now_s)
+        return score, status, metadata
+
+    def orphaned_score(self, status, metadata, cfg, now_s):
+        status = np.asarray(status).copy()
+        metadata = np.asarray(metadata, dtype=object).copy()
+        for i in range(len(status)):
+            status[i], metadata[i] = self._orphaned_one(
+                int(status[i]), metadata[i], cfg, now_s)
+        return status, metadata
+
+    def _orphaned_one(self, status, md_json, cfg, now_s):
+        # orphanedScore(:92-109): no stamp yet -> leave untouched (the
+        # page was never observed with inlinks; reference behaves the
+        # same because the metadata key is absent).
+        md = _meta_load(md_json)
+        stamp = md.get(self.ORPHAN_KEY)
+        if stamp is None:
+            return status, md_json
+        from ..model import CrawlStatus as CS
+
+        elapsed = int(now_s) - int(stamp)
+        if elapsed > int(getattr(cfg, "orphan_mark_orphan_after", 40 * 24 * 3600)):
+            status = int(CS.DB_ORPHAN)
+        elif elapsed > int(getattr(cfg, "orphan_mark_gone_after", 30 * 24 * 3600)):
+            status = int(CS.DB_GONE)
+        return status, md_json
+
+
+class MetadataScoringFilter(ScoringFilter):
+    """scoring-metadata (src/plugin/scoring-metadata/.../
+    MetadataScoringFilter.java:44-140): propagates configured metadata
+    keys along the crawl — scoring.db.md keys from the CrawlDatum into
+    the content (passScoreBeforeParsing), scoring.content.md keys from
+    the content into the parse metadata (passScoreAfterParsing), and
+    scoring.parse.md keys from the parse metadata onto every outlink's
+    LINKED datum (distributeScoreToOutlinks)."""
+
+    name = "metadata"
+
+    def _keys(self, cfg, attr):
+        return tuple(getattr(cfg, attr, ()) or ())
+
+    def pass_score_before_parsing(self, datum_meta, content_meta, cfg):
+        for k in self._keys(cfg, "scoring_db_md"):
+            v = datum_meta.get(k)
+            if v is not None:
+                content_meta[k] = v
+
+    def pass_score_after_parsing(self, content_meta, parse_meta, cfg):
+        for k in self._keys(cfg, "scoring_content_md"):
+            v = content_meta.get(k)
+            if v is not None:
+                parse_meta[k] = v
+
+    def outlink_metadata(self, parse_meta, cfg):
+        out = {}
+        for k in self._keys(cfg, "scoring_parse_md"):
+            v = parse_meta.get(k)
+            if v is not None:
+                out[k] = v
+        return out
+
+
 _REGISTRY = {
     "opic": OPICScoringFilter,
     "withdrawn": WithdrawnScoringFilter,
+    "orphan": OrphanScoringFilter,
+    "metadata": MetadataScoringFilter,
 }
 
 
@@ -164,15 +302,50 @@ class ScoringFilters:
             out = f.distribute_share(out, n_valid, self.cfg)
         return out
 
-    def update_db_score(self, score, link_sum, status, metadata):
+    def update_db_score(self, score, link_sum, status, metadata,
+                        link_n=None, now_s=None):
         for f in self.chain:
-            score, status, metadata = f.update_db_score(score, link_sum, status, metadata, self.cfg)
+            score, status, metadata = f.update_db_score(
+                score, link_sum, status, metadata, self.cfg,
+                link_n=link_n, now_s=now_s)
         return score, status, metadata
+
+    def orphaned_score(self, status, metadata, now_s):
+        for f in self.chain:
+            status, metadata = f.orphaned_score(status, metadata, self.cfg, now_s)
+        return status, metadata
 
     def indexer_score(self, scores):
         for f in self.chain:
             scores = f.indexer_score(scores, self.cfg)
         return scores
+
+    # --- parse-time metadata hooks ---------------------------------
+    # Cached liveness: the parse hot path skips dict building entirely
+    # when no registered plugin overrides these hooks.
+    @property
+    def has_parse_hooks(self) -> bool:
+        base = ScoringFilter
+        return any(
+            type(f).pass_score_before_parsing is not base.pass_score_before_parsing
+            or type(f).pass_score_after_parsing is not base.pass_score_after_parsing
+            or type(f).outlink_metadata is not base.outlink_metadata
+            for f in self.chain
+        )
+
+    def pass_score_before_parsing(self, datum_meta, content_meta):
+        for f in self.chain:
+            f.pass_score_before_parsing(datum_meta, content_meta, self.cfg)
+
+    def pass_score_after_parsing(self, content_meta, parse_meta):
+        for f in self.chain:
+            f.pass_score_after_parsing(content_meta, parse_meta, self.cfg)
+
+    def outlink_metadata(self, parse_meta):
+        out = {}
+        for f in self.chain:
+            out.update(f.outlink_metadata(parse_meta, self.cfg))
+        return out
 
 
 def make_scoring(cfg, live_seeds: dict | None = None) -> ScoringFilters:

@@ -192,13 +192,20 @@ def merge_partition(
     has_fetch = m["has_fetch"].to_numpy(dtype=bool)
     has_links = m["link_n"].to_numpy() > 0
 
+    # ScoringFilter chain, built once per partition (used by the orphan
+    # path's orphanedScore hook and the updateDbScore hook below)
+    from .scoring import make_scoring
+
+    scoring = make_scoring(cfg, live_seeds=cfg.extra.get("live_seeds"))
+    now_s = cur_time_ms // 1000
+
     # no fetch & no links -> orphan path: write old unchanged
     orphan = ~has_fetch & ~has_links
     keep_orphan = orphan & has_old
     m_orphan = m[keep_orphan]
     m = m[~orphan]
     if len(m) == 0:
-        out = _orphan_rows(m_orphan)
+        out = _orphan_rows(m_orphan, scoring, now_s)
         return out
 
     has_old = m["has_old"].to_numpy(dtype=bool)
@@ -385,15 +392,15 @@ def merge_partition(
 
     # ScoringFilters.updateDbScore hook chain (ScoringFilter.java:93-105;
     # OPIC: score = (old if exists else result).score + Σ links;
-    # scoring-withdrawn may rewrite status/metadata)
-    from .scoring import make_scoring
-
-    scoring = make_scoring(cfg, live_seeds=cfg.extra.get("live_seeds"))
+    # scoring-withdrawn may rewrite status/metadata; scoring-orphan
+    # stamps/checks the _orphan_ inlink-freshness timestamp)
     link_sum = m["link_sum"].to_numpy(dtype=np.float32)
     base = np.where(has_old, o_score, r_score).astype(np.float32)
     # LINKED-no-old keeps OPIC initialScore base of 0
     base = np.where(ln, np.float32(0.0), base).astype(np.float32)
-    r_score, r_status, r_meta = scoring.update_db_score(base, link_sum, r_status, r_meta)
+    r_score, r_status, r_meta = scoring.update_db_score(
+        base, link_sum, r_status, r_meta,
+        link_n=m["link_n"].to_numpy(), now_s=now_s)
     r_score = r_score.astype(np.float32)
 
     host = m["f_host"].where(m["has_fetch"], m["l_host"])
@@ -425,22 +432,29 @@ def merge_partition(
             "metadata": r_meta,
         }
     )
-    orphans = _orphan_rows(m_orphan)
+    orphans = _orphan_rows(m_orphan, scoring, now_s)
     if len(orphans):
         out = pd.concat([out, orphans], ignore_index=True)
     return out.reset_index(drop=True)
 
 
-def _orphan_rows(m_orphan: pd.DataFrame) -> pd.DataFrame:
-    """No new data: record old unchanged (CrawlDbReducer.java:150-166)."""
+def _orphan_rows(m_orphan: pd.DataFrame, scoring=None, now_s: int | None = None) -> pd.DataFrame:
+    """No new data: record old unchanged (CrawlDbReducer.java:150-166),
+    after the scfilters.orphanedScore hook (:157-161) — scoring-orphan
+    may flip long-unlinked rows to DB_GONE / DB_ORPHAN."""
     if len(m_orphan) == 0:
         return empty_datums()[_frontier_cols()]
+    status = m_orphan["o_status"].to_numpy(dtype=np.int64)
+    metadata = m_orphan["o_metadata"].to_numpy()
+    if scoring is not None and now_s is not None:
+        status, metadata = scoring.orphaned_score(status, metadata, now_s)
+        status = np.asarray(status, dtype=np.int64)
     return pd.DataFrame(
         {
             "url": m_orphan.index.to_numpy(),
             "host": m_orphan["o_host"].to_numpy(),
             "part": pd.to_numeric(m_orphan["o_part"], errors="coerce").fillna(0).to_numpy(dtype=np.int64),
-            "status": m_orphan["o_status"].to_numpy(dtype=np.int64),
+            "status": status,
             "fetch_time": m_orphan["o_fetch_time"].to_numpy(dtype=np.int64),
             "retries": m_orphan["o_retries"].to_numpy(dtype=np.int64),
             "fetch_interval": m_orphan["o_fetch_interval"].to_numpy(dtype=np.int64),
@@ -450,7 +464,7 @@ def _orphan_rows(m_orphan: pd.DataFrame) -> pd.DataFrame:
             "gen_time": m_orphan["o_gen_time"].to_numpy(dtype=np.int64),
             "repr_url": m_orphan["o_repr_url"].to_numpy(),
             "fixed_interval": m_orphan["o_fixed_interval"].to_numpy(dtype=np.int64),
-            "metadata": m_orphan["o_metadata"].to_numpy(),
+            "metadata": metadata,
         }
     )
 

@@ -240,7 +240,8 @@ class ParseBatch:
         cols: dict[str, list] = {c: [] for c in _PARSE_COLS}
 
         def emit(rtype, url, host, part, doc_id, spans, status, score,
-                 signature, fetch_interval, anchor, dst, fetch_time):
+                 signature, fetch_interval, anchor, dst, fetch_time,
+                 metadata=None):
             cols["rtype"].append(rtype)
             cols["url"].append(url)
             cols["host"].append(host)
@@ -253,8 +254,18 @@ class ParseBatch:
             cols["fetch_interval"].append(fetch_interval)
             cols["anchor"].append(anchor)
             cols["dst"].append(dst)
-            cols["metadata"].append(None)
+            cols["metadata"].append(metadata)
             cols["fetch_time"].append(fetch_time)
+
+        # ScoringFilter parse-time metadata hooks (scoring-metadata:
+        # datum md -> content md -> parse md -> outlink md). Skipped
+        # entirely unless a registered plugin overrides them.
+        parse_hooks = self.scoring.has_parse_hooks
+        datum_metas = (
+            ok["metadata"].to_numpy()
+            if parse_hooks and "metadata" in ok.columns
+            else None
+        )
 
         max_ol = cfg.max_outlinks_per_page
         for i, spans, lstart, n_links, signature in parsed:
@@ -264,6 +275,24 @@ class ParseBatch:
                  [{"kind": k, "text": t, "media_ref": m, "offset": o}
                   for o, (k, t, m) in enumerate(spans)],
                  0, 0.0, signature, fi, None, None, ft)
+
+            ol_md_json = None
+            if parse_hooks:
+                # passScoreBeforeParsing / passScoreAfterParsing /
+                # distributeScoreToOutlinks metadata side channel
+                dm = datum_metas[i] if datum_metas is not None else None
+                datum_meta = json.loads(dm) if isinstance(dm, str) and dm else {}
+                content_meta: dict = {}
+                self.scoring.pass_score_before_parsing(datum_meta, content_meta)
+                parse_meta: dict = {}
+                self.scoring.pass_score_after_parsing(content_meta, parse_meta)
+                ol_md = self.scoring.outlink_metadata(parse_meta)
+                ol_md_json = json.dumps(ol_md, sort_keys=True) if ol_md else None
+                if parse_meta:
+                    # PARSE_META datum for the updatedb overlay
+                    emit("crawl_parse", url, src_host, part, None, None,
+                         int(CS.PARSE_META), 0.0, None, 0, None, None, ft,
+                         metadata=json.dumps(parse_meta, sort_keys=True))
 
             kept: list[tuple] = []
             seen_dst = set()
@@ -299,7 +328,7 @@ class ParseBatch:
                     # part=-1 re-partitioned to the TARGET below
                     emit("crawl_parse", nu, dst_host, -1, None, None,
                          int(CS.LINKED), contrib, None, int(cfg.interval_default),
-                         anchor, None, ft)
+                         anchor, None, ft, metadata=ol_md_json)
 
             # SIGNATURE datum (ParseOutputFormat.java:236-244)
             emit("crawl_parse", url, src_host, part, None, None,
