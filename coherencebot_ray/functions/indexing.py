@@ -17,11 +17,16 @@ Plugins (src/plugin/index-*):
 - static   StaticFieldIndexer.java: constant fields from config
 - criteria CriteriaIndexer.java:87-99,135: reject short docs
            (index.criteria.minlength=4000) + best-title selection
+- replace  ReplaceIndexer.java: regex replacements on field contents,
+           host/url-scoped (index.replace.regexp)
+- links    LinksIndexingFilter.java: outlinks/inlinks fields with
+           same-host filtering and hosts-only mode
 """
 
 from __future__ import annotations
 
 import json
+import re
 
 import numpy as np
 import pandas as pd
@@ -125,6 +130,209 @@ class CriteriaIndexingFilter(IndexingFilter):
         return df, np.asarray(keep, dtype=bool)
 
 
+class _FieldReplacer:
+    """One replacement instruction (index-replace FieldReplacer.java:
+    60-168): compiled pattern + Java-style replacement applied with
+    replaceAll semantics; invalid patterns become no-ops."""
+
+    # Java Pattern flag bits -> Python re flags (FieldReplacer.java:92)
+    _FLAG_MAP = ((0x02, re.IGNORECASE), (0x04, re.VERBOSE),
+                 (0x08, re.MULTILINE), (0x20, re.DOTALL))
+
+    def __init__(self, field: str, to_field: str, pattern: str,
+                 replacement: str, flags: int):
+        self.field, self.to_field = field, to_field
+        py_flags = 0
+        for jbit, pyflag in self._FLAG_MAP:
+            if flags & jbit:
+                py_flags |= pyflag
+        try:
+            self.pattern = re.compile(pattern, py_flags)
+            self.valid = True
+        except re.error:
+            self.pattern = None
+            self.valid = False
+        self.replacement = self._convert_replacement(replacement)
+
+    @staticmethod
+    def _convert_replacement(java_repl: str) -> str:
+        """Java replaceAll replacement -> Python re.sub template:
+        ``$N`` group refs become ``\\N``; ``\\c`` escapes become the
+        literal char; everything else passes through (backslashes that
+        Python would treat as escapes get doubled)."""
+        out = []
+        i, n = 0, len(java_repl)
+        while i < n:
+            c = java_repl[i]
+            if c == "$" and i + 1 < n and java_repl[i + 1].isdigit():
+                j = i + 1
+                while j < n and java_repl[j].isdigit():
+                    j += 1
+                out.append("\\" + java_repl[i + 1:j])
+                i = j
+            elif c == "\\" and i + 1 < n:
+                nxt = java_repl[i + 1]
+                out.append("\\\\" if nxt == "\\" else nxt)
+                i += 2
+            else:
+                out.append("\\\\" if c == "\\" else c)
+                i += 1
+        return "".join(out)
+
+    def replace(self, value: str) -> str:
+        if not self.valid or not isinstance(value, str):
+            return value
+        return self.pattern.sub(self.replacement, value)
+
+
+_MATCH_NOTHING = r"(?!x)x"
+
+
+class ReplaceIndexer(IndexingFilter):
+    """index-replace (ReplaceIndexer.java:86-331): pattern replacements
+    on selected field contents prior to indexing, scoped by hostmatch=
+    / urlmatch= pattern sets. Property format (one instruction per
+    line, extra['index_replace_regexp']):
+
+        hostmatch=<host regex>          start a host-scoped set
+        urlmatch=<url regex>            start a url-scoped set
+        field[:tofield]=/pat/repl/[f]   replacement (any sep char)
+
+    Instructions before the first hostmatch/urlmatch apply to every
+    host (Pattern ``.*``). Invalid scope patterns deactivate their set;
+    invalid field patterns become per-field no-ops — both as the
+    reference logs-and-continues."""
+
+    name = "replace"
+
+    def __init__(self):
+        self._src = None
+        self._by_host: list = []  # [(compiled_pattern, [replacers])]
+        self._by_url: list = []
+
+    def _parse(self, prop: str) -> None:
+        self._src = prop
+        by_host: dict = {}
+        by_url: dict = {}
+        host_pat, url_pat = ".*", None
+        for line in prop.splitlines():
+            line = line.strip()
+            if not line or "=" not in line:
+                continue
+            field, _, value = line.partition("=")
+            field = field.strip()
+            if field == "hostmatch":
+                url_pat = None
+                host_pat = value if _compiles(value) else _MATCH_NOTHING
+            elif field == "urlmatch":
+                url_pat = value if _compiles(value) else _MATCH_NOTHING
+            elif len(value) > 3:
+                to_field = field
+                if ":" in field:
+                    field, _, to_field = field.partition(":")
+                sep = value[0]
+                rest = value[1:]
+                if sep not in rest:
+                    continue  # missing separator: logged + skipped (:184)
+                pattern, _, rest = rest.partition(sep)
+                replacement = rest.partition(sep)[0] if sep in rest else rest
+                flags = 0
+                tail = rest[len(replacement) + 1:].strip() if sep in rest else ""
+                if tail:
+                    try:
+                        flags = int(tail)
+                    except ValueError:
+                        continue  # invalid flags: skipped (:199)
+                fr = _FieldReplacer(field, to_field, pattern, replacement, flags)
+                target = by_url if url_pat is not None else by_host
+                key = url_pat if url_pat is not None else host_pat
+                target.setdefault(key, []).append(fr)
+        self._by_host = [(re.compile(p), frs) for p, frs in by_host.items()]
+        self._by_url = [(re.compile(p), frs) for p, frs in by_url.items()]
+
+    def apply(self, df, cfg):
+        prop = getattr(cfg, "extra", {}).get("index_replace_regexp", "")
+        if prop != self._src:
+            self._parse(prop)
+        keep = np.ones(len(df), dtype=bool)
+        if not (self._by_host or self._by_url):
+            return df, keep
+        df = df.copy()
+        for key_col, rep_sets in (("host", self._by_host), ("url", self._by_url)):
+            if not rep_sets or key_col not in df.columns:
+                continue
+            keys = df[key_col].fillna("")
+            for pat, frs in rep_sets:
+                mask = keys.str.contains(pat, regex=True).to_numpy(dtype=bool)
+                if not mask.any():
+                    continue
+                for fr in frs:
+                    if fr.field not in df.columns:
+                        continue
+                    if fr.to_field not in df.columns:
+                        df[fr.to_field] = None
+                    df.loc[mask, fr.to_field] = df.loc[mask, fr.field].map(fr.replace)
+        return df, keep
+
+
+def _compiles(pattern: str) -> bool:
+    try:
+        re.compile(pattern)
+        return True
+    except re.error:
+        return False
+
+
+class LinksIndexingFilter(IndexingFilter):
+    """index-links (LinksIndexingFilter.java:69-166): adds outlinks /
+    inlinks fields. extra['index_links_outlinks_host_ignore'] /
+    ['index_links_inlinks_host_ignore'] drop same-host links;
+    ['index_links_hosts_only'] indexes the host portion only, deduped
+    in first-seen order (the reference's HashSet check runs BEFORE the
+    same-host filter, so a filtered first link still claims its host —
+    preserved here). Expects list columns ``outlinks`` / ``inlinks``
+    (the indexer join populates them from doc link spans and linkdb
+    srcs when this plugin is registered)."""
+
+    name = "links"
+
+    def apply(self, df, cfg):
+        from .urlutil import get_host
+
+        ex = getattr(cfg, "extra", {})
+        filter_out = bool(ex.get("index_links_outlinks_host_ignore", False))
+        filter_in = bool(ex.get("index_links_inlinks_host_ignore", False))
+        hosts_only = bool(ex.get("index_links_hosts_only", False))
+        df = df.copy()
+        page_hosts = [
+            (get_host(u) or "").lower() for u in df["url"].fillna("")
+        ] if "url" in df.columns else [""] * len(df)
+
+        for col, filt in (("outlinks", filter_out), ("inlinks", filter_in)):
+            if col not in df.columns:
+                continue
+            vals = df[col].to_numpy()
+            res = []
+            for links, ph in zip(vals, page_hosts):
+                if not isinstance(links, (list, np.ndarray)) or len(links) == 0:
+                    res.append([])
+                    continue
+                kept, seen = [], set()
+                for u in links:
+                    h = (get_host(u) or "").lower()
+                    v = h if hosts_only else u
+                    if hosts_only:
+                        if v in seen:
+                            continue
+                        seen.add(v)
+                    if filt and h == ph:
+                        continue
+                    kept.append(v)
+                res.append(kept)
+            df[col] = res
+        return df, np.ones(len(df), dtype=bool)
+
+
 _REGISTRY = {
     c.name: c
     for c in (
@@ -134,6 +342,8 @@ _REGISTRY = {
         MetadataIndexer,
         StaticFieldIndexer,
         CriteriaIndexingFilter,
+        ReplaceIndexer,
+        LinksIndexingFilter,
     )
 }
 

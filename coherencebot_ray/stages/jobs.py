@@ -411,40 +411,66 @@ def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone:
     n_inlinks, anchors.
     """
 
+    # index-links needs raw link lists riding the join (outlinks from
+    # the doc's link spans, inlinks from the linkdb srcs column)
+    want_links = "links" in (cfg.indexing_filters or ())
+
     def docs_project(df: pd.DataFrame) -> pd.DataFrame:
+        base_cols = ["url", "part", "title", "text"] + (["outlinks"] if want_links else [])
         if len(df) == 0:
-            return pd.DataFrame({c: pd.Series(dtype="object") for c in ["url", "part", "title", "text"]})
-        titles, texts = [], []
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in base_cols})
+        titles, texts, outlinks = [], [], []
         for spans in df["spans"]:
             t = [s["text"] for s in spans if s["kind"] == "title"]
             x = [s["text"] for s in spans if s["kind"] in ("heading", "text")]
             titles.append(t[0] if t else "")
             texts.append(" ".join(x))
-        return pd.DataFrame(
+            if want_links:
+                outlinks.append([s["media_ref"] for s in spans if s["kind"] == "link"])
+        out = pd.DataFrame(
             {"url": df["url"].to_numpy(), "part": df["part"].to_numpy(), "title": titles, "text": texts}
         )
+        if want_links:
+            out["outlinks"] = outlinks
+        return out
 
     def join_part(g: pd.DataFrame) -> pd.DataFrame:
         f = g[g["rjoin"] == "db"]
         d = g[g["rjoin"] == "doc"]
         if len(d) == 0 or len(f) == 0:
-            return pd.DataFrame({c: pd.Series(dtype="object") for c in
-                                 ["url", "title", "text", "score_boost", "n_inlinks", "anchors"]})
+            empty_cols = {
+                "url": pd.Series(dtype="object"),
+                "title": pd.Series(dtype="object"),
+                "text": pd.Series(dtype="object"),
+                "score_boost": pd.Series(dtype="float32"),
+                "n_inlinks": pd.Series(dtype="int64"),
+                "anchors": pd.Series(dtype="object"),
+            }
+            if want_links:
+                empty_cols["outlinks"] = pd.Series(dtype="object")
+                empty_cols["inlinks"] = pd.Series(dtype="object")
+            return pd.DataFrame(empty_cols)
         m = d.drop(columns=["status", "score"], errors="ignore").merge(
             f[["url", "status", "score"]], on="url", how="inner"
         )
         if delete_gone:
             m = m[~m["status"].isin([CS.DB_GONE, CS.DB_DUPLICATE, CS.DB_REDIR_PERM, CS.DB_REDIR_TEMP])]
         ldb = g[g["rjoin"] == "link"]
+        ldb_cols = ["url", "n_inlinks", "anchors"] + (["srcs"] if want_links else [])
         if len(ldb):
-            m = m.drop(columns=["n_inlinks", "anchors"], errors="ignore").merge(
-                ldb[["url", "n_inlinks", "anchors"]], on="url", how="left"
+            m = m.drop(columns=["n_inlinks", "anchors", "srcs"], errors="ignore").merge(
+                ldb[[c for c in ldb_cols if c in ldb.columns]], on="url", how="left"
             )
             m["n_inlinks"] = m["n_inlinks"].fillna(0).astype(np.int64)
             m["anchors"] = m["anchors"].apply(lambda a: a if isinstance(a, (list, np.ndarray)) else [])
         else:
             m["n_inlinks"] = 0
             m["anchors"] = [[] for _ in range(len(m))]
+        if want_links:
+            for c in ("outlinks", "srcs"):
+                if c not in m.columns:
+                    m[c] = None
+                m[c] = m[c].apply(lambda a: list(a) if isinstance(a, (list, np.ndarray)) else [])
         # scfilters.indexerScore (OPIC: score^0.5, OPICScoringFilter.java:157-166)
         from ..functions.scoring import make_scoring
 
@@ -459,6 +485,10 @@ def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone:
                 "anchors": m["anchors"].to_numpy(),
             }
         )
+        if want_links:
+            # index-links input columns (inlinks = linkdb srcs)
+            out["outlinks"] = m["outlinks"].to_numpy()
+            out["inlinks"] = m["srcs"].to_numpy()
         if cfg.indexing_filters:
             # IndexingFilter chain (index-basic/anchor/more/metadata/
             # static/criteria) enriches or drops documents
@@ -473,7 +503,7 @@ def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone:
         ("url", ""), ("status", -1), ("score", 0.0),
         ("title", ""), ("text", ""), ("rjoin", ""), ("n_inlinks", 0),
         ("anchors", None),
-    ]
+    ] + ([("outlinks", None), ("srcs", None)] if want_links else [])
 
     from ..ops.agg import stable_bucket
 
@@ -505,9 +535,10 @@ def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone:
     )
     unioned = f_tagged.union(d_tagged)
     if linkdb_ds is not None:
+        link_cols = ["url", "n_inlinks", "anchors"] + (["srcs"] if want_links else [])
         unioned = unioned.union(
             linkdb_ds.map_batches(
-                lambda df: align(df[["url", "n_inlinks", "anchors"]].assign(rjoin="link")),
+                lambda df: align(df[[c for c in link_cols if c in df.columns]].assign(rjoin="link")),
                 batch_format="pandas",
             )
         )

@@ -1,0 +1,253 @@
+"""Ports of TestIndexReplace.java (src/plugin/index-replace) and
+TestLinksIndexingFilter.java (src/plugin/index-links) against the
+vectorized IndexingFilter chain.
+
+The reference drives a sample HTML file through parse + index-metadata
+first; here the starting document fields are set directly to the sample
+file's metatag values (testIndexReplace.html), so the replace semantics
+under test are identical.
+"""
+
+import numpy as np
+import pandas as pd
+
+from coherencebot_ray.config import CrawlConfig
+from coherencebot_ray.functions.indexing import (
+    IndexingFilters,
+    LinksIndexingFilter,
+    ReplaceIndexer,
+)
+
+DESCRIPTION = "With this plugin, I control the description! Bwuhuhuhaha!"
+KEYWORDS = "Breathtaking, Riveting, Two Thumbs Up!"
+AUTHOR = "Peter Ciuffetti"
+
+
+def _doc(url="http://www.example.com/testIndexReplace.html"):
+    host = url.split("/")[2]
+    return pd.DataFrame([{
+        "url": url,
+        "host": host,
+        "metatag.description": DESCRIPTION,
+        "metatag.keywords": KEYWORDS,
+        "metatag.author": AUTHOR,
+    }])
+
+
+def _apply(prop, df=None):
+    cfg = CrawlConfig(extra={"index_replace_regexp": prop})
+    out, keep = ReplaceIndexer().apply(df if df is not None else _doc(), cfg)
+    assert keep.all()
+    return out.iloc[0]
+
+
+def test_property_parse():
+    """testPropertyParse: the full mixed property (global + hostmatch +
+    urlmatch sets, target-field form, flags) parses without error."""
+    prop = ("  metatag.description=/this(.*)plugin/this awesome plugin/2\n"
+            "  metatag.keywords=/\\,/\\!/\n"
+            "  hostmatch=.*.com\n"
+            "  metatag.keywords=/\\,/\\?/\n"
+            "  metatag.author:dc_author=/\\s+/ David /\n"
+            "  urlmatch=.*.html\n"
+            "  metatag.keywords=/\\,/\\./\n"
+            "  metatag.author=/\\s+/ D. /\n")
+    rp = ReplaceIndexer()
+    rp._parse(prop)
+    # global set + one host-scoped set; one url-scoped set
+    assert len(rp._by_host) == 2 and len(rp._by_url) == 1
+    host_sets = {p.pattern: [f.field for f in frs] for p, frs in rp._by_host}
+    assert host_sets[".*"] == ["metatag.description", "metatag.keywords"]
+    assert host_sets[".*.com"] == ["metatag.keywords", "metatag.author"]
+    # target-field form
+    author_fr = rp._by_host[1][1][1]
+    assert author_fr.field == "metatag.author" and author_fr.to_field == "dc_author"
+
+
+def test_global_replacement():
+    """testGlobalReplacement: no scoping -> all three fields changed."""
+    row = _apply("  metatag.description=/this(.*)plugin/this awesome plugin/\n"
+                 "  metatag.keywords=/\\,/\\!/\n"
+                 "  metatag.author=/\\s+/ D. /\n")
+    assert row["metatag.description"] == "With this awesome plugin, I control the description! Bwuhuhuhaha!"
+    assert row["metatag.keywords"] == "Breathtaking! Riveting! Two Thumbs Up!"
+    assert row["metatag.author"] == "Peter D. Ciuffetti"
+
+
+def test_invalid_patterns_are_ignored():
+    """testInvalidPatterns: invalid pattern / invalid flags / missing
+    separator are each skipped without failing, fields unchanged."""
+    row = _apply("  metatag.description=/this\\s+**plugin/this awesome plugin/\n"
+                 "  metatag.keywords=/\\,/\\!/what\n"
+                 " metatag.author=#notcomplete")
+    assert row["metatag.description"] == DESCRIPTION
+    assert row["metatag.keywords"] == KEYWORDS
+    assert row["metatag.author"] == AUTHOR
+
+
+def test_url_matches_pattern():
+    """testUrlMatchesPattern: urlmatch scope hits -> fields changed."""
+    row = _apply(" urlmatch=.*.html\n"
+                 "  metatag.description=/this(.*)plugin/this awesome plugin/\n"
+                 "  metatag.keywords=/\\,/\\!/\n"
+                 "  metatag.author=/\\s+/ D. /\n")
+    assert row["metatag.description"] == "With this awesome plugin, I control the description! Bwuhuhuhaha!"
+    assert row["metatag.author"] == "Peter D. Ciuffetti"
+
+
+def test_url_not_matches_pattern():
+    """testUrlNotMatchesPattern: urlmatch scope misses -> unchanged."""
+    row = _apply(" urlmatch=.*.xml\n"
+                 "  metatag.description=/this(.*)plugin/this awesome plugin/\n"
+                 "  metatag.keywords=/\\,/\\!/\n"
+                 "  metatag.author=/\\s+/ D. /\n")
+    assert row["metatag.description"] == DESCRIPTION
+    assert row["metatag.keywords"] == KEYWORDS
+    assert row["metatag.author"] == AUTHOR
+
+
+def test_global_and_url_matches_with_groups():
+    """testGlobalAndUrlMatchesPattern: global description rule with $1
+    group refs + url-scoped keyword/author rules, all triggered."""
+    row = _apply("  metatag.description=/this(.*)plugin/this$1awesome$1plugin/\n"
+                 "  urlmatch=.*.html\n"
+                 "  metatag.keywords=/\\,/\\!/\n"
+                 "  metatag.author=/\\s+/ D. /\n")
+    assert row["metatag.description"] == "With this awesome plugin, I control the description! Bwuhuhuhaha!"
+    assert row["metatag.keywords"] == "Breathtaking! Riveting! Two Thumbs Up!"
+    assert row["metatag.author"] == "Peter D. Ciuffetti"
+
+
+def test_global_and_url_not_matches():
+    """testGlobalAndUrlNotMatchesPattern: only the global rule fires."""
+    row = _apply("  metatag.description=/this(.*)plugin/this$1awesome$1plugin/\n"
+                 "  urlmatch=.*.xml\n"
+                 "  metatag.keywords=/\\,/\\!/\n"
+                 "  metatag.author=/\\s+/ D. /\n")
+    assert row["metatag.description"] == "With this awesome plugin, I control the description! Bwuhuhuhaha!"
+    assert row["metatag.keywords"] == KEYWORDS
+    assert row["metatag.author"] == AUTHOR
+
+
+def test_hostmatch_scoping():
+    """hostmatch= restricts its set to matching hosts (ReplaceIndexer
+    doReplace keyed on the host field)."""
+    prop = ("hostmatch=.*\\.com\n"
+            "metatag.keywords=/\\,/\\!/\n")
+    row = _apply(prop)
+    assert row["metatag.keywords"] == "Breathtaking! Riveting! Two Thumbs Up!"
+    row2 = _apply(prop, _doc("http://www.example.org/testIndexReplace.html"))
+    assert row2["metatag.keywords"] == KEYWORDS
+
+
+def test_target_field_replacement():
+    """fieldname:tofield form writes the replaced value to the target
+    field, leaving the source untouched."""
+    row = _apply("metatag.author:dc_author=/\\s+/ David /\n")
+    assert row["metatag.author"] == AUTHOR
+    assert row["dc_author"] == "Peter David Ciuffetti"
+
+
+def test_case_insensitive_flags():
+    """Java flag 2 (CASE_INSENSITIVE) maps to re.IGNORECASE."""
+    row = _apply("metatag.description=/BWUHUHUHAHA/gotcha/2\n")
+    assert row["metatag.description"].endswith("gotcha!")
+
+
+def test_replacements_run_in_order():
+    """Multiple rules on the same field chain in specified order."""
+    row = _apply("metatag.keywords=/\\,/\\;/\n"
+                 "metatag.keywords=/\\;/\\!/\n")
+    assert row["metatag.keywords"] == "Breathtaking! Riveting! Two Thumbs Up!"
+
+
+# ---------------------------------------------------------------------------
+# index-links (TestLinksIndexingFilter port)
+# ---------------------------------------------------------------------------
+
+OUTLINKS = ["http://www.test.com", "http://www.example.com"]
+OUTLINKS_PARTS = ["http://www.test.com/index.php?param=1",
+                  "http://www.example.com/index.php?param=2"]
+INLINKS = ["http://www.test.com", "http://www.example.com"]
+
+
+def _links_doc(outlinks=None, inlinks=None):
+    return pd.DataFrame([{
+        "url": "http://www.example.com/",
+        "outlinks": outlinks if outlinks is not None else [],
+        "inlinks": inlinks if inlinks is not None else [],
+    }])
+
+
+def _links_apply(df, **extra):
+    out, keep = LinksIndexingFilter().apply(df, CrawlConfig(extra=extra))
+    assert keep.all()
+    return out.iloc[0]
+
+
+def test_filter_outlinks():
+    """testFilterOutlinks: only outlinks from a different host kept."""
+    row = _links_apply(_links_doc(outlinks=OUTLINKS),
+                       index_links_outlinks_host_ignore=True)
+    assert row["outlinks"] == ["http://www.test.com"]
+
+
+def test_filter_inlinks():
+    """testFilterInlinks: only inlinks from a different host kept."""
+    row = _links_apply(_links_doc(inlinks=INLINKS),
+                       index_links_inlinks_host_ignore=True)
+    assert row["inlinks"] == ["http://www.test.com"]
+
+
+def test_no_filter_outlinks():
+    """testNoFilterOutlinks: default keeps same-host outlinks too."""
+    row = _links_apply(_links_doc(outlinks=OUTLINKS))
+    assert row["outlinks"] == OUTLINKS
+
+
+def test_no_filter_inlinks():
+    """testNoFilterInlinks: explicit false keeps all inlinks."""
+    row = _links_apply(_links_doc(inlinks=INLINKS),
+                       index_links_inlinks_host_ignore=False)
+    assert row["inlinks"] == INLINKS
+
+
+def test_index_only_host_part():
+    """testIndexOnlyHostPart: hosts-only mode stores host portions,
+    same-host inlinks count once, filtered hosts stay deduped."""
+    inlinks = ["http://www.test.com/one-awesome-page",
+               "http://www.test.com/other-awesome-page",
+               "http://www.example.com/my-first-awesome-example"]
+    row = _links_apply(
+        _links_doc(outlinks=OUTLINKS_PARTS, inlinks=inlinks),
+        index_links_outlinks_host_ignore=True,
+        index_links_inlinks_host_ignore=True,
+        index_links_hosts_only=True,
+    )
+    assert row["outlinks"] == ["www.test.com"]
+    assert row["inlinks"] == ["www.test.com"]
+
+
+def test_index_hosts_only_and_filter_outlinks():
+    """testIndexHostsOnlyAndFilterOutlinks."""
+    row = _links_apply(_links_doc(outlinks=OUTLINKS_PARTS),
+                       index_links_hosts_only=True,
+                       index_links_outlinks_host_ignore=True)
+    assert row["outlinks"] == ["www.test.com"]
+
+
+def test_links_filter_in_chain():
+    """The links plugin composes with the registered chain."""
+    df = pd.DataFrame([{
+        "url": "http://www.example.com/", "title": "t", "text": "x",
+        "score_boost": 1.0, "n_inlinks": 2, "anchors": ["a"],
+        "outlinks": OUTLINKS, "inlinks": INLINKS,
+        "fetch_time": 0,
+    }])
+    cfg = CrawlConfig(
+        indexing_filters=("basic", "links"),
+        extra={"index_links_outlinks_host_ignore": True},
+    )
+    out = IndexingFilters(cfg.indexing_filters, cfg).apply(df)
+    assert out.iloc[0]["outlinks"] == ["http://www.test.com"]
+    assert out.iloc[0]["inlinks"] == INLINKS

@@ -181,6 +181,43 @@ def test_indexer_join(ray_session):
     assert out.loc["http://h.com/0", "score_boost"] == pytest.approx(np.sqrt(row["score"]), rel=1e-5)
 
 
+def test_indexer_join_with_links_filter(ray_session):
+    """index-links through the join: outlinks ride the doc's link
+    spans, inlinks ride the linkdb srcs column, and the filter's
+    same-host ignore applies."""
+    import ray.data as rd
+
+    frontier = frontier_rows(2, status=CS.DB_FETCHED)
+    docs = pd.DataFrame(
+        {
+            "url": [f"http://h.com/{i}" for i in range(2)],
+            "part": 0,
+            "spans": [
+                [
+                    {"kind": "title", "text": f"T{i}", "media_ref": "", "offset": 0},
+                    {"kind": "link", "text": "same", "media_ref": "http://h.com/x", "offset": 1},
+                    {"kind": "link", "text": "other", "media_ref": "http://other.com/y", "offset": 2},
+                ]
+                for i in range(2)
+            ],
+        }
+    )
+    linkdb = pd.DataFrame(
+        {"url": ["http://h.com/0"], "n_inlinks": [2],
+         "anchors": [["a", "b"]], "srcs": [["http://s1.com/p", "http://h.com/q"]]}
+    )
+    cfg = CrawlConfig(
+        indexing_filters=("links",),
+        extra={"index_links_outlinks_host_ignore": True},
+    )
+    out = jobs.indexer_join(
+        rd.from_pandas(frontier), rd.from_pandas(docs), rd.from_pandas(linkdb), cfg
+    ).to_pandas().set_index("url")
+    assert list(out.loc["http://h.com/0", "outlinks"]) == ["http://other.com/y"]
+    assert list(out.loc["http://h.com/0", "inlinks"]) == ["http://s1.com/p", "http://h.com/q"]
+    assert list(out.loc["http://h.com/1", "inlinks"]) == []
+
+
 def test_aux_stat_jobs(ray_session):
     """crawlcomplete / domainstats / protocolstats aggregate semantics
     (CrawlCompletionStats.java:220-222, DomainStatistics.java:174-199,
