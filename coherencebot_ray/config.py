@@ -128,6 +128,17 @@ class CrawlConfig:
     scoring_content_md: tuple = ()  # scoring.content.md
     scoring_parse_md: tuple = ()    # scoring.parse.md
 
+    # --- parse filter plugins ----------------------------------------------
+    # parse-metatags (MetaTagsParser.java:46-52): meta tag names to copy
+    # into parse metadata as metatag.<name>; ("*",) = all, () = disabled
+    # (the reference defaults to "*"; off here keeps the parse hot path
+    # metadata-free unless asked for — enable with ("*",))
+    metatags_names: tuple = ()
+    # parsefilter-regex (RegexParseFilter.java:42-66): ((field,
+    # "html"|"text", regex), ...); field set "true"/"false" in parse
+    # metadata by regex find over raw html / extracted text
+    parsefilter_regex_rules: tuple = ()
+
     # --- url filter / normalizer chains ------------------------------------
     normalizers: tuple = ("basic", "regex")
     filters: tuple = ("regex",)

@@ -21,6 +21,8 @@ Plugins (src/plugin/index-*):
            host/url-scoped (index.replace.regexp)
 - links    LinksIndexingFilter.java: outlinks/inlinks fields with
            same-host filtering and hosts-only mode
+- subcollection  SubcollectionIndexingFilter.java: collection names by
+           URL white/black lists (functions/subcollection.py)
 """
 
 from __future__ import annotations
@@ -333,6 +335,8 @@ class LinksIndexingFilter(IndexingFilter):
         return df, np.ones(len(df), dtype=bool)
 
 
+from .subcollection import SubcollectionIndexingFilter  # noqa: E402
+
 _REGISTRY = {
     c.name: c
     for c in (
@@ -344,6 +348,7 @@ _REGISTRY = {
         CriteriaIndexingFilter,
         ReplaceIndexer,
         LinksIndexingFilter,
+        SubcollectionIndexingFilter,
     )
 }
 

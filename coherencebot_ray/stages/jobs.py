@@ -412,8 +412,12 @@ def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone:
     """
 
     # index-links needs raw link lists riding the join (outlinks from
-    # the doc's link spans, inlinks from the linkdb srcs column)
+    # the doc's link spans, inlinks from the linkdb srcs column);
+    # subcollection/metadata filters need the frontier metadata column
     want_links = "links" in (cfg.indexing_filters or ())
+    want_meta = any(
+        n in ("subcollection", "metadata") for n in (cfg.indexing_filters or ())
+    )
 
     def docs_project(df: pd.DataFrame) -> pd.DataFrame:
         base_cols = ["url", "part", "title", "text"] + (["outlinks"] if want_links else [])
@@ -449,9 +453,13 @@ def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone:
             if want_links:
                 empty_cols["outlinks"] = pd.Series(dtype="object")
                 empty_cols["inlinks"] = pd.Series(dtype="object")
+            if want_meta:
+                empty_cols["metadata"] = pd.Series(dtype="object")
             return pd.DataFrame(empty_cols)
-        m = d.drop(columns=["status", "score"], errors="ignore").merge(
-            f[["url", "status", "score"]], on="url", how="inner"
+        m = d.drop(columns=["status", "score"] + (["metadata"] if want_meta else []),
+                   errors="ignore").merge(
+            f[["url", "status", "score"] + (["metadata"] if want_meta else [])],
+            on="url", how="inner"
         )
         if delete_gone:
             m = m[~m["status"].isin([CS.DB_GONE, CS.DB_DUPLICATE, CS.DB_REDIR_PERM, CS.DB_REDIR_TEMP])]
@@ -489,6 +497,8 @@ def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone:
             # index-links input columns (inlinks = linkdb srcs)
             out["outlinks"] = m["outlinks"].to_numpy()
             out["inlinks"] = m["srcs"].to_numpy()
+        if want_meta:
+            out["metadata"] = m["metadata"].to_numpy()
         if cfg.indexing_filters:
             # IndexingFilter chain (index-basic/anchor/more/metadata/
             # static/criteria) enriches or drops documents
@@ -503,7 +513,8 @@ def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone:
         ("url", ""), ("status", -1), ("score", 0.0),
         ("title", ""), ("text", ""), ("rjoin", ""), ("n_inlinks", 0),
         ("anchors", None),
-    ] + ([("outlinks", None), ("srcs", None)] if want_links else [])
+    ] + ([("outlinks", None), ("srcs", None)] if want_links else []) \
+      + ([("metadata", None)] if want_meta else [])
 
     from ..ops.agg import stable_bucket
 
@@ -526,8 +537,9 @@ def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone:
         out["jb"] = stable_bucket(out["url"], n_buckets) if n else np.array([], dtype=np.int32)
         return out
 
+    f_cols = ["url", "status", "score"] + (["metadata"] if want_meta else [])
     f_tagged = frontier_ds.map_batches(
-        lambda df: align(df[["url", "status", "score"]].assign(rjoin="db")),
+        lambda df: align(df[[c for c in f_cols if c in df.columns]].assign(rjoin="db")),
         batch_format="pandas",
     )
     d_tagged = docs_ds.map_batches(docs_project, batch_format="pandas").map_batches(

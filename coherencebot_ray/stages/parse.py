@@ -43,6 +43,7 @@ class _DocHTMLParser(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.spans: list[tuple] = []  # (kind, text, media_ref)
         self.links: list[tuple] = []  # (href, anchor)
+        self.metatags: list[tuple] = []  # (name, value) from <meta>
         self._stack: list[str] = []
         self._buf: list[str] = []
         self._href: str | None = None
@@ -57,6 +58,14 @@ class _DocHTMLParser(HTMLParser):
             src = dict(attrs).get("src")
             if src:
                 self.spans.append(("media", "", src))
+        elif tag == "meta":
+            # parse-metatags source: name= or http-equiv= + content=
+            # (MetaTagsParser.java:78-95 general + http-equiv groups)
+            d = dict(attrs)
+            name = d.get("name") or d.get("http-equiv")
+            value = d.get("content")
+            if name and value is not None:
+                self.metatags.append((name, value))
 
     def handle_endtag(self, tag):
         if self._stack and self._stack[-1] == tag:
@@ -81,12 +90,32 @@ class _DocHTMLParser(HTMLParser):
             self._buf.append(data)
 
 
-def parse_html(content: bytes) -> tuple[list[tuple], list[tuple], str]:
+def parse_html(content: bytes, want_meta: bool = False):
+    """Returns (spans, links, text) — or (spans, links, text, metatags)
+    with ``want_meta`` (parse-metatags support; same single pass)."""
     p = _DocHTMLParser()
     p.feed(content.decode("utf-8", errors="replace"))
     p.close()
     text = " ".join(s[1] for s in p.spans if s[0] in ("title", "heading", "text"))
+    if want_meta:
+        return p.spans, p.links, text, p.metatags
     return p.spans, p.links, text
+
+
+def parse_regex_rules(text: str) -> tuple:
+    """parsefilter-regex rules file format (RegexParseFilter.java:
+    155-175, data/regex-parsefilter.txt): ``<field>\\t<html|text>\\t
+    <regex>`` per line, ``#`` comments skipped. Returns ((field,
+    source, regex), ...) for CrawlConfig.parsefilter_regex_rules."""
+    rules = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split("\t")
+        if len(parts) == 3:
+            rules.append((parts[0], parts[1].lower(), parts[2]))
+    return tuple(rules)
 
 
 _FEED_ITEM_RE = re.compile(r"<(?:item|entry)\b(.*?)</(?:item|entry)>", re.S | re.I)
@@ -176,6 +205,15 @@ class ParseBatch:
                 else {}
             ),
         )
+        # parse-metatags: lowercase tag-name set, "*" = all
+        self.metatag_names = frozenset(
+            n.lower() for n in (cfg.metatags_names or ())
+        )
+        # parsefilter-regex: patterns compiled once per actor
+        self.pf_rules = tuple(
+            (field, source, re.compile(rx))
+            for field, source, rx in (cfg.parsefilter_regex_rules or ())
+        )
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         """Columnar parse pass: the only per-document Python is the html/
@@ -200,7 +238,8 @@ class ParseBatch:
         fis = ok["fetch_interval"].to_numpy()
 
         # pass 1: extract spans/links/signature per doc; flatten hrefs
-        parsed: list[tuple] = []  # (i, spans, link_start, n_links, signature)
+        want_meta = bool(self.metatag_names)
+        parsed: list[tuple] = []  # (i, spans, link_start, n_links, signature, extra_meta)
         hrefs: list[str] = []
         href_anchor: list[str] = []
         for i in range(len(ok)):
@@ -208,14 +247,44 @@ class ParseBatch:
             if content is None:
                 continue
             ctype = ctypes[i] or "text/html"
+            metatags: list[tuple] = []
             if "pdf" in ctype:
                 spans, links, text = parse_pdf(bytes(content))
             elif "rss" in ctype or "atom" in ctype:
                 spans, links, text = parse_feed(bytes(content))
+            elif want_meta:
+                spans, links, text, metatags = parse_html(bytes(content), want_meta=True)
             else:
                 spans, links, text = parse_html(bytes(content))
             signature = self.signer(text, bytes(content), urls[i])
-            parsed.append((i, spans, len(hrefs), len(links), signature))
+            # parse-filter metadata: metatag.<name> entries + regex flags
+            extra_meta: dict = {}
+            if metatags:
+                star = "*" in self.metatag_names
+                for name, value in metatags:
+                    lc = name.lower()
+                    if star or lc in self.metatag_names:
+                        key = f"metatag.{lc}"
+                        prev = extra_meta.get(key)
+                        if prev is None:
+                            extra_meta[key] = value
+                        elif isinstance(prev, list):
+                            prev.append(value)
+                        else:
+                            extra_meta[key] = [prev, value]
+            if self.pf_rules:
+                html_str = None
+                for field, source, pat in self.pf_rules:
+                    if source == "html":
+                        if html_str is None:
+                            html_str = bytes(content).decode("utf-8", errors="replace")
+                        src = html_str
+                    elif source == "text":
+                        src = text
+                    else:
+                        continue  # misconfigured source: logged + skipped
+                    extra_meta[field] = "true" if pat.search(src) else "false"
+            parsed.append((i, spans, len(hrefs), len(links), signature, extra_meta))
             for href, anchor in links:
                 hrefs.append(href)
                 href_anchor.append(anchor)
@@ -268,7 +337,7 @@ class ParseBatch:
         )
 
         max_ol = cfg.max_outlinks_per_page
-        for i, spans, lstart, n_links, signature in parsed:
+        for i, spans, lstart, n_links, signature, extra_meta in parsed:
             url, src_host = urls[i], hosts[i]
             part, ft, fi = int(parts[i]), int(fts[i]), int(fis[i])
             emit("doc", url, src_host, part, url,
@@ -277,6 +346,7 @@ class ParseBatch:
                  0, 0.0, signature, fi, None, None, ft)
 
             ol_md_json = None
+            parse_meta: dict = dict(extra_meta)  # metatags + regex flags
             if parse_hooks:
                 # passScoreBeforeParsing / passScoreAfterParsing /
                 # distributeScoreToOutlinks metadata side channel
@@ -284,15 +354,14 @@ class ParseBatch:
                 datum_meta = json.loads(dm) if isinstance(dm, str) and dm else {}
                 content_meta: dict = {}
                 self.scoring.pass_score_before_parsing(datum_meta, content_meta)
-                parse_meta: dict = {}
                 self.scoring.pass_score_after_parsing(content_meta, parse_meta)
                 ol_md = self.scoring.outlink_metadata(parse_meta)
                 ol_md_json = json.dumps(ol_md, sort_keys=True) if ol_md else None
-                if parse_meta:
-                    # PARSE_META datum for the updatedb overlay
-                    emit("crawl_parse", url, src_host, part, None, None,
-                         int(CS.PARSE_META), 0.0, None, 0, None, None, ft,
-                         metadata=json.dumps(parse_meta, sort_keys=True))
+            if parse_meta:
+                # PARSE_META datum for the updatedb overlay
+                emit("crawl_parse", url, src_host, part, None, None,
+                     int(CS.PARSE_META), 0.0, None, 0, None, None, ft,
+                     metadata=json.dumps(parse_meta, sort_keys=True))
 
             kept: list[tuple] = []
             seen_dst = set()

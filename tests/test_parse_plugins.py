@@ -1,0 +1,222 @@
+"""Ports of TestSubcollection.java (src/plugin/subcollection),
+TestMetatagParser.java (src/plugin/parse-metatags) and
+TestRegexParseFilter.java (src/plugin/parsefilter-regex)."""
+
+import json
+
+import pandas as pd
+
+from coherencebot_ray.config import CrawlConfig
+from coherencebot_ray.functions.subcollection import (
+    CollectionManager,
+    Subcollection,
+    SubcollectionIndexingFilter,
+)
+from coherencebot_ray.model import CrawlStatus as CS
+from coherencebot_ray.stages.parse import ParseBatch, parse_html, parse_regex_rules
+
+CUR = 1_700_000_000_000
+
+
+# ---------------------------------------------------------------------------
+# subcollection
+# ---------------------------------------------------------------------------
+
+def test_subcollection_filter():
+    """TestSubcollection.testFilter: blacklist rejects, whitelist
+    accepts, otherwise reject."""
+    sc = Subcollection()
+    sc.set_whitelist("www.nutch.org\nwww.apache.org")
+    sc.set_blacklist("jpg\nwww.apache.org/zecret/")
+
+    assert sc.filter("http://www.apache.org/index.html") == "http://www.apache.org/index.html"
+    assert sc.filter("http://www.apache.org/zecret/index.html") is None
+    assert sc.filter("http://www.apache.org/img/image.jpg") is None
+    assert sc.filter("http://www.google.com/") is None
+
+
+SUBCOLLECTIONS_XML = (
+    '<?xml version="1.0" encoding="UTF-8"?>'
+    "<subcollections>"
+    "<subcollection>"
+    "<name>nutch collection</name>"
+    "<id>nutch</id>"
+    "<whitelist>http://lucene.apache.org/nutch/\nhttp://wiki.apache.org/nutch/\n</whitelist>"
+    "<blacklist>http://www.xxx.yyy\n</blacklist>"
+    "</subcollection>"
+    "</subcollections>"
+)
+
+
+def test_subcollection_xml_input():
+    """TestSubcollection.testInput: XML config parse."""
+    cm = CollectionManager.parse(SUBCOLLECTIONS_XML)
+    assert len(cm.get_all()) == 1
+    coll = cm.get_all()[0]
+    assert coll.id == "nutch"
+    assert coll.name == "nutch collection"
+    assert coll.whitelist == [
+        "http://lucene.apache.org/nutch/", "http://wiki.apache.org/nutch/"
+    ]
+    assert coll.filter("http://lucene.apache.org/nutch/") == "http://lucene.apache.org/nutch/"
+    assert cm.get_sub_collections("http://lucene.apache.org/nutch/about.html") == [coll]
+    assert cm.get_sub_collections("http://www.example.com/") == []
+
+
+def test_subcollection_indexing_filter():
+    """SubcollectionIndexingFilter: matched docs get the collection
+    name; a subcollection parse-metadata value overrides matching."""
+    cfg = CrawlConfig(extra={"subcollections_xml": SUBCOLLECTIONS_XML})
+    df = pd.DataFrame([
+        {"url": "http://lucene.apache.org/nutch/about.html", "metadata": None},
+        {"url": "http://www.example.com/", "metadata": None},
+        {"url": "http://www.example.com/tagged",
+         "metadata": json.dumps({"subcollection": "manual"})},
+    ])
+    out, keep = SubcollectionIndexingFilter().apply(df, cfg)
+    assert keep.all()
+    assert out.iloc[0]["subcollection"] == ["nutch collection"]
+    assert out.iloc[1]["subcollection"] == []
+    assert out.iloc[2]["subcollection"] == ["manual"]
+
+
+def test_subcollection_case_insensitive():
+    """subcollection.case.insensitive lowercases both sides."""
+    cfg_ci = {"subcollections_xml": SUBCOLLECTIONS_XML,
+              "subcollection_case_insensitive": True}
+    df = pd.DataFrame([{"url": "HTTP://LUCENE.APACHE.ORG/NUTCH/X", "metadata": None}])
+    out, _ = SubcollectionIndexingFilter().apply(df, CrawlConfig(extra=cfg_ci))
+    assert out.iloc[0]["subcollection"] == ["nutch collection"]
+    out2, _ = SubcollectionIndexingFilter().apply(
+        df, CrawlConfig(extra={"subcollections_xml": SUBCOLLECTIONS_XML}))
+    assert out2.iloc[0]["subcollection"] == []
+
+
+def test_subcollection_key_field():
+    """A collection with a <key> element indexes under that field."""
+    xml = ("<subcollections><subcollection>"
+           "<name>keyed</name><id>k1</id><key>special</key>"
+           "<whitelist>example.com</whitelist>"
+           "</subcollection></subcollections>")
+    df = pd.DataFrame([{"url": "http://example.com/x", "metadata": None}])
+    out, _ = SubcollectionIndexingFilter().apply(
+        df, CrawlConfig(extra={"subcollections_xml": xml}))
+    assert out.iloc[0]["special"] == ["keyed"]
+    assert out.iloc[0]["subcollection"] == []
+
+
+# ---------------------------------------------------------------------------
+# parse-metatags (TestMetatagParser port)
+# ---------------------------------------------------------------------------
+
+METATAGS_HTML = (
+    b"<html><head><title>Test</title>"
+    b'<meta name="description" content="This is a test of description"/>'
+    b'<meta name="keywords" content="This is a test of keywords"/>'
+    b"</head><body>x</body></html>"
+)
+
+MULTIVAL_HTML = (
+    b"<html><head><title>Test</title>"
+    b'<meta name="DC.creator" content="Doug Cutting"/>'
+    b'<meta name="DC.creator" content="Michael Cafarella"/>'
+    b'<meta name="keywords" content="robot d\'indexation"/>'
+    b'<meta name="keywords" content="web crawler"/>'
+    b'<meta name="keywords" content="Webcrawler"/>'
+    b'<meta name="ignored" content="nope"/>'
+    b"</head><body>x</body></html>"
+)
+
+
+def _fetch_row(url, content, ctype="text/html"):
+    host = url.split("/")[2]
+    return dict(
+        url=url, host=host, part=0, status=CS.FETCH_SUCCESS, fetch_time=CUR,
+        retries=0, fetch_interval=86400, score=1.0, signature=None,
+        modified_time=0, gen_time=0, repr_url=None, fixed_interval=0,
+        metadata=None, content=content, content_type=ctype, fetch_order=0,
+    )
+
+
+def _parse_meta(cfg, content):
+    out = ParseBatch(cfg)(pd.DataFrame([_fetch_row("http://t.com/a.html", content)]))
+    pm = out[out["status"] == CS.PARSE_META]
+    if len(pm) == 0:
+        return {}
+    return json.loads(pm.iloc[0]["metadata"])
+
+
+def test_metatags_defaults_star():
+    """TestMetatagParser.testIt: description and keywords captured
+    (metatags.names "*" takes everything)."""
+    meta = _parse_meta(CrawlConfig(metatags_names=("*",)), METATAGS_HTML)
+    assert meta["metatag.description"] == "This is a test of description"
+    assert meta["metatag.keywords"] == "This is a test of keywords"
+
+
+def test_metatags_multivalue():
+    """TestMetatagParser.testMultiValueMetatags: repeated tags become
+    multi-valued metadata; names filter is lowercase-matched."""
+    cfg = CrawlConfig(metatags_names=("keywords", "DC.creator"))
+    meta = _parse_meta(cfg, MULTIVAL_HTML)
+    assert sorted(meta["metatag.dc.creator"]) == ["Doug Cutting", "Michael Cafarella"]
+    assert sorted(meta["metatag.keywords"]) == [
+        "Webcrawler", "robot d'indexation", "web crawler"]
+    assert "metatag.ignored" not in meta
+
+
+def test_metatags_disabled_by_default():
+    """Empty metatags_names keeps the parse output metadata-free."""
+    out = ParseBatch(CrawlConfig())(
+        pd.DataFrame([_fetch_row("http://t.com/a.html", METATAGS_HTML)]))
+    assert (out["status"] == CS.PARSE_META).sum() == 0
+
+
+def test_metatags_http_equiv():
+    """http-equiv tags are captured like named tags (MetaTagsParser
+    http-equiv group)."""
+    html = (b'<html><head><meta http-equiv="refresh" content="5"/>'
+            b"</head><body>x</body></html>")
+    meta = _parse_meta(CrawlConfig(metatags_names=("*",)), html)
+    assert meta["metatag.refresh"] == "5"
+
+
+# ---------------------------------------------------------------------------
+# parsefilter-regex (TestRegexParseFilter port)
+# ---------------------------------------------------------------------------
+
+RULES = parse_regex_rules(
+    "# Example configuration file for parsefilter-regex\n"
+    "first\thtml\th1\n"
+    "second\ttext\tblablabla\n"
+)
+
+
+def test_parse_regex_rules_format():
+    assert RULES == (("first", "html", "h1"), ("second", "text", "blablabla"))
+
+
+def test_regex_parsefilter_positive():
+    """testPositiveFilter: h1 in html and blablabla in text -> true."""
+    html = (b"<body><html><h1>nutch</h1>"
+            b"<p>this is the extracted text blablabla</p></body></html>")
+    meta = _parse_meta(CrawlConfig(parsefilter_regex_rules=RULES), html)
+    assert meta["first"] == "true"
+    assert meta["second"] == "true"
+
+
+def test_regex_parsefilter_negative():
+    """testNegativeFilter: h2 instead of h1, no blablabla -> false."""
+    html = (b"<body><html><h2>nutch</h2>"
+            b"<p>this is the extracted text no bla</p></body></html>")
+    meta = _parse_meta(CrawlConfig(parsefilter_regex_rules=RULES), html)
+    assert meta["first"] == "false"
+    assert meta["second"] == "false"
+
+
+def test_parse_html_meta_collection():
+    """parse_html(want_meta=True) returns the metatag list without
+    disturbing the 3-tuple contract."""
+    spans, links, text, metatags = parse_html(METATAGS_HTML, want_meta=True)
+    assert ("description", "This is a test of description") in metatags
+    assert parse_html(METATAGS_HTML) == (spans, links, text)
