@@ -36,6 +36,7 @@ class FakeResponse:
     content: bytes
     content_type: str
     redirect_to: str | None = None
+    modified_time_ms: int = 0  # Last-Modified header (0 = absent)
 
 
 @dataclass

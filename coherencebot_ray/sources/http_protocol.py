@@ -137,7 +137,35 @@ class HttpProtocol:
             status = "moved" if code in _PERM_REDIRECTS else "temp_moved"
             return FakeResponse(status, b"", ctype, redirect_to=target)
         if 200 <= code < 300:
-            return FakeResponse("success", r.content or b"", ctype)
+            content = r.content or b""
+            # gzip-on-the-wire that the transport didn't decode (stub
+            # sessions, mis-labelled Content-Encoding): best-effort
+            # unzip per GZIPUtils usage in HttpBase.processGzipEncoded
+            enc = (r.headers.get("Content-Encoding") or "").lower()
+            if enc in ("gzip", "x-gzip") and content[:2] == b"\x1f\x8b":
+                from ..functions.webutil import gzip_unzip_best_effort
+
+                unz = gzip_unzip_best_effort(content)
+                if unz is not None:
+                    content = unz
+            elif enc == "deflate":
+                from ..functions.webutil import inflate_best_effort
+
+                inf = inflate_best_effort(content)
+                if inf is not None:
+                    content = inf
+            # Last-Modified -> CrawlDatum modified time (HttpResponse
+            # headers; HttpDateFormat parse, 0 when absent/invalid)
+            mod_ms = 0
+            lm = r.headers.get("Last-Modified")
+            if lm:
+                from ..functions.webutil import http_date_to_ms
+
+                try:
+                    mod_ms = http_date_to_ms(lm)
+                except ValueError:
+                    mod_ms = 0
+            return FakeResponse("success", content, ctype, modified_time_ms=mod_ms)
         if code == 404:
             return FakeResponse("notfound", b"", ctype)
         if code in (410, 401, 403):

@@ -200,6 +200,7 @@ class FetchPartition:
                     meta or None,
                     repr_url=repr_url,
                     fetch_order=i,
+                    modified_time_ms=int(getattr(resp, "modified_time_ms", 0) or 0),
                 )
             )
 
@@ -245,7 +246,8 @@ class FetchPartition:
         return resp, final_url, chain
 
 
-def _datum(row, status, fetch_time, content, content_type, meta: dict | None, repr_url=None, fetch_order=-1):
+def _datum(row, status, fetch_time, content, content_type, meta: dict | None, repr_url=None, fetch_order=-1,
+           modified_time_ms: int = 0):
     return {
         "url": row["url"],
         "host": row["host"],
@@ -256,7 +258,8 @@ def _datum(row, status, fetch_time, content, content_type, meta: dict | None, re
         "fetch_interval": int(row["fetch_interval"]),
         "score": np.float32(row["score"]),
         "signature": row.get("signature"),
-        "modified_time": int(row.get("modified_time", 0)),
+        # protocol Last-Modified wins over the carried frontier value
+        "modified_time": int(modified_time_ms) or int(row.get("modified_time", 0)),
         "gen_time": int(row.get("gen_time", 0)),
         "repr_url": repr_url,
         "fixed_interval": int(row.get("fixed_interval", 0)),

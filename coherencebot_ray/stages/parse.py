@@ -102,6 +102,29 @@ def parse_html(content: bytes, want_meta: bool = False):
     return p.spans, p.links, text
 
 
+_TEXT_URL_RE = re.compile(
+    # OutlinkExtractor.java:60-64 URL_PATTERN (scheme:rest with the
+    # RFC-ish charset, optional #fragment), applied to plain text
+    r"[A-Za-z][A-Za-z0-9+.-]{1,120}:[A-Za-z0-9/]"
+    r"(?:[A-Za-z0-9$_.+!*,;/?:@&~=-]|%[A-Fa-f0-9]{2}){1,333}"
+    r"(?:#[a-zA-Z0-9][a-zA-Z0-9$_.+!*,;/?:@&~=%-]{0,1000})?"
+)
+
+
+def extract_text_outlinks(text: str | None) -> list[str]:
+    """OutlinkExtractor.getOutlinks(:76-121): regex URL extraction from
+    plain text, kept only for http/https/ftp/file schemes. Scheme-less
+    hosts (www.google.com) are NOT links, matching the reference."""
+    if not text:
+        return []
+    out = []
+    for m in _TEXT_URL_RE.finditer(text):
+        u = m.group(0)
+        if u.startswith(("http:", "https:", "ftp:", "file:")):
+            out.append(u)
+    return out
+
+
 def parse_regex_rules(text: str) -> tuple:
     """parsefilter-regex rules file format (RegexParseFilter.java:
     155-175, data/regex-parsefilter.txt): ``<field>\\t<html|text>\\t

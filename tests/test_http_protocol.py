@@ -61,6 +61,34 @@ def test_status_mapping():
     assert p.fetch("http://a.com/err").status == "exception"
 
 
+def test_gzip_content_and_last_modified():
+    """Content-Encoding: gzip bodies the transport left undecoded are
+    best-effort unzipped (HttpBase.processGzipEncoded analogue); the
+    Last-Modified header becomes modified_time_ms via HttpDateFormat."""
+    from coherencebot_ray.functions.webutil import gzip_zip
+
+    body = b"<html><body>compressed page</body></html>"
+    s = _Session({
+        "http://a.com/gz": _Resp(200, gzip_zip(body), {
+            "Content-Type": "text/html",
+            "Content-Encoding": "gzip",
+            "Last-Modified": "Sun, 06 Nov 1994 08:49:37 GMT",
+        }),
+        "http://a.com/badgz": _Resp(200, b"plain, mislabelled", {
+            "Content-Type": "text/html",
+            "Content-Encoding": "gzip",
+            "Last-Modified": "never ever",
+        }),
+    })
+    p = HttpProtocol(session=s)
+    r = p.fetch("http://a.com/gz")
+    assert r.status == "success" and r.content == body
+    assert r.modified_time_ms == 784111777000
+    # no gzip magic -> body passed through; bad date -> 0
+    r2 = p.fetch("http://a.com/badgz")
+    assert r2.content == b"plain, mislabelled" and r2.modified_time_ms == 0
+
+
 def test_robots_parsing_and_errors():
     txt = """
 # comment
