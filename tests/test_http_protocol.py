@@ -61,6 +61,50 @@ def test_status_mapping():
     assert p.fetch("http://a.com/err").status == "exception"
 
 
+ROBOTS_STRING = (
+    "User-Agent: Agent1 #foo\r"
+    "Disallow: /a\r"
+    "Disallow: /b/a\r"
+    "#Disallow: /c\r"
+    "Crawl-delay: 10\r"
+    "\r\r"
+    "User-Agent: Agent2\r"
+    "Disallow: /a/bloh\r"
+    "Disallow: /c\r"
+    "Disallow: /foo\r"
+    "Crawl-delay: 20\r"
+    "\r"
+    "User-Agent: *\r"
+    "Disallow: /foo/bar/\r"
+)
+
+ROBOTS_TEST_PATHS = [
+    "http://example.com/a", "http://example.com/a/bloh/foo.html",
+    "http://example.com/b", "http://example.com/c",
+    "http://example.com/b/a/index.html", "http://example.com/foo/bar/baz.html",
+]
+ROBOTS_RESULTS = [False, False, True, True, False, True]
+
+
+def test_robot_rules_agent():
+    """TestRobotRulesParser.testRobotsAgent port: per-agent group
+    selection (incl. the multi-agent product name matching the first
+    declared group) and path allow/deny."""
+    p = HttpProtocol(session=_Session({}))
+    for agent in ("Agent1", "Agent2, Agent1"):
+        rb = parse_robots_txt(ROBOTS_STRING, agent)
+        for path, expected in zip(ROBOTS_TEST_PATHS, ROBOTS_RESULTS):
+            assert p.robots_allows(rb, path) == expected, (agent, path)
+
+
+def test_robot_rules_crawl_delay():
+    """TestRobotRulesParser.testCrawlDelay port: 10s for Agent1;
+    unset (None, the reference's Long.MIN_VALUE) for unknown agents
+    falling through to the * group."""
+    assert parse_robots_txt(ROBOTS_STRING, "Agent1").crawl_delay == 10
+    assert parse_robots_txt(ROBOTS_STRING, "AgentABC").crawl_delay is None
+
+
 def test_gzip_content_and_last_modified():
     """Content-Encoding: gzip bodies the transport left undecoded are
     best-effort unzipped (HttpBase.processGzipEncoded analogue); the
