@@ -808,6 +808,29 @@ def merge_segments(seg_dirs: list[str], out_dir: str, n_buckets: int = 64, merge
         g = g.sort_values("fetch_time", ascending=False, kind="stable")
         return g[~g["url"].duplicated()]
 
+    # SegmentMerger.reduce fetch-part precedence (SegmentMerger.java:
+    # 343-360, NUTCH-1520/NUTCH-1113): only real fetch statuses compete
+    # for the merged fetch datum — FETCH_RETRY and FETCH_NOTMODIFIED
+    # never override, and a LINKED datum (redirect target) never beats
+    # a real fetch from ANY segment. A url with only LINKED rows keeps
+    # its latest LINKED row (the reference emits those under
+    # crawl_parse; this layout has one fetch_out table); a url with
+    # only RETRY/NOTMODIFIED rows is dropped, as the reference drops it.
+    _REAL_FETCH = (
+        int(CS.FETCH_SUCCESS), int(CS.FETCH_GONE),
+        int(CS.FETCH_REDIR_TEMP), int(CS.FETCH_REDIR_PERM),
+    )
+
+    def _latest_fetch(g: pd.DataFrame) -> pd.DataFrame:
+        if "status" not in g.columns:
+            return _latest(g)
+        g = g.sort_values("fetch_time", ascending=False, kind="stable")
+        real = g[g["status"].isin(_REAL_FETCH)]
+        real = real[~real["url"].duplicated()]
+        linked = g[(g["status"] == int(CS.LINKED)) & ~g["url"].isin(real["url"])]
+        linked = linked[~linked["url"].duplicated()]
+        return pd.concat([real, linked], ignore_index=True) if len(linked) else real
+
     def _filtered(component: str, base_fn):
         if not merge_filters:
             return base_fn
@@ -823,8 +846,9 @@ def merge_segments(seg_dirs: list[str], out_dir: str, n_buckets: int = 64, merge
 
     for what in ("fetch_out", "docs"):
         files = _files(what)
+        base = _latest_fetch if what == "fetch_out" else _latest
         counts[what] = (
-            _merge_component(files, os.path.join(out_dir, what), _filtered(what, _latest))
+            _merge_component(files, os.path.join(out_dir, what), _filtered(what, base))
             if files
             else 0
         )

@@ -145,6 +145,117 @@ def test_http_index_writer(ray_session, tmp_path):
     assert urls == set(docs["url"])
 
 
+def _seg(tmp_path, name, rows):
+    """Write one segment's fetch_out component from (url, status,
+    fetch_time) triples."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / name / "fetch_out" / "part-0"
+    d.mkdir(parents=True)
+    t = pa.table(
+        {
+            "url": [r[0] for r in rows],
+            "status": [int(r[1]) for r in rows],
+            "fetch_time": [int(r[2]) for r in rows],
+        }
+    )
+    pq.write_table(t, d / "f.parquet")
+    return str(tmp_path / name)
+
+
+def _merged_status(tmp_path, segs, url="http://nutch.apache.org/"):
+    import pyarrow.parquet as pq
+
+    from coherencebot_ray.stages.tools import merge_segments
+
+    out = tmp_path / "out"
+    merge_segments(segs, str(out), n_buckets=4)
+    got = pq.read_table(str(out / "fetch_out")).to_pandas().set_index("url")
+    return got, (int(got.loc[url, "status"]) if url in got.index else None)
+
+
+URL = "http://nutch.apache.org/"
+REDIR = "http://nutch.apache.org/i_redirect_to_the_root/"
+
+
+def test_segment_merger_fixed_sequence(ray_session, tmp_path):
+    """TestSegmentMergerCrawlDatums.testFixedSequence: gone, then a
+    redirect-only segment (LINKED), then success -> success."""
+    segs = [
+        _seg(tmp_path, "s1", [(URL, CS.FETCH_GONE, 10)]),
+        _seg(tmp_path, "s2", [(URL, CS.LINKED, 20), (REDIR, CS.FETCH_REDIR_TEMP, 20)]),
+        _seg(tmp_path, "s3", [(URL, CS.FETCH_SUCCESS, 30)]),
+    ]
+    _, status = _merged_status(tmp_path, segs)
+    assert status == CS.FETCH_SUCCESS
+
+
+def test_segment_merger_mostly_redirects(ray_session, tmp_path):
+    """testMostlyRedirects: seven redirect-only segments around one
+    real fetch -> the real fetch status survives, regardless of the
+    later LINKED datums."""
+    segs = []
+    for i in range(8):
+        t = (i + 1) * 10
+        if i == 5:
+            segs.append(_seg(tmp_path, f"s{i}", [(URL, CS.FETCH_SUCCESS, t)]))
+        else:
+            segs.append(_seg(tmp_path, f"s{i}",
+                             [(URL, CS.LINKED, t), (REDIR, CS.FETCH_REDIR_TEMP, t)]))
+    _, status = _merged_status(tmp_path, segs)
+    assert status == CS.FETCH_SUCCESS
+
+
+def test_segment_merger_redir_fetch_in_one_segment(ray_session, tmp_path):
+    """testRedirFetchInOneSegment: LINKED + fetch for the same url in
+    ONE segment -> the fetch datum is preferred."""
+    segs = [_seg(tmp_path, "s1", [
+        (URL, CS.LINKED, 10),
+        (URL, CS.FETCH_SUCCESS, 10),
+        (REDIR, CS.FETCH_REDIR_TEMP, 10),
+    ])]
+    _, status = _merged_status(tmp_path, segs)
+    assert status == CS.FETCH_SUCCESS
+
+
+def test_segment_merger_ends_with_redirect(ray_session, tmp_path):
+    """testEndsWithRedirect: a trailing redirect-only segment must not
+    clobber the earlier real fetch."""
+    segs = [
+        _seg(tmp_path, "s1", [(URL, CS.FETCH_SUCCESS, 10)]),
+        _seg(tmp_path, "s2", [(URL, CS.LINKED, 20), (REDIR, CS.FETCH_REDIR_TEMP, 20)]),
+    ]
+    _, status = _merged_status(tmp_path, segs)
+    assert status == CS.FETCH_SUCCESS
+
+
+def test_segment_merger_nutch_1520(ray_session, tmp_path):
+    """NUTCH-1520/1113: FETCH_NOTMODIFIED and FETCH_RETRY never
+    override a real fetch; a url with only retry rows is dropped."""
+    segs = [
+        _seg(tmp_path, "s1", [(URL, CS.FETCH_SUCCESS, 10),
+                              ("http://only-retry.com/", CS.FETCH_RETRY, 10)]),
+        _seg(tmp_path, "s2", [(URL, CS.FETCH_NOTMODIFIED, 20),
+                              ("http://only-retry.com/", CS.FETCH_RETRY, 20)]),
+    ]
+    got, status = _merged_status(tmp_path, segs)
+    assert status == CS.FETCH_SUCCESS
+    assert "http://only-retry.com/" not in got.index
+
+
+def test_segment_merger_linked_only_kept(ray_session, tmp_path):
+    """A url seen only as LINKED keeps its latest LINKED row (the
+    reference emits those under crawl_parse; single-table analogue)."""
+    segs = [
+        _seg(tmp_path, "s1", [(URL, CS.LINKED, 10)]),
+        _seg(tmp_path, "s2", [(URL, CS.LINKED, 20)]),
+    ]
+    got, status = _merged_status(tmp_path, segs)
+    assert status == CS.LINKED
+    assert int(got.loc[URL, "fetch_time"]) == 20
+
+
 def test_segment_merge_filter(ray_session, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
