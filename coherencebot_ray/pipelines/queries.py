@@ -641,6 +641,63 @@ FROM documents ORDER BY doc_id
 """
 
 
+_SUBCOLL_XML = (
+    "<subcollections>"
+    "<subcollection><name>alpha</name><id>alpha</id>"
+    "<whitelist>host1.example\nhost2.example</whitelist>"
+    "<blacklist>/doc/11</blacklist>"
+    "</subcollection>"
+    "<subcollection><name>beta</name><id>beta</id>"
+    "<whitelist>.example/doc/7</whitelist>"
+    "</subcollection>"
+    "</subcollections>"
+)
+
+
+def q_subcollection(sf_dir: str):
+    """subcollection plugin over the derived url corpus: assign docs to
+    named collections by substring white/black lists
+    (Subcollection.java:170-193), exploded to one (url, collection)
+    row per membership. Oracle: the same contains() logic in SQL."""
+    from ..config import CrawlConfig
+    from ..functions.subcollection import SubcollectionIndexingFilter
+
+    import ray.data as rd
+
+    ids = DV.read_doc_ids(sf_dir)
+    urls = DV.derived_frontier(ids)[["url"]]
+    cfg = CrawlConfig(extra={"subcollections_xml": _SUBCOLL_XML})
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.copy()
+        d["metadata"] = None
+        out, _ = SubcollectionIndexingFilter().apply(d, cfg)
+        rows = out[["url", "subcollection"]].explode("subcollection")
+        rows = rows[rows["subcollection"].notna()]
+        return pd.DataFrame(
+            {"url": rows["url"].to_numpy(),
+             "collection": rows["subcollection"].to_numpy()}
+        ) if len(rows) else pd.DataFrame(
+            {"url": pd.Series(dtype="object"),
+             "collection": pd.Series(dtype="object")}
+        )
+
+    out = rd.from_pandas(urls).map_batches(assign, batch_format="pandas").to_pandas()
+    return out.sort_values(["url", "collection"]).reset_index(drop=True)
+
+
+_SUBCOLL_SQL = f"""
+WITH f AS (SELECT {DV.URL_SQL} AS url FROM documents)
+SELECT url, 'alpha' AS collection FROM f
+ WHERE (contains(url, 'host1.example') OR contains(url, 'host2.example'))
+   AND NOT contains(url, '/doc/11')
+UNION ALL
+SELECT url, 'beta' AS collection FROM f
+ WHERE contains(url, '.example/doc/7')
+ORDER BY url, collection
+"""
+
+
 def q_langid(sf_dir: str):
     """Language-ID heuristic counts per predicted lang. Oracle: the
     stopword-profile argmax (first language in profile order wins ties)
@@ -1290,6 +1347,7 @@ def build_queries() -> dict:
         "q1_agg": q_q1_agg,
         "q3_join": q_q3_join,
         "crawl_round": q_crawl_round,
+        "subcollection": q_subcollection,
         "crawlcomplete": q_crawlcomplete,
         "domainstats": q_domainstats,
         "protocolstats": q_protocolstats,
@@ -1327,6 +1385,7 @@ def build_oracle_sql() -> dict:
         "minhash_lsh_idjoin": _minhash_sql(),
         "simhash": _SIMHASH_SQL,
         "langid": _langid_sql(),
+        "subcollection": _SUBCOLL_SQL,
         "knn_ivf": _KNN_IVF_SQL,
         "crawl_round": _CRAWL_ROUND_SQL,
         "crawlcomplete": _CRAWLCOMPLETE_SQL,
