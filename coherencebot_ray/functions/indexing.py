@@ -78,17 +78,56 @@ class AnchorIndexingFilter(IndexingFilter):
 
 
 class MoreIndexingFilter(IndexingFilter):
+    """index-more (MoreIndexingFilter.java:80-260): contentLength,
+    cleaned + auto-resolved content type with primary/sub parts
+    (moreIndexingFilter.indexMimeTypeParts, default true), date, and
+    the Content-Disposition filename as title — only when the doc has
+    no title yet (NUTCH-1140)."""
+
     name = "more"
 
+    _DISPO_RE = re.compile(r"filename=\"?([^\";]+)\"?", re.I)
+
     def apply(self, df, cfg):
+        from .mimeutil import auto_resolve_content_type, mime_parts
+
         df = df.copy()
         text = df["text"] if "text" in df.columns else pd.Series("", index=df.index)
         df["contentLength"] = text.fillna("").str.len().astype(np.int64)
         ct = df["content_type"] if "content_type" in df.columns else pd.Series(None, index=df.index)
-        df["contentType"] = ct.fillna("text/html")
-        df["primaryType"] = df["contentType"].str.split("/").str[0]
+        urls = df["url"].fillna("") if "url" in df.columns else pd.Series("", index=df.index)
+        types = [
+            auto_resolve_content_type(c if isinstance(c, str) else None, u, None)
+            for c, u in zip(ct, urls)
+        ]
+        df["contentType"] = types
+        if bool(getattr(cfg, "extra", {}).get("more_index_mimetype_parts", True)):
+            parts = [mime_parts(t) for t in types]
+            df["primaryType"] = [p[0] if p else "" for p in parts]
+            df["subType"] = [p[1] if len(p) > 1 else "" for p in parts]
         if "date" not in df.columns:
             df["date"] = df["fetch_time"] if "fetch_time" in df.columns else 0
+        # Content-Disposition filename -> title (metadata JSON), never
+        # overwriting an existing title (NUTCH-1140)
+        if "metadata" in df.columns:
+            titles = df["title"] if "title" in df.columns else pd.Series(None, index=df.index)
+            new_titles = []
+            changed = False
+            for t, m in zip(titles, df["metadata"]):
+                if (t is None or (isinstance(t, float) and np.isnan(t)) or t == "") \
+                        and isinstance(m, str) and "filename" in m:
+                    try:
+                        dispo = json.loads(m).get("Content-Disposition", "")
+                    except ValueError:
+                        dispo = ""
+                    mt = self._DISPO_RE.search(dispo or "")
+                    if mt:
+                        new_titles.append(mt.group(1))
+                        changed = True
+                        continue
+                new_titles.append(t)
+            if changed:
+                df["title"] = new_titles
         return df, np.ones(len(df), dtype=bool)
 
 
