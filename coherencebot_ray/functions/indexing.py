@@ -62,16 +62,25 @@ class BasicIndexingFilter(IndexingFilter):
 
 
 class AnchorIndexingFilter(IndexingFilter):
+    """index-anchor (AnchorIndexingFilter.java:44-100): inlink anchor
+    texts; anchorIndexingFilter.deduplicate (default false, as the
+    reference) collapses duplicates in first-seen order (the
+    reference's HashSet minus its order-nondeterminism)."""
+
     name = "anchor"
 
     def apply(self, df, cfg):
+        dedup = bool(getattr(cfg, "extra", {}).get("anchor_deduplicate", False))
         df = df.copy()
         if "anchors" in df.columns:
-            # deduplicate, preserve order (AnchorIndexingFilter HashSet
-            # semantics minus its order-nondeterminism)
-            df["anchor"] = df["anchors"].map(
-                lambda a: list(dict.fromkeys(a)) if isinstance(a, (list, np.ndarray)) else []
-            )
+            if dedup:
+                df["anchor"] = df["anchors"].map(
+                    lambda a: list(dict.fromkeys(a)) if isinstance(a, (list, np.ndarray)) else []
+                )
+            else:
+                df["anchor"] = df["anchors"].map(
+                    lambda a: list(a) if isinstance(a, (list, np.ndarray)) else []
+                )
         else:
             df["anchor"] = [[] for _ in range(len(df))]
         return df, np.ones(len(df), dtype=bool)

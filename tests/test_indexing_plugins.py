@@ -236,6 +236,20 @@ def test_index_hosts_only_and_filter_outlinks():
     assert row["outlinks"] == ["www.test.com"]
 
 
+def test_anchor_deduplicate_flag():
+    """TestAnchorIndexingFilter.testDeduplicateAnchor port: dedup only
+    with anchorIndexingFilter.deduplicate=true; the reference default
+    (false) keeps duplicates."""
+    from coherencebot_ray.functions.indexing import AnchorIndexingFilter
+
+    df = pd.DataFrame([{"url": "http://nutch.apache.org/index.html",
+                        "anchors": ["text1", "text2", "text2"]}])
+    out, _ = AnchorIndexingFilter().apply(df, CrawlConfig(extra={"anchor_deduplicate": True}))
+    assert out.iloc[0]["anchor"] == ["text1", "text2"]
+    out2, _ = AnchorIndexingFilter().apply(df, CrawlConfig())
+    assert out2.iloc[0]["anchor"] == ["text1", "text2", "text2"]
+
+
 def test_links_filter_in_chain():
     """The links plugin composes with the registered chain."""
     df = pd.DataFrame([{

@@ -594,7 +594,8 @@ def test_indexing_filter_chain(ray_session):
         }
     )
     cfg = CrawlConfig(extra={"index_metadata_keys": ("collection.id",),
-                             "index_static_fields": {"site": "demo"}})
+                             "index_static_fields": {"site": "demo"},
+                             "anchor_deduplicate": True})
     chain = IndexingFilters(("basic", "anchor", "more", "metadata", "static", "criteria"), cfg)
     out = chain.apply(df)
     # criteria drops the short doc (index.criteria.minlength=4000)
