@@ -44,6 +44,7 @@ class _DocHTMLParser(HTMLParser):
         self.spans: list[tuple] = []  # (kind, text, media_ref)
         self.links: list[tuple] = []  # (href, anchor)
         self.metatags: list[tuple] = []  # (name, value) from <meta>
+        self.base_href: str | None = None  # first <base href>
         self._stack: list[str] = []
         self._buf: list[str] = []
         self._href: str | None = None
@@ -66,6 +67,11 @@ class _DocHTMLParser(HTMLParser):
             value = d.get("content")
             if name and value is not None:
                 self.metatags.append((name, value))
+        elif tag == "base":
+            # HTMLMetaProcessor base-url capture (first <base href> wins)
+            href = dict(attrs).get("href")
+            if href and self.base_href is None:
+                self.base_href = href
 
     def handle_endtag(self, tag):
         if self._stack and self._stack[-1] == tag:
@@ -91,15 +97,41 @@ class _DocHTMLParser(HTMLParser):
 
 
 def parse_html(content: bytes, want_meta: bool = False):
-    """Returns (spans, links, text) — or (spans, links, text, metatags)
-    with ``want_meta`` (parse-metatags support; same single pass)."""
+    """Returns (spans, links, text) — or (spans, links, text, metatags,
+    base_href) with ``want_meta`` (parse-metatags / robots-meta / base
+    support; same single pass)."""
     p = _DocHTMLParser()
     p.feed(content.decode("utf-8", errors="replace"))
     p.close()
     text = " ".join(s[1] for s in p.spans if s[0] in ("title", "heading", "text"))
     if want_meta:
-        return p.spans, p.links, text, p.metatags
+        return p.spans, p.links, text, p.metatags, p.base_href
     return p.spans, p.links, text
+
+
+def robots_meta_directives(metatags) -> tuple[bool, bool, bool]:
+    """HTMLMetaProcessor.getMetaTagsHelper robots/pragma handling
+    (parse/HTMLMetaProcessor.java, TestRobotsMetaProcessor matrix):
+    returns (no_index, no_follow, no_cache). ``none`` sets both,
+    ``all`` sets neither; directives are comma/space separated,
+    case-insensitive; http-equiv pragma/cache-control no-cache sets
+    no_cache."""
+    no_index = no_follow = no_cache = False
+    for name, value in metatags:
+        lc = name.lower()
+        if lc == "robots":
+            toks = {t.strip().lower() for t in re.split(r"[,\s]+", value) if t.strip()}
+            if "none" in toks:
+                no_index = no_follow = True
+            if "all" in toks:
+                pass  # explicit allow: sets nothing, like the reference
+            if "noindex" in toks:
+                no_index = True
+            if "nofollow" in toks:
+                no_follow = True
+        elif lc in ("pragma", "cache-control") and "no-cache" in value.lower():
+            no_cache = True
+    return no_index, no_follow, no_cache
 
 
 _TEXT_URL_RE = re.compile(
@@ -261,7 +293,6 @@ class ParseBatch:
         fis = ok["fetch_interval"].to_numpy()
 
         # pass 1: extract spans/links/signature per doc; flatten hrefs
-        want_meta = bool(self.metatag_names)
         parsed: list[tuple] = []  # (i, spans, link_start, n_links, signature, extra_meta)
         hrefs: list[str] = []
         href_anchor: list[str] = []
@@ -275,14 +306,33 @@ class ParseBatch:
                 spans, links, text = parse_pdf(bytes(content))
             elif "rss" in ctype or "atom" in ctype:
                 spans, links, text = parse_feed(bytes(content))
-            elif want_meta:
-                spans, links, text, metatags = parse_html(bytes(content), want_meta=True)
             else:
-                spans, links, text = parse_html(bytes(content))
+                spans, links, text, metatags, base_href = parse_html(
+                    bytes(content), want_meta=True)
+                # robots meta directives (HtmlParser.java getParse:
+                # noIndex -> no text/title extracted, noFollow -> no
+                # outlinks; HTMLMetaProcessor matrix)
+                if metatags:
+                    no_index, no_follow, _ = robots_meta_directives(metatags)
+                    if no_index:
+                        spans = [s for s in spans if s[0] == "link"]
+                        text = ""
+                    if no_follow:
+                        links = []
+                # <base href> / page-url relative link resolution
+                # (DOMContentUtils.getOutlinks base handling)
+                if links and any("://" not in h for h, _ in links):
+                    from urllib.parse import urljoin
+
+                    base = base_href or urls[i]
+                    links = [
+                        (h if "://" in h else urljoin(base, h), a)
+                        for h, a in links
+                    ]
             signature = self.signer(text, bytes(content), urls[i])
             # parse-filter metadata: metatag.<name> entries + regex flags
             extra_meta: dict = {}
-            if metatags:
+            if metatags and self.metatag_names:
                 star = "*" in self.metatag_names
                 for name, value in metatags:
                     lc = name.lower()

@@ -215,8 +215,88 @@ def test_regex_parsefilter_negative():
 
 
 def test_parse_html_meta_collection():
-    """parse_html(want_meta=True) returns the metatag list without
+    """parse_html(want_meta=True) returns metatags + base href without
     disturbing the 3-tuple contract."""
-    spans, links, text, metatags = parse_html(METATAGS_HTML, want_meta=True)
+    spans, links, text, metatags, base = parse_html(METATAGS_HTML, want_meta=True)
     assert ("description", "This is a test of description") in metatags
+    assert base is None
     assert parse_html(METATAGS_HTML) == (spans, links, text)
+
+
+# ---------------------------------------------------------------------------
+# robots meta directives (TestRobotsMetaProcessor port)
+# ---------------------------------------------------------------------------
+
+ROBOTS_TESTS = [
+    ('<META NAME="ROBOTS" CONTENT="NONE"> <META HTTP-EQUIV="PRAGMA" CONTENT="NO-CACHE">',
+     (True, True, True)),
+    ('<meta name="robots" content="all"> <meta http-equiv="pragma" content="no-cache">',
+     (False, False, True)),
+    ('<MeTa NaMe="RoBoTs" CoNtEnT="nOnE"> <MeTa HtTp-EqUiV="pRaGmA" cOnTeNt="No-CaChE">',
+     (True, True, True)),
+    ('<meta name="robots" content="none">', (True, True, False)),
+    ('<meta name="robots" content="noindex,nofollow">', (True, True, False)),
+    ('<meta name="robots" content="noindex,follow">', (True, False, False)),
+    ('<meta name="robots" content="index,nofollow">', (False, True, False)),
+    ('<meta name="robots" content="index,follow"> <base href="http://www.nutch.org/">',
+     (False, False, False)),
+    ('<meta name="robots"> <base href="http://www.nutch.org/base/">',
+     (False, False, False)),
+]
+
+
+def test_robots_meta_matrix():
+    """TestRobotsMetaProcessor.testRobotsMetaProcessor: the 9-case
+    directive matrix, incl. case-insensitivity, none/all, and the
+    content-less robots tag."""
+    from coherencebot_ray.stages.parse import robots_meta_directives
+
+    for i, (head, expected) in enumerate(ROBOTS_TESTS):
+        html = f'<html><head><title>test page</title>{head}</head><body> some text</body></html>'
+        _, _, _, metatags, base = parse_html(html.encode(), want_meta=True)
+        assert robots_meta_directives(metatags) == expected, f"case {i}"
+    # base capture (cases 8/9 of the reference matrix)
+    _, _, _, _, base = parse_html(
+        ('<html><head><base href="http://www.nutch.org/base/">'
+         "</head><body>x</body></html>").encode(), want_meta=True)
+    assert base == "http://www.nutch.org/base/"
+
+
+def test_robots_meta_through_parse_stage():
+    """noindex strips content spans + text (empty-signature semantics);
+    nofollow drops every outlink/LINKED row; plain pages unaffected."""
+    def page(directive):
+        return (f'<html><head><title>T</title>{directive}</head><body>'
+                f'<p>body text</p><a href="http://b.com/x">x</a>'
+                f"</body></html>").encode()
+
+    batch = pd.DataFrame([
+        _fetch_row("http://a.com/plain", page("")),
+        _fetch_row("http://a.com/noindex", page('<meta name="robots" content="noindex">')),
+        _fetch_row("http://a.com/nofollow", page('<meta name="robots" content="nofollow">')),
+    ])
+    out = ParseBatch(CrawlConfig())(batch)
+    docs = out[out["rtype"] == "doc"].set_index("url")
+    kinds = lambda u: [s["kind"] for s in docs.loc[u, "spans"]]
+    assert "text" in kinds("http://a.com/plain")
+    assert kinds("http://a.com/noindex") == ["link"]  # content spans gone
+    outlinks = out[out["rtype"] == "outlink"]
+    assert "http://a.com/nofollow" not in set(outlinks["url"])
+    assert "http://a.com/plain" in set(outlinks["url"])
+
+
+def test_base_href_relative_resolution():
+    """DOMContentUtils base handling: relative hrefs resolve against
+    <base href>, else against the page url."""
+    html = (b'<html><head><base href="http://cdn.example/dir/"></head>'
+            b'<body><a href="sub/page.html">r</a>'
+            b'<a href="http://abs.example/p">a</a></body></html>')
+    batch = pd.DataFrame([_fetch_row("http://a.com/idx", html)])
+    out = ParseBatch(CrawlConfig())(batch)
+    dsts = set(out[out["rtype"] == "outlink"]["dst"])
+    assert "http://cdn.example/dir/sub/page.html" in dsts
+    assert "http://abs.example/p" in dsts
+
+    html2 = (b"<html><body><a href=\"/rooted.html\">r</a></body></html>")
+    out2 = ParseBatch(CrawlConfig())(pd.DataFrame([_fetch_row("http://a.com/d/idx", html2)]))
+    assert set(out2[out2["rtype"] == "outlink"]["dst"]) == {"http://a.com/rooted.html"}
