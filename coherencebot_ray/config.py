@@ -138,6 +138,10 @@ class CrawlConfig:
     # "html"|"text", regex), ...); field set "true"/"false" in parse
     # metadata by regex find over raw html / extracted text
     parsefilter_regex_rules: tuple = ()
+    # creativecommons CCParseFilter: detect CC license anchors/RDF and
+    # record License-Url/License-Location/Work-Type parse metadata
+    # (one extra HTML pass per doc when enabled)
+    cc_license: bool = False
 
     # --- url filter / normalizer chains ------------------------------------
     normalizers: tuple = ("basic", "regex")

@@ -383,6 +383,7 @@ class LinksIndexingFilter(IndexingFilter):
         return df, np.ones(len(df), dtype=bool)
 
 
+from .license import CCIndexingFilter  # noqa: E402
 from .subcollection import SubcollectionIndexingFilter  # noqa: E402
 
 _REGISTRY = {
@@ -397,6 +398,7 @@ _REGISTRY = {
         ReplaceIndexer,
         LinksIndexingFilter,
         SubcollectionIndexingFilter,
+        CCIndexingFilter,
     )
 }
 

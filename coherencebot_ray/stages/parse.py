@@ -332,6 +332,11 @@ class ParseBatch:
             signature = self.signer(text, bytes(content), urls[i])
             # parse-filter metadata: metatag.<name> entries + regex flags
             extra_meta: dict = {}
+            if self.cfg.cc_license and metatags is not None and "pdf" not in ctype:
+                # creativecommons CCParseFilter (License-Url etc.)
+                from ..functions.license import find_cc_license
+
+                extra_meta.update(find_cc_license(bytes(content), urls[i]))
             if metatags and self.metatag_names:
                 star = "*" in self.metatag_names
                 for name, value in metatags:
