@@ -142,6 +142,9 @@ class CrawlConfig:
     # record License-Url/License-Location/Work-Type parse metadata
     # (one extra HTML pass per doc when enabled)
     cc_license: bool = False
+    # parse-js JSParseFilter: extract string-literal outlinks from
+    # embedded <script> bodies (pure .js documents always parse)
+    parse_js: bool = False
 
     # --- url filter / normalizer chains ------------------------------------
     normalizers: tuple = ("basic", "regex")

@@ -383,6 +383,25 @@ class LinksIndexingFilter(IndexingFilter):
         return df, np.ones(len(df), dtype=bool)
 
 
+class JexlIndexingFilter(IndexingFilter):
+    """index-jexl-filter (JexlIndexingFilter.java): keep only documents
+    matching the index.jexl.filter expression (extra['index_jexl_filter'],
+    e.g. "doc.lang=='en'"); ``doc.<field>`` references become column
+    references. An unparseable expression raises (the reference's
+    setConf throws on a bad expression)."""
+
+    name = "jexl"
+
+    def apply(self, df, cfg):
+        expr = getattr(cfg, "extra", {}).get("index_jexl_filter", "")
+        if not expr or len(df) == 0:
+            return df, np.ones(len(df), dtype=bool)
+        from .jexl import evaluate
+
+        py = re.sub(r"\bdoc\.(\w+)", r"\1", expr)
+        return df, evaluate(df, py)
+
+
 from .license import CCIndexingFilter  # noqa: E402
 from .subcollection import SubcollectionIndexingFilter  # noqa: E402
 
@@ -399,6 +418,7 @@ _REGISTRY = {
         LinksIndexingFilter,
         SubcollectionIndexingFilter,
         CCIndexingFilter,
+        JexlIndexingFilter,
     )
 }
 

@@ -45,6 +45,9 @@ class _DocHTMLParser(HTMLParser):
         self.links: list[tuple] = []  # (href, anchor)
         self.metatags: list[tuple] = []  # (name, value) from <meta>
         self.base_href: str | None = None  # first <base href>
+        self.scripts: list[str] = []  # <script> bodies (parse-js)
+        self._in_script = False
+        self._script_buf: list[str] = []
         self._stack: list[str] = []
         self._buf: list[str] = []
         self._href: str | None = None
@@ -72,8 +75,17 @@ class _DocHTMLParser(HTMLParser):
             href = dict(attrs).get("href")
             if href and self.base_href is None:
                 self.base_href = href
+        elif tag == "script":
+            self._in_script = True
+            self._script_buf = []
 
     def handle_endtag(self, tag):
+        if tag == "script":
+            if self._script_buf:
+                self.scripts.append("".join(self._script_buf))
+            self._in_script = False
+            self._script_buf = []
+            return
         if self._stack and self._stack[-1] == tag:
             text = "".join(self._buf).strip()
             self._stack.pop()
@@ -92,21 +104,57 @@ class _DocHTMLParser(HTMLParser):
             self._buf = []
 
     def handle_data(self, data):
-        if self._stack:
+        if self._in_script:
+            self._script_buf.append(data)
+        elif self._stack:
             self._buf.append(data)
+
+
+def parse_html_full(content: bytes) -> tuple[_DocHTMLParser, str]:
+    """One pass; returns the populated parser (spans/links/metatags/
+    base_href/scripts) and the extracted text."""
+    p = _DocHTMLParser()
+    p.feed(content.decode("utf-8", errors="replace"))
+    p.close()
+    text = " ".join(s[1] for s in p.spans if s[0] in ("title", "heading", "text"))
+    return p, text
 
 
 def parse_html(content: bytes, want_meta: bool = False):
     """Returns (spans, links, text) — or (spans, links, text, metatags,
     base_href) with ``want_meta`` (parse-metatags / robots-meta / base
     support; same single pass)."""
-    p = _DocHTMLParser()
-    p.feed(content.decode("utf-8", errors="replace"))
-    p.close()
-    text = " ".join(s[1] for s in p.spans if s[0] in ("title", "heading", "text"))
+    p, text = parse_html_full(content)
     if want_meta:
         return p.spans, p.links, text, p.metatags, p.base_href
     return p.spans, p.links, text
+
+
+_JS_STRING_RE = re.compile(r"(\\*(?:\"|'))([^\s\"']+?)\1", re.I | re.M)
+_JS_URI_RE = re.compile(r"(^|\s*?)/?\S+?[/.]\S+($|\s*)", re.I | re.M)
+
+
+def extract_js_outlinks(script: str, base_url: str) -> list[str]:
+    """parse-js JSParseFilter.getJSLinks(:195-260): string literals in
+    JavaScript that look like URIs become outlinks — www.* prefixed
+    with http://, everything else resolved against the base url,
+    &amp; unescaped."""
+    from urllib.parse import urljoin
+
+    out = []
+    for m in _JS_STRING_RE.finditer(script):
+        url = m.group(2)
+        if not _JS_URI_RE.fullmatch(url):
+            continue
+        if url.startswith("www."):
+            url = "http://" + url
+        else:
+            try:
+                url = urljoin(base_url, url)
+            except ValueError:
+                continue
+        out.append(url.replace("&amp;", "&"))
+    return out
 
 
 def robots_meta_directives(metatags) -> tuple[bool, bool, bool]:
@@ -306,9 +354,24 @@ class ParseBatch:
                 spans, links, text = parse_pdf(bytes(content))
             elif "rss" in ctype or "atom" in ctype:
                 spans, links, text = parse_feed(bytes(content))
+            elif "javascript" in ctype:
+                # parse-js pure .js documents: string-literal outlinks,
+                # no text spans (JSParseFilter.getParse:170-190)
+                js = bytes(content).decode("utf-8", errors="replace")
+                spans, text = [], ""
+                links = [(u, "") for u in extract_js_outlinks(js, urls[i])]
             else:
-                spans, links, text, metatags, base_href = parse_html(
-                    bytes(content), want_meta=True)
+                _p, text = parse_html_full(bytes(content))
+                spans, links = _p.spans, _p.links
+                metatags, base_href = _p.metatags, _p.base_href
+                if cfg.parse_js and _p.scripts:
+                    # parse-js over embedded <script> bodies
+                    base = base_href or urls[i]
+                    links = list(links) + [
+                        (u, "")
+                        for sc in _p.scripts
+                        for u in extract_js_outlinks(sc, base)
+                    ]
                 # robots meta directives (HtmlParser.java getParse:
                 # noIndex -> no text/title extracted, noFollow -> no
                 # outlinks; HTMLMetaProcessor matrix)

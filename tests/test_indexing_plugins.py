@@ -236,6 +236,25 @@ def test_index_hosts_only_and_filter_outlinks():
     assert row["outlinks"] == ["www.test.com"]
 
 
+def test_jexl_indexing_filter():
+    """TestJexlIndexingFilter port: doc.lang=='en' keeps the matching
+    document and drops the non-matching one; a bad expression raises."""
+    import pytest
+
+    from coherencebot_ray.functions.indexing import JexlIndexingFilter
+
+    df = pd.DataFrame([
+        {"url": "http://nutch.apache.org/index.html", "lang": "en", "title": "The Foo Page"},
+        {"url": "http://nutch.apache.org/ru.html", "lang": "ru", "title": "The Foo Page"},
+    ])
+    cfg = CrawlConfig(extra={"index_jexl_filter": "doc.lang=='en'"})
+    out, keep = JexlIndexingFilter().apply(df, cfg)
+    assert keep.tolist() == [True, False]
+    with pytest.raises(Exception):
+        JexlIndexingFilter().apply(
+            df, CrawlConfig(extra={"index_jexl_filter": "import os; bad"}))
+
+
 def test_anchor_deduplicate_flag():
     """TestAnchorIndexingFilter.testDeduplicateAnchor port: dedup only
     with anchorIndexingFilter.deduplicate=true; the reference default

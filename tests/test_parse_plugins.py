@@ -285,6 +285,53 @@ def test_robots_meta_through_parse_stage():
     assert "http://a.com/plain" in set(outlinks["url"])
 
 
+PURE_JS = (
+    'function selectProvider(form) {\n'
+    '    provider = form.elements["searchProvider"].value;\n'
+    '    if (provider == "lucid") {\n'
+    '        form.action = "http://search.lucidimagination.com/p:nutch";\n'
+    '    } else if (provider == "sl") {\n'
+    '        form.action = "http://search-lucene.com/nutch";\n'
+    '    }\n'
+    '    document.cookie = "searchProvider=" + provider + "; path=/";\n'
+    '}\n'
+).encode()
+
+
+def test_js_outlink_extraction_pure_js():
+    """TestJSParseFilter.testJavaScriptOutlinkExtraction (.js file):
+    exactly the two url string literals become outlinks."""
+    from coherencebot_ray.stages.parse import extract_js_outlinks
+
+    out = extract_js_outlinks(PURE_JS.decode(), "http://nutch.apache.org/t.js")
+    assert out == ["http://search.lucidimagination.com/p:nutch",
+                   "http://search-lucene.com/nutch"]
+
+
+def test_js_outlinks_through_parse_stage():
+    """Pure-JS documents parse to outlinks and no text; html <script>
+    bodies contribute outlinks only with cfg.parse_js."""
+    row = _fetch_row("http://a.com/t.js", PURE_JS, ctype="application/x-javascript")
+    out = ParseBatch(CrawlConfig())(pd.DataFrame([row]))
+    dsts = set(out[out["rtype"] == "outlink"]["dst"])
+    assert "http://search-lucene.com/nutch" in dsts
+    doc = out[out["rtype"] == "doc"].iloc[0]
+    assert list(doc["spans"]) == []
+
+    html = (b"<html><body><p>hello world</p>"
+            b"<script>var u = \"http://js.example/found\";</script>"
+            b"</body></html>")
+    out_on = ParseBatch(CrawlConfig(parse_js=True))(
+        pd.DataFrame([_fetch_row("http://a.com/p", html)]))
+    assert "http://js.example/found" in set(out_on[out_on["rtype"] == "outlink"]["dst"])
+    out_off = ParseBatch(CrawlConfig())(
+        pd.DataFrame([_fetch_row("http://a.com/p", html)]))
+    assert "http://js.example/found" not in set(out_off[out_off["rtype"] == "outlink"]["dst"])
+    # script text never leaks into the doc text spans
+    assert all("js.example" not in s["text"]
+               for s in out_off[out_off["rtype"] == "doc"].iloc[0]["spans"])
+
+
 def test_base_href_relative_resolution():
     """DOMContentUtils base handling: relative hrefs resolve against
     <base href>, else against the page url."""
