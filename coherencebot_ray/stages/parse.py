@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import re
 from html.parser import HTMLParser
+from urllib.parse import urljoin
 
 import numpy as np
 import pandas as pd
@@ -110,11 +111,20 @@ class _DocHTMLParser(HTMLParser):
             self._buf.append(data)
 
 
-def parse_html_full(content: bytes) -> tuple[_DocHTMLParser, str]:
+def parse_html_full(content: bytes, charset: str | None = None) -> tuple[_DocHTMLParser, str]:
     """One pass; returns the populated parser (spans/links/metatags/
-    base_href/scripts) and the extracted text."""
+    base_href/scripts) and the extracted text. ``charset`` comes from
+    the EncodingDetector clue chain; utf-8 decodes via utf-8-sig so a
+    BOM never leaks into the first span."""
+    cs = (charset or "utf-8").lower()
+    if cs == "utf-8":
+        cs = "utf-8-sig"
+    try:
+        decoded = content.decode(cs, errors="replace")
+    except LookupError:
+        decoded = content.decode("utf-8-sig", errors="replace")
     p = _DocHTMLParser()
-    p.feed(content.decode("utf-8", errors="replace"))
+    p.feed(decoded)
     p.close()
     text = " ".join(s[1] for s in p.spans if s[0] in ("title", "heading", "text"))
     return p, text
@@ -139,8 +149,6 @@ def extract_js_outlinks(script: str, base_url: str) -> list[str]:
     JavaScript that look like URIs become outlinks — www.* prefixed
     with http://, everything else resolved against the base url,
     &amp; unescaped."""
-    from urllib.parse import urljoin
-
     out = []
     for m in _JS_STRING_RE.finditer(script):
         url = m.group(2)
@@ -361,9 +369,23 @@ class ParseBatch:
                 spans, text = [], ""
                 links = [(u, "") for u in extract_js_outlinks(js, urls[i])]
             else:
-                _p, text = parse_html_full(bytes(content))
+                # EncodingDetector clue chain: BOM / strict-UTF-8 probe
+                # wins, else the <meta charset> sniff, else utf-8
+                # (the transport strips the header charset upstream)
+                from ..functions.webutil import guess_encoding, sniff_meta_charset
+
+                raw = bytes(content)
+                cs = guess_encoding(raw, None, "utf-8",
+                                    sniffed=sniff_meta_charset(raw),
+                                    min_confidence=50)
+                _p, text = parse_html_full(raw, charset=cs)
                 spans, links = _p.spans, _p.links
-                metatags, base_href = _p.metatags, _p.base_href
+                metatags = _p.metatags
+                # protocol-relative <base href> resolves against the
+                # page url first (NUTCH-2478)
+                base_href = (
+                    urljoin(urls[i], _p.base_href) if _p.base_href else None
+                )
                 if cfg.parse_js and _p.scripts:
                     # parse-js over embedded <script> bodies
                     base = base_href or urls[i]
@@ -385,8 +407,6 @@ class ParseBatch:
                 # <base href> / page-url relative link resolution
                 # (DOMContentUtils.getOutlinks base handling)
                 if links and any("://" not in h for h, _ in links):
-                    from urllib.parse import urljoin
-
                     base = base_href or urls[i]
                     links = [
                         (h if "://" in h else urljoin(base, h), a)

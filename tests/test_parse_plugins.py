@@ -285,6 +285,56 @@ def test_robots_meta_through_parse_stage():
     assert "http://a.com/plain" in set(outlinks["url"])
 
 
+# ---------------------------------------------------------------------------
+# html charset handling (TestHtmlParser encoding matrix port)
+# ---------------------------------------------------------------------------
+
+ENC_KEYWORDS = "français, español, русский язык, čeština, ελληνικά"
+ENC_CONTENT = (f"<title>{ENC_KEYWORDS}</title>\n"
+               f'<meta name="keywords" content="{ENC_KEYWORDS}" />\n'
+               f"</head>\n<body><p>{ENC_KEYWORDS}</p></body>\n</html>")
+
+ENC_PAGES = [
+    ("HTML4 meta http-equiv, no quotes", "utf-8",
+     ('<html>\n<head>\n<meta http-equiv=Content-Type '
+      'content="text/html; charset=utf-8" />' + ENC_CONTENT).encode("utf-8")),
+    ("HTML4 meta http-equiv, single quotes", "utf-8",
+     ("<html>\n<head>\n<meta http-equiv='Content-Type' "
+      "content='text/html; charset=utf-8' />" + ENC_CONTENT).encode("utf-8")),
+    ("HTML5 meta charset", "utf-8",
+     ('<!DOCTYPE html>\n<html>\n<head>\n<meta charset="utf-8">'
+      + ENC_CONTENT).encode("utf-8")),
+    ("HTML5 utf-8 BOM", "utf-8",
+     ("﻿<!DOCTYPE html>\n<html>\n<head>\n" + ENC_CONTENT).encode("utf-8")),
+    ("HTML5 utf-16 BOM", "utf-16",
+     ("<!DOCTYPE html>\n<html>\n<head>\n" + ENC_CONTENT).encode("utf-16")),
+    ("latin-1 with meta charset", "iso-8859-1",
+     ('<html><head><meta charset="ISO-8859-1"><title>français, español</title>'
+      "</head><body><p>x</p></body></html>").encode("iso-8859-1")),
+]
+
+
+def test_html_charset_matrix():
+    """TestHtmlParser encoding cases: the declared/BOM charset decodes
+    the page so the non-ASCII title survives intact."""
+    for name, _cs, raw in ENC_PAGES:
+        out = ParseBatch(CrawlConfig())(pd.DataFrame([_fetch_row("http://example.com/", raw)]))
+        doc = out[out["rtype"] == "doc"].iloc[0]
+        title = next(s["text"] for s in doc["spans"] if s["kind"] == "title")
+        expected = ENC_KEYWORDS if "latin-1" not in name else "français, español"
+        assert title == expected, name
+        assert not title.startswith("﻿"), name
+
+
+def test_protocol_relative_base_href():
+    """NUTCH-2478: <base href="//host/"> resolves with the page's
+    scheme before outlink resolution."""
+    html = (b'<html><head><base href="//www.example.com/"></head>'
+            b'<body><a href="index.html">outlink</a></body></html>')
+    out = ParseBatch(CrawlConfig())(pd.DataFrame([_fetch_row("http://a.com/p", html)]))
+    assert set(out[out["rtype"] == "outlink"]["dst"]) == {"http://www.example.com/index.html"}
+
+
 PURE_JS = (
     'function selectProvider(form) {\n'
     '    provider = form.elements["searchProvider"].value;\n'
