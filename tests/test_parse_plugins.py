@@ -285,6 +285,45 @@ def test_robots_meta_through_parse_stage():
     assert "http://a.com/plain" in set(outlinks["url"])
 
 
+def test_heading_includes_nested_inline_nodes():
+    """TestHeadingsParseFilter.testExtractHeadingFromNestedNodes port:
+    the h1 heading text must include the content of inner span nodes."""
+    html = (b"<html><head><title>test header with span element</title></head>"
+            b"<body><h1>header with <span>span element</span></h1></body></html>")
+    spans, _, _ = parse_html(html)
+    headings = [s[1] for s in spans if s[0] == "heading"]
+    assert headings == ["header with span element"]
+
+
+RSS_SAMPLE = (
+    b'<?xml version="1.0" encoding="UTF-8"?>'
+    b'<rss version="2.0"><channel>'
+    b"<title>TestChannel</title>"
+    b"<item><title>Home Page of Chris Mattmann</title>"
+    b"<link>http://www-scf.usc.edu/~mattmann/</link>"
+    b"<description>Chris Mattmann's home page</description></item>"
+    b"<item><title>Awesome Open Source Search Engine</title>"
+    b"<link>http://www.nutch.org/</link>"
+    b"<description>Yup, that is what it is</description></item>"
+    b"</channel></rss>"
+)
+
+
+def test_feed_parser_outlinks():
+    """TestFeedParser.testParseFetchChannel invariant kept by the
+    single-doc layout (documented divergence: the reference emits one
+    parse per item; here items are heading/text spans and their links
+    are outlinks): both item urls must surface."""
+    from coherencebot_ray.stages.parse import parse_feed
+
+    spans, links, text = parse_feed(RSS_SAMPLE)
+    urls = [h for h, _ in links]
+    assert urls == ["http://www-scf.usc.edu/~mattmann/", "http://www.nutch.org/"]
+    assert [s[1] for s in spans if s[0] == "heading"] == [
+        "Home Page of Chris Mattmann", "Awesome Open Source Search Engine"]
+    assert "TestChannel" in text
+
+
 # ---------------------------------------------------------------------------
 # html charset handling (TestHtmlParser encoding matrix port)
 # ---------------------------------------------------------------------------
