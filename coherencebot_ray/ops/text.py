@@ -64,6 +64,61 @@ def text_quality(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     )
 
 
+# Gopher quality-rule stopword probe (Rae et al. 2021, "Scaling
+# Language Models: ...Gopher", §A2 quality filtering; the paper's
+# "must contain ≥2 of" list)
+GOPHER_STOPS = frozenset(
+    ("the", "be", "to", "of", "and", "that", "have", "with"))
+
+
+def gopher_quality(df: pd.DataFrame, text_col: str = "text",
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_word_len: int = 3, max_mean_word_len: int = 10,
+                   min_alpha_frac_num: int = 4, min_alpha_frac_den: int = 5,
+                   min_stop_hits: int = 2) -> pd.DataFrame:
+    """Gopher-style quality rules, fully vectorized and expressed in
+    INTEGER arithmetic so the SQL oracle hashes exactly:
+
+      keep = min_words <= wc <= max_words
+           AND min_mwl*wc <= chars_total <= max_mwl*wc
+           AND alpha_words*den > wc*num      (alpha fraction > num/den)
+           AND stop_hits >= min_stop_hits
+
+    Columns: doc_id, word_count, chars_total (non-space chars = sum of
+    word lengths), alpha_words (words containing [A-Za-z]), stop_hits
+    (Gopher stopword occurrences), keep (0/1). Per-word predicates run
+    on ONE exploded Series (two groupby-sums), not a Python loop."""
+    texts = df[text_col].fillna("")
+    wc = texts.str.count(r"\S+").to_numpy(dtype=np.int64)
+    chars_total = texts.str.replace(r"\s+", "", regex=True).str.len().to_numpy(dtype=np.int64)
+    words = texts.str.split().explode().dropna()
+    if len(words):
+        alpha = words.str.contains("[A-Za-z]", regex=True).groupby(level=0).sum()
+        stops = words.str.lower().isin(GOPHER_STOPS).groupby(level=0).sum()
+        alpha_words = alpha.reindex(df.index, fill_value=0).to_numpy(dtype=np.int64)
+        stop_hits = stops.reindex(df.index, fill_value=0).to_numpy(dtype=np.int64)
+    else:
+        alpha_words = np.zeros(len(df), dtype=np.int64)
+        stop_hits = np.zeros(len(df), dtype=np.int64)
+    keep = (
+        (wc >= min_words) & (wc <= max_words)
+        & (chars_total >= min_mean_word_len * wc)
+        & (chars_total <= max_mean_word_len * wc)
+        & (alpha_words * min_alpha_frac_den > wc * min_alpha_frac_num)
+        & (stop_hits >= min_stop_hits)
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].to_numpy(),
+            "word_count": wc,
+            "chars_total": chars_total,
+            "alpha_words": alpha_words,
+            "stop_hits": stop_hits,
+            "keep": keep.astype(np.int64),
+        }
+    )
+
+
 def fingerprint(texts: pd.Series) -> pd.Series:
     """Document fingerprint: md5 hex of lowercase alnum-only text
     (whitespace/punct-robust near-identity)."""

@@ -698,6 +698,47 @@ ORDER BY url, collection
 """
 
 
+def q_gopher_quality(sf_dir: str):
+    """Gopher-style quality rules (Rae et al. 2021 §A2) over documents,
+    integer-arithmetic keep flag. Oracle: the same rules in DuckDB list
+    functions."""
+    from ..ops.text import gopher_quality
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def rules(df: pd.DataFrame) -> pd.DataFrame:
+        return gopher_quality(df.reset_index(drop=True))
+
+    out = ds.map_batches(rules, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_GOPHER_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                     x -> len(x) > 0) AS words
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(words) AS word_count,
+         coalesce(list_sum(list_transform(words, x -> len(x))), 0)::BIGINT AS chars_total,
+         len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+         len(list_filter(words, x -> lower(x) IN
+             ('the','be','to','of','and','that','have','with'))) AS stop_hits
+  FROM w
+)
+SELECT doc_id, word_count, chars_total, alpha_words, stop_hits,
+       CASE WHEN word_count >= 50 AND word_count <= 100000
+             AND chars_total >= 3 * word_count
+             AND chars_total <= 10 * word_count
+             AND alpha_words * 5 > word_count * 4
+             AND stop_hits >= 2
+            THEN 1 ELSE 0 END::BIGINT AS keep
+FROM m ORDER BY doc_id
+"""
+
+
 def q_langid(sf_dir: str):
     """Language-ID heuristic counts per predicted lang. Oracle: the
     stopword-profile argmax (first language in profile order wins ties)
@@ -1348,6 +1389,7 @@ def build_queries() -> dict:
         "q3_join": q_q3_join,
         "crawl_round": q_crawl_round,
         "subcollection": q_subcollection,
+        "gopher_quality": q_gopher_quality,
         "crawlcomplete": q_crawlcomplete,
         "domainstats": q_domainstats,
         "protocolstats": q_protocolstats,
@@ -1386,6 +1428,7 @@ def build_oracle_sql() -> dict:
         "simhash": _SIMHASH_SQL,
         "langid": _langid_sql(),
         "subcollection": _SUBCOLL_SQL,
+        "gopher_quality": _GOPHER_SQL,
         "knn_ivf": _KNN_IVF_SQL,
         "crawl_round": _CRAWL_ROUND_SQL,
         "crawlcomplete": _CRAWLCOMPLETE_SQL,

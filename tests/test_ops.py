@@ -343,3 +343,31 @@ def test_embedding_neardup_exact_and_lsh(ray_session):
     assert pairs_lsh <= pairs_exact                  # exact precision
     recall = len(pairs_lsh & pairs_exact) / len(pairs_exact)
     assert recall >= 0.99                            # tuned for s>=0.95
+
+
+def test_gopher_quality_rules():
+    """Gopher quality rules (Rae et al. 2021 §A2, integer-arithmetic
+    form): word-count band, mean-word-length band, alpha-word fraction,
+    stopword floor."""
+    import pandas as pd
+
+    from coherencebot_ray.ops.text import gopher_quality
+
+    good = "the quick brown fox jumps over that lazy dog of mine " * 5  # 55 words
+    too_short = "the cat sat on that mat of his"
+    no_stops = "alpha beta gamma delta epsilon zeta " * 10
+    numbers = "123 456 789 " * 20 + "the of that be and with have to " * 3
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [good, too_short, no_stops, numbers],
+    })
+    out = gopher_quality(df).set_index("doc_id")
+    assert out.loc[1, "keep"] == 1
+    assert out.loc[2, "keep"] == 0          # below min word count
+    assert out.loc[3, "keep"] == 0          # no Gopher stopwords
+    assert out.loc[4, "keep"] == 0          # alpha fraction too low
+    assert out.loc[1, "word_count"] == 55
+    assert out.loc[1, "stop_hits"] >= 2
+    # empty text never crashes, never keeps
+    empty = gopher_quality(pd.DataFrame({"doc_id": [9], "text": [""]}))
+    assert empty.iloc[0]["keep"] == 0 and empty.iloc[0]["word_count"] == 0
