@@ -195,16 +195,23 @@ def hamming64(a: int, b: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(docs_ds, text_col: str = "text"):
+def exact_dedup(docs_ds, text_col: str = "text", normalize: bool = False):
     """Exact dedup by md5(text): returns (doc_id, dup_of) loser rows.
+
+    ``normalize=True`` collapses case and whitespace runs first
+    (md5(lower + single-space)), catching reformatted copies — the
+    standard first pass of a training-data dedup stack.
 
     map_batches(hash) -> groupby(sig) -> winner = min(doc_id)."""
 
     def sig(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[text_col].fillna("")
+        if normalize:
+            texts = texts.str.lower().str.replace(r"\s+", " ", regex=True)
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].to_numpy(),
-                "sig": df[text_col].fillna("").map(lambda s: hashlib.md5(s.encode()).hexdigest()),
+                "sig": texts.map(lambda s: hashlib.md5(s.encode()).hexdigest()),
             }
         )
 

@@ -482,6 +482,30 @@ SELECT doc_id, dup_of FROM w WHERE doc_id <> dup_of ORDER BY doc_id
 """
 
 
+def q_dedup_norm_docs(sf_dir: str):
+    """Normalized exact dedup: case + whitespace-run folding before the
+    md5, the standard first pass of a training-data dedup stack."""
+    from ..ops.dedup import exact_dedup
+
+    out = exact_dedup(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), normalize=True
+    ).to_pandas()
+    if "doc_id" not in out.columns:
+        out = pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "dup_of": pd.Series(dtype="int64")})
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["dup_of"] = out["dup_of"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_DEDUP_NORM_SQL = """
+WITH s AS (SELECT doc_id,
+                  md5(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS sig
+           FROM documents),
+w AS (SELECT doc_id, sig, min(doc_id) OVER (PARTITION BY sig) AS dup_of FROM s)
+SELECT doc_id, dup_of FROM w WHERE doc_id <> dup_of ORDER BY doc_id
+"""
+
+
 def q_minhash_lsh(sf_dir: str):
     """MinHash+LSH near-dup pairs (true Jaccard >= 0.8 among 8-band
     64-perm collisions); jaccard as integer ppm for float-stable
@@ -1370,6 +1394,7 @@ def build_queries() -> dict:
         "criteria_filter": q_criteria_filter,
         "indexer_join": q_indexer_join,
         "dedup_exact_docs": q_dedup_exact_docs,
+        "dedup_norm_docs": q_dedup_norm_docs,
         "minhash_lsh": q_minhash_lsh,
         "minhash_lsh_idjoin": q_minhash_lsh_idjoin,
         "simhash": q_simhash,
@@ -1412,6 +1437,7 @@ def build_oracle_sql() -> dict:
         "criteria_filter": _CRITERIA_SQL,
         "indexer_join": _INDEXER_SQL,
         "dedup_exact_docs": _DEDUP_DOCS_SQL,
+        "dedup_norm_docs": _DEDUP_NORM_SQL,
         "text_quality": _QUALITY_SQL,
         "fingerprint": _FINGERPRINT_SQL,
         "knn_cosine": _KNN_SQL,

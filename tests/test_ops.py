@@ -371,3 +371,21 @@ def test_gopher_quality_rules():
     # empty text never crashes, never keeps
     empty = gopher_quality(pd.DataFrame({"doc_id": [9], "text": [""]}))
     assert empty.iloc[0]["keep"] == 0 and empty.iloc[0]["word_count"] == 0
+
+
+def test_exact_dedup_normalized(ray_session):
+    """normalize=True folds case + whitespace runs before hashing, so
+    reformatted copies dedup; the plain pass does not."""
+    import pandas as pd
+    import ray.data as rd
+
+    from coherencebot_ray.ops.dedup import exact_dedup
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["Hello   World", "hello world", "different text"],
+    })
+    plain = exact_dedup(rd.from_pandas(docs)).to_pandas()
+    assert len(plain) == 0
+    norm = exact_dedup(rd.from_pandas(docs), normalize=True).to_pandas()
+    assert norm[["doc_id", "dup_of"]].values.tolist() == [[2, 1]]
