@@ -119,6 +119,31 @@ def gopher_quality(df: pd.DataFrame, text_col: str = "text",
     )
 
 
+def c4_page_filters(df: pd.DataFrame, text_col: str = "text",
+                    min_sentences: int = 5) -> pd.DataFrame:
+    """C4 page-level cleaning rules (Raffel et al. 2020 §2.2, public):
+    drop pages with fewer than ``min_sentences`` sentences (terminal
+    punctuation marks stand in for sentence boundaries), pages
+    containing "lorem ipsum", and pages containing a curly brace
+    (code). All counts/flags integer so the SQL oracle hashes exactly.
+
+    Columns: doc_id, n_sentences, has_lorem, has_brace, keep (0/1)."""
+    texts = df[text_col].fillna("")
+    n_sent = texts.str.count(r"[.!?]").to_numpy(dtype=np.int64)
+    lorem = texts.str.lower().str.contains("lorem ipsum", regex=False).to_numpy(dtype=bool)
+    brace = texts.str.contains("{", regex=False).to_numpy(dtype=bool)
+    keep = (n_sent >= min_sentences) & ~lorem & ~brace
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_sentences": n_sent,
+            "has_lorem": lorem.astype(np.int64),
+            "has_brace": brace.astype(np.int64),
+            "keep": keep.astype(np.int64),
+        }
+    )
+
+
 def fingerprint(texts: pd.Series) -> pd.Series:
     """Document fingerprint: md5 hex of lowercase alnum-only text
     (whitespace/punct-robust near-identity)."""

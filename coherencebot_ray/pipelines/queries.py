@@ -763,6 +763,32 @@ FROM m ORDER BY doc_id
 """
 
 
+def q_c4_filters(sf_dir: str):
+    """C4 page-level cleaning flags (Raffel et al. 2020 §2.2) over
+    documents; integer flags, exact SQL mirror."""
+    from ..ops.text import c4_page_filters
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda df: c4_page_filters(df.reset_index(drop=True)),
+        batch_format="pandas",
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_C4_SQL = """
+SELECT doc_id,
+       len(regexp_extract_all(coalesce(text, ''), '[.!?]'))::BIGINT AS n_sentences,
+       CASE WHEN contains(lower(coalesce(text, '')), 'lorem ipsum') THEN 1 ELSE 0 END::BIGINT AS has_lorem,
+       CASE WHEN contains(coalesce(text, ''), '{') THEN 1 ELSE 0 END::BIGINT AS has_brace,
+       CASE WHEN len(regexp_extract_all(coalesce(text, ''), '[.!?]')) >= 5
+             AND NOT contains(lower(coalesce(text, '')), 'lorem ipsum')
+             AND NOT contains(coalesce(text, ''), '{')
+            THEN 1 ELSE 0 END::BIGINT AS keep
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_langid(sf_dir: str):
     """Language-ID heuristic counts per predicted lang. Oracle: the
     stopword-profile argmax (first language in profile order wins ties)
@@ -1415,6 +1441,7 @@ def build_queries() -> dict:
         "crawl_round": q_crawl_round,
         "subcollection": q_subcollection,
         "gopher_quality": q_gopher_quality,
+        "c4_filters": q_c4_filters,
         "crawlcomplete": q_crawlcomplete,
         "domainstats": q_domainstats,
         "protocolstats": q_protocolstats,
@@ -1455,6 +1482,7 @@ def build_oracle_sql() -> dict:
         "langid": _langid_sql(),
         "subcollection": _SUBCOLL_SQL,
         "gopher_quality": _GOPHER_SQL,
+        "c4_filters": _C4_SQL,
         "knn_ivf": _KNN_IVF_SQL,
         "crawl_round": _CRAWL_ROUND_SQL,
         "crawlcomplete": _CRAWLCOMPLETE_SQL,

@@ -389,3 +389,26 @@ def test_exact_dedup_normalized(ray_session):
     assert len(plain) == 0
     norm = exact_dedup(rd.from_pandas(docs), normalize=True).to_pandas()
     assert norm[["doc_id", "dup_of"]].values.tolist() == [[2, 1]]
+
+
+def test_c4_page_filters():
+    """C4 rules (Raffel et al. 2020 §2.2): sentence floor, lorem-ipsum
+    and curly-brace rejection."""
+    import pandas as pd
+
+    from coherencebot_ray.ops.text import c4_page_filters
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "One. Two. Three! Four? Five. Plenty of sentences here.",
+            "Just two. Sentences here.",
+            "Lorem Ipsum dolor. Sit. Amet. Consectetur. Adipiscing. Elit.",
+            "code { display: none; } one. two. three. four. five.",
+        ],
+    })
+    out = c4_page_filters(df).set_index("doc_id")
+    assert out.loc[1, "keep"] == 1 and out.loc[1, "n_sentences"] == 6
+    assert out.loc[2, "keep"] == 0          # < 5 sentences
+    assert out.loc[3, "keep"] == 0 and out.loc[3, "has_lorem"] == 1
+    assert out.loc[4, "keep"] == 0 and out.loc[4, "has_brace"] == 1
