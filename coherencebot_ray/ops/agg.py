@@ -41,6 +41,7 @@ def bucketed_group_apply(
     n_buckets: int = 64,
     pre: "callable | None" = None,
     keep_bucket: bool = False,
+    coalesce_rows: int | None = None,
 ):
     """ds -> per-bucket ``bucket_fn(DataFrame) -> DataFrame``.
 
@@ -50,6 +51,14 @@ def bucketed_group_apply(
     unless ``keep_bucket`` — then it stays as ``BUCKET_COL``, e.g. for
     deterministic per-bucket output file names) and must handle multiple
     keys — typically a vectorized pandas groupby.
+
+    ``coalesce_rows``: batch_size for the bucketing map. Ray's sort
+    exchange pays a per-block overhead, so a stream of MICRO-blocks
+    (e.g. the per-bucket outputs of an upstream grouped stage) should
+    be bundled before the shuffle — measured 2-4x on chained bucketed
+    stages at sf0.1. Leave None when upstream blocks are already large:
+    batch_size also SPLITS bigger blocks to that row count, which at
+    full scale would shrink healthy blocks.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
 
@@ -77,8 +86,9 @@ def bucketed_group_apply(
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return bucket_fn(g if keep_bucket else g.drop(columns=[BUCKET_COL]))
 
+    map_kw = {"batch_size": coalesce_rows} if coalesce_rows else {}
     return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pandas", **map_kw)
         .groupby(BUCKET_COL)
         .map_groups(per_bucket, batch_format="pandas")
     )

@@ -21,7 +21,10 @@ from . import derive as DV
 EPOCH = DV.EPOCH
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, min_block_bytes: int | None = None):
+    import math
+    import os
+
     import pyarrow.parquet as pq
     import ray.data as rd
 
@@ -35,7 +38,21 @@ def _read(sf_dir: str, table: str, columns=None):
         import pyarrow as pa
 
         schema = pa.schema([schema.field(c) for c in columns])
-    return rd.read_parquet(path, columns=columns, schema=schema)
+    kw = {}
+    if min_block_bytes:
+        # Exchange-bound pipelines: Ray's default parallelism heuristic
+        # shatters a small file into ~2xCPU micro-blocks, and the sort
+        # exchange pays a per-block overhead that dominates wall time
+        # (measured 10.7s -> 2-3s on the invertlinks exchange at sf0.1).
+        # Floor the block size instead; at real scale (blocks already
+        # >= the floor) this is a no-op.
+        n = max(1, math.ceil(os.path.getsize(path) / min_block_bytes))
+        kw["override_num_blocks"] = n
+    return rd.read_parquet(path, columns=columns, schema=schema, **kw)
+
+
+# block-size floor for cheap-map + heavy-exchange queries
+_EXCHANGE_BLOCK_BYTES = 4 << 20
 
 
 def _cents(x: np.ndarray) -> np.ndarray:
@@ -192,7 +209,7 @@ def q_invertlinks(sf_dir: str):
     with inlink counts (LinkDb.java; partial-combine before shuffle)."""
     from ..stages.jobs import invertlinks
 
-    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey", "l_suppkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey", "l_suppkey"], min_block_bytes=_EXCHANGE_BLOCK_BYTES)
 
     def to_edges(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -422,7 +439,7 @@ def q_indexer_join(sf_dir: str):
     nation with OPIC indexer damping sqrt(score) in integer micro-units."""
     import pyarrow.compute as pc
 
-    o = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    o = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"], min_block_bytes=_EXCHANGE_BLOCK_BYTES)
     c = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
     n = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"])
     c_pd = c.to_pandas()
@@ -941,7 +958,7 @@ ORDER BY query_id, rank
 
 def q_window_tumbling(sf_dir: str):
     """Tumbling 1h window per user: event count + value cents."""
-    ds = _read(sf_dir, "events", columns=["ts", "user_id", "value"])
+    ds = _read(sf_dir, "events", columns=["ts", "user_id", "value"], min_block_bytes=_EXCHANGE_BLOCK_BYTES)
 
     from ..ops.agg import bucketed_sum
 
@@ -975,7 +992,7 @@ def q_sessionize(sf_dir: str):
     """Session windows (gap > 30 min) per user -> session count + events."""
     from ..ops.window import sessionize
 
-    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"], min_block_bytes=_EXCHANGE_BLOCK_BYTES)
     sess = sessionize(ds, gap_s=1800)
 
     from ..ops.agg import bucketed_sum
@@ -1095,8 +1112,8 @@ def q_q3_join(sf_dir: str):
     ).to_pandas()
     keys_ref = ray.put(np.sort(keys_pd["c_custkey"].to_numpy(np.int64)))
 
-    o = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    o = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"], min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"], min_block_bytes=_EXCHANGE_BLOCK_BYTES)
 
     def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
         keep = ray.get(keys_ref)
@@ -1222,7 +1239,7 @@ def q_linkrank(sf_dir: str):
     (sum-order float drift ~1e-12 must stay below the rounding grain)."""
     from ..stages.tools import linkrank
 
-    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"], min_block_bytes=_EXCHANGE_BLOCK_BYTES)
 
     def to_edges(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -1272,7 +1289,7 @@ def q_sliding_window(sf_dir: str):
     windows + one grouped sum."""
     from ..ops.window import sliding_window_counts
 
-    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"], min_block_bytes=_EXCHANGE_BLOCK_BYTES)
     out = sliding_window_counts(ds, window_s=3600, slide_s=900).to_pandas()
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
@@ -1296,7 +1313,7 @@ def q_nodedumper(sf_dir: str):
     order->part edge graph (scoring/webgraph/NodeDumper.java)."""
     from ..stages.tools import node_dumper
 
-    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"], min_block_bytes=_EXCHANGE_BLOCK_BYTES)
 
     def to_edges(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

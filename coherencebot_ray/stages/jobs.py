@@ -265,6 +265,10 @@ def merge_linkdbs(linkdb_dss: list, cfg: CrawlConfig):
     from ..ops.agg import bucketed_group_apply
 
     unioned = linkdb_dss[0].union(*linkdb_dss[1:]) if len(linkdb_dss) > 1 else linkdb_dss[0]
+    # NOTE: coalesce_rows was measured COUNTERPRODUCTIVE here (8.5s ->
+    # 30s at sf0.1): bundling the list-heavy linkdb rows into one big
+    # batch serializes the map and inflates the pandas list-column
+    # copies. The micro-block sort overhead is the lesser cost.
     return bucketed_group_apply(unioned, "url", merge_bucket)
 
 
