@@ -157,15 +157,46 @@ class MetadataIndexer(IndexingFilter):
 
 
 class StaticFieldIndexer(IndexingFilter):
+    """index-static (StaticFieldIndexer.java): constant fields on every
+    document. Two config forms: extra['index_static_fields'] (dict,
+    value or list) or the reference's index.static property string via
+    extra['index_static'] with the index.static.fieldsep/keysep/
+    valuesep delimiters (defaults ',', ':', ' '); whitespace-trimmed,
+    key-less entries skipped, multi-valued fields split on valuesep."""
+
     name = "static"
 
+    @staticmethod
+    def parse_property(prop: str, fieldsep: str = ",", keysep: str = ":",
+                       valuesep: str = " ") -> dict:
+        out: dict = {}
+        for entry in prop.split(fieldsep):
+            if keysep not in entry:
+                continue  # "field3" with no value: skipped (:98)
+            key, _, val = entry.partition(keysep)
+            key, val = key.strip(), val.strip()
+            if not key or not val:
+                continue
+            vals = [v.strip() for v in val.split(valuesep) if v.strip()]
+            out[key] = vals if len(vals) > 1 else vals[0]
+        return out
+
     def apply(self, df, cfg):
-        fields = dict(getattr(cfg, "extra", {}).get("index_static_fields", {}))
+        ex = getattr(cfg, "extra", {})
+        fields = dict(ex.get("index_static_fields", {}))
+        prop = ex.get("index_static", "")
+        if prop:
+            fields.update(self.parse_property(
+                prop,
+                ex.get("index_static_fieldsep", ","),
+                ex.get("index_static_keysep", ":"),
+                ex.get("index_static_valuesep", " "),
+            ))
         if not fields:
             return df, np.ones(len(df), dtype=bool)
         df = df.copy()
         for k, v in fields.items():
-            df[k] = v
+            df[k] = [v] * len(df) if isinstance(v, list) else v
         return df, np.ones(len(df), dtype=bool)
 
 

@@ -236,6 +236,52 @@ def test_index_hosts_only_and_filter_outlinks():
     assert row["outlinks"] == ["www.test.com"]
 
 
+def test_static_field_property_format():
+    """TestStaticFieldIndexerTest port: the index.static property with
+    default and custom delimiters; key-less entries skipped, trimmed,
+    multi-valued fields split on valuesep."""
+    from coherencebot_ray.functions.indexing import StaticFieldIndexer
+
+    df = pd.DataFrame([{"url": "http://x.com/"}])
+
+    # testEmptyIndexStatic: nothing set
+    out, _ = StaticFieldIndexer().apply(df, CrawlConfig(extra={"index_static": ""}))
+    assert set(out.columns) == {"url"}
+
+    # testNormalScenario
+    prop = "field1:val1, field2    :      val2 val3     , field3, field4 :val4 , "
+    out, _ = StaticFieldIndexer().apply(df, CrawlConfig(extra={"index_static": prop}))
+    row = out.iloc[0]
+    assert row["field1"] == "val1"
+    assert row["field2"] == ["val2", "val3"]
+    assert row["field4"] == "val4"
+    assert "field3" not in out.columns
+
+    # testCustomDelimiters
+    out, _ = StaticFieldIndexer().apply(df, CrawlConfig(extra={
+        "index_static": "field1=val1>field2=val2|val3>field4=val4",
+        "index_static_fieldsep": ">",
+        "index_static_keysep": "=",
+        "index_static_valuesep": "|",
+    }))
+    row = out.iloc[0]
+    assert row["field1"] == "val1"
+    assert row["field2"] == ["val2", "val3"]
+    assert row["field4"] == "val4"
+
+    # testCustomMulticharacterDelimiters
+    out, _ = StaticFieldIndexer().apply(df, CrawlConfig(extra={
+        "index_static": "field1\t\tval1\n\nfield2\t\tval2***val3\n\nfield4\t\tval4",
+        "index_static_fieldsep": "\n\n",
+        "index_static_keysep": "\t\t",
+        "index_static_valuesep": "***",
+    }))
+    row = out.iloc[0]
+    assert row["field1"] == "val1"
+    assert row["field2"] == ["val2", "val3"]
+    assert row["field4"] == "val4"
+
+
 def test_jexl_indexing_filter():
     """TestJexlIndexingFilter port: doc.lang=='en' keeps the matching
     document and drops the non-matching one; a bad expression raises."""
