@@ -484,7 +484,11 @@ def q_dedup_exact_docs(sf_dir: str):
     """Exact text dedup (md5) over documents."""
     from ..ops.dedup import exact_dedup
 
-    out = exact_dedup(_read(sf_dir, "documents", columns=["doc_id", "text"])).to_pandas()
+    out = exact_dedup(
+        # md5 map is cheap: floor the blocks for the sig exchange
+        _read(sf_dir, "documents", columns=["doc_id", "text"],
+              min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    ).to_pandas()
     if "doc_id" not in out.columns:  # no duplicates at this scale
         out = pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "dup_of": pd.Series(dtype="int64")})
     out["doc_id"] = out["doc_id"].astype(np.int64)
@@ -505,7 +509,9 @@ def q_dedup_norm_docs(sf_dir: str):
     from ..ops.dedup import exact_dedup
 
     out = exact_dedup(
-        _read(sf_dir, "documents", columns=["doc_id", "text"]), normalize=True
+        _read(sf_dir, "documents", columns=["doc_id", "text"],
+              min_block_bytes=_EXCHANGE_BLOCK_BYTES),
+        normalize=True,
     ).to_pandas()
     if "doc_id" not in out.columns:
         out = pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "dup_of": pd.Series(dtype="int64")})
