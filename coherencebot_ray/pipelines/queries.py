@@ -536,7 +536,7 @@ def q_minhash_lsh(sf_dir: str):
     permutation constants are embedded in the generated SQL)."""
     from ..ops.dedup import minhash_lsh_pairs
 
-    out = minhash_lsh_pairs(_read(sf_dir, "documents", columns=["doc_id", "text"])).to_pandas()
+    out = minhash_lsh_pairs(_read(sf_dir, "documents", columns=["doc_id", "text"], min_block_bytes=_EXCHANGE_BLOCK_BYTES)).to_pandas()
     out["jaccard_ppm"] = np.floor(out["jaccard"].astype(np.float64) * 1e6 + 0.5).astype(np.int64)
     out = out[["a", "b", "jaccard_ppm"]]
     for c in ("a", "b"):
@@ -553,7 +553,7 @@ def q_minhash_lsh_idjoin(sf_dir: str):
     from ..ops.dedup import minhash_lsh_pairs
 
     out = minhash_lsh_pairs(
-        _read(sf_dir, "documents", columns=["doc_id", "text"]), with_text=False
+        _read(sf_dir, "documents", columns=["doc_id", "text"], min_block_bytes=_EXCHANGE_BLOCK_BYTES), with_text=False
     ).to_pandas()
     out["jaccard_ppm"] = np.floor(out["jaccard"].astype(np.float64) * 1e6 + 0.5).astype(np.int64)
     out = out[["a", "b", "jaccard_ppm"]]
@@ -612,7 +612,7 @@ def q_simhash(sf_dir: str):
     plain all-pairs hamming scan over SQL-recomputed simhashes."""
     from ..ops.dedup import simhash_pairs
 
-    out = simhash_pairs(_read(sf_dir, "documents", columns=["doc_id", "text"])).to_pandas()
+    out = simhash_pairs(_read(sf_dir, "documents", columns=["doc_id", "text"], min_block_bytes=_EXCHANGE_BLOCK_BYTES)).to_pandas()
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["a", "b"]).reset_index(drop=True)
@@ -646,7 +646,7 @@ def q_text_quality(sf_dir: str):
     """Quality metrics per doc (vectorized; SQL-mirrorable definitions)."""
     from ..ops.text import text_quality
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"], min_block_bytes=_EXCHANGE_BLOCK_BYTES)
     out = ds.map_batches(lambda df: text_quality(df), batch_format="pandas").to_pandas()
     out["doc_id"] = out["doc_id"].astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -672,7 +672,7 @@ def q_fingerprint(sf_dir: str):
     """Document fingerprints; groups sharing a fingerprint collapse."""
     from ..ops.text import fingerprint
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"], min_block_bytes=_EXCHANGE_BLOCK_BYTES)
 
     def fp(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "fp": fingerprint(df["text"])})
@@ -751,7 +751,7 @@ def q_gopher_quality(sf_dir: str):
     functions."""
     from ..ops.text import gopher_quality
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"], min_block_bytes=_EXCHANGE_BLOCK_BYTES)
 
     def rules(df: pd.DataFrame) -> pd.DataFrame:
         return gopher_quality(df.reset_index(drop=True))
@@ -791,7 +791,7 @@ def q_c4_filters(sf_dir: str):
     documents; integer flags, exact SQL mirror."""
     from ..ops.text import c4_page_filters
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"], min_block_bytes=_EXCHANGE_BLOCK_BYTES)
     out = ds.map_batches(
         lambda df: c4_page_filters(df.reset_index(drop=True)),
         batch_format="pandas",
@@ -818,7 +818,7 @@ def q_langid(sf_dir: str):
     recomputed in SQL."""
     from ..ops.text import langid
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"], min_block_bytes=_EXCHANGE_BLOCK_BYTES)
 
     def lid(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"lang_pred": langid(df["text"])})
@@ -859,7 +859,7 @@ def q_knn_cosine(sf_dir: str):
     """Brute-force cosine top-10 for queries vec_id < 8."""
     from ..ops.knn import knn_brute
 
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"], min_block_bytes=_EXCHANGE_BLOCK_BYTES)
     out = knn_brute(ds, query_ids=list(range(8)), k=10).to_pandas()
     out = out[["query_id", "neighbor_id", "rank"]]
     for c in out.columns:
@@ -887,7 +887,7 @@ def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs (sim >= 0.45; a<b)."""
     from ..ops.knn import embedding_neardup_pairs
 
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"], min_block_bytes=_EXCHANGE_BLOCK_BYTES)
     out = embedding_neardup_pairs(ds, threshold=0.45).to_pandas()[["a", "b"]]
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
@@ -902,7 +902,7 @@ def q_embedding_neardup_lsh(sf_dir: str):
     Deterministic: seeded hyperplanes, in-bucket exact verify."""
     from ..ops.knn import embedding_neardup_lsh
 
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"], min_block_bytes=_EXCHANGE_BLOCK_BYTES)
     out = embedding_neardup_lsh(ds, threshold=0.45, n_tables=24, n_bits=6).to_pandas()[["a", "b"]]
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
@@ -925,7 +925,7 @@ def q_knn_ivf(sf_dir: str):
     against knn_brute."""
     from ..ops.knn import knn_ivf
 
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"], min_block_bytes=_EXCHANGE_BLOCK_BYTES)
     out = knn_ivf(ds, query_ids=list(range(8)), k=10, centroid_mode="first").to_pandas()
     out = out[["query_id", "neighbor_id", "rank"]]
     for c in out.columns:
@@ -1033,7 +1033,7 @@ def q_media_features(sf_dir: str):
     feature extraction (deterministic fake decode; see ops/media.py)."""
     from ..ops.media import media_features
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"], min_block_bytes=_EXCHANGE_BLOCK_BYTES)
 
     def to_binary(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -1223,7 +1223,7 @@ def q_criteria_filter(sf_dir: str):
     docs shorter than the threshold are rejected from indexing."""
     from ..functions.enrich import criteria_filter
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"], min_block_bytes=_EXCHANGE_BLOCK_BYTES)
 
     def gate(df: pd.DataFrame) -> pd.DataFrame:
         keep = criteria_filter(df, min_length=300)
