@@ -168,6 +168,71 @@ def export_warcish(seg_dir: str, out_dir: str) -> int:
     return total
 
 
+def commoncrawl_dump(seg_dir: str, out_dir: str, gzip_out: bool = True,
+                     mime_types: tuple = (), epoch_ms: int = 0,
+                     extension: str = "") -> dict:
+    """CommonCrawlDataDumper analogue (tools/CommonCrawlDataDumper.java:
+    116-420): dump each stored document as one timestamped JSON file —
+    filename ``md5(url)_<last-path-segment>.<ext>[.gz]`` as the
+    reference's test fixtures show — carrying the CommonCrawl-format
+    fields (url, reversed-url key via TableUtil.reverseUrl, timestamp,
+    response content type + base64 body). DIVERGENCE, documented: the
+    reference CBOR-encodes the body (no cbor package in this
+    environment); plain JSON here, same fields. ``mime_types``
+    restricts the dump; returns the per-mimetype counts report the
+    reference prints (:95-114). Per-partition loop over the segment's
+    content files — resumable, no driver materialization of content
+    beyond one partition."""
+    import base64
+    import gzip as _gzip
+    import hashlib
+
+    from ..functions.webutil import reverse_url
+
+    os.makedirs(out_dir, exist_ok=True)
+    counts: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(seg_dir, "content", "part-*", "*.parquet"))):
+        t = pq.read_table(f, partitioning=None)
+        for url, content, ctype in zip(
+            t.column("url").to_pylist(),
+            t.column("content").to_pylist(),
+            t.column("content_type").to_pylist(),
+        ):
+            if content is None:
+                continue
+            ctype = ctype or "application/octet-stream"
+            if mime_types and ctype not in mime_types:
+                counts["filtered"] = counts.get("filtered", 0) + 1
+                continue
+            path = url.split("?", 1)[0].rstrip("/")
+            seg = path.rsplit("/", 1)[-1] if "/" in path.split("://", 1)[-1] else ""
+            ext = extension or (seg.rsplit(".", 1)[-1] if "." in seg else "html")
+            base = seg.rsplit(".", 1)[0] if "." in seg else seg
+            name = f"{hashlib.md5(url.encode()).hexdigest()}_{base}.{ext}"
+            try:
+                key = reverse_url(url)
+            except Exception:
+                key = url
+            rec = json.dumps({
+                "url": url,
+                "key": key,
+                "timestamp": str(int(epoch_ms)),
+                "response": {
+                    "headers": {"Content-Type": ctype},
+                    "body_b64": base64.b64encode(bytes(content)).decode(),
+                },
+            }, sort_keys=True).encode()
+            if gzip_out:
+                with _gzip.GzipFile(os.path.join(out_dir, name + ".gz"),
+                                    mode="wb", mtime=0) as fh:
+                    fh.write(rec)
+            else:
+                with open(os.path.join(out_dir, name), "wb") as fh:
+                    fh.write(rec)
+            counts[ctype] = counts.get(ctype, 0) + 1
+    return counts
+
+
 def export_warc(seg_dir: str, out_dir: str, warc_date: str = "2026-01-01T00:00:00Z") -> int:
     """REAL WARC/1.0 export (ISO 28500 record framing; tools/warc/
     WARCExporter analogue written directly — the format is plain

@@ -145,6 +145,52 @@ def test_http_index_writer(ray_session, tmp_path):
     assert urls == set(docs["url"])
 
 
+def test_commoncrawl_dump(tmp_path):
+    """TestCommonCrawlDataDumper analogue: one md5-named timestamped
+    JSON file per stored document, gzip option, mimetype filter +
+    per-type counts report."""
+    import base64
+    import gzip as _gzip
+    import hashlib
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from coherencebot_ray.stages.tools import commoncrawl_dump
+
+    d = tmp_path / "seg" / "content" / "part-0"
+    d.mkdir(parents=True)
+    rows = {
+        "url": ["http://nutch.apache.org/bot.html",
+                "http://nutch.apache.org/downloads",
+                "http://img.example/t.png"],
+        "content": [b"<html>bot</html>", b"<html>dl</html>", b"\x89PNGdata"],
+        "content_type": ["text/html", "text/html", "image/png"],
+    }
+    pq.write_table(pa.table(rows), d / "c.parquet")
+
+    out = tmp_path / "dump"
+    counts = commoncrawl_dump(str(tmp_path / "seg"), str(out), epoch_ms=1700000000000)
+    assert counts == {"text/html": 2, "image/png": 1}
+    bot = out / (hashlib.md5(b"http://nutch.apache.org/bot.html").hexdigest() + "_bot.html.gz")
+    assert bot.exists()
+    rec = json.loads(_gzip.open(bot).read())
+    assert rec["url"] == "http://nutch.apache.org/bot.html"
+    assert rec["key"] == "org.apache.nutch:http/bot.html"
+    assert base64.b64decode(rec["response"]["body_b64"]) == b"<html>bot</html>"
+    # extension defaults to html for extension-less paths
+    dl = out / (hashlib.md5(b"http://nutch.apache.org/downloads").hexdigest() + "_downloads.html.gz")
+    assert dl.exists()
+    # mimetype filter + plain (non-gzip) output
+    out2 = tmp_path / "dump2"
+    counts2 = commoncrawl_dump(str(tmp_path / "seg"), str(out2),
+                               gzip_out=False, mime_types=("image/png",))
+    assert counts2 == {"image/png": 1, "filtered": 2}
+    png = out2 / (hashlib.md5(b"http://img.example/t.png").hexdigest() + "_t.png")
+    assert png.exists()
+
+
 def _seg(tmp_path, name, rows):
     """Write one segment's fetch_out component from (url, status,
     fetch_time) triples."""
