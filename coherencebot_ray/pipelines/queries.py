@@ -1062,7 +1062,9 @@ FROM b ORDER BY doc_id
 def q_q1_agg(sf_dir: str):
     """TPC-H Q1-shaped grouped aggregate (integer-cents exact)."""
     ds = _read(
-        sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+        min_block_bytes=_EXCHANGE_BLOCK_BYTES,
     )
 
     from ..ops.agg import bucketed_sum
