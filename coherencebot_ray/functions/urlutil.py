@@ -86,10 +86,13 @@ def get_host(url: str) -> str:
 
 
 def get_domain(host: str) -> str:
-    """Registered domain of a hostname (URLUtil.getDomainName analogue)."""
+    """Registered domain of a hostname (URLUtil.getDomainName analogue;
+    TestURLUtil: an IP host is its own domain)."""
     if not host:
         return ""
     parts = host.split(".")
+    if len(parts) == 4 and all(p.isdigit() for p in parts):
+        return host  # IP literal (URLUtil returns it whole)
     if len(parts) <= 2:
         return host
     if ".".join(parts[-2:]) in _SECOND_LEVEL_SUFFIXES:

@@ -197,3 +197,21 @@ def test_generate_writeback_reentrant(tmp_path, ray_session):
     r3 = d.generate(EPOCH + 2000 + cfg.gen_delay_ms + 1000)
     u3 = fetchlist_urls(r3["seg"])
     assert u3 & u1
+
+
+def test_url_util_domain_name():
+    """TestURLUtil.testGetDomainName port (the subset the compact
+    public-suffix table covers; the reference ships the full
+    publicsuffix list): registered domains, IP hosts whole, bare
+    hosts unchanged."""
+    from coherencebot_ray.functions.urlutil import get_domain, get_host
+
+    cases = [
+        ("http://lucene.apache.org/nutch", "apache.org"),
+        ("http://en.wikipedia.org/wiki/Java_coffee", "wikipedia.org"),
+        ("http://140.211.11.130/foundation/contributing.html", "140.211.11.130"),
+        ("http://www.example.co.uk:8080/index.html", "example.co.uk"),
+        ("http://com", "com"),
+    ]
+    for url, expected in cases:
+        assert get_domain(get_host(url)) == expected, url
