@@ -145,6 +145,11 @@ class CrawlConfig:
     # parse-js JSParseFilter: extract string-literal outlinks from
     # embedded <script> bodies (pure .js documents always parse)
     parse_js: bool = False
+    # DOMContentUtils non-anchor outlink tags to SKIP
+    # (parser.html.outlinks.ignore_tags; nutch-default excludes
+    # img/script/link, and form needs its own flag — same default set
+    # here, so area/frame/iframe/source are outlinks out of the box)
+    html_ignore_outlink_tags: tuple = ("img", "script", "link", "form")
 
     # --- url filter / normalizer chains ------------------------------------
     normalizers: tuple = ("basic", "regex")

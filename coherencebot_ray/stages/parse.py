@@ -47,22 +47,45 @@ class _DocHTMLParser(HTMLParser):
         self.metatags: list[tuple] = []  # (name, value) from <meta>
         self.base_href: str | None = None  # first <base href>
         self.scripts: list[str] = []  # <script> bodies (parse-js)
+        self.tag_links: list[tuple] = []  # (tag, url) non-anchor outlinks
         self._in_script = False
         self._script_buf: list[str] = []
         self._stack: list[str] = []
         self._buf: list[str] = []
         self._href: str | None = None
 
+    # DOMContentUtils.java:79-91 linkParams — non-anchor elements whose
+    # attribute is an outlink; img/script/link/form are collected too
+    # and filtered by cfg (parser.html.outlinks.ignore_tags defaults)
+    _TAG_LINK_ATTR = {
+        "area": "href", "frame": "src", "iframe": "src", "source": "src",
+        "script": "src", "link": "href", "form": "action",
+    }
+
     def handle_starttag(self, tag, attrs):
         if tag in ("title", "h1", "h2", "h3", "p", "a"):
             self._stack.append(tag)
             self._buf = []
             if tag == "a":
-                self._href = dict(attrs).get("href")
+                d = dict(attrs)
+                self._href = d.get("href")
+                # <a rel=nofollow> is not an outlink (DOMContentUtils
+                # getOutlinks rel handling; TestDOMContentUtils)
+                if "nofollow" in (d.get("rel") or "").lower():
+                    self._href = None
         elif tag == "img":
             src = dict(attrs).get("src")
             if src:
                 self.spans.append(("media", "", src))
+                self.tag_links.append(("img", src))
+        elif tag in self._TAG_LINK_ATTR:
+            v = dict(attrs).get(self._TAG_LINK_ATTR[tag])
+            if v:
+                self.tag_links.append((tag, v))
+            if tag == "script":
+                # body capture for parse-js (src-less inline scripts)
+                self._in_script = True
+                self._script_buf = []
         elif tag == "meta":
             # parse-metatags source: name= or http-equiv= + content=
             # (MetaTagsParser.java:78-95 general + http-equiv groups)
@@ -76,9 +99,6 @@ class _DocHTMLParser(HTMLParser):
             href = dict(attrs).get("href")
             if href and self.base_href is None:
                 self.base_href = href
-        elif tag == "script":
-            self._in_script = True
-            self._script_buf = []
 
     def handle_endtag(self, tag):
         if tag == "script":
@@ -325,6 +345,7 @@ class ParseBatch:
             (field, source, re.compile(rx))
             for field, source, rx in (cfg.parsefilter_regex_rules or ())
         )
+        self._ignore_outlink_tags = frozenset(cfg.html_ignore_outlink_tags or ())
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         """Columnar parse pass: the only per-document Python is the html/
@@ -381,6 +402,14 @@ class ParseBatch:
                 _p, text = parse_html_full(raw, charset=cs)
                 spans, links = _p.spans, _p.links
                 metatags = _p.metatags
+                if _p.tag_links:
+                    # frame/iframe/area/source (and any un-ignored
+                    # img/script/link/form) outlinks, empty anchor
+                    # (DOMContentUtils linkParams)
+                    ign = self._ignore_outlink_tags
+                    extra = [(u, "") for tg, u in _p.tag_links if tg not in ign]
+                    if extra:
+                        links = list(links) + extra
                 # protocol-relative <base href> resolves against the
                 # page url first (NUTCH-2478)
                 base_href = (

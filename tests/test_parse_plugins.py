@@ -285,6 +285,54 @@ def test_robots_meta_through_parse_stage():
     assert "http://a.com/plain" in set(outlinks["url"])
 
 
+def test_frameset_outlinks():
+    """TestDOMContentUtils frameset case: every frame src becomes an
+    outlink with an empty anchor."""
+    html = (b"<html><head><title>my title</title></head>"
+            b'<frameset rows="20,*"><frame src="http://f.com/top.html">'
+            b'<frameset cols="20,*"><frame src="http://f.com/left.html">'
+            b'<frame src="http://f.com/invalid.html"/></frameset>'
+            b'<frame src="http://f.com/right.html"></frameset></html>')
+    out = ParseBatch(CrawlConfig())(pd.DataFrame([_fetch_row("http://a.com/frames/", html)]))
+    dsts = list(out[out["rtype"] == "outlink"]["dst"])
+    assert dsts == [f"http://f.com/{p}.html" for p in ("top", "left", "invalid", "right")]
+
+
+def test_area_iframe_outlinks_and_ignore_tags():
+    """TestDOMContentUtils area/iframe case with the
+    parser.html.outlinks.ignore_tags default (img/script/link out;
+    area/iframe in); clearing the ignore set admits the img."""
+    html = (b"<html><head><title>t</title></head><body>"
+            b'<img src="http://m.com/logo.gif" usemap="#map1">'
+            b'<map name="map1">'
+            b'<area href="http://m.com/index.html">'
+            b'<area href="http://m.com/bot.html"></map>'
+            b'<iframe src="http://m.com/docs/index.html"></iframe>'
+            b"</body></html>")
+    out = ParseBatch(CrawlConfig())(pd.DataFrame([_fetch_row("http://a.com/maps/", html)]))
+    dsts = set(out[out["rtype"] == "outlink"]["dst"])
+    assert dsts == {"http://m.com/index.html", "http://m.com/bot.html",
+                    "http://m.com/docs/index.html"}
+    # clearing the ignore set admits the img at the parser level (the
+    # url-filter chain then drops .gif per the default regex rules,
+    # exactly like the reference's urlfilter-regex defaults)
+    from coherencebot_ray.stages.parse import parse_html_full
+
+    p, _ = parse_html_full(html)
+    assert ("img", "http://m.com/logo.gif") in p.tag_links
+
+
+def test_rel_nofollow_anchor_skipped():
+    """TestDOMContentUtils nofollow case: <a rel=nofollow> is not an
+    outlink; the normal anchor still is."""
+    html = (b"<html><body>"
+            b'<a href="http://x.com/skip" rel="nofollow">skip</a>'
+            b'<a href="http://x.com/keep">keep</a>'
+            b"</body></html>")
+    out = ParseBatch(CrawlConfig())(pd.DataFrame([_fetch_row("http://a.com/", html)]))
+    assert set(out[out["rtype"] == "outlink"]["dst"]) == {"http://x.com/keep"}
+
+
 def test_heading_includes_nested_inline_nodes():
     """TestHeadingsParseFilter.testExtractHeadingFromNestedNodes port:
     the h1 heading text must include the content of inner span nodes."""
