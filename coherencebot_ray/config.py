@@ -145,6 +145,9 @@ class CrawlConfig:
     # parse-js JSParseFilter: extract string-literal outlinks from
     # embedded <script> bodies (pure .js documents always parse)
     parse_js: bool = False
+    # parse-ext ExtParser: ((content_type, command, timeout_s), ...) —
+    # content piped through the command, stdout = parse text
+    ext_parsers: tuple = ()
     # DOMContentUtils non-anchor outlink tags to SKIP
     # (parser.html.outlinks.ignore_tags; nutch-default excludes
     # img/script/link, and form needs its own flag — same default set

@@ -346,6 +346,14 @@ class ParseBatch:
             for field, source, rx in (cfg.parsefilter_regex_rules or ())
         )
         self._ignore_outlink_tags = frozenset(cfg.html_ignore_outlink_tags or ())
+        # parse-ext: external-command parsers by content type
+        if cfg.ext_parsers:
+            from ..functions.extparser import ExtParser
+
+            self.ext_parser = ExtParser(
+                {ct: (cmd, to) for ct, cmd, to in cfg.ext_parsers})
+        else:
+            self.ext_parser = None
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         """Columnar parse pass: the only per-document Python is the html/
@@ -379,7 +387,16 @@ class ParseBatch:
                 continue
             ctype = ctypes[i] or "text/html"
             metatags: list[tuple] = []
-            if "pdf" in ctype:
+            if self.ext_parser is not None and self.ext_parser.can_parse(ctype):
+                # parse-ext: external command, stdout = text
+                from ..functions.extparser import ExtParseError
+
+                try:
+                    text = self.ext_parser.parse(bytes(content), ctype)
+                except ExtParseError:
+                    continue  # parse failure: no output row (ParseStatus.FAILED)
+                spans, links = ([("text", text, "")] if text else []), []
+            elif "pdf" in ctype:
                 spans, links, text = parse_pdf(bytes(content))
             elif "rss" in ctype or "atom" in ctype:
                 spans, links, text = parse_feed(bytes(content))

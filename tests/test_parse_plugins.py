@@ -372,6 +372,47 @@ def test_feed_parser_outlinks():
     assert "TestChannel" in text
 
 
+EXPECTED_EXT = "nutch rocks nutch rocks nutch rocks"
+
+
+def test_ext_parser_cat_and_md5sum():
+    """TestExtParser port: content piped alternately through 'cat'
+    (text comes back verbatim) and 'md5sum' (text starts with the
+    md5 of the content); undefined type and failing command raise."""
+    import hashlib
+
+    import pytest
+
+    from coherencebot_ray.functions.extparser import ExtParseError, ExtParser
+
+    p = ExtParser({
+        "testcontenttype/cat": ("cat", 10),
+        "testcontenttype/md5": ("md5sum", 10),
+    })
+    data = EXPECTED_EXT.encode()
+    for _ in range(2):
+        assert p.parse(data, "testContentType/cat") == EXPECTED_EXT
+        assert p.parse(data, "testContentType/md5").startswith(
+            hashlib.md5(data).hexdigest())
+    with pytest.raises(ExtParseError):
+        p.parse(data, "unknown/type")
+    bad = ExtParser({"t/x": ("false", 5)})
+    with pytest.raises(ExtParseError):
+        bad.parse(data, "t/x")
+
+
+def test_ext_parser_through_parse_stage():
+    """cfg.ext_parsers routes matching content types through the
+    command; the parse text and signature flow as usual, no outlinks."""
+    cfg = CrawlConfig(ext_parsers=(("application/x-custom", "cat", 10),))
+    row = _fetch_row("http://a.com/custom", EXPECTED_EXT.encode(),
+                     ctype="application/x-custom")
+    out = ParseBatch(cfg)(pd.DataFrame([row]))
+    doc = out[out["rtype"] == "doc"].iloc[0]
+    assert [s["text"] for s in doc["spans"] if s["kind"] == "text"] == [EXPECTED_EXT]
+    assert (out["rtype"] == "outlink").sum() == 0
+
+
 # ---------------------------------------------------------------------------
 # html charset handling (TestHtmlParser encoding matrix port)
 # ---------------------------------------------------------------------------
