@@ -433,6 +433,70 @@ class JexlIndexingFilter(IndexingFilter):
         return df, evaluate(df, py)
 
 
+class OrgIndexingFilter(IndexingFilter):
+    """index-org (OrgIndexer.java:33-160): enrich documents with
+    organization metadata looked up by the seed's ``org.slug`` (datum
+    metadata, injected by the FeedInjector) or by the document domain.
+    The reference calls a private orgs API with an LRU cache; here the
+    client is injectable — extra['org_lookup'] is a callable
+    ``(slug, domain) -> dict | None`` or a plain ``{key: fields}``
+    mapping (keyed by slug or domain) — so the Ray-side plumbing is
+    real and tested while the service stays external. Results are
+    cached per filter instance (the reference's LRUCache(500))."""
+
+    name = "org"
+    CACHE_MAX = 500
+
+    def __init__(self):
+        self._cache: dict = {}
+
+    def _lookup(self, lookup, slug, domain):
+        key = (slug, domain)
+        if key in self._cache:
+            return self._cache[key]
+        if callable(lookup):
+            fields = lookup(slug, domain)
+        else:
+            fields = lookup.get(slug) if slug else None
+            if fields is None and domain:
+                fields = lookup.get(domain)
+        if len(self._cache) >= self.CACHE_MAX:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[key] = fields
+        return fields
+
+    def apply(self, df, cfg):
+        lookup = getattr(cfg, "extra", {}).get("org_lookup")
+        if lookup is None or len(df) == 0:
+            return df, np.ones(len(df), dtype=bool)
+        from .urlutil import get_domain, get_host
+
+        df = df.copy()
+        metas = df["metadata"].to_numpy() if "metadata" in df.columns else np.full(len(df), None, dtype=object)
+        domains = (
+            df["domain"].to_numpy()
+            if "domain" in df.columns
+            else np.array([get_domain(get_host(u)) for u in df["url"].fillna("")], dtype=object)
+        )
+        new_cols: dict[str, list] = {}
+        for i, (m, dom) in enumerate(zip(metas, domains)):
+            slug = None
+            if isinstance(m, str) and "org.slug" in m:
+                try:
+                    slug = json.loads(m).get("org.slug")
+                except ValueError:
+                    slug = None
+            fields = self._lookup(lookup, slug, dom) if (slug or dom) else None
+            if not fields:
+                continue
+            for k, v in fields.items():
+                col = new_cols.setdefault(k, [None] * len(df))
+                col[i] = v
+        for k, vals in new_cols.items():
+            df[k] = vals
+        return df, np.ones(len(df), dtype=bool)
+
+
 from .license import CCIndexingFilter  # noqa: E402
 from .subcollection import SubcollectionIndexingFilter  # noqa: E402
 
@@ -450,6 +514,7 @@ _REGISTRY = {
         SubcollectionIndexingFilter,
         CCIndexingFilter,
         JexlIndexingFilter,
+        OrgIndexingFilter,
     )
 }
 

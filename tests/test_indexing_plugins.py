@@ -236,6 +236,47 @@ def test_index_hosts_only_and_filter_outlinks():
     assert row["outlinks"] == ["www.test.com"]
 
 
+def test_org_indexing_filter():
+    """TestOrgIndexerTest analogue with an injected lookup (the
+    reference hits a private orgs API): org fields land on the doc,
+    keyed by org.slug from the datum metadata or by the url's domain;
+    docs with no match stay untouched; lookups are cached."""
+    import json as _json
+
+    from coherencebot_ray.functions.indexing import OrgIndexingFilter
+
+    calls = []
+
+    def lookup(slug, domain):
+        calls.append((slug, domain))
+        if slug == "alaska-center" or domain == "acpp.info":
+            return {"organization.id": "alaska-center-for-public-policy-us",
+                    "organization.name": "Alaska Center for Public Policy"}
+        return None
+
+    df = pd.DataFrame([
+        {"url": "https://archive.example/acpp.info/PDFs/a.pdf",
+         "metadata": _json.dumps({"org.slug": "alaska-center"})},
+        {"url": "http://www.acpp.info/reports/b.html", "metadata": None},
+        {"url": "http://unrelated.org/x", "metadata": None},
+    ])
+    cfg = CrawlConfig(extra={"org_lookup": lookup})
+    f = OrgIndexingFilter()
+    out, keep = f.apply(df, cfg)
+    assert keep.all()
+    assert out.iloc[0]["organization.id"] == "alaska-center-for-public-policy-us"
+    assert out.iloc[1]["organization.name"] == "Alaska Center for Public Policy"
+    assert out.iloc[2]["organization.id"] is None
+    # cache: re-applying the same rows adds no new lookup calls
+    n = len(calls)
+    f.apply(df, cfg)
+    assert len(calls) == n
+    # dict-form lookup keyed by domain
+    out2, _ = OrgIndexingFilter().apply(
+        df, CrawlConfig(extra={"org_lookup": {"acpp.info": {"organization.name": "ACPP"}}}))
+    assert out2.iloc[1]["organization.name"] == "ACPP"
+
+
 def test_static_field_property_format():
     """TestStaticFieldIndexerTest port: the index.static property with
     default and custom delimiters; key-less entries skipped, trimmed,
