@@ -181,6 +181,51 @@ def sniff_meta_charset(content: bytes) -> str | None:
 
 
 # ---------------------------------------------------------------------------
+# SpellCheckedMetadata header-name normalization
+# ---------------------------------------------------------------------------
+
+# HttpHeaders canonical names (metadata/HttpHeaders.java)
+_CANONICAL_HEADERS = (
+    "Content-Encoding", "Content-Language", "Content-Length",
+    "Content-Location", "Content-Disposition", "Content-MD5",
+    "Content-Type", "Last-Modified", "Location", "Transfer-Encoding",
+)
+_HEADER_IDX = {
+    "".join(ch for ch in h.lower() if ch.isalnum()): h for h in _CANONICAL_HEADERS
+}
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if abs(len(a) - len(b)) > 3:
+        return 99
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def normalize_header_name(name: str) -> str:
+    """SpellCheckedMetadata.getNormalizedName(:95-130): map misspelled
+    HTTP header names to their canonical form — exact normalized match
+    first, then the closest known name within a Levenshtein threshold
+    of ``min(3, len/3)``; unknown names pass through unchanged."""
+    norm = "".join(ch for ch in name.lower() if ch.isalnum())
+    hit = _HEADER_IDX.get(norm)
+    if hit is not None:
+        return hit
+    threshold = min(3, len(norm) // 3)
+    best, best_d = None, threshold + 1
+    for known_norm, canonical in _HEADER_IDX.items():
+        d = _levenshtein(norm, known_norm)
+        if d < best_d:
+            best, best_d = canonical, d
+    return best if best is not None else name
+
+
+# ---------------------------------------------------------------------------
 # TableUtil reversed urls
 # ---------------------------------------------------------------------------
 

@@ -203,3 +203,16 @@ def test_get_outlinks_ftp():
         "Test with ftp://ftp.nutch.org is it found? "
         "mail me at mailto:bob@example.com please")
     assert out == ["ftp://ftp.nutch.org"]
+
+
+def test_spellchecked_header_names():
+    """TestSpellCheckedMetadata.testGetNormalizedName port: misspelled
+    HTTP header names resolve to the canonical form within the
+    Levenshtein threshold; unknown names pass through."""
+    from coherencebot_ray.functions.webutil import normalize_header_name
+
+    for variant in ("Content-Type", "ContentType", "Content-type",
+                    "contenttype", "contentype", "contntype"):
+        assert normalize_header_name(variant) == "Content-Type", variant
+    assert normalize_header_name("Last-modified") == "Last-Modified"
+    assert normalize_header_name("X-Custom-Header") == "X-Custom-Header"
