@@ -209,3 +209,66 @@ def media_features(docs_ds, media_col: str = "media", concurrency=None, batch_si
     return docs_ds.map_batches(
         MediaFeatureExtractor(media_col), batch_format="pandas", batch_size=batch_size, **kwargs
     )
+
+
+class ImageResizeStage:
+    """Actor-pool resize stage: binary image column -> (doc_id, width,
+    height, resized payload) at a bounded target size, aspect-ratio
+    preserved.
+
+    The Ray-side plumbing is REAL — callable class for
+    ``map_batches(ImageResizeStage(max_w, max_h), concurrency=N)``,
+    per-actor setup in ``__init__``, source dimensions from the REAL
+    header probes — while the pixel resample is a deterministic stand-in
+    (md5-seeded bytes tagged with the target dims; no codec libraries in
+    this environment, ``use_real_decoder=True`` raises
+    ``DecodeUnavailable`` where a real decoder would be called).
+    """
+
+    def __init__(self, max_w: int = 256, max_h: int = 256,
+                 media_col: str = "media", use_real_decoder: bool = False):
+        self.max_w, self.max_h = int(max_w), int(max_h)
+        self.media_col = media_col
+        self.use_real_decoder = use_real_decoder
+        # a real decoder/resampler (PIL/opencv) would be loaded HERE,
+        # once per actor
+
+    def target_dims(self, w: int, h: int) -> tuple[int, int]:
+        """Fit (w, h) into (max_w, max_h), preserving aspect; never
+        upscale."""
+        if w <= 0 or h <= 0:
+            return 0, 0
+        scale = min(self.max_w / w, self.max_h / h, 1.0)
+        return max(1, int(w * scale)), max(1, int(h * scale))
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        if self.use_real_decoder:
+            real_decode(b"")  # raises DecodeUnavailable
+        out = {"doc_id": [], "src_width": [], "src_height": [],
+               "width": [], "height": [], "resized": []}
+        for doc_id, payload in zip(df["doc_id"], df[self.media_col]):
+            probe = probe_image(bytes(payload)) if payload is not None else None
+            if probe is None:
+                continue  # not a decodable image: dropped, like a real
+                # decoder failure path
+            _, w, h = probe
+            tw, th = self.target_dims(w, h)
+            seed = hashlib.md5(bytes(payload)).digest()
+            fake_raster = (b"RAW0" + tw.to_bytes(4, "big") + th.to_bytes(4, "big")
+                           + (seed * ((tw * th) // len(seed) + 1))[: tw * th])
+            out["doc_id"].append(doc_id)
+            out["src_width"].append(w)
+            out["src_height"].append(h)
+            out["width"].append(tw)
+            out["height"].append(th)
+            out["resized"].append(fake_raster)
+        return pd.DataFrame(out) if out["doc_id"] else pd.DataFrame(
+            {"doc_id": pd.Series(dtype="object"),
+             "src_width": pd.Series(dtype="int64"),
+             "src_height": pd.Series(dtype="int64"),
+             "width": pd.Series(dtype="int64"),
+             "height": pd.Series(dtype="int64"),
+             "resized": pd.Series(dtype="object")}
+        )

@@ -412,3 +412,39 @@ def test_c4_page_filters():
     assert out.loc[2, "keep"] == 0          # < 5 sentences
     assert out.loc[3, "keep"] == 0 and out.loc[3, "has_lorem"] == 1
     assert out.loc[4, "keep"] == 0 and out.loc[4, "has_brace"] == 1
+
+
+def test_image_resize_stage(ray_session):
+    """Resize plumbing: real header probes for source dims, aspect-fit
+    target dims (never upscaled), deterministic payload sized w*h,
+    non-images dropped; runs as an actor-pool map_batches stage."""
+    import struct
+
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from coherencebot_ray.ops.media import DecodeUnavailable, ImageResizeStage
+
+    def png(w, h):
+        return (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+                + struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00" + b"x" * 16)
+
+    docs = pd.DataFrame({
+        "doc_id": ["big", "small", "junk"],
+        "media": [png(1024, 512), png(100, 50), b"not an image"],
+    })
+    stage = ImageResizeStage(max_w=256, max_h=256)
+    out = (rd.from_pandas(docs)
+           .map_batches(stage, batch_format="pandas", concurrency=2)
+           .to_pandas().set_index("doc_id"))
+    assert list(out.index) == ["big", "small"]          # junk dropped
+    assert (out.loc["big", "width"], out.loc["big", "height"]) == (256, 128)
+    assert (out.loc["small", "width"], out.loc["small", "height"]) == (100, 50)  # no upscale
+    raster = out.loc["big", "resized"]
+    assert bytes(raster[:4]) == b"RAW0" and len(raster) == 12 + 256 * 128
+    # determinism: same payload -> same bytes
+    out2 = stage(docs)
+    assert bytes(out2.set_index("doc_id").loc["big", "resized"]) == bytes(raster)
+    with pytest.raises(DecodeUnavailable):
+        ImageResizeStage(use_real_decoder=True)(docs)
