@@ -534,6 +534,54 @@ def _fp_stat(part, fetched, docs, t_fetch, t_parse):
             "t_parse": t_parse, "disc_maybe_known": 0}
 
 
+class _InjectTask:
+    """Per-partition inject merge (J1): old partition files ∪ the
+    partition's seed slice -> inject_merge -> new-generation file +
+    seen shard, written directly to the store tmp dir (idempotent
+    deterministic path, like _UpdateTask)."""
+
+    def __init__(self, cfg, seeds_ref, files_by_part, store_root, new_gen):
+        self.cfg = cfg
+        self.seeds_ref = seeds_ref  # ray.put(seeds DataFrame), read per task
+        self.files_by_part = files_by_part
+        self.store_root, self.new_gen = store_root, new_gen
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        _pin_arrow_threads()
+        import ray
+
+        from ..functions.inject import inject_merge
+        from ..functions.urlutil import domains_of
+        from ..state.cuckoo import CuckooFilter
+
+        seeds = ray.get(self.seeds_ref)
+        out = []
+        for part in batch["part"]:
+            part = int(part)
+            frames = [seeds[seeds["part"] == part]]
+            files = self.files_by_part.get(part, [])
+            if files:
+                frames.append(pq.read_table(files, partitioning=None).to_pandas())
+            combined = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+            merged = inject_merge(combined, self.cfg)
+            merged["domain"] = (
+                domains_of(merged["host"]).to_numpy(dtype=object) if len(merged) else None
+            )
+            merged["part"] = part
+            table = frontier_table_from_pandas(merged)
+            dest = os.path.join(
+                self.store_root, f"gen={self.new_gen:06d}.tmp", f"part={part}", "data-0.parquet"
+            )
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            pq.write_table(table, dest, compression="zstd")
+            cf = CuckooFilter(capacity=max(1024, 2 * len(merged)))
+            cf.add_many(merged["url"].to_numpy())
+            with open(dest.replace(".parquet", ".seen"), "wb") as fh:
+                fh.write(cf.to_bytes())
+            out.append({"part": part, "rows": len(merged)})
+        return pd.DataFrame(out)
+
+
 class _UpdateTask:
     def __init__(self, cfg, cur_time_ms, seg, files_by_part, store_root, new_gen):
         self.cfg, self.cur, self.seg = cfg, cur_time_ms, seg
@@ -676,19 +724,32 @@ class CrawlDriver:
         gen = self.store.latest_gen()
         new_gen = 0 if gen is None else gen + 1
         touched = sorted(set(int(p) for p in seeds["part"]))
-        tables: dict[int, pa.Table] = {}
-        for p in touched:
-            old = self.store.read_table(gen, parts=[p]) if gen is not None else None
-            old_df = old.to_pandas() if old is not None else None
-            sp = seeds[seeds["part"] == p]
-            combined = (
-                pd.concat([sp, old_df], ignore_index=True) if old_df is not None and len(old_df) else sp
-            )
-            merged = inject_merge(combined, cfg)
-            merged["domain"] = domains_of(merged["host"]).to_numpy(dtype=object)
-            tables[p] = frontier_table_from_pandas(merged)
-        return self.store.write_generation(
-            tables, gen=new_gen, parent_gen=gen, counters={"urls_injected": int(len(seeds))}
+        if not touched:
+            self.store.begin_generation(new_gen)
+            return self.store.commit_generation(
+                {}, gen=new_gen, parent_gen=gen, counters={"urls_injected": 0})
+        # Distributed merge: one task per touched partition reads its
+        # frontier files + its seed slice (seeds are dimension-sized,
+        # broadcast ONCE via ray.put) and writes the new generation file
+        # directly — the driver never materializes a frontier partition
+        # (Injector.java's reduce is per-key for the same reason).
+        import ray
+        import ray.data as rd
+
+        self.store.begin_generation(new_gen)
+        files_by_part = self._files_by_part(gen) if gen is not None else {}
+        task = _InjectTask(
+            cfg, ray.put(seeds), files_by_part, self.store.root, new_gen)
+        stats = (
+            rd.from_items([{"part": p} for p in touched], override_num_blocks=len(touched))
+            .map_batches(task, batch_format="pandas", batch_size=1,
+                         num_cpus=cfg.task_num_cpus)
+            .to_pandas()
+        )
+        written = {int(p): int(r) for p, r in zip(stats["part"], stats["rows"])}
+        return self.store.commit_generation(
+            written, gen=new_gen, parent_gen=gen,
+            counters={"urls_injected": int(len(seeds))},
         )
 
     def sitemap_round(self, hosts, cur_time_ms: int) -> dict:
