@@ -33,6 +33,23 @@ def token_count(texts: pd.Series) -> np.ndarray:
     return texts.str.count(r"\S+").fillna(0).to_numpy(dtype=np.int64)
 
 
+# GPT-2-style BPE pre-tokenizer (the public pattern from the GPT-2
+# encoder, ASCII classes so Python re and DuckDB RE2 agree exactly):
+# contractions, optional-space letter runs, digit runs, punctuation
+# runs. Whitespace itself is not counted as a token here.
+BPE_TOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+)
+
+
+def bpe_token_count(texts: pd.Series) -> np.ndarray:
+    """BPE-ish pre-token count: the number of pre-tokenizer pieces a
+    GPT-2-style BPE would split into before merges — the standard cheap
+    estimator for LLM token budgets (within the merge factor)."""
+    return texts.str.count(BPE_TOKEN_PATTERN).fillna(0).to_numpy(dtype=np.int64)
+
+
 def text_quality(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """Quality metrics per document (vectorized).
 

@@ -745,6 +745,37 @@ ORDER BY url, collection
 """
 
 
+def q_token_counts(sf_dir: str):
+    """Token counting two ways (build mandate: whitespace + a BPE-ish
+    regex): \\S+ runs and GPT-2-style pre-tokenizer pieces."""
+    from ..ops.text import bpe_token_count, token_count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "ws_tokens": token_count(df["text"]),
+            "bpe_tokens": bpe_token_count(df["text"]),
+        })
+
+    out = ds.map_batches(counts, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _token_counts_sql() -> str:
+    from ..ops.text import BPE_TOKEN_PATTERN
+
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")  # SQL string-literal quoting
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(coalesce(text, ''), '\\S+'))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(coalesce(text, ''), '{pat}'))::BIGINT AS bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_gopher_quality(sf_dir: str):
     """Gopher-style quality rules (Rae et al. 2021 §A2) over documents,
     integer-arithmetic keep flag. Oracle: the same rules in DuckDB list
@@ -1466,6 +1497,7 @@ def build_queries() -> dict:
         "crawl_round": q_crawl_round,
         "subcollection": q_subcollection,
         "gopher_quality": q_gopher_quality,
+        "token_counts": q_token_counts,
         "c4_filters": q_c4_filters,
         "crawlcomplete": q_crawlcomplete,
         "domainstats": q_domainstats,
@@ -1507,6 +1539,7 @@ def build_oracle_sql() -> dict:
         "langid": _langid_sql(),
         "subcollection": _SUBCOLL_SQL,
         "gopher_quality": _GOPHER_SQL,
+        "token_counts": _token_counts_sql(),
         "c4_filters": _C4_SQL,
         "knn_ivf": _KNN_IVF_SQL,
         "crawl_round": _CRAWL_ROUND_SQL,

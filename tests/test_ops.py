@@ -448,3 +448,16 @@ def test_image_resize_stage(ray_session):
     assert bytes(out2.set_index("doc_id").loc["big", "resized"]) == bytes(raster)
     with pytest.raises(DecodeUnavailable):
         ImageResizeStage(use_real_decoder=True)(docs)
+
+
+def test_bpe_token_count():
+    """BPE-ish pre-tokenizer (GPT-2 pattern, ASCII classes): pieces for
+    contractions, letter runs, digit runs, punctuation runs."""
+    import pandas as pd
+
+    from coherencebot_ray.ops.text import bpe_token_count, token_count
+
+    s = pd.Series(["I'll pay $42.50 today!", "", "hello world"])
+    # I |'ll| pay| $|42|.|50| today|!  -> 9 pieces
+    assert bpe_token_count(s).tolist() == [9, 0, 2]
+    assert token_count(s).tolist() == [4, 0, 2]
