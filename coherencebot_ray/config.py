@@ -83,6 +83,12 @@ class CrawlConfig:
     schedule: str = "default"  # db.fetch.schedule.class (default|adaptive)
     purge_404: bool = False  # db.update.purge.404
     purge_orphans: bool = False
+    purge_withdrawn: bool = False  # db.update.purge.withdrawn (coherencebot)
+    # CrawlDbFilter.java:28-30 — re-normalize / re-filter urls during
+    # the crawldb update (scope crawldb); renamed urls merge by min
+    # status precedence at the next round's groupby
+    update_url_normalize: bool = False  # crawldb.url.normalizers
+    update_url_filter: bool = False  # crawldb.url.filters
 
     # --- adaptive schedule (AdaptiveFetchSchedule.java:82-146) -------------
     adaptive_inc_rate: float = 0.4  # db.fetch.schedule.adaptive.inc_rate

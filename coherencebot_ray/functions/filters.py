@@ -221,6 +221,17 @@ def register_filter(name: str, factory) -> None:
     _REGISTRY[name] = factory
 
 
+def make_url_filters(cfg) -> "URLFilters":
+    """Build the chain from cfg.filters, prepending cfg.filter_rules
+    (extra (sign, regex) rules, checked before the defaults) to the
+    regex filter when present."""
+    kwargs = {}
+    extra = tuple(getattr(cfg, "filter_rules", ()) or ())
+    if extra and "regex" in (cfg.filters or ()):
+        kwargs["regex"] = {"rules": list(extra) + list(DEFAULT_REGEX_FILTER_RULES)}
+    return URLFilters(cfg.filters, **kwargs)
+
+
 class URLFilters:
     """Ordered all-must-accept chain (net/URLFilters.java)."""
 

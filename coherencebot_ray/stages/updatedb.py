@@ -71,11 +71,33 @@ def updatedb(
 
 
 def apply_purges(out: pd.DataFrame, cfg: CrawlConfig) -> pd.DataFrame:
-    """CrawlDbFilter purges (crawl/CrawlDbFilter.java:76-125): optional
-    removal of 404/gone, orphaned and withdrawn rows."""
+    """CrawlDbFilter (crawl/CrawlDbFilter.java:52-125): optional purges
+    of 404/gone, orphaned and withdrawn rows — checked FIRST, cheaper
+    than normalizing — then optional url re-normalization (scope
+    crawldb) and re-filtering during the update; a url normalized to
+    None or rejected by the filters is dropped."""
+    if len(out) == 0:
+        return out
     mask = np.ones(len(out), dtype=bool)
     if cfg.purge_404:
         mask &= out["status"].to_numpy() != CS.DB_GONE
     if cfg.purge_orphans:
         mask &= out["status"].to_numpy() != CS.DB_ORPHAN
-    return out[mask] if not mask.all() else out
+    if cfg.purge_withdrawn:
+        mask &= out["status"].to_numpy() != CS.DB_WITHDRAWN
+    if not mask.all():
+        out = out[mask].reset_index(drop=True)
+    if cfg.update_url_normalize and len(out):
+        from ..functions.normalizers import SCOPE_CRAWLDB, URLNormalizers
+
+        normed = URLNormalizers(cfg.normalizers).normalize_many(
+            out["url"].tolist(), SCOPE_CRAWLDB)
+        keep = np.array([u is not None for u in normed], dtype=bool)
+        out = out[keep].reset_index(drop=True)
+        out["url"] = [u for u in normed if u is not None]
+    if cfg.update_url_filter and len(out):
+        from ..functions.filters import make_url_filters
+
+        out = out[make_url_filters(cfg).accept_many(out["url"].to_numpy())]
+        out = out.reset_index(drop=True)
+    return out

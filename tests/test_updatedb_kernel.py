@@ -444,3 +444,37 @@ def test_mime_adaptive_in_merge():
     assert out.loc["http://h.com/html", "fetch_interval"] == 1500
     assert out.loc["http://h.com/pdf", "fetch_interval"] == 1100
     assert out.loc["http://h.com/none", "fetch_interval"] == 1400
+
+
+def test_crawldb_filter_purge_and_normalize():
+    """TestCrawlDbFilter.testUrl404Purging port: 404/gone rows purged
+    and urls re-normalized during the update; plus the orphan/withdrawn
+    purges and the re-filter drop (CrawlDbFilter.java:52-125)."""
+    from coherencebot_ray.stages.updatedb import apply_purges
+
+    rows = pd.DataFrame([
+        datum(CS.DB_GONE, url="http://www.example.com/"),
+        datum(CS.DB_FETCHED, url="http://www.example1.com/"),
+        datum(CS.DB_UNFETCHED, url="http://www.example2.com/"),
+        datum(CS.DB_ORPHAN, url="http://www.example3.com/"),
+        datum(CS.DB_WITHDRAWN, url="http://www.example4.com/"),
+    ])
+    cfg = CrawlConfig(purge_404=True, purge_orphans=True, purge_withdrawn=True,
+                      update_url_normalize=True)
+    out = apply_purges(rows, cfg)
+    assert sorted(out["url"]) == ["http://www.example1.com/", "http://www.example2.com/"]
+
+    # normalization applies (uppercase host folds; basic normalizer)
+    rows2 = pd.DataFrame([datum(CS.DB_FETCHED, url="http://WWW.Example5.com/")])
+    out2 = apply_purges(rows2, CrawlConfig(update_url_normalize=True))
+    assert out2.iloc[0]["url"] == "http://www.example5.com/"
+
+    # re-filter drops rejected urls
+    cfg3 = CrawlConfig(update_url_filter=True,
+                       filter_rules=(("-", r".*example6.*"),))
+    rows3 = pd.DataFrame([
+        datum(CS.DB_FETCHED, url="http://www.example6.com/"),
+        datum(CS.DB_FETCHED, url="http://www.example7.com/"),
+    ])
+    out3 = apply_purges(rows3, cfg3)
+    assert list(out3["url"]) == ["http://www.example7.com/"]
