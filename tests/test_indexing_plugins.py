@@ -371,3 +371,27 @@ def test_links_filter_in_chain():
     out = IndexingFilters(cfg.indexing_filters, cfg).apply(df)
     assert out.iloc[0]["outlinks"] == ["http://www.test.com"]
     assert out.iloc[0]["inlinks"] == INLINKS
+
+
+def test_indexing_filters_order_and_unknown(ray_session):
+    """TestIndexingFilters port (chain semantics): filters run in the
+    configured order (a later filter sees the earlier one's fields),
+    and an unknown filter name fails fast like the reference's
+    RuntimeException for a missing extension."""
+    import pytest
+
+    from coherencebot_ray.functions.indexing import IndexingFilters
+
+    df = pd.DataFrame([{"url": "http://a.com/x", "host": "a.com"}])
+    cfg = CrawlConfig(extra={
+        "index_static_fields": {"site": "demo site"},
+        "index_replace_regexp": "site=/demo/DEMO/\n",
+    })
+    # static first -> replace rewrites the field it created
+    out = IndexingFilters(("static", "replace"), cfg).apply(df)
+    assert out.iloc[0]["site"] == "DEMO site"
+    # replace first -> nothing to rewrite yet; static then sets the raw value
+    out2 = IndexingFilters(("replace", "static"), cfg).apply(df)
+    assert out2.iloc[0]["site"] == "demo site"
+    with pytest.raises(KeyError):
+        IndexingFilters(("nope",), cfg)
