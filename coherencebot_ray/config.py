@@ -89,6 +89,12 @@ class CrawlConfig:
     # status precedence at the next round's groupby
     update_url_normalize: bool = False  # crawldb.url.normalizers
     update_url_filter: bool = False  # crawldb.url.filters
+    # extra RegexNormalizer rules applied ONLY in the crawldb scope —
+    # the per-scope rule-file analogue (regex-normalize.xml.crawldb,
+    # URLNormalizers.java:152-310): ((pattern, sub), ...). Host-renaming
+    # rules are supported: updatedb recomputes host/part and routes
+    # moved rows to their new partition (stray pass)
+    crawldb_regex_rules: tuple = ()
 
     # --- adaptive schedule (AdaptiveFetchSchedule.java:82-146) -------------
     adaptive_inc_rate: float = 0.4  # db.fetch.schedule.adaptive.inc_rate
@@ -155,9 +161,12 @@ class CrawlConfig:
     # content piped through the command, stdout = parse text
     ext_parsers: tuple = ()
     # DOMContentUtils non-anchor outlink tags to SKIP
-    # (parser.html.outlinks.ignore_tags; nutch-default excludes
-    # img/script/link, and form needs its own flag — same default set
-    # here, so area/frame/iframe/source are outlinks out of the box)
+    # (parser.html.outlinks.ignore_tags). DELIBERATE DIVERGENCE from the
+    # reference: nutch-default.xml:1669 ships an EMPTY list (img/script/
+    # link/form ARE outlinks out of the box) and merely *recommends*
+    # "img,script,link"; this engine adopts that recommended set (+form)
+    # as its default. Set to () for strict reference-default behavior.
+    # area/frame/iframe/source are outlinks either way.
     html_ignore_outlink_tags: tuple = ("img", "script", "link", "form")
 
     # --- url filter / normalizer chains ------------------------------------

@@ -104,10 +104,12 @@ def auto_resolve_content_type(header_type: str | None, url: str,
         resolved = mime_from_extension(url) or resolved
     if use_magic:
         magic = mime_from_magic(content)
-        if magic is not None and (resolved is None or resolved in _UNSPECIFIC):
-            resolved = magic
-        elif (magic is not None and resolved is not None
-              and magic != resolved and cleaned in _UNSPECIFIC + (None,)):
+        # MimeUtil:202-208: a non-null, non-octet-stream magic type that
+        # DISAGREES with the resolved type wins — even over a specific
+        # header (header text/plain + HTML magic resolves to text/html).
+        # mime_from_magic never emits octet-stream (returns None when
+        # the content is unrecognized), so only the None check is needed.
+        if magic is not None and magic != resolved:
             resolved = magic
     return resolved or "application/octet-stream"
 

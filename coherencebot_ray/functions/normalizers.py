@@ -361,10 +361,13 @@ class URLNormalizers:
         scope_overrides: dict[str, tuple] | None = None,
         loop_count: int = 1,
     ):
+        # entries may be registry names OR already-built normalizer
+        # instances (per-scope rule files like regex-normalize.xml.crawldb
+        # become extra RegexNormalizer(rules) instances in that scope)
         self._chains: dict[str, list] = {}
-        self._default = [_REGISTRY[n]() for n in names]
+        self._default = [_REGISTRY[n]() if isinstance(n, str) else n for n in names]
         for scope, ns in (scope_overrides or {}).items():
-            self._chains[scope] = [_REGISTRY[n]() for n in ns]
+            self._chains[scope] = [_REGISTRY[n]() if isinstance(n, str) else n for n in ns]
         self.loop_count = loop_count
 
     def normalize(self, url: str, scope: str = SCOPE_DEFAULT) -> str | None:

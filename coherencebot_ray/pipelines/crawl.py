@@ -640,6 +640,28 @@ class _UpdateTask:
                 datums = datums[(h % np.uint64(n_sub)) == sub]
             merged = merge_partition(datums, self.cfg, self.cur)
             merged = apply_purges(merged, self.cfg)
+            if "_renamed_" in merged.columns:
+                # crawldb-scope normalizer renamed urls; host/part were
+                # recomputed (ADVICE r3). Rows whose hash(host) partition
+                # changed — and, under skew split, ANY renamed row, since
+                # its url-hash subshard assignment changed and future
+                # file-pruned reads would lose it — are staged as strays
+                # and folded into their target partition by the driver's
+                # stray pass before the generation commits.
+                ren = merged.pop("_renamed_").to_numpy(dtype=bool)
+                move = ren & (merged["part"].to_numpy() != part) if n_sub == 1 else ren
+                if move.any():
+                    stray = merged[move].reset_index(drop=True)
+                    merged = merged[~move].reset_index(drop=True)
+                    stray["domain"] = domains_of(stray["host"]).to_numpy(dtype=object)
+                    for q, g in stray.groupby("part", sort=False):
+                        sdir = os.path.join(self.seg, "strays", f"part={int(q)}")
+                        os.makedirs(sdir, exist_ok=True)
+                        pq.write_table(
+                            frontier_table_from_pandas(g.reset_index(drop=True)),
+                            os.path.join(sdir, f"from-{part}-{sub}.parquet"),
+                            compression="zstd",
+                        )
             merged["domain"] = (
                 domains_of(merged["host"]).to_numpy(dtype=object) if len(merged) else None
             )
@@ -664,6 +686,64 @@ class _UpdateTask:
         df = pd.DataFrame(out)
         df["busy"] = (time.monotonic() - t_busy) / max(1, len(out))
         return df
+
+
+class _StrayMergeTask:
+    """Fold stray rows (urls renamed into a DIFFERENT hash(host)
+    partition by a crawldb-scope normalizer — see _UpdateTask) into
+    their target partition: read the partition's just-written gen-tmp
+    files (or the parent generation's carried-forward files if the
+    partition was untouched this round) plus the stray files, dedupe by
+    url with CrawlDbMerger semantics, re-subshard by fresh url hash, and
+    rewrite the partition in the gen tmp dir. One task per target
+    partition; renames are rare so this pass is almost always empty."""
+
+    def __init__(self, cfg, seg, files_by_part, store_root, new_gen, written_parts, skew_split_rows):
+        self.cfg, self.seg = cfg, seg
+        self.files_by_part = files_by_part
+        self.store_root, self.new_gen = store_root, new_gen
+        self.written_parts = set(written_parts)
+        self.skew_split_rows = skew_split_rows
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from ..state.cuckoo import CuckooFilter
+        from ..state.frontier_store import _subshards
+        from ..stages.updatedb import merge_frontier_frames
+
+        out = []
+        for part in batch["part"]:
+            part = int(part)
+            pdir = os.path.join(self.store_root, f"gen={self.new_gen:06d}.tmp", f"part={part}")
+            if part in self.written_parts and os.path.isdir(pdir):
+                tgt_files = sorted(glob.glob(os.path.join(pdir, "data-*.parquet")))
+            else:
+                tgt_files = self.files_by_part.get(part, [])
+            stray_files = sorted(
+                glob.glob(os.path.join(self.seg, "strays", f"part={part}", "*.parquet"))
+            )
+            frames = [
+                pq.read_table(fs, partitioning=None).to_pandas()
+                for fs in (tgt_files, stray_files)
+                if fs
+            ]
+            merged = merge_frontier_frames(pd.concat(frames, ignore_index=True))
+            merged = merged.reset_index(drop=True)
+            table = frontier_table_from_pandas(merged)
+            # read-before-overwrite above; clear stale subshard files so
+            # the commit's dir listing sees exactly the new shard set
+            if os.path.isdir(pdir):
+                for old in glob.glob(os.path.join(pdir, "data-*")):
+                    os.remove(old)
+            os.makedirs(pdir, exist_ok=True)
+            for sub, _n_sub, shard in _subshards(table, self.skew_split_rows):
+                dest = os.path.join(pdir, f"data-{sub}.parquet")
+                pq.write_table(shard, dest, compression="zstd")
+                cf = CuckooFilter(capacity=max(1024, 2 * shard.num_rows))
+                cf.add_many(shard.column("url").to_pylist())
+                with open(dest.replace(".parquet", ".seen"), "wb") as fh:
+                    fh.write(cf.to_bytes())
+            out.append({"part": part, "rows": len(merged)})
+        return pd.DataFrame(out)
 
 
 class CrawlDriver:
@@ -917,6 +997,29 @@ class CrawlDriver:
             upd_stats.groupby("part")["rows"].sum().astype(int).to_dict()
         )
         written = {int(p): n for p, n in written.items() if n > 0}
+        # stray pass: urls a crawldb-scope normalizer moved to another
+        # hash(host) partition (empty unless update_url_normalize renamed
+        # hosts this round — see _UpdateTask / _StrayMergeTask)
+        stray_parts = sorted(
+            int(os.path.basename(d).split("=")[1])
+            for d in glob.glob(os.path.join(seg, "strays", "part=*"))
+        )
+        if stray_parts:
+            stray_task = _StrayMergeTask(
+                cfg, seg, files_by_part, self.store.root, new_gen,
+                written, cfg.skew_split_rows,
+            )
+            sstats = (
+                rd.from_items(
+                    [{"part": p} for p in stray_parts],
+                    override_num_blocks=len(stray_parts),
+                )
+                .map_batches(stray_task, batch_format="pandas", batch_size=1, num_cpus=task_cpus)
+                .to_pandas()
+            )
+            for p, n in zip(sstats["part"], sstats["rows"]):
+                written[int(p)] = int(n)
+            touched = sorted(set(touched) | set(stray_parts))
         hist: dict[str, int] = {}
         for h in upd_stats["hist"]:
             for k, v in json.loads(h).items():

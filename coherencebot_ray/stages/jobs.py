@@ -370,33 +370,10 @@ def mergedb(dbs: list, cfg: CrawlConfig):
     calculateLastFetchTime, metadata merged newer-over-older
     (CrawlDbMerger.java:82-119)."""
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lft = calculate_last_fetch_time(
-            g["status"].to_numpy(),
-            g["fetch_time"].to_numpy(),
-            g["fetch_interval"].to_numpy(),
-            CS.DB_UNFETCHED,
-        )
-        g = g.assign(_lft=lft)
-        g = g.sort_values("_lft", ascending=True, kind="stable")
-        res = g.groupby("url", sort=False).tail(1).drop(columns="_lft")
-        # metadata: merge all generations, newest wins per key
-        import json as _json
-
-        metas = g.groupby("url", sort=False)["metadata"].apply(list)
-        merged = {}
-        for url, ms in metas.items():
-            acc = {}
-            for mjson in ms:
-                if mjson:
-                    acc.update(_json.loads(mjson))
-            merged[url] = _json.dumps(acc, sort_keys=True) if acc else None
-        res = res.copy()
-        res["metadata"] = res["url"].map(merged)
-        return res
+    from .updatedb import merge_frontier_frames
 
     ds = dbs[0].union(*dbs[1:]) if len(dbs) > 1 else dbs[0]
-    return ds.groupby("part").map_groups(merge, batch_format="pandas")
+    return ds.groupby("part").map_groups(merge_frontier_frames, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -449,7 +449,11 @@ class ParseBatch:
                         spans = [s for s in spans if s[0] == "link"]
                         text = ""
                     if no_follow:
+                        # noFollow empties ParseData outlinks, which also
+                        # feeds LinksIndexingFilter — drop link spans too
+                        # so indexer_join's index-links sees none (ADVICE r3)
                         links = []
+                        spans = [s for s in spans if s[0] != "link"]
                 # <base href> / page-url relative link resolution
                 # (DOMContentUtils.getOutlinks base handling)
                 if links and any("://" not in h for h, _ in links):

@@ -131,3 +131,59 @@ def test_scatter_shuffle_fallback(tmp_path, ray_session):
             .sort_values("url").reset_index(drop=True)
         )
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_crawldb_host_rename_repartitions(tmp_path, ray_session):
+    """ADVICE r3: a crawldb-scope normalizer that changes the HOST must
+    recompute host/part (domain follows) and route renamed rows to their
+    new hash(host) partition — the reference's CrawlDbFilter runs as a
+    mapper so Hadoop reshuffles on the new key; here the stray pass
+    folds moved rows into the target partition before the commit."""
+    from coherencebot_ray.functions.urlutil import domains_of, partition_for_hosts
+
+    cfg = CFG.with_(
+        update_url_normalize=True,
+        crawldb_regex_rules=((r"^http://host1\.example/", "http://host0.example/"),),
+    )
+    d = CrawlDriver(str(tmp_path / "ren"), cfg)
+    d.bootstrap(synth_frontier(300, 12, cfg))
+    d.run_round(EPOCH)
+    t = d.store.read_table(1).to_pandas()
+    # every host1 url was renamed (all partitions saw fetch activity at
+    # topn=200, so every partition was merged this round)
+    assert not (t["host"] == "host1.example").any()
+    assert not t["url"].str.startswith("http://host1.example/").any()
+    # collisions with canonical host0 twins deduplicated
+    assert t["url"].is_unique
+    # host / part / domain all recomputed consistently
+    expect = partition_for_hosts(t["host"], cfg.num_partitions, cfg.partition_seed)
+    assert (expect == t["part"].to_numpy()).all()
+    assert (t["domain"].to_numpy() == domains_of(t["host"]).to_numpy()).all()
+    # renamed rows physically live in their new partition's files
+    for f in d.store.files(1):
+        sub = pq.read_table(f, partitioning=None).to_pandas()
+        pdir = next(s for s in f.split(os.sep) if s.startswith("part="))
+        assert (sub["part"] == int(pdir.split("=")[1])).all()
+
+
+def test_updatedb_dataset_path_renormalizes_mapside(tmp_path, ray_session):
+    """stages.updatedb.updatedb applies CrawlDbFilter renormalization
+    map-side (before the groupby) so a renamed url meets its canonical
+    twin in one partition group and deduplicates."""
+    import ray.data as rd
+
+    from coherencebot_ray.stages.updatedb import updatedb
+
+    cfg = CFG.with_(
+        update_url_normalize=True,
+        crawldb_regex_rules=((r"^http://host1\.example/", "http://host0.example/"),),
+    )
+    front = synth_frontier(300, 12, cfg).to_pandas()
+    ds = rd.from_pandas(front)
+    out = updatedb(ds, None, None, cfg, EPOCH).to_pandas()
+    assert not out["url"].str.startswith("http://host1.example/").any()
+    assert out["url"].is_unique
+    from coherencebot_ray.functions.urlutil import partition_for_hosts
+
+    expect = partition_for_hosts(out["host"], cfg.num_partitions, cfg.partition_seed)
+    assert (expect == out["part"].to_numpy()).all()

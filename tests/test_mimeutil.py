@@ -55,10 +55,15 @@ def test_only_mime_magic():
         None, "http://www.example.com/x", b"%PDF-1.4 ...") == "application/pdf"
 
 
-def test_header_type_wins_when_specific():
-    """A specific protocol type is kept even if magic disagrees
-    (MimeUtil only overrides unspecific/absent types)."""
-    assert auto_resolve_content_type("text/plain", "http://e.com/x.html", HTML) == "text/plain"
+def test_magic_overrides_disagreeing_header():
+    """MimeUtil:202-208 — a non-octet-stream magic type that disagrees
+    with the resolved type wins, even over a specific header (header
+    text/plain + HTML magic resolves to text/html)."""
+    assert auto_resolve_content_type("text/plain", "http://e.com/x.html", HTML) == "text/html"
+    # agreeing magic keeps the resolved type; unrecognized content
+    # (magic None) keeps the specific header type
+    assert auto_resolve_content_type("text/html", "http://e.com/x.html", HTML) == "text/html"
+    assert auto_resolve_content_type("text/plain", "http://e.com/x", b"plain old text") == "text/plain"
 
 
 def test_binary_magic():

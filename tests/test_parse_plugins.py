@@ -283,6 +283,10 @@ def test_robots_meta_through_parse_stage():
     outlinks = out[out["rtype"] == "outlink"]
     assert "http://a.com/nofollow" not in set(outlinks["url"])
     assert "http://a.com/plain" in set(outlinks["url"])
+    # nofollow also drops the doc's link SPANS (ADVICE r3: the reference
+    # empties ParseData outlinks, which feeds LinksIndexingFilter too)
+    assert "link" not in kinds("http://a.com/nofollow")
+    assert "text" in kinds("http://a.com/nofollow")
 
 
 def test_frameset_outlinks():
