@@ -139,6 +139,15 @@ class CrawlConfig:
     scoring_db_md: tuple = ()       # scoring.db.md
     scoring_content_md: tuple = ()  # scoring.content.md
     scoring_parse_md: tuple = ()    # scoring.parse.md
+    # urlmeta (URLMetaScoringFilter.java:44-120): one tag list riding
+    # seed datum -> content -> parse -> every outlink's LINKED datum
+    urlmeta_tags: tuple = ()        # urlmeta.tags
+    # scoring-depth (DepthScoringFilter.java:62-65): default max hops
+    # from a seed; 0 = plugin default (1000)
+    scoring_depth_max: int = 0      # scoring.depth.max
+    # scoring-link (LinkAnalysisScoringFilter.java:52-60): indexer-score
+    # normalization factor applied to the LinkRank-written db score
+    link_normalize_score: float = 1.0  # link.analyze.normalize.score
 
     # --- parse filter plugins ----------------------------------------------
     # parse-metatags (MetaTagsParser.java:46-52): meta tag names to copy

@@ -156,6 +156,27 @@ class MetadataIndexer(IndexingFilter):
         return df, np.ones(len(df), dtype=bool)
 
 
+class URLMetaIndexingFilter(IndexingFilter):
+    """urlmeta (src/plugin/urlmeta/.../URLMetaIndexingFilter.java:78-95):
+    every configured urlmeta.tags key present in the db datum's metadata
+    becomes an index field of the same name (the scoring half of the
+    plugin propagated the tags seed->outlink, so this surfaces them)."""
+
+    name = "urlmeta"
+
+    def apply(self, df, cfg):
+        keys = tuple(getattr(cfg, "urlmeta_tags", ()) or ())
+        if not keys or "metadata" not in df.columns:
+            return df, np.ones(len(df), dtype=bool)
+        df = df.copy()
+        parsed = df["metadata"].map(
+            lambda m: json.loads(m) if isinstance(m, str) and m else {}
+        )
+        for k in keys:
+            df[k] = parsed.map(lambda d, _k=k: d.get(_k))
+        return df, np.ones(len(df), dtype=bool)
+
+
 class StaticFieldIndexer(IndexingFilter):
     """index-static (StaticFieldIndexer.java): constant fields on every
     document. Two config forms: extra['index_static_fields'] (dict,
@@ -507,6 +528,7 @@ _REGISTRY = {
         AnchorIndexingFilter,
         MoreIndexingFilter,
         MetadataIndexer,
+        URLMetaIndexingFilter,
         StaticFieldIndexer,
         CriteriaIndexingFilter,
         ReplaceIndexer,

@@ -32,21 +32,44 @@ class ScoringFilter:
     """No-op base: every hook passes values through unchanged."""
 
     name = "base"
+    # plugins whose generatorSortValue reads the datum metadata set this
+    # so the generate stage only ships the metadata column when needed
+    uses_generator_metadata = False
+    # metadata keys whose per-url MIN over this round's inlink
+    # contributions updateDbScore needs (scoring-depth's _depth_ fold);
+    # merge_partition aggregates them only when a plugin asks
+    link_meta_min_keys: tuple = ()
 
     def injected_score(self, scores: np.ndarray, cfg) -> np.ndarray:
         return scores
 
+    def injected_metadata(self, metadata: np.ndarray, cfg) -> np.ndarray:
+        """Rewrite seed metadata at inject time (the reference's
+        injectedScore metadata side effects, e.g. scoring-depth's
+        _depth_/_maxdepth_ stamping)."""
+        return metadata
+
     def initial_score(self, n: int, cfg) -> np.ndarray:
         return np.zeros(n, dtype=np.float32)
 
-    def generator_sort_value(self, scores: np.ndarray, cfg) -> np.ndarray:
-        return scores
+    def generator_sort_value(self, sort: np.ndarray, cfg,
+                             datum_scores=None, metadata=None) -> np.ndarray:
+        """Fold step for the generator sort key. ``sort`` is the chain's
+        running value (seeded 1.0, Generator.java:246); ``datum_scores``
+        are the raw datum scores; ``metadata`` the metadata column (only
+        shipped when a plugin sets uses_generator_metadata)."""
+        return sort
 
     def distribute_share(self, page_score: np.float32, n_valid: int, cfg) -> np.float32:
         return page_score
 
+    def distribute_veto(self, parse_meta: dict, cfg) -> bool:
+        """Return True to drop ALL of this page's outlinks
+        (distributeScoreToOutlinks' targets.clear(), scoring-depth)."""
+        return False
+
     def update_db_score(self, score, link_sum, status, metadata, cfg,
-                        link_n=None, now_s=None):
+                        link_n=None, now_s=None, link_meta_min=None):
         """Returns (score, status, metadata) — arrays, possibly rewritten.
 
         ``link_n`` (per-row inlink-contribution count this round) and
@@ -96,8 +119,12 @@ class OPICScoringFilter(ScoringFilter):
     def initial_score(self, n, cfg):
         return np.zeros(n, dtype=np.float32)  # :81-85
 
-    def generator_sort_value(self, scores, cfg):
-        return scores.astype(np.float32)  # sort = datum.getScore() (:87-91)
+    def generator_sort_value(self, sort, cfg, datum_scores=None, metadata=None):
+        # sort = datum.getScore() * initSort (:87-91)
+        if datum_scores is None:
+            return np.asarray(sort, dtype=np.float32)
+        return (np.asarray(datum_scores, dtype=np.float32)
+                * np.asarray(sort, dtype=np.float32)).astype(np.float32)
 
     def distribute_share(self, page_score, n_valid, cfg):
         # score / validCount (:120-166); internal/external factors are
@@ -105,7 +132,7 @@ class OPICScoringFilter(ScoringFilter):
         return np.float32(page_score) / np.float32(n_valid)
 
     def update_db_score(self, score, link_sum, status, metadata, cfg,
-                        link_n=None, now_s=None):
+                        link_n=None, now_s=None, link_meta_min=None):
         # adjust += inlink scores (:93-105); float32 accumulation
         return (score.astype(np.float32) + link_sum.astype(np.float32)).astype(np.float32), status, metadata
 
@@ -128,7 +155,7 @@ class WithdrawnScoringFilter(ScoringFilter):
         self.live_seeds = live_seeds or {}
 
     def update_db_score(self, score, link_sum, status, metadata, cfg,
-                        link_n=None, now_s=None):
+                        link_n=None, now_s=None, link_meta_min=None):
         if not self.live_seeds:
             return score, status, metadata
         from ..model import CrawlStatus as CS
@@ -181,7 +208,7 @@ class OrphanScoringFilter(ScoringFilter):
     ORPHAN_KEY = "_orphan_"
 
     def update_db_score(self, score, link_sum, status, metadata, cfg,
-                        link_n=None, now_s=None):
+                        link_n=None, now_s=None, link_meta_min=None):
         # updateDbScore(:78-90): inlinks present -> stamp now; else the
         # orphan check runs on the merged datum.
         if link_n is None or now_s is None:
@@ -259,11 +286,149 @@ class MetadataScoringFilter(ScoringFilter):
         return out
 
 
+class URLMetaScoringFilter(MetadataScoringFilter):
+    """urlmeta (src/plugin/urlmeta/.../URLMetaScoringFilter.java:44-120):
+    the configured urlmeta.tags ride from the seed datum through content
+    and parse metadata onto every outlink's LINKED datum — one tag list
+    for all three hops (vs scoring-metadata's per-hop lists)."""
+
+    name = "urlmeta"
+
+    def _keys(self, cfg, attr):
+        return tuple(getattr(cfg, "urlmeta_tags", ()) or ())
+
+
+class LinkAnalysisScoringFilter(ScoringFilter):
+    """scoring-link (src/plugin/scoring-link/.../
+    LinkAnalysisScoringFilter.java:30-95): generator sort multiplies by
+    the WebGraph-written datum score; indexer score = normalized
+    analysis score (link.analyze.normalize.score × db score, replacing
+    the fold); initial score 0 (the LinkRank job assigns real values)."""
+
+    name = "link"
+
+    def generator_sort_value(self, sort, cfg, datum_scores=None, metadata=None):
+        if datum_scores is None:
+            return np.asarray(sort, dtype=np.float32)
+        return (np.asarray(datum_scores, dtype=np.float32)
+                * np.asarray(sort, dtype=np.float32)).astype(np.float32)
+
+    def indexer_score(self, scores, cfg):
+        norm = np.float32(getattr(cfg, "link_normalize_score", 1.0))
+        return (norm * np.asarray(scores, dtype=np.float32)).astype(np.float32)
+
+
+class DepthScoringFilter(ScoringFilter):
+    """scoring-depth (src/plugin/scoring-depth/.../
+    DepthScoringFilter.java:47-233): limits hops from the seeds.
+    ``_depth_`` / ``_maxdepth_`` ride the datum metadata; outlinks
+    inherit depth+1 and are dropped wholesale once depth >= maxdepth
+    (distribute_veto); the generator prefers shallow pages
+    (sort × (1 + maxdepth - depth)); updatedb keeps the MIN depth over
+    the old datum and this round's inlink contributions (the chain's
+    link_meta_min aggregation)."""
+
+    name = "depth"
+    DEPTH_KEY = "_depth_"
+    MAX_DEPTH_KEY = "_maxdepth_"
+    DEFAULT_MAX_DEPTH = 1000  # :62-65
+    uses_generator_metadata = True
+    link_meta_min_keys = (DEPTH_KEY,)
+
+    def _default_max(self, cfg) -> int:
+        v = int(getattr(cfg, "scoring_depth_max", 0) or 0)  # scoring.depth.max
+        return v if v > 0 else self.DEFAULT_MAX_DEPTH
+
+    def injected_metadata(self, metadata, cfg):
+        # injectedScore(:168-186): seed _maxdepth_ kept (parsed to int),
+        # else the configured default; initial depth is 1
+        out = np.asarray(metadata, dtype=object).copy()
+        dmax = self._default_max(cfg)
+        for i, mj in enumerate(out):
+            md = _meta_load(mj)
+            try:
+                md[self.MAX_DEPTH_KEY] = int(md.get(self.MAX_DEPTH_KEY, dmax))
+            except (TypeError, ValueError):
+                md[self.MAX_DEPTH_KEY] = dmax
+            md[self.DEPTH_KEY] = 1
+            out[i] = _meta_dump(md)
+        return out
+
+    def generator_sort_value(self, sort, cfg, datum_scores=None, metadata=None):
+        # generatorSortValue(:119-139): sort × (1 + maxdepth - depth);
+        # a datum with no depth yet is penalized (depth = maxdepth)
+        if metadata is None:
+            return sort
+        sort = np.asarray(sort, dtype=np.float32)
+        dmax = self._default_max(cfg)
+        mul = np.ones(len(sort), dtype=np.float32)
+        for i, mj in enumerate(np.asarray(metadata, dtype=object)):
+            md = _meta_load(mj)
+            cur_max = int(md.get(self.MAX_DEPTH_KEY, dmax))
+            cur = int(md.get(self.DEPTH_KEY, cur_max))
+            mul[i] = np.float32(1 + (cur_max - cur))
+        return (sort * mul).astype(np.float32)
+
+    def pass_score_before_parsing(self, datum_meta, content_meta, cfg):
+        for k in (self.DEPTH_KEY, self.MAX_DEPTH_KEY):  # :188-199
+            if k in datum_meta:
+                content_meta[k] = datum_meta[k]
+
+    def pass_score_after_parsing(self, content_meta, parse_meta, cfg):
+        for k in (self.DEPTH_KEY, self.MAX_DEPTH_KEY):  # :201-210
+            if k in content_meta:
+                parse_meta[k] = content_meta[k]
+
+    def distribute_veto(self, parse_meta, cfg):
+        # distributeScoreToOutlinks(:77-117): missing depth, or depth at
+        # the limit -> remove all outlinks (stops the path)
+        d = parse_meta.get(self.DEPTH_KEY)
+        if d is None:
+            return True
+        cur_max = parse_meta.get(self.MAX_DEPTH_KEY)
+        cur_max = int(cur_max) if cur_max is not None else self._default_max(cfg)
+        return int(d) >= cur_max
+
+    def outlink_metadata(self, parse_meta, cfg):
+        d = parse_meta.get(self.DEPTH_KEY)
+        if d is None:
+            return {}
+        out = {self.DEPTH_KEY: int(d) + 1}  # :104-112
+        if self.MAX_DEPTH_KEY in parse_meta:
+            out[self.MAX_DEPTH_KEY] = int(parse_meta[self.MAX_DEPTH_KEY])
+        return out
+
+    def update_db_score(self, score, link_sum, status, metadata, cfg,
+                        link_n=None, now_s=None, link_meta_min=None):
+        # updateDbScore(:212-233): newDepth = min over (old depth if set
+        # else the DEFAULT_MAX_DEPTH constant — the reference's quirky
+        # init) and every inlink's depth; runs on EVERY merged row like
+        # the reference's reducer hook. The kernel pre-aggregates the
+        # per-url inlink min so this stays O(rows).
+        mins = None if not link_meta_min else link_meta_min.get(self.DEPTH_KEY)
+        if mins is None:
+            return score, status, metadata
+        metadata = np.asarray(metadata, dtype=object).copy()
+        mins = np.asarray(mins, dtype=np.float64)
+        for i in range(len(metadata)):
+            md = _meta_load(metadata[i])
+            old_d = md.get(self.DEPTH_KEY)
+            new_d = int(old_d) if old_d is not None else self.DEFAULT_MAX_DEPTH
+            if not np.isnan(mins[i]):
+                new_d = min(new_d, int(mins[i]))
+            md[self.DEPTH_KEY] = new_d
+            metadata[i] = _meta_dump(md)
+        return score, status, metadata
+
+
 _REGISTRY = {
     "opic": OPICScoringFilter,
     "withdrawn": WithdrawnScoringFilter,
     "orphan": OrphanScoringFilter,
     "metadata": MetadataScoringFilter,
+    "urlmeta": URLMetaScoringFilter,
+    "link": LinkAnalysisScoringFilter,
+    "depth": DepthScoringFilter,
 }
 
 
@@ -285,16 +450,44 @@ class ScoringFilters:
             scores = f.injected_score(scores, self.cfg)
         return scores
 
+    def injected_metadata(self, metadata):
+        for f in self.chain:
+            metadata = f.injected_metadata(metadata, self.cfg)
+        return metadata
+
+    @property
+    def has_injected_metadata(self) -> bool:
+        base = ScoringFilter
+        return any(type(f).injected_metadata is not base.injected_metadata
+                   for f in self.chain)
+
+    @property
+    def uses_generator_metadata(self) -> bool:
+        return any(f.uses_generator_metadata for f in self.chain)
+
+    @property
+    def link_meta_min_keys(self) -> tuple:
+        keys: list[str] = []
+        for f in self.chain:
+            keys.extend(f.link_meta_min_keys)
+        return tuple(dict.fromkeys(keys))
+
     def initial_score(self, n):
         out = np.zeros(n, dtype=np.float32)
         for f in self.chain:
             out = f.initial_score(n, self.cfg)
         return out
 
-    def generator_sort_value(self, scores):
+    def generator_sort_value(self, scores, metadata=None):
+        """``scores`` = the raw datum scores; the fold is seeded 1.0
+        (Generator.java:246) and each plugin transforms it (OPIC/link
+        multiply by the datum score, depth by 1 + maxdepth - depth)."""
+        scores = np.asarray(scores, dtype=np.float32)
+        sort = np.ones(len(scores), dtype=np.float32)
         for f in self.chain:
-            scores = f.generator_sort_value(scores, self.cfg)
-        return scores
+            sort = f.generator_sort_value(
+                sort, self.cfg, datum_scores=scores, metadata=metadata)
+        return sort
 
     def distribute_share(self, page_score, n_valid):
         out = np.float32(page_score)
@@ -302,12 +495,15 @@ class ScoringFilters:
             out = f.distribute_share(out, n_valid, self.cfg)
         return out
 
+    def distribute_veto(self, parse_meta) -> bool:
+        return any(f.distribute_veto(parse_meta, self.cfg) for f in self.chain)
+
     def update_db_score(self, score, link_sum, status, metadata,
-                        link_n=None, now_s=None):
+                        link_n=None, now_s=None, link_meta_min=None):
         for f in self.chain:
             score, status, metadata = f.update_db_score(
                 score, link_sum, status, metadata, self.cfg,
-                link_n=link_n, now_s=now_s)
+                link_n=link_n, now_s=now_s, link_meta_min=link_meta_min)
         return score, status, metadata
 
     def orphaned_score(self, status, metadata, now_s):
@@ -330,6 +526,7 @@ class ScoringFilters:
             type(f).pass_score_before_parsing is not base.pass_score_before_parsing
             or type(f).pass_score_after_parsing is not base.pass_score_after_parsing
             or type(f).outlink_metadata is not base.outlink_metadata
+            or type(f).distribute_veto is not base.distribute_veto
             for f in self.chain
         )
 

@@ -87,6 +87,13 @@ def merge_partition(
     if len(datums) == 0:
         return empty_datums()
     schedule = sch.make_schedule(cfg.schedule, cfg)
+    # ScoringFilter chain, built once per partition (orphanedScore and
+    # the updateDbScore hook below; link_meta_min_keys gates the
+    # per-inlink metadata fold so the default chain never parses JSON)
+    from .scoring import make_scoring
+
+    scoring = make_scoring(cfg, live_seeds=cfg.extra.get("live_seeds"))
+    meta_min_keys = scoring.link_meta_min_keys
 
     status = datums["status"].to_numpy()
     is_old = np.isin(status, _DB_CODES)
@@ -138,6 +145,22 @@ def merge_partition(
             },
             index=pd.Index(uniq_urls, name="url"),
         )
+        if meta_min_keys:
+            # per-url MIN of each requested metadata key over this
+            # round's inlink contributions (DepthScoringFilter.java:
+            # 212-233 folds min depth); NaN = no inlink carried the key
+            metas = lk["metadata"].to_numpy()
+            vals = {k: np.full(len(metas), np.nan) for k in meta_min_keys}
+            for i, mj in enumerate(metas):
+                if not (isinstance(mj, str) and mj):
+                    continue
+                md = json.loads(mj)
+                for k in meta_min_keys:
+                    v = md.get(k)
+                    if v is not None:
+                        vals[k][i] = float(v)
+            for k in meta_min_keys:
+                link_agg[f"_lmin_{k}"] = np.fmin.reduceat(vals[k], starts)
     else:
         link_agg = pd.DataFrame(
             columns=["link_sum", "link_n", "l_host", "l_part", "l_fetch_time", "l_interval", "l_score", "l_metadata"]
@@ -192,11 +215,6 @@ def merge_partition(
     has_fetch = m["has_fetch"].to_numpy(dtype=bool)
     has_links = m["link_n"].to_numpy() > 0
 
-    # ScoringFilter chain, built once per partition (used by the orphan
-    # path's orphanedScore hook and the updateDbScore hook below)
-    from .scoring import make_scoring
-
-    scoring = make_scoring(cfg, live_seeds=cfg.extra.get("live_seeds"))
     now_s = cur_time_ms // 1000
 
     # no fetch & no links -> orphan path: write old unchanged
@@ -398,9 +416,18 @@ def merge_partition(
     base = np.where(has_old, o_score, r_score).astype(np.float32)
     # LINKED-no-old keeps OPIC initialScore base of 0
     base = np.where(ln, np.float32(0.0), base).astype(np.float32)
+    link_meta_min = (
+        {k: (m[f"_lmin_{k}"].to_numpy(dtype=np.float64)
+             if f"_lmin_{k}" in m.columns
+             else np.full(len(m), np.nan))
+         for k in meta_min_keys}
+        if meta_min_keys
+        else None
+    )
     r_score, r_status, r_meta = scoring.update_db_score(
         base, link_sum, r_status, r_meta,
-        link_n=m["link_n"].to_numpy(), now_s=now_s)
+        link_n=m["link_n"].to_numpy(), now_s=now_s,
+        link_meta_min=link_meta_min)
     r_score = r_score.astype(np.float32)
 
     host = m["f_host"].where(m["has_fetch"], m["l_host"])

@@ -795,6 +795,18 @@ class CrawlDriver:
         seeds["url"] = norms.normalize_many(seeds["url"].tolist(), SCOPE_INJECT)
         seeds = seeds[seeds["url"].notna()]
         seeds = seeds[filts.accept_many(seeds["url"].to_numpy())]
+        # scfilters.injectedScore (Injector.java:255-263): score already
+        # carries db.score.injected / nutch.score; plugins may rewrite
+        # score and metadata (scoring-depth stamps _depth_/_maxdepth_)
+        from ..functions.scoring import make_scoring
+
+        scoring = make_scoring(cfg)
+        seeds = seeds.copy()
+        seeds["score"] = scoring.injected_score(
+            seeds["score"].to_numpy(dtype=np.float32))
+        if scoring.has_injected_metadata:
+            seeds["metadata"] = scoring.injected_metadata(
+                seeds["metadata"].to_numpy())
         hosts = hosts_of(seeds["url"].to_numpy())
         seeds["host"] = hosts.to_numpy(dtype=object)
         seeds["part"] = partition_for_hosts(

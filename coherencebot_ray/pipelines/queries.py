@@ -175,6 +175,63 @@ ORDER BY url
 """
 
 
+def q_scoring_depth(sf_dir: str):
+    """scoring-depth (DepthScoringFilter.java:212-233): one updatedb
+    round of the _depth_ min-fold. Seeds (doc_id%11==0) sit in the
+    frontier at depth 1; each seed contributes LINKED datums at depth 2
+    to targets (id*7+1)%N and (id*13+2)%N. Rows with inlinks fold
+    min(old depth | 1000, 2); rows without new data pass through
+    unchanged (depth -1 = no stamp)."""
+    import json as _json
+
+    from ..functions.updatedb import merge_partition
+
+    ids = DV.read_doc_ids(sf_dir)
+    n = len(ids)
+    old = DV.derived_frontier(ids)
+    seed_mask = ids % 11 == 0
+    seed_md = _json.dumps({"_depth_": 1, "_maxdepth_": 3}, sort_keys=True)
+    old.loc[seed_mask, "metadata"] = seed_md
+
+    seeds = ids[seed_mask]
+    tgt = np.concatenate([(seeds * 7 + 1) % n, (seeds * 13 + 2) % n])
+    links = DV.derived_frontier(tgt)
+    links["status"] = CS.LINKED
+    links["score"] = 0.25
+    links["metadata"] = _json.dumps({"_depth_": 2}, sort_keys=True)
+
+    cfg = CrawlConfig(scoring_filters=("opic", "depth"), scoring_depth_max=3)
+    out = merge_partition(pd.concat([old, links], ignore_index=True), cfg, EPOCH)
+    depth = out["metadata"].map(
+        lambda m: _json.loads(m).get("_depth_", -1) if isinstance(m, str) and m else -1
+    )
+    res = pd.DataFrame({"url": out["url"], "depth": depth.astype(np.int64)})
+    return res.sort_values("url").reset_index(drop=True)
+
+
+_SCORING_DEPTH_SQL = f"""
+WITH n AS (SELECT count(*) AS c FROM documents),
+seeds AS (SELECT doc_id FROM documents WHERE doc_id % 11 = 0),
+tgt AS (
+  SELECT DISTINCT tid FROM (
+    SELECT (doc_id * 7 + 1) % (SELECT c FROM n) AS tid FROM seeds
+    UNION ALL
+    SELECT (doc_id * 13 + 2) % (SELECT c FROM n) AS tid FROM seeds
+  )
+),
+f AS (
+  SELECT doc_id, {DV.URL_SQL} AS url,
+         CASE WHEN doc_id % 11 = 0 THEN 1 ELSE NULL END AS old_d
+  FROM documents
+)
+SELECT f.url,
+  CASE WHEN t.tid IS NOT NULL THEN least(coalesce(f.old_d, 1000), 2)
+       ELSE coalesce(f.old_d, -1) END AS depth
+FROM f LEFT JOIN tgt t ON f.doc_id = t.tid
+ORDER BY url
+"""
+
+
 def q_dedup_urls(sf_dir: str):
     """J9 DeduplicationJob: group by signature, losers marked duplicate
     (DeduplicationJob.java:124-229); scores distinct -> winner = max."""
@@ -1466,6 +1523,7 @@ def build_queries() -> dict:
         "generate_topn": q_generate_topn,
         "inject_merge": q_inject_merge,
         "updatedb_merge": q_updatedb_merge,
+        "scoring_depth": q_scoring_depth,
         "dedup_urls": q_dedup_urls,
         "invertlinks": q_invertlinks,
         "linkdb_merge": q_linkdb_merge,
@@ -1511,6 +1569,7 @@ def build_oracle_sql() -> dict:
         "generate_topn": _GEN_SQL,
         "inject_merge": _INJECT_SQL,
         "updatedb_merge": _UPDATEDB_SQL,
+        "scoring_depth": _SCORING_DEPTH_SQL,
         "dedup_urls": _DEDUP_SQL,
         "invertlinks": _INVERT_SQL,
         "linkdb_merge": _LINKDB_MERGE_SQL,

@@ -99,11 +99,18 @@ def select_partition(
     """
     if len(g) == 0:
         return _empty_fetchlist(g)
-    # scfilters.generatorSortValue (Generator.java:248; OPIC = score)
+    # scfilters.generatorSortValue (Generator.java:248; fold seeded 1.0,
+    # OPIC multiplies in the datum score, scoring-depth reads metadata)
     from ..functions.scoring import make_scoring
 
-    sort_value = make_scoring(cfg).generator_sort_value(
-        g["score"].to_numpy(dtype=np.float32)
+    scoring = make_scoring(cfg)
+    sort_value = scoring.generator_sort_value(
+        g["score"].to_numpy(dtype=np.float32),
+        metadata=(
+            g["metadata"].to_numpy()
+            if scoring.uses_generator_metadata and "metadata" in g.columns
+            else None
+        ),
     )
     order = np.argsort(-sort_value, kind="stable")
     g = g.iloc[order]

@@ -574,6 +574,11 @@ class ParseBatch:
                      int(CS.PARSE_META), 0.0, None, 0, None, None, ft,
                      metadata=json.dumps(parse_meta, sort_keys=True))
 
+            # distributeScoreToOutlinks may clear targets wholesale
+            # (scoring-depth at the hop limit, DepthScoringFilter.java:77-117)
+            if parse_hooks and n_links and self.scoring.distribute_veto(parse_meta):
+                n_links = 0
+
             kept: list[tuple] = []
             seen_dst = set()
             for j in range(lstart, lstart + n_links):

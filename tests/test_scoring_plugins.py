@@ -225,3 +225,180 @@ def test_metadata_reaches_new_frontier_rows():
     out = merge_partition(pd.DataFrame([link]), _MD_CFG, CUR)
     assert out.iloc[0]["status"] == CS.DB_UNFETCHED
     assert json.loads(out.iloc[0]["metadata"]) == {"parent": "http://a.com/", "depth": "1"}
+
+
+# ---------------------------------------------------------------------------
+# scoring-depth (src/plugin/scoring-depth/.../DepthScoringFilter.java)
+# ---------------------------------------------------------------------------
+
+_DEPTH_CFG = CrawlConfig(scoring_filters=("opic", "depth"), scoring_depth_max=2)
+
+
+def test_depth_injected_metadata():
+    """injectedScore(:168-186): seed _maxdepth_ kept (parsed to int),
+    else the configured default; initial depth is always 1."""
+    from coherencebot_ray.functions.scoring import make_scoring
+
+    chain = make_scoring(_DEPTH_CFG)
+    assert chain.has_injected_metadata
+    metas = np.array([None, json.dumps({"_maxdepth_": "5"})], dtype=object)
+    out = chain.injected_metadata(metas)
+    assert json.loads(out[0]) == {"_depth_": 1, "_maxdepth_": 2}
+    assert json.loads(out[1]) == {"_depth_": 1, "_maxdepth_": 5}
+
+
+def test_depth_generator_sort_prefers_shallow():
+    """generatorSortValue(:119-139): initSort x (1 + maxdepth - depth);
+    missing depth is penalized (depth = maxdepth -> x1)."""
+    from coherencebot_ray.functions.scoring import make_scoring
+
+    cfg = CrawlConfig(scoring_filters=("opic", "depth"), scoring_depth_max=3)
+    chain = make_scoring(cfg)
+    assert chain.uses_generator_metadata
+    scores = np.ones(3, dtype=np.float32)
+    metas = np.array(
+        [json.dumps({"_depth_": 1, "_maxdepth_": 3}),
+         json.dumps({"_depth_": 3, "_maxdepth_": 3}),
+         None],
+        dtype=object,
+    )
+    sort = chain.generator_sort_value(scores, metadata=metas)
+    assert sort.tolist() == [3.0, 1.0, 1.0]
+
+
+def test_depth_outlinks_stamped_and_vetoed():
+    """distributeScoreToOutlinks(:77-117): below the limit outlinks get
+    depth+1 (+ custom maxdepth); at the limit ALL outlinks are dropped;
+    missing depth also drops them."""
+    html = (b'<html><body><a href="http://b.com/x">x</a>'
+            b'<a href="http://c.com/y">y</a></body></html>')
+
+    md1 = json.dumps({"_depth_": 1, "_maxdepth_": 2})
+    out = ParseBatch(_DEPTH_CFG)(
+        pd.DataFrame([_fetch_row("http://a.com/", html, meta=md1)]))
+    linked = out[(out["rtype"] == "crawl_parse") & (out["status"] == CS.LINKED)]
+    assert len(linked) == 2
+    for m in linked["metadata"]:
+        assert json.loads(m) == {"_depth_": 2, "_maxdepth_": 2}
+
+    md2 = json.dumps({"_depth_": 2, "_maxdepth_": 2})
+    out2 = ParseBatch(_DEPTH_CFG)(
+        pd.DataFrame([_fetch_row("http://a.com/", html, meta=md2)]))
+    linked2 = out2[(out2["rtype"] == "crawl_parse") & (out2["status"] == CS.LINKED)]
+    assert len(linked2) == 0
+
+    out3 = ParseBatch(_DEPTH_CFG)(
+        pd.DataFrame([_fetch_row("http://a.com/", html, meta=None)]))
+    linked3 = out3[(out3["rtype"] == "crawl_parse") & (out3["status"] == CS.LINKED)]
+    assert len(linked3) == 0
+
+
+def test_depth_updatedb_min_fold():
+    """updateDbScore(:212-233): depth = min(old depth or 1000, every
+    inlink's depth); rows without any depth signal get the reference's
+    quirky 1000 stamp."""
+    def row(url, status, score=0.5, md=None):
+        return {
+            "url": url, "host": url.split("/")[2], "part": 0,
+            "status": int(status), "fetch_time": CUR, "retries": 0,
+            "fetch_interval": 86400, "score": score, "signature": None,
+            "modified_time": 0, "gen_time": 0, "repr_url": None,
+            "fixed_interval": 0, "metadata": md,
+        }
+
+    rows = [
+        # old row at depth 1 + a deeper inlink -> stays 1
+        row("http://a.com/", CS.DB_FETCHED, md=json.dumps({"_depth_": 1, "_maxdepth_": 2})),
+        row("http://a.com/", CS.LINKED, md=json.dumps({"_depth_": 3})),
+        # new url discovered at depth 2 -> gets 2
+        row("http://b.com/x", CS.LINKED, md=json.dumps({"_depth_": 2, "_maxdepth_": 2})),
+        # fetched row with no depth signal anywhere -> the reference's
+        # quirky DEFAULT_MAX_DEPTH (1000) stamp
+        row("http://c.com/", CS.DB_UNFETCHED, md=None),
+        row("http://c.com/", CS.FETCH_SUCCESS, md=None),
+        # pass-through old row (no new data): CrawlDbReducer.java:150-166
+        # records old unchanged — updateDbScore never runs, no stamp
+        row("http://d.com/", CS.DB_UNFETCHED, md=None),
+    ]
+    out = merge_partition(pd.DataFrame(rows), _DEPTH_CFG, CUR).set_index("url")
+    assert json.loads(out.loc["http://a.com/", "metadata"])["_depth_"] == 1
+    assert json.loads(out.loc["http://b.com/x", "metadata"])["_depth_"] == 2
+    assert json.loads(out.loc["http://c.com/", "metadata"])["_depth_"] == 1000
+    assert out.loc["http://d.com/", "metadata"] is None
+
+
+def test_depth_crawl_halts_at_max_depth():
+    """End-to-end two-hop check through the parse+updatedb kernels: with
+    maxdepth=2, a seed's outlinks enter the frontier at depth 2 but THEIR
+    outlinks never do."""
+    html_a = b'<html><body><a href="http://b.com/x">b</a></body></html>'
+    html_b = b'<html><body><a href="http://c.com/y">c</a></body></html>'
+    from coherencebot_ray.functions.scoring import make_scoring
+
+    chain = make_scoring(_DEPTH_CFG)
+    seed_md = chain.injected_metadata(np.array([None], dtype=object))[0]
+
+    p1 = ParseBatch(_DEPTH_CFG)(
+        pd.DataFrame([_fetch_row("http://a.com/", html_a, meta=seed_md)]))
+    l1 = p1[(p1["rtype"] == "crawl_parse") & (p1["status"] == CS.LINKED)]
+    assert list(l1["url"]) == ["http://b.com/x"]
+    b_md = l1.iloc[0]["metadata"]
+    assert json.loads(b_md)["_depth_"] == 2
+
+    # b fetched at depth 2 == maxdepth -> its outlink to c is dropped
+    p2 = ParseBatch(_DEPTH_CFG)(
+        pd.DataFrame([_fetch_row("http://b.com/x", html_b, meta=b_md)]))
+    l2 = p2[(p2["rtype"] == "crawl_parse") & (p2["status"] == CS.LINKED)]
+    assert len(l2) == 0
+
+
+# ---------------------------------------------------------------------------
+# urlmeta (src/plugin/urlmeta/.../URLMetaScoringFilter.java + indexing half)
+# ---------------------------------------------------------------------------
+
+_UM_CFG = CrawlConfig(
+    scoring_filters=("opic", "urlmeta"), urlmeta_tags=("lang", "team"))
+
+
+def test_urlmeta_rides_to_outlinks():
+    """The configured urlmeta.tags ride datum -> content -> parse ->
+    every outlink's LINKED datum (one tag list for all hops)."""
+    html = b'<html><body><a href="http://b.com/x">x</a></body></html>'
+    md = json.dumps({"lang": "en", "team": "a", "other": "dropped"})
+    out = ParseBatch(_UM_CFG)(
+        pd.DataFrame([_fetch_row("http://a.com/", html, meta=md)]))
+    linked = out[(out["rtype"] == "crawl_parse") & (out["status"] == CS.LINKED)]
+    assert len(linked) == 1
+    assert json.loads(linked.iloc[0]["metadata"]) == {"lang": "en", "team": "a"}
+
+
+def test_urlmeta_indexing_filter_fields():
+    """URLMetaIndexingFilter.java:78-95: tags in the datum metadata
+    become same-named index fields."""
+    from coherencebot_ray.functions.indexing import IndexingFilters
+
+    df = pd.DataFrame({
+        "url": ["http://a.com/", "http://b.com/"],
+        "metadata": [json.dumps({"lang": "en", "team": "a"}), None],
+    })
+    out = IndexingFilters(("urlmeta",), cfg=_UM_CFG).apply(df)
+    assert out["lang"].tolist() == ["en", None]
+    assert out["team"].tolist() == ["a", None]
+
+
+# ---------------------------------------------------------------------------
+# scoring-link (src/plugin/scoring-link/.../LinkAnalysisScoringFilter.java)
+# ---------------------------------------------------------------------------
+
+def test_link_analysis_scoring():
+    """generatorSortValue = datum.score x initSort (:60-63); indexerScore
+    replaces the fold with link.analyze.normalize.score x db score
+    (:65-72); initialScore 0 (LinkRank assigns real values)."""
+    from coherencebot_ray.functions.scoring import make_scoring
+
+    cfg = CrawlConfig(scoring_filters=("link",), link_normalize_score=2.0)
+    chain = make_scoring(cfg)
+    scores = np.array([0.5, 3.0], dtype=np.float32)
+    assert chain.generator_sort_value(scores).tolist() == [0.5, 3.0]
+    assert chain.indexer_score(scores).tolist() == [1.0, 6.0]
+    assert chain.initial_score(2).tolist() == [0.0, 0.0]
