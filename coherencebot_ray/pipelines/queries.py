@@ -986,8 +986,9 @@ def q_embedding_neardup_lsh(sf_dir: str):
     """Hyperplane-LSH near-dup pairs (the sub-quadratic scale path).
     Approximate by construction — found pairs are exact-verified inside
     their bucket, so every returned pair satisfies the threshold, but
-    recall < 1 is possible; no SQL oracle (rows-only driver check).
-    Deterministic: seeded hyperplanes, in-bucket exact verify."""
+    recall < 1 is possible. Oracled: _embedding_lsh_sql embeds the
+    seeded hyperplane matrix as SQL literals and replicates the
+    bucket + verify pipeline in DuckDB."""
     from ..ops.knn import embedding_neardup_lsh
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"], min_block_bytes=_EXCHANGE_BLOCK_BYTES)
@@ -1002,6 +1003,49 @@ SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+ORDER BY a, b
+"""
+
+
+def _embedding_lsh_sql(threshold=0.45, n_tables=24, n_bits=6, dim=64, seed=42):
+    """DuckDB equivalent of embedding_neardup_lsh with the seeded
+    hyperplane matrix embedded as SQL literals (the same
+    constants-in-SQL trick as _minhash_sql). Sign of dot(x, h) is
+    invariant under the Python side's L2 normalization, so the SQL
+    skips it; candidate buckets and the in-bucket exact verify then
+    replicate the LSH pipeline bit-for-bit (modulo dot products within
+    float rounding of zero, vanishingly rare for continuous data)."""
+    rng = np.random.default_rng(seed)
+    H = rng.standard_normal((n_tables * n_bits, dim))
+    selects = []
+    for t in range(n_tables):
+        terms = []
+        for b in range(n_bits):
+            row = H[t * n_bits + b]
+            lit = "[" + ",".join(repr(float(v)) for v in row) + "]"
+            terms.append(
+                f"(CASE WHEN list_inner_product(embedding, {lit}) > 0 "
+                f"THEN {1 << b} ELSE 0 END)"
+            )
+        selects.append(
+            f"SELECT vec_id, {t} AS tbl, " + " + ".join(terms)
+            + " AS sig FROM embeddings"
+        )
+    sigs = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH sigs AS (
+{sigs}
+),
+cand AS (
+  SELECT DISTINCT s1.vec_id AS a, s2.vec_id AS b
+  FROM sigs s1 JOIN sigs s2
+    ON s1.tbl = s2.tbl AND s1.sig = s2.sig AND s1.vec_id < s2.vec_id
+)
+SELECT c.a, c.b
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.a
+JOIN embeddings eb ON eb.vec_id = c.b
+WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= {threshold}
 ORDER BY a, b
 """
 
@@ -1585,6 +1629,7 @@ def build_oracle_sql() -> dict:
         "fingerprint": _FINGERPRINT_SQL,
         "knn_cosine": _KNN_SQL,
         "embedding_neardup": _NEARDUP_SQL,
+        "embedding_neardup_lsh": _embedding_lsh_sql(),
         "window_tumbling": _TUMBLING_SQL,
         "sliding_window": _SLIDING_SQL,
         "sessionize": _SESSION_SQL,
