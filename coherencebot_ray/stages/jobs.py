@@ -234,33 +234,62 @@ def merge_linkdbs(linkdb_dss: list, cfg: CrawlConfig):
     max_in = cfg.linkdb_max_inlinks
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized fold (same machinery as invertlinks.final_bucket):
+        explode the per-linkdb lists in a pinned order, dedup by (url,
+        src) keeping the first, cap with a per-url cumcount, reassemble
+        by boundary split."""
         if len(g) == 0:
             return pd.DataFrame(
                 {"url": pd.Series(dtype="object"), "n_inlinks": pd.Series(dtype="int64"),
                  "anchors": pd.Series(dtype="object"), "srcs": pd.Series(dtype="object")}
             )
-        rows = {"url": [], "n_inlinks": [], "anchors": [], "srcs": []}
-        for url, grp in g.groupby("url", sort=False):
-            if len(grp) > 1:
-                # block arrival order is parallelism-dependent; fold in a
-                # stable order so the capped result is deterministic
-                # (MapReduce reduce-value order is unspecified in the
-                # reference too — we pin it down)
-                grp = grp.iloc[np.argsort([str(s) for s in grp["srcs"]], kind="stable")]
-            seen: dict = {}
-            for anchors, srcs in zip(grp["anchors"], grp["srcs"]):
-                for a, s in zip(list(anchors), list(srcs)):
-                    if s not in seen:
-                        seen[s] = a
-                    if len(seen) >= max_in:
-                        break
-                if len(seen) >= max_in:
-                    break
-            rows["url"].append(url)
-            rows["n_inlinks"].append(len(seen))
-            rows["anchors"].append(list(seen.values()))
-            rows["srcs"].append(list(seen.keys()))
-        return pd.DataFrame(rows)
+        from itertools import chain
+
+        # block arrival order is parallelism-dependent; fold rows in a
+        # stable (url, srcs-repr) order so the capped result is
+        # deterministic (MapReduce reduce-value order is unspecified in
+        # the reference too — we pin it down)
+        srcs_col = g["srcs"].to_numpy()
+        key = np.fromiter(
+            ("\x00".join(map(str, s)) for s in srcs_col), dtype=object, count=len(g))
+        order = np.lexsort((key, g["url"].to_numpy()))
+        g = g.iloc[order]
+        srcs_col = g["srcs"].to_numpy()
+        anchors_col = g["anchors"].to_numpy()
+        lens = np.fromiter((len(s) for s in srcs_col), dtype=np.int64, count=len(g))
+        total = int(lens.sum())
+        url_e = np.repeat(g["url"].to_numpy(), lens)
+        src_e = np.fromiter(chain.from_iterable(srcs_col), dtype=object, count=total)
+        anc_e = np.fromiter(chain.from_iterable(anchors_col), dtype=object, count=total)
+        d = pd.DataFrame({"url": url_e, "src": src_e, "anchor": anc_e})
+        # Inlinks is keyed by fromUrl (LinkDbMerger.java reduce): first
+        # occurrence wins; cap at db.max.inlinks over the deduped fold
+        d = d[~d.duplicated(subset=["url", "src"], keep="first")]
+        d = d[d.groupby("url", sort=False).cumcount().to_numpy() < max_in]
+        urls_d = d["url"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, urls_d[1:] != urls_d[:-1]])
+        bounds = np.r_[starts[1:], len(urls_d)]
+        srcs_v = d["src"].to_numpy()
+        ancs_v = d["anchor"].to_numpy()
+        out = pd.DataFrame(
+            {
+                "url": urls_d[starts],
+                "n_inlinks": (bounds - starts).astype(np.int64),
+                "anchors": [ancs_v[s:e].tolist() for s, e in zip(starts, bounds)],
+                "srcs": [srcs_v[s:e].tolist() for s, e in zip(starts, bounds)],
+            }
+        )
+        # urls whose every list was empty still need a row (can't happen
+        # from invertlinks output, but unioned linkdbs may carry them)
+        missing = g.loc[~g["url"].isin(out["url"]), "url"].drop_duplicates()
+        if len(missing):
+            out = pd.concat(
+                [out, pd.DataFrame({"url": missing.to_numpy(), "n_inlinks": 0,
+                                    "anchors": [[]] * len(missing),
+                                    "srcs": [[]] * len(missing)})],
+                ignore_index=True,
+            )
+        return out
 
     from ..ops.agg import bucketed_group_apply
 
