@@ -52,21 +52,35 @@ INTERVAL_SQL = "86400 + (doc_id % 10) * 3600"
 SIG_SQL = "md5(CAST(doc_id % 50 AS VARCHAR))"
 
 
-def derived_frontier(doc_ids: np.ndarray) -> pd.DataFrame:
-    d = doc_ids.astype(np.int64)
-    hostn = d % 97
+# 50 signature groups: precompute the md5 table once, take() per batch
+_SIG_TABLE = np.array(
+    [hashlib.md5(str(k).encode()).hexdigest() for k in range(50)], dtype=object
+)
+
+
+def derived_frontier(doc_ids: np.ndarray, num_partitions: int = 1) -> pd.DataFrame:
+    """Vectorized frontier derivation (no per-row Python): pandas str
+    concat for urls/hosts, table-take for signatures. ``num_partitions``
+    assigns part = doc_id % P (a harness grouping key — the real
+    pipeline partitions by hash(host))."""
+    d = np.asarray(doc_ids).astype(np.int64)
+    hostn = pd.Series(d % 97).astype(str)
+    host = ("host" + hostn + ".example").to_numpy(dtype=object)
+    url = ("http://host" + hostn + ".example/doc/" + pd.Series(d).astype(str)).to_numpy(dtype=object)
     return pd.DataFrame(
         {
-            "url": [f"http://host{h}.example/doc/{i}" for h, i in zip(hostn, d)],
-            "host": [f"host{h}.example" for h in hostn],
-            "domain": [f"host{h}.example" for h in hostn],
-            "part": np.zeros(len(d), dtype=np.int32),
+            "url": url,
+            "host": host,
+            "domain": host,
+            "part": (d % num_partitions).astype(np.int32)
+            if num_partitions > 1
+            else np.zeros(len(d), dtype=np.int32),
             "status": _STATUS_BY_MOD7[d % 7],
             "fetch_time": EPOCH + (d % 1000) * 1000,
             "retries": np.zeros(len(d), dtype=np.int64),
             "fetch_interval": 86400 + (d % 10) * 3600,
             "score": ((d * 37) % 9973) / 9973.0,
-            "signature": [hashlib.md5(str(i % 50).encode()).hexdigest() for i in d],
+            "signature": _SIG_TABLE[d % 50],
             "modified_time": np.zeros(len(d), dtype=np.int64),
             "gen_time": np.zeros(len(d), dtype=np.int64),
             "repr_url": [None] * len(d),
@@ -74,6 +88,34 @@ def derived_frontier(doc_ids: np.ndarray) -> pd.DataFrame:
             "metadata": [None] * len(d),
         }
     )
+
+
+def derived_frontier_ds(
+    sf_dir: str,
+    pred=None,
+    num_partitions: int = 1,
+    transform=None,
+):
+    """Distributed frontier derivation: map_batches over
+    ``documents.parquet`` (doc_id column only leaves storage) building
+    frontier rows inside each task — the driver never materializes a
+    partition. ``pred(ids) -> bool mask`` filters doc_ids;
+    ``transform(df, ids) -> df`` rewrites rows (status/score overlays),
+    both run inside the batch task."""
+    import ray.data as rd
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        if pred is not None:
+            ids = ids[pred(ids)]
+        out = derived_frontier(ids, num_partitions=num_partitions)
+        if transform is not None:
+            out = transform(out, ids)
+        return out
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(build, batch_format="pandas")
 
 
 def read_doc_ids(sf_dir: str) -> np.ndarray:

@@ -66,15 +66,24 @@ def _cents(x: np.ndarray) -> np.ndarray:
 
 def q_generate_topn(sf_dir: str):
     """J2 Generator selector: score-desc selection, per-host cap 3,
-    global topN 100 (Generator.java:216-537)."""
+    global topN 100 (Generator.java:216-537). Distributed shape: the
+    frontier derives inside map_batches tasks and the selector runs as
+    a per-partition bucket task (the real generate stage's layout)."""
+    from ..ops.agg import bucketed_group_apply
     from ..stages.generate import select_partition
 
-    df = DV.derived_frontier(DV.read_doc_ids(sf_dir))
-    df = df.sort_values("url", kind="stable").reset_index(drop=True)
     cfg = CrawlConfig(num_partitions=1, gen_max_count=3, gen_count_mode="host")
-    # make every row schedule-eligible at EPOCH+2e9 ms
-    out = select_partition(df, cfg, limit=100, gen_time_ms=EPOCH)
-    return out[["url", "host", "score"]].sort_values("url").reset_index(drop=True)
+    ds = DV.derived_frontier_ds(sf_dir)
+
+    def sel(g: pd.DataFrame) -> pd.DataFrame:
+        # bucket arrival order is parallelism-dependent; the selector's
+        # tie-break is input order -> pin it by url
+        g = g.sort_values("url", kind="stable").reset_index(drop=True)
+        out = select_partition(g, cfg, limit=100, gen_time_ms=EPOCH)
+        return out[["url", "host", "score"]]
+
+    out = bucketed_group_apply(ds, "part", sel).to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
 
 
 _GEN_SQL = f"""
@@ -96,16 +105,24 @@ def q_inject_merge(sf_dir: str):
     seeds = docs with doc_id%3=0 (score 2.0), existing = docs with
     doc_id%2=0; no overwrite/update -> old wins."""
     from ..functions.inject import inject_merge
+    from ..ops.agg import bucketed_group_apply
 
-    ids = DV.read_doc_ids(sf_dir)
-    old = DV.derived_frontier(ids[ids % 2 == 0])
-    seeds = DV.derived_frontier(ids[ids % 3 == 0])
-    seeds["status"] = CS.INJECTED
-    seeds["score"] = 2.0
-    combined = pd.concat([seeds, old], ignore_index=True)
+    def seedify(df, ids):
+        df["status"] = CS.INJECTED
+        df["score"] = 2.0
+        return df
+
+    old = DV.derived_frontier_ds(sf_dir, pred=lambda i: i % 2 == 0, num_partitions=8)
+    seeds = DV.derived_frontier_ds(
+        sf_dir, pred=lambda i: i % 3 == 0, num_partitions=8, transform=seedify)
     cfg = CrawlConfig()
-    out = inject_merge(combined, cfg)
-    return out[["url", "status", "score"]].sort_values("url").reset_index(drop=True)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return inject_merge(g, cfg)[["url", "status", "score"]]
+
+    # merge is per-url; part = doc_id%8 co-locates each url's rows
+    out = bucketed_group_apply(seeds.union(old), "part", merge).to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
 
 
 _INJECT_SQL = f"""
@@ -127,25 +144,34 @@ def q_updatedb_merge(sf_dir: str):
     """J8 CrawlDbReducer state machine (CrawlDbReducer.java:196-312) with
     DefaultFetchSchedule over deterministic fetch outcomes."""
     from ..functions.updatedb import merge_partition
+    from ..ops.agg import bucketed_group_apply
 
-    ids = DV.read_doc_ids(sf_dir)
-    old = DV.derived_frontier(ids)
-    old["status"] = CS.DB_UNFETCHED
-    old["signature"] = None
+    def oldify(df, ids):
+        df["status"] = CS.DB_UNFETCHED
+        df["signature"] = None
+        return df
 
-    fid = ids[ids % 2 == 0]
-    fetch = DV.derived_frontier(fid)
-    fetch["signature"] = None
-    m8 = fid % 8
-    fetch["status"] = np.select(
-        [m8 == 0, m8 == 2, m8 == 4, m8 == 6],
-        [CS.FETCH_SUCCESS, CS.FETCH_GONE, CS.FETCH_RETRY, CS.FETCH_NOTMODIFIED],
-    )
-    combined = pd.concat([old, fetch], ignore_index=True)
+    def fetchify(df, ids):
+        df["signature"] = None
+        m8 = ids % 8
+        df["status"] = np.select(
+            [m8 == 0, m8 == 2, m8 == 4, m8 == 6],
+            [CS.FETCH_SUCCESS, CS.FETCH_GONE, CS.FETCH_RETRY, CS.FETCH_NOTMODIFIED],
+        )
+        return df
+
+    old = DV.derived_frontier_ds(sf_dir, num_partitions=8, transform=oldify)
+    fetch = DV.derived_frontier_ds(
+        sf_dir, pred=lambda i: i % 2 == 0, num_partitions=8, transform=fetchify)
     cfg = CrawlConfig(schedule="default")
-    out = merge_partition(combined, cfg, EPOCH)
-    out = out[["url", "status", "fetch_time", "retries", "fetch_interval"]]
-    out["status"] = out["status"].astype(np.int64)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = merge_partition(g, cfg, EPOCH)
+        out = out[["url", "status", "fetch_time", "retries", "fetch_interval"]]
+        out["status"] = out["status"].astype(np.int64)
+        return out
+
+    out = bucketed_group_apply(old.union(fetch), "part", merge).to_pandas()
     return out.sort_values("url").reset_index(drop=True)
 
 
@@ -184,28 +210,42 @@ def q_scoring_depth(sf_dir: str):
     unchanged (depth -1 = no stamp)."""
     import json as _json
 
+    import pyarrow.parquet as pq
+
     from ..functions.updatedb import merge_partition
+    from ..ops.agg import bucketed_group_apply
 
-    ids = DV.read_doc_ids(sf_dir)
-    n = len(ids)
-    old = DV.derived_frontier(ids)
-    seed_mask = ids % 11 == 0
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     seed_md = _json.dumps({"_depth_": 1, "_maxdepth_": 3}, sort_keys=True)
-    old.loc[seed_mask, "metadata"] = seed_md
+    link_md = _json.dumps({"_depth_": 2}, sort_keys=True)
 
-    seeds = ids[seed_mask]
-    tgt = np.concatenate([(seeds * 7 + 1) % n, (seeds * 13 + 2) % n])
-    links = DV.derived_frontier(tgt)
-    links["status"] = CS.LINKED
-    links["score"] = 0.25
-    links["metadata"] = _json.dumps({"_depth_": 2}, sort_keys=True)
+    def oldify(df, ids):
+        df.loc[ids % 11 == 0, "metadata"] = seed_md
+        return df
 
+    def linkify(df, ids):
+        # LINKED contributions derive from the batch's seeds; targets
+        # are global ids so the part column routes them to their bucket
+        seeds = ids[ids % 11 == 0]
+        tgt = np.concatenate([(seeds * 7 + 1) % n, (seeds * 13 + 2) % n])
+        out = DV.derived_frontier(tgt, num_partitions=8)
+        out["status"] = CS.LINKED
+        out["score"] = 0.25
+        out["metadata"] = link_md
+        return out
+
+    old = DV.derived_frontier_ds(sf_dir, num_partitions=8, transform=oldify)
+    links = DV.derived_frontier_ds(sf_dir, transform=linkify)
     cfg = CrawlConfig(scoring_filters=("opic", "depth"), scoring_depth_max=3)
-    out = merge_partition(pd.concat([old, links], ignore_index=True), cfg, EPOCH)
-    depth = out["metadata"].map(
-        lambda m: _json.loads(m).get("_depth_", -1) if isinstance(m, str) and m else -1
-    )
-    res = pd.DataFrame({"url": out["url"], "depth": depth.astype(np.int64)})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = merge_partition(g, cfg, EPOCH)
+        depth = out["metadata"].map(
+            lambda m: _json.loads(m).get("_depth_", -1) if isinstance(m, str) and m else -1
+        )
+        return pd.DataFrame({"url": out["url"], "depth": depth.astype(np.int64)})
+
+    res = bucketed_group_apply(old.union(links), "part", merge).to_pandas()
     return res.sort_values("url").reset_index(drop=True)
 
 
@@ -235,19 +275,18 @@ ORDER BY url
 def q_dedup_urls(sf_dir: str):
     """J9 DeduplicationJob: group by signature, losers marked duplicate
     (DeduplicationJob.java:124-229); scores distinct -> winner = max."""
-    from ..functions.dedup import mark_duplicates_in_group
+    from ..stages.jobs import dedup
 
-    df = DV.derived_frontier(DV.read_doc_ids(sf_dir))
-    df["status"] = CS.DB_FETCHED
-    dup_urls = []
-    for _, g in df.groupby("signature", sort=False):
-        mask = mark_duplicates_in_group(
-            g["url"].to_numpy(),
-            g["score"].to_numpy(dtype=np.float32),
-            g["fetch_time"].to_numpy(np.int64) * 0,  # equal fetch times
-        )
-        dup_urls.extend(g["url"].to_numpy()[mask])
-    return pd.DataFrame({"url": sorted(dup_urls)})
+    def fetchedify(df, ids):
+        df["status"] = CS.DB_FETCHED
+        df["fetch_time"] = 0  # equal fetch times
+        # the dedup job keys on binary signatures like the real frontier
+        df["signature"] = df["signature"].map(bytes.fromhex)
+        return df
+
+    ds = DV.derived_frontier_ds(sf_dir, num_partitions=8, transform=fetchedify)
+    out = dedup(ds, CrawlConfig()).to_pandas()
+    return pd.DataFrame({"url": np.sort(out["url"].to_numpy())})
 
 
 _DEDUP_SQL = f"""
@@ -347,12 +386,9 @@ FROM e GROUP BY 1 ORDER BY 1
 
 def q_hostdb(sf_dir: str):
     """J13 UpdateHostDb: per-host status counts (UpdateHostDbReducer)."""
-    import ray.data as rd
-
     from ..stages.jobs import update_hostdb
 
-    df = DV.derived_frontier(DV.read_doc_ids(sf_dir))
-    out = update_hostdb(rd.from_pandas(df)).to_pandas()
+    out = update_hostdb(DV.derived_frontier_ds(sf_dir)).to_pandas()
     cols = ["host", "unfetched", "fetched", "gone", "not_modified", "n_urls"]
     out = out[cols]
     for c in cols[1:]:
@@ -377,12 +413,9 @@ FROM f GROUP BY host ORDER BY host
 def q_readdb_stats(sf_dir: str):
     """readdb -stats (CrawlDbReader.java:336-470): per-status count +
     score min/max."""
-    import ray.data as rd
-
     from ..stages.jobs import readdb_stats
 
-    df = DV.derived_frontier(DV.read_doc_ids(sf_dir))
-    out = readdb_stats(rd.from_pandas(df)).to_pandas()
+    out = readdb_stats(DV.derived_frontier_ds(sf_dir)).to_pandas()
     out = out[["status", "count", "score_min", "score_max"]]
     out["status"] = out["status"].astype(np.int64)
     out["count"] = out["count"].astype(np.int64)
@@ -400,12 +433,11 @@ FROM f GROUP BY status ORDER BY status
 
 def q_readdb_topn(sf_dir: str):
     """readdb -topN (CrawlDbReader.java:925-1006)."""
-    import ray.data as rd
-
     from ..stages.jobs import readdb_topn
 
-    df = DV.derived_frontier(DV.read_doc_ids(sf_dir))
-    out = readdb_topn(rd.from_pandas(df[["url", "score"]]), 50).to_pandas()
+    ds = DV.derived_frontier_ds(
+        sf_dir, transform=lambda df, ids: df[["url", "score"]])
+    out = readdb_topn(ds, 50).to_pandas()
     return out.sort_values("url").reset_index(drop=True)
 
 
@@ -420,12 +452,11 @@ SELECT url, score FROM (
 def q_crawlcomplete(sf_dir: str):
     """CrawlCompletionStats by host (util/CrawlCompletionStats.java:
     194-252): FETCHED = DB_FETCHED|DB_NOTMODIFIED, else UNFETCHED."""
-    import ray.data as rd
-
     from ..stages.jobs import crawl_completion_stats
 
-    df = DV.derived_frontier(DV.read_doc_ids(sf_dir))
-    out = crawl_completion_stats(rd.from_pandas(df[["url", "host", "status"]])).to_pandas()
+    ds = DV.derived_frontier_ds(
+        sf_dir, transform=lambda df, ids: df[["url", "host", "status"]])
+    out = crawl_completion_stats(ds).to_pandas()
     out["fetched"] = out["fetched"].astype(np.int64)
     out["unfetched"] = out["unfetched"].astype(np.int64)
     return out.sort_values("key").reset_index(drop=True)
@@ -443,14 +474,11 @@ FROM f GROUP BY key ORDER BY key
 def q_domainstats(sf_dir: str):
     """DomainStatistics fetched-count by domain
     (util/domain/DomainStatistics.java:174-199)."""
-    import ray.data as rd
-
     from ..stages.jobs import domain_statistics
 
-    df = DV.derived_frontier(DV.read_doc_ids(sf_dir))
-    out = domain_statistics(
-        rd.from_pandas(df[["url", "host", "status"]]), mode="domain"
-    ).to_pandas()
+    ds = DV.derived_frontier_ds(
+        sf_dir, transform=lambda df, ids: df[["url", "host", "status"]])
+    out = domain_statistics(ds, mode="domain").to_pandas()
     out["fetched"] = out["fetched"].astype(np.int64)
     return out.sort_values("key").reset_index(drop=True)
 
@@ -466,17 +494,20 @@ def q_protocolstats(sf_dir: str):
     """ProtocolStatusStatistics (util/ProtocolStatusStatistics.java:
     140-179): counts per metadata['_pst_'] code, UNFETCHED when the key
     is absent. The derived frontier stamps _pst_ from doc_id % 5."""
-    import ray.data as rd
-
     from ..stages.jobs import protocol_status_stats
 
-    df = DV.derived_frontier(DV.read_doc_ids(sf_dir))
-    ids = DV.read_doc_ids(sf_dir)
-    codes = np.array(["200", "301", "404", "503", None], dtype=object)[ids % 5]
-    df["metadata"] = [
-        None if c is None else f'{{"_pst_": "{c}"}}' for c in codes
-    ]
-    out = protocol_status_stats(rd.from_pandas(df[["url", "metadata"]])).to_pandas()
+    _CODES = np.array(
+        [None if c is None else f'{{"_pst_": "{c}"}}'
+         for c in ("200", "301", "404", "503", None)],
+        dtype=object,
+    )
+
+    def stamp(df, ids):
+        df["metadata"] = _CODES[ids % 5]
+        return df[["url", "metadata"]]
+
+    ds = DV.derived_frontier_ds(sf_dir, transform=stamp)
+    out = protocol_status_stats(ds).to_pandas()
     out["count"] = out["count"].astype(np.int64)
     return out.sort_values("code").reset_index(drop=True)
 
@@ -766,10 +797,6 @@ def q_subcollection(sf_dir: str):
     from ..config import CrawlConfig
     from ..functions.subcollection import SubcollectionIndexingFilter
 
-    import ray.data as rd
-
-    ids = DV.read_doc_ids(sf_dir)
-    urls = DV.derived_frontier(ids)[["url"]]
     cfg = CrawlConfig(extra={"subcollections_xml": _SUBCOLL_XML})
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
@@ -786,7 +813,9 @@ def q_subcollection(sf_dir: str):
              "collection": pd.Series(dtype="object")}
         )
 
-    out = rd.from_pandas(urls).map_batches(assign, batch_format="pandas").to_pandas()
+    urls_ds = DV.derived_frontier_ds(
+        sf_dir, transform=lambda df, ids: df[["url"]])
+    out = urls_ds.map_batches(assign, batch_format="pandas").to_pandas()
     return out.sort_values(["url", "collection"]).reset_index(drop=True)
 
 
@@ -1315,17 +1344,18 @@ def q_mergedb(sf_dir: str):
     calculateLastFetchTime wins. db2 rows are OLDER fetches of every
     3rd url, so they win only against db1 rows that are UNFETCHED
     (lastFetchTime 0)."""
-    import ray.data as rd
-
     from ..stages.jobs import mergedb
 
-    ids = DV.read_doc_ids(sf_dir)
-    db1 = DV.derived_frontier(ids)
-    db2 = DV.derived_frontier(ids[ids % 3 == 0])
-    db2["status"] = CS.DB_FETCHED
-    db2["fetch_time"] = db2["fetch_time"] - 200_000_000_000
-    db2["score"] = 9.875  # exact in f32/f64
-    out = mergedb([rd.from_pandas(db1), rd.from_pandas(db2)], CrawlConfig()).to_pandas()
+    def oldify(df, ids):
+        df["status"] = CS.DB_FETCHED
+        df["fetch_time"] = df["fetch_time"] - 200_000_000_000
+        df["score"] = 9.875  # exact in f32/f64
+        return df
+
+    db1 = DV.derived_frontier_ds(sf_dir)
+    db2 = DV.derived_frontier_ds(
+        sf_dir, pred=lambda i: i % 3 == 0, transform=oldify)
+    out = mergedb([db1, db2], CrawlConfig()).to_pandas()
     out = out[["url", "status", "fetch_time", "score"]]
     out["status"] = out["status"].astype(np.int64)
     out["fetch_time"] = out["fetch_time"].astype(np.int64)
