@@ -653,25 +653,26 @@ def protocol_status_stats(frontier_ds):
     """Counts per protocol status code stored in metadata['_pst_']
     (ProtocolStatusStatistics.java:140-149; rows without the key count
     as UNFETCHED). Returns Dataset (code, count)."""
-    import json as _json
-
     from ..ops.agg import bucketed_sum
+
+    # vectorized _pst_ pull: the stamp is written by this engine as a
+    # flat JSON string/number value, so a C-level regex extract replaces
+    # the per-row json.loads (SURVEY §1.3 hot-key extraction)
+    _PST_RE = r'"_pst_"\s*:\s*"?([^",}]*)"?'
 
     def pre(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             return pd.DataFrame(
                 {"code": pd.Series(dtype="object"), "count": pd.Series(dtype="int64")}
             )
-        codes = []
-        for m in df["metadata"].to_numpy():
-            code = "UNFETCHED"
-            if isinstance(m, str) and m:
-                try:
-                    code = str(_json.loads(m).get("_pst_", "UNFETCHED"))
-                except ValueError:
-                    pass
-            codes.append(code)
-        return pd.DataFrame({"code": np.array(codes, dtype=object), "count": np.int64(1)})
+        codes = (
+            df["metadata"]
+            .astype("string")
+            .str.extract(_PST_RE, expand=False)
+            .fillna("UNFETCHED")
+            .to_numpy(dtype=object)
+        )
+        return pd.DataFrame({"code": codes, "count": np.int64(1)})
 
     return bucketed_sum(
         frontier_ds.map_batches(pre, batch_format="pandas"), "code", ["count"]

@@ -104,17 +104,25 @@ def merge_frontier_frames(g: pd.DataFrame) -> pd.DataFrame:
     )
     g = g.assign(_lft=lft)
     g = g.sort_values("_lft", ascending=True, kind="stable")
-    res = g.groupby("url", sort=False).tail(1).drop(columns="_lft")
-    metas = g.groupby("url", sort=False)["metadata"].apply(list)
-    merged = {}
-    for url, ms in metas.items():
-        acc = {}
-        for mjson in ms:
-            if mjson:
-                acc.update(_json.loads(mjson))
-        merged[url] = _json.dumps(acc, sort_keys=True) if acc else None
-    res = res.copy()
-    res["metadata"] = res["url"].map(merged)
+    res = g.groupby("url", sort=False).tail(1).drop(columns="_lft").copy()
+    # metadata JSON fold only where it can matter: urls with >1 entry of
+    # which at least one carries metadata (singletons — the overwhelming
+    # majority of a frontier merge — keep their column value untouched)
+    dup = g[g["url"].duplicated(keep=False)]
+    if len(dup):
+        has_md = dup["metadata"].map(lambda m: bool(m)).to_numpy()
+        fold_urls = set(dup.loc[has_md, "url"])
+        if fold_urls:
+            dup = dup[dup["url"].isin(fold_urls)]
+            merged = {}
+            for url, ms in dup.groupby("url", sort=False)["metadata"]:
+                acc = {}
+                for mjson in ms:
+                    if mjson:
+                        acc.update(_json.loads(mjson))
+                merged[url] = _json.dumps(acc, sort_keys=True) if acc else None
+            sel = res["url"].isin(merged)
+            res.loc[sel, "metadata"] = res.loc[sel, "url"].map(merged)
     return res
 
 
