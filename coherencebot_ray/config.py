@@ -139,6 +139,17 @@ class CrawlConfig:
     scoring_db_md: tuple = ()       # scoring.db.md
     scoring_content_md: tuple = ()  # scoring.content.md
     scoring_parse_md: tuple = ()    # scoring.parse.md
+    # --- hostdb DNS check (hostdb/ResolverThread.java + UpdateHostDbReducer
+    # shouldCheck/isEligibleForCheck :361-400) --------------------------------
+    hostdb_check_new: bool = False      # hostdb.check.new
+    hostdb_check_known: bool = False    # hostdb.check.known
+    hostdb_check_failed: bool = False   # hostdb.check.failed
+    hostdb_force_check: bool = False    # hostdb.force.check
+    hostdb_recheck_interval_s: int = 86400  # hostdb.recheck.interval
+    # purge a failed host once dns_failures EXCEEDS this (-1 = never)
+    hostdb_purge_failed_threshold: int = -1  # hostdb.purge.failed.hosts.threshold
+    hostdb_resolver_threads: int = 4    # actor-pool size for the check stage
+
     # urlmeta (URLMetaScoringFilter.java:44-120): one tag list riding
     # seed datum -> content -> parse -> every outlink's LINKED datum
     urlmeta_tags: tuple = ()        # urlmeta.tags

@@ -341,6 +341,99 @@ def update_hostdb(frontier_ds):
     return bucketed_sum(partials, "host", list(_STATUS_COLS) + ["n_urls", "score_sum"])
 
 
+class DnsCheckStage:
+    """hostdb DNS resolver check (hostdb/ResolverThread.java:66-120,
+    UpdateHostDbReducer.shouldCheck/isEligibleForCheck :361-400) as an
+    actor-pool map_batches stage over hostdb rows.
+
+    The resolver is built ONCE per actor from ``resolver_factory`` (a
+    zero-arg factory returning ``resolve(host) -> ip-or-raise``); the
+    default is ``socket.gethostbyname``. Tests (and this network-free
+    sandbox) inject a deterministic stub.
+
+    Eligibility: new hosts (no last_check yet) when check_new; known
+    hosts (0 failures) when check_known; failed hosts when check_failed;
+    recheck once last_check is older than recheck_interval x
+    (dns_failures + 1) unless force. DELIBERATE DIVERGENCE: the
+    reference's literal comparisons are inverted from their documented
+    intent in two places (ResolverThread.java:104-105 keeps a host only
+    once failures EXCEED the purge threshold, and
+    UpdateHostDbReducer.java:394-396 marks RECENTLY-checked hosts
+    eligible); this port implements the documented intent (purge once
+    failures exceed the threshold; recheck stale entries).
+    """
+
+    def __init__(self, cfg, resolver_factory=None, now_s: int | None = None):
+        if resolver_factory is None:
+            import socket
+
+            self.resolve = socket.gethostbyname
+        else:
+            self.resolve = resolver_factory()
+        self.cfg = cfg
+        import time as _t
+
+        self.now_s = int(_t.time()) if now_s is None else int(now_s)
+
+    def _eligible(self, is_new, failures, last_check):
+        cfg = self.cfg
+        if cfg.hostdb_force_check:
+            return np.ones(len(is_new), dtype=bool)
+        stale = last_check + cfg.hostdb_recheck_interval_s * (failures + 1) < self.now_s
+        out = np.zeros(len(is_new), dtype=bool)
+        if cfg.hostdb_check_new:
+            out |= is_new
+        if cfg.hostdb_check_known:
+            out |= (~is_new) & (failures == 0) & stale
+        if cfg.hostdb_check_failed:
+            out |= (failures > 0) & stale
+        return out
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            for c in ("dns_failures", "last_check"):
+                if c not in df.columns:
+                    df[c] = pd.Series(dtype="int64")
+            return df
+        df = df.copy()
+        if "dns_failures" not in df.columns:
+            df["dns_failures"] = -1  # -1 = never checked (datum.isEmpty())
+        if "last_check" not in df.columns:
+            df["last_check"] = 0
+        failures = pd.to_numeric(df["dns_failures"], errors="coerce").fillna(-1).to_numpy(np.int64)
+        last_check = pd.to_numeric(df["last_check"], errors="coerce").fillna(0).to_numpy(np.int64)
+        is_new = failures < 0
+        check = self._eligible(is_new, np.maximum(failures, 0), last_check)
+        failures = np.maximum(failures, 0)
+        purge = np.zeros(len(df), dtype=bool)
+        for i in np.flatnonzero(check):
+            try:
+                self.resolve(df["host"].iat[i])
+                failures[i] = 0  # new_known / rediscovered / existing_known
+                last_check[i] = self.now_s
+            except OSError:
+                failures[i] += 1
+                last_check[i] = self.now_s
+                thr = self.cfg.hostdb_purge_failed_threshold
+                if thr != -1 and failures[i] > thr:
+                    purge[i] = True  # purged_unknown_host
+        df["dns_failures"] = failures
+        df["last_check"] = last_check
+        return df[~purge]
+
+
+def dns_check(hostdb_ds, cfg: CrawlConfig, resolver_factory=None, now_s=None):
+    """Run the DNS check over a hostdb Dataset with an actor pool sized
+    by cfg.hostdb_resolver_threads (UpdateHostDb's numResolverThreads)."""
+    return hostdb_ds.map_batches(
+        DnsCheckStage,
+        fn_constructor_kwargs={
+            "cfg": cfg, "resolver_factory": resolver_factory, "now_s": now_s},
+        batch_format="pandas",
+        concurrency=cfg.hostdb_resolver_threads,
+    )
+
+
 # ---------------------------------------------------------------------------
 # readdb: stats / topN / dump (CrawlDbReader.java:336-1115)
 # ---------------------------------------------------------------------------

@@ -252,3 +252,54 @@ def test_aux_stat_jobs(ray_session):
     assert ps.loc["200", "count"] == 2
     assert ps.loc["404", "count"] == 1
     assert ps.loc["UNFETCHED", "count"] == 2
+
+
+def test_hostdb_dns_check_matrix(ray_session):
+    """ResolverThread.java:66-120 matrix through the actor-pool stage
+    with an injectable stub resolver: known hosts get last_check + 0
+    failures (incl. rediscovery reset), unknown hosts accumulate
+    failures, and a host whose failures exceed the purge threshold is
+    dropped from the hostdb."""
+    import ray.data as rd
+
+    from coherencebot_ray.config import CrawlConfig
+    from coherencebot_ray.stages.jobs import dns_check
+
+    def stub_factory():
+        def resolve(host):
+            if host.startswith("dead"):
+                raise OSError(f"unknown host {host}")
+            return "10.0.0.1"
+
+        return resolve
+
+    NOW = 1_700_000_000
+    cfg = CrawlConfig(
+        hostdb_check_new=True, hostdb_check_known=True, hostdb_check_failed=True,
+        hostdb_purge_failed_threshold=2, hostdb_resolver_threads=1,
+    )
+    hostdb = pd.DataFrame(
+        {
+            "host": ["alive-new.example", "dead-new.example",
+                     "alive-rediscovered.example", "dead-at-threshold.example",
+                     "dead-over-threshold.example", "fresh-skip.example"],
+            "n_urls": 1,
+            # -1 = never checked; others carry prior check state
+            "dns_failures": [-1, -1, 3, 1, 2, 0],
+            "last_check": [0, 0, 0, 0, 0, NOW - 10],  # fresh-skip too recent
+        }
+    )
+    out = (
+        dns_check(rd.from_pandas(hostdb), cfg, resolver_factory=stub_factory, now_s=NOW)
+        .to_pandas().set_index("host")
+    )
+    # purged: dead-over-threshold went 2 -> 3 > threshold 2
+    assert "dead-over-threshold.example" not in out.index
+    assert out.loc["alive-new.example", "dns_failures"] == 0
+    assert out.loc["alive-new.example", "last_check"] == NOW
+    assert out.loc["dead-new.example", "dns_failures"] == 1
+    assert out.loc["alive-rediscovered.example", "dns_failures"] == 0
+    assert out.loc["dead-at-threshold.example", "dns_failures"] == 2  # kept (== thr)
+    # not eligible (checked 10s ago, recheck interval 1d): untouched
+    assert out.loc["fresh-skip.example", "dns_failures"] == 0
+    assert out.loc["fresh-skip.example", "last_check"] == NOW - 10
