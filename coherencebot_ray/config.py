@@ -139,6 +139,11 @@ class CrawlConfig:
     scoring_db_md: tuple = ()       # scoring.db.md
     scoring_content_md: tuple = ()  # scoring.content.md
     scoring_parse_md: tuple = ()    # scoring.parse.md
+    # mimetype-filter (MimeTypeIndexingFilter.java:160-185): rule lines
+    # from mimetype.filter.file — '+'/'-' switch accept/block mode,
+    # other lines are MIME prefixes
+    mimetype_filter_rules: tuple = ()
+
     # --- hostdb DNS check (hostdb/ResolverThread.java + UpdateHostDbReducer
     # shouldCheck/isEligibleForCheck :361-400) --------------------------------
     hostdb_check_new: bool = False      # hostdb.check.new

@@ -156,6 +156,117 @@ class MetadataIndexer(IndexingFilter):
         return df, np.ones(len(df), dtype=bool)
 
 
+class TLDIndexingFilter(IndexingFilter):
+    """index-tld (src/plugin/tld/.../TLDIndexingFilter.java:46-60): adds
+    the url's public-suffix as a ``tld`` field. (The plugin's scoring
+    half, TLDScoringFilter, multiplies the indexer score by per-suffix
+    boosts from domain-suffixes.xml — every stock boost is 1.0, so it is
+    subsumed: set per-suffix boosts via extra['tld_boosts'] here.)"""
+
+    name = "tld"
+
+    def apply(self, df, cfg):
+        from .urlutil import get_domain_suffix, hosts_of
+
+        hosts = (
+            df["host"]
+            if "host" in df.columns
+            else hosts_of(df["url"].to_numpy())
+        )
+        df = df.copy()
+        df["tld"] = pd.Series(hosts).map(get_domain_suffix).to_numpy()
+        boosts = (getattr(cfg, "extra", {}) or {}).get("tld_boosts") if cfg else None
+        if boosts and "score_boost" in df.columns:
+            mul = df["tld"].map(lambda t: boosts.get(t, 1.0)).to_numpy("float32")
+            df["score_boost"] = (
+                df["score_boost"].to_numpy("float32") * mul
+            ).astype(np.float32)
+        return df, np.ones(len(df), dtype=bool)
+
+
+class MimeTypeIndexingFilter(IndexingFilter):
+    """mimetype-filter (src/plugin/mimetype-filter/.../
+    MimeTypeIndexingFilter.java:90-185): gate documents by resolved MIME
+    type against prefix rules. Rule lines via cfg.mimetype_filter_rules:
+    '+' switches to accept mode (keep docs whose type matches NO rule),
+    '-' to block... the reference's modes: acceptMode=True keeps
+    non-matching docs (deny-list), acceptMode=False keeps only matching
+    docs (allow-list); other lines are type prefixes."""
+
+    name = "mimetype"
+
+    def apply(self, df, cfg):
+        rules = tuple(getattr(cfg, "mimetype_filter_rules", ()) or ())
+        if not rules or "content_type" not in df.columns:
+            return df, np.ones(len(df), dtype=bool)
+        accept_mode = True
+        prefixes: list[str] = []
+        for line in rules:
+            if not line or line[0] in (" ", "\n", "#"):
+                continue
+            if line[0] == "+":
+                accept_mode = True
+            elif line[0] == "-":
+                accept_mode = False
+            else:
+                prefixes.append(line.strip())
+        from .mimeutil import clean_mime_type
+
+        ctypes = df["content_type"].map(
+            lambda c: clean_mime_type(c) if isinstance(c, str) and c else ""
+        )
+        if prefixes:
+            matched = ctypes.str.startswith(tuple(prefixes)).to_numpy()
+        else:
+            matched = np.zeros(len(df), dtype=bool)
+        keep = ~matched if accept_mode else matched
+        return df, keep
+
+
+class GeoIPIndexingFilter(IndexingFilter):
+    """index-geoip (src/plugin/index-geoip/.../GeoIPIndexingFilter.java:
+    197-230 + GeoIPDocumentCreator.addIfNotNull): looks up the server IP
+    recorded in the datum metadata key ``_ip_`` against an OFFLINE
+    database seam — extra['geoip_db'] maps ip -> {field: value} (the
+    reference reads a MaxMind .mmdb; no such package or network here) —
+    and adds every non-null field (ip, cityName, countryIsoCode,
+    countryName, latLon, timeZone, ...) to the document."""
+
+    name = "geoip"
+
+    def apply(self, df, cfg):
+        db = (getattr(cfg, "extra", {}) or {}).get("geoip_db") if cfg else None
+        if not db or "metadata" not in df.columns:
+            return df, np.ones(len(df), dtype=bool)
+        df = df.copy()
+        ips = df["metadata"].map(
+            lambda m: (json.loads(m).get("_ip_") if isinstance(m, str) and m else None)
+        )
+        df["ip"] = ips
+        recs = [db.get(ip) or {} for ip in ips]
+        keys = sorted({k for r in recs for k in r})
+        for k in keys:
+            df[k] = [r.get(k) for r in recs]
+        return df, np.ones(len(df), dtype=bool)
+
+
+class RelTagIndexingFilter(IndexingFilter):
+    """microformats-reltag indexing half (RelTagIndexingFilter.java:
+    44-52): every Rel-Tag recorded in the parse metadata becomes a
+    ``tag`` field value (list column here)."""
+
+    name = "reltag"
+
+    def apply(self, df, cfg):
+        if "metadata" not in df.columns:
+            return df, np.ones(len(df), dtype=bool)
+        df = df.copy()
+        df["tag"] = df["metadata"].map(
+            lambda m: (json.loads(m).get("Rel-Tag") or []) if isinstance(m, str) and m else []
+        )
+        return df, np.ones(len(df), dtype=bool)
+
+
 class URLMetaIndexingFilter(IndexingFilter):
     """urlmeta (src/plugin/urlmeta/.../URLMetaIndexingFilter.java:78-95):
     every configured urlmeta.tags key present in the db datum's metadata
@@ -529,6 +640,10 @@ _REGISTRY = {
         MoreIndexingFilter,
         MetadataIndexer,
         URLMetaIndexingFilter,
+        TLDIndexingFilter,
+        MimeTypeIndexingFilter,
+        GeoIPIndexingFilter,
+        RelTagIndexingFilter,
         StaticFieldIndexer,
         CriteriaIndexingFilter,
         ReplaceIndexer,

@@ -100,6 +100,23 @@ def get_domain(host: str) -> str:
     return ".".join(parts[-2:])
 
 
+def get_domain_suffix(host: str) -> str:
+    """Public-suffix part of a hostname (URLUtil.getDomainSuffix over
+    util/domain/DomainSuffixes; same compact subset as get_domain).
+    IP literals and bare hosts have no suffix ('')."""
+    if not host:
+        return ""
+    parts = host.split(".")
+    if len(parts) == 4 and all(p.isdigit() for p in parts):
+        return ""
+    if len(parts) < 2:
+        return ""
+    two = ".".join(parts[-2:])
+    if two in _SECOND_LEVEL_SUFFIXES:
+        return two
+    return parts[-1]
+
+
 def hosts_of(urls) -> pd.Series:
     """Vector host extraction with distinct-value caching."""
     s = pd.Series(urls, dtype="object")

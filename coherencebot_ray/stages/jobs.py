@@ -519,8 +519,12 @@ def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone:
     # subcollection/metadata filters need the frontier metadata column
     want_links = "links" in (cfg.indexing_filters or ())
     want_meta = any(
-        n in ("subcollection", "metadata") for n in (cfg.indexing_filters or ())
+        n in ("subcollection", "metadata", "urlmeta", "geoip", "reltag")
+        for n in (cfg.indexing_filters or ())
     )
+    want_ctype = "mimetype" in (cfg.indexing_filters or ())
+    _extra_f_cols = (["metadata"] if want_meta else []) + (
+        ["content_type"] if want_ctype else [])
 
     def docs_project(df: pd.DataFrame) -> pd.DataFrame:
         base_cols = ["url", "part", "title", "text"] + (["outlinks"] if want_links else [])
@@ -558,10 +562,12 @@ def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone:
                 empty_cols["inlinks"] = pd.Series(dtype="object")
             if want_meta:
                 empty_cols["metadata"] = pd.Series(dtype="object")
+            if want_ctype:
+                empty_cols["content_type"] = pd.Series(dtype="object")
             return pd.DataFrame(empty_cols)
-        m = d.drop(columns=["status", "score"] + (["metadata"] if want_meta else []),
+        m = d.drop(columns=["status", "score"] + _extra_f_cols,
                    errors="ignore").merge(
-            f[["url", "status", "score"] + (["metadata"] if want_meta else [])],
+            f[["url", "status", "score"] + _extra_f_cols],
             on="url", how="inner"
         )
         if delete_gone:
@@ -602,6 +608,8 @@ def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone:
             out["inlinks"] = m["srcs"].to_numpy()
         if want_meta:
             out["metadata"] = m["metadata"].to_numpy()
+        if want_ctype:
+            out["content_type"] = m["content_type"].to_numpy()
         if cfg.indexing_filters:
             # IndexingFilter chain (index-basic/anchor/more/metadata/
             # static/criteria) enriches or drops documents
@@ -617,7 +625,8 @@ def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone:
         ("title", ""), ("text", ""), ("rjoin", ""), ("n_inlinks", 0),
         ("anchors", None),
     ] + ([("outlinks", None), ("srcs", None)] if want_links else []) \
-      + ([("metadata", None)] if want_meta else [])
+      + ([("metadata", None)] if want_meta else []) \
+      + ([("content_type", None)] if want_ctype else [])
 
     from ..ops.agg import stable_bucket
 
@@ -640,7 +649,7 @@ def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone:
         out["jb"] = stable_bucket(out["url"], n_buckets) if n else np.array([], dtype=np.int32)
         return out
 
-    f_cols = ["url", "status", "score"] + (["metadata"] if want_meta else [])
+    f_cols = ["url", "status", "score"] + _extra_f_cols
     f_tagged = frontier_ds.map_batches(
         lambda df: align(df[[c for c in f_cols if c in df.columns]].assign(rjoin="db")),
         batch_format="pandas",

@@ -395,3 +395,102 @@ def test_indexing_filters_order_and_unknown(ray_session):
     assert out2.iloc[0]["site"] == "demo site"
     with pytest.raises(KeyError):
         IndexingFilters(("nope",), cfg)
+
+
+# ---------------------------------------------------------------------------
+# index-tld (src/plugin/tld/.../TLDIndexingFilter.java)
+# ---------------------------------------------------------------------------
+
+def test_tld_indexing_filter():
+    """TLDIndexingFilter.java:46-60: the url's public-suffix becomes a
+    'tld' field; second-level suffixes (co.uk) come out whole; IP hosts
+    have none."""
+    df = pd.DataFrame({
+        "url": ["http://www.example.com/a", "http://shop.example.co.uk/b",
+                "http://127.0.0.1/c"],
+    })
+    out = IndexingFilters(("tld",), cfg=CrawlConfig()).apply(df)
+    assert out["tld"].tolist() == ["com", "co.uk", ""]
+
+
+def test_tld_boost_multiplies_score():
+    """TLDScoringFilter.java:52-66 analogue: per-suffix boosts multiply
+    the indexer score (stock domain-suffixes boosts are all 1.0)."""
+    cfg = CrawlConfig(extra={"tld_boosts": {"org": 2.0}})
+    df = pd.DataFrame({
+        "url": ["http://a.org/", "http://b.com/"],
+        "score_boost": np.array([1.5, 1.5], dtype=np.float32),
+    })
+    out = IndexingFilters(("tld",), cfg=cfg).apply(df)
+    assert out["score_boost"].tolist() == [3.0, 1.5]
+
+
+# ---------------------------------------------------------------------------
+# mimetype-filter (MimeTypeIndexingFilterTest.java port)
+# ---------------------------------------------------------------------------
+
+_MIME_DOCS = pd.DataFrame({
+    "url": ["http://www.example.com/"] * 3,
+    "content_type": ["text/html", "image/png", "application/pdf"],
+})
+
+
+def test_mimetype_missing_config_allows_all():
+    """testMissingConfigFile: no rules -> every document passes."""
+    out = IndexingFilters(("mimetype",), cfg=CrawlConfig()).apply(_MIME_DOCS)
+    assert len(out) == 3
+
+
+def test_mimetype_allow_only_images():
+    """testAllowOnlyImages (allow-images.txt: '-' then 'image')."""
+    cfg = CrawlConfig(mimetype_filter_rules=("# comment", "", "-", "image"))
+    out = IndexingFilters(("mimetype",), cfg=cfg).apply(_MIME_DOCS)
+    assert out["content_type"].tolist() == ["image/png"]
+
+
+def test_mimetype_block_html():
+    """testBlockHTML (block-html.txt: '+' then 'text/html')."""
+    cfg = CrawlConfig(mimetype_filter_rules=("+", "text/html"))
+    out = IndexingFilters(("mimetype",), cfg=cfg).apply(_MIME_DOCS)
+    assert out["content_type"].tolist() == ["image/png", "application/pdf"]
+
+
+# ---------------------------------------------------------------------------
+# index-geoip (offline-DB seam)
+# ---------------------------------------------------------------------------
+
+def test_geoip_indexing_filter_offline_db():
+    """GeoIPIndexingFilter.java:197-230: server ip from datum metadata
+    _ip_ looked up against the injected offline db; non-null fields
+    added (GeoIPDocumentCreator.addIfNotNull)."""
+    import json
+
+    cfg = CrawlConfig(extra={"geoip_db": {
+        "93.184.216.34": {"cityName": "Minneapolis", "countryIsoCode": "US",
+                          "latLon": "44.9733,-93.2323"},
+    }})
+    df = pd.DataFrame({
+        "url": ["http://a.com/", "http://b.com/"],
+        "metadata": [json.dumps({"_ip_": "93.184.216.34"}), None],
+    })
+    out = IndexingFilters(("geoip",), cfg=cfg).apply(df)
+    assert out["ip"].tolist() == ["93.184.216.34", None]
+    assert out["cityName"].tolist() == ["Minneapolis", None]
+    assert out["countryIsoCode"].tolist() == ["US", None]
+
+
+# ---------------------------------------------------------------------------
+# microformats-reltag indexing half
+# ---------------------------------------------------------------------------
+
+def test_reltag_indexing_filter():
+    """RelTagIndexingFilter.java:44-52: parse-meta Rel-Tag values become
+    'tag' field values."""
+    import json
+
+    df = pd.DataFrame({
+        "url": ["http://a.com/", "http://b.com/"],
+        "metadata": [json.dumps({"Rel-Tag": ["python", "ray"]}), None],
+    })
+    out = IndexingFilters(("reltag",), cfg=CrawlConfig()).apply(df)
+    assert out["tag"].tolist() == [["python", "ray"], []]
