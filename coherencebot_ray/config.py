@@ -139,6 +139,17 @@ class CrawlConfig:
     scoring_db_md: tuple = ()       # scoring.db.md
     scoring_content_md: tuple = ()  # scoring.content.md
     scoring_parse_md: tuple = ()    # scoring.parse.md
+    # parsefilter-outlinks (OutlinkParseFilter.java:64-225)
+    db_descendant_links: bool = False  # db.descendant.links
+    db_approve_anchors: bool = False   # db.approve.anchors
+    anchor_reject_rules: tuple = ()    # urlfilter.anchor.file lines
+    # microformats-reltag (RelTagParser.java:59-136): collect rel="tag"
+    # anchor targets' last path segment into parse meta 'Rel-Tag'
+    microformats_reltag: bool = False
+    # parsefilter-naivebayes: training lines ('<0|1>\ttext') and the
+    # second-chance wordlist ride extra['nb_train_lines'] /
+    # extra['nb_wordlist'] (the reference reads trainfile/wordlist files)
+
     # mimetype-filter (MimeTypeIndexingFilter.java:160-185): rule lines
     # from mimetype.filter.file — '+'/'-' switch accept/block mode,
     # other lines are MIME prefixes

@@ -48,6 +48,7 @@ class _DocHTMLParser(HTMLParser):
         self.base_href: str | None = None  # first <base href>
         self.scripts: list[str] = []  # <script> bodies (parse-js)
         self.tag_links: list[tuple] = []  # (tag, url) non-anchor outlinks
+        self.rel_tag_hrefs: list[str] = []  # <a rel="tag"> (reltag)
         self._in_script = False
         self._script_buf: list[str] = []
         self._stack: list[str] = []
@@ -69,10 +70,15 @@ class _DocHTMLParser(HTMLParser):
             if tag == "a":
                 d = dict(attrs)
                 self._href = d.get("href")
+                rel = (d.get("rel") or "").lower()
                 # <a rel=nofollow> is not an outlink (DOMContentUtils
                 # getOutlinks rel handling; TestDOMContentUtils)
-                if "nofollow" in (d.get("rel") or "").lower():
+                if "nofollow" in rel:
                     self._href = None
+                # microformats rel-tag: rel EQUALS "tag"
+                # (RelTagParser.java:96-105)
+                if rel == "tag" and self._href:
+                    self.rel_tag_hrefs.append(self._href)
         elif tag == "img":
             src = dict(attrs).get("src")
             if src:
@@ -318,6 +324,59 @@ def parse_pdf(content: bytes) -> tuple[list[tuple], list[tuple], str]:
     return spans, [], text
 
 
+def parse_zip(content: bytes, url: str) -> tuple[list[tuple], list[tuple], str]:
+    """parse-zip (src/plugin/parse-zip/.../ZipParser.java:57-110 +
+    ZipTextExtractor.java:62-117): walk the archive with stdlib zipfile,
+    recursively parse text-bearing entries (html via the span extractor,
+    .txt decoded), collect their outlinks; resultText concatenates
+    '<entry name> <entry text> ' like the reference. Entry urls resolve
+    as url + '/' + name (ZipTextExtractor:78-81)."""
+    import io
+    import zipfile
+
+    spans: list[tuple] = []
+    links: list[tuple] = []
+    texts: list[str] = []
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(content))
+    except (zipfile.BadZipFile, ValueError):
+        return [], [], ""
+    for info in zf.infolist():
+        if info.is_dir():
+            continue
+        name = info.filename
+        if "." not in name.rsplit("/", 1)[-1]:
+            continue  # reference skips extension-less entries (:83-84)
+        try:
+            data = zf.read(info)
+        except (zipfile.BadZipFile, RuntimeError):
+            continue
+        entry_text = ""
+        lower = name.lower()
+        if lower.endswith((".html", ".htm")):
+            p, entry_text = parse_html_full(data)
+            spans.extend(p.spans)
+            links.extend((h, a) for h, a in p.links)
+        elif lower.endswith((".txt", ".text", ".md", ".csv")):
+            entry_text = data.decode("utf-8", errors="replace")
+            if entry_text:
+                spans.append(("text", entry_text, ""))
+        texts.append(f"{name} {entry_text} ")
+    return spans, links, "".join(texts)
+
+
+def _reltag_of(href: str) -> str | None:
+    """Last path segment, URL-decoded (RelTagParser.parseTag:122-133)."""
+    from urllib.parse import unquote, urlsplit
+
+    try:
+        path = urlsplit(href).path or ""
+    except ValueError:
+        return None
+    tag = unquote(path.rsplit("/", 1)[-1])
+    return tag or None
+
+
 class ParseBatch:
     """Callable class for map_batches (actor pool); stateless per batch."""
 
@@ -346,6 +405,26 @@ class ParseBatch:
             for field, source, rx in (cfg.parsefilter_regex_rules or ())
         )
         self._ignore_outlink_tags = frozenset(cfg.html_ignore_outlink_tags or ())
+        # parsefilter-outlinks: anchor rejection rules (once per actor)
+        self.anchor_rules = frozenset(
+            r.strip().lower() for r in (cfg.anchor_reject_rules or ())
+            if r.strip() and not r.startswith("#")
+        )
+        self.pf_outlinks_active = bool(
+            cfg.db_descendant_links or (cfg.db_approve_anchors and self.anchor_rules)
+        )
+        # parsefilter-naivebayes: model trained once per actor from the
+        # injected training lines (the reference trains from
+        # parsefilter.naivebayes.trainfile at setConf)
+        nb_lines = (cfg.extra or {}).get("nb_train_lines")
+        if nb_lines:
+            from ..functions.naivebayes import train
+
+            self.nb_model = train(nb_lines)
+            self.nb_wordlist = tuple((cfg.extra or {}).get("nb_wordlist") or ())
+        else:
+            self.nb_model = None
+            self.nb_wordlist = ()
         # parse-ext: external-command parsers by content type
         if cfg.ext_parsers:
             from ..functions.extparser import ExtParser
@@ -379,6 +458,7 @@ class ParseBatch:
 
         # pass 1: extract spans/links/signature per doc; flatten hrefs
         parsed: list[tuple] = []  # (i, spans, link_start, n_links, signature, extra_meta)
+        nb_irrelevant: set[int] = set()  # parsefilter-naivebayes verdicts
         hrefs: list[str] = []
         href_anchor: list[str] = []
         for i in range(len(ok)):
@@ -387,6 +467,7 @@ class ParseBatch:
                 continue
             ctype = ctypes[i] or "text/html"
             metatags: list[tuple] = []
+            rel_tag_hrefs: list[str] = []
             if self.ext_parser is not None and self.ext_parser.can_parse(ctype):
                 # parse-ext: external command, stdout = text
                 from ..functions.extparser import ExtParseError
@@ -400,6 +481,8 @@ class ParseBatch:
                 spans, links, text = parse_pdf(bytes(content))
             elif "rss" in ctype or "atom" in ctype:
                 spans, links, text = parse_feed(bytes(content))
+            elif "zip" in ctype:
+                spans, links, text = parse_zip(bytes(content), urls[i])
             elif "javascript" in ctype:
                 # parse-js pure .js documents: string-literal outlinks,
                 # no text spans (JSParseFilter.getParse:170-190)
@@ -419,6 +502,8 @@ class ParseBatch:
                 _p, text = parse_html_full(raw, charset=cs)
                 spans, links = _p.spans, _p.links
                 metatags = _p.metatags
+                if cfg.microformats_reltag:
+                    rel_tag_hrefs = _p.rel_tag_hrefs
                 if _p.tag_links:
                     # frame/iframe/area/source (and any un-ignored
                     # img/script/link/form) outlinks, empty anchor
@@ -495,6 +580,19 @@ class ParseBatch:
                     else:
                         continue  # misconfigured source: logged + skipped
                     extra_meta[field] = "true" if pat.search(src) else "false"
+            if rel_tag_hrefs:
+                # microformats-reltag: sorted unique tag set into parse
+                # meta (RelTagParser's TreeSet + Metadata.add)
+                tags = sorted({t for t in map(_reltag_of, rel_tag_hrefs) if t})
+                if tags:
+                    extra_meta["Rel-Tag"] = tags
+            if self.nb_model is not None:
+                # parsefilter-naivebayes: an irrelevant page's outlinks
+                # only survive the wordlist second chance (pass 2)
+                from ..functions.naivebayes import classify
+
+                if classify(self.nb_model, text) == "0":
+                    nb_irrelevant.add(i)
             parsed.append((i, spans, len(hrefs), len(links), signature, extra_meta))
             for href, anchor in links:
                 hrefs.append(href)
@@ -543,7 +641,7 @@ class ParseBatch:
         parse_hooks = self.scoring.has_parse_hooks
         datum_metas = (
             ok["metadata"].to_numpy()
-            if parse_hooks and "metadata" in ok.columns
+            if (parse_hooks or self.pf_outlinks_active) and "metadata" in ok.columns
             else None
         )
 
@@ -596,6 +694,30 @@ class ParseBatch:
                     continue
                 seen_dst.add(nu)
                 kept.append((nu, href_anchor[j], dst_host))
+
+            if kept and self.pf_outlinks_active:
+                # parsefilter-outlinks: descendant + anchor gates
+                from ..functions.parsefilter_outlinks import filter_outlinks
+
+                dm = datum_metas[i] if datum_metas is not None else None
+                datum_meta = json.loads(dm) if isinstance(dm, str) and dm else {}
+                allowed = tuple(
+                    d for d in (datum_meta.get("org.domains") or "").split(";") if d
+                )
+                kept = filter_outlinks(
+                    url, kept,
+                    require_descendants=cfg.db_descendant_links,
+                    approve_anchors=cfg.db_approve_anchors,
+                    anchor_rules=self.anchor_rules,
+                    seed_url=datum_meta.get("collection.seed"),
+                    allowed_domains=allowed,
+                )
+            if kept and i in nb_irrelevant:
+                # parsefilter-naivebayes second chance: only wordlist
+                # urls survive an irrelevant page
+                from ..functions.naivebayes import second_chance
+
+                kept = [o for o in kept if second_chance(o[0], self.nb_wordlist)]
 
             if kept:
                 # scfilters.distributeScoreToOutlinks (OPIC share)

@@ -529,3 +529,154 @@ def test_base_href_relative_resolution():
     html2 = (b"<html><body><a href=\"/rooted.html\">r</a></body></html>")
     out2 = ParseBatch(CrawlConfig())(pd.DataFrame([_fetch_row("http://a.com/d/idx", html2)]))
     assert set(out2[out2["rtype"] == "outlink"]["dst"]) == {"http://a.com/rooted.html"}
+
+
+# ---------------------------------------------------------------------------
+# parsefilter-outlinks (TestOutlinkParseFilter.java port)
+# ---------------------------------------------------------------------------
+
+def _linked_urls(out):
+    return sorted(
+        out[(out["rtype"] == "crawl_parse") & (out["status"] == CS.LINKED)]["url"]
+    )
+
+
+def test_outlink_anchor_filter():
+    """testOutlinkAnchorFilter: anchors equal to a rule (trimmed,
+    lowercased, punctuation-stripped) reject their toUrl — including a
+    same-toUrl sibling with a good anchor; superstrings survive."""
+    html = (
+        "<html><body><p>this is the extracted text blablabla</p>"
+        '<a href="/test1">Reject</a>'
+        '<a href="/test2">reject</a>'
+        '<a href="/test3">   Reject  \n</a>'
+        '<a href="/test4">?.Reject</a>'
+        '<a href="/test5">Reject!#</a>'
+        '<a href="/test6">@*Reject!#</a>'
+        '<a href="/test6">Same page as previous - Should not be kept</a>'
+        '<a href="/keep">Dont Reject</a>'
+        "</body></html>"
+    ).encode()
+    cfg = CrawlConfig(
+        db_descendant_links=True, db_approve_anchors=True,
+        anchor_reject_rules=("# this is a comment", "", "reject"),
+        ignore_internal_links=False,
+    )
+    out = ParseBatch(cfg)(
+        pd.DataFrame([_fetch_row("http://nutch.apache.org/", html)]))
+    assert _linked_urls(out) == ["http://nutch.apache.org/keep"]
+
+
+def test_outlink_descendant_filter():
+    """validateDescendant(:182-225): host+path prefix gate with the
+    allowed-domain PDF exception; collection.seed overrides the page
+    url as the prefix root."""
+    html = (
+        "<html><body>"
+        '<a href="http://t.com/docs/child">in</a>'
+        '<a href="http://t.com/other/page">out</a>'
+        '<a href="http://cdn.example.net/paper.pdf">pdf-allowed</a>'
+        '<a href="http://evil.example.org/paper.pdf">pdf-denied</a>'
+        '<a href="http://elsewhere.com/docs/child">other-host</a>'
+        "</body></html>"
+    ).encode()
+    cfg = CrawlConfig(db_descendant_links=True, ignore_internal_links=False)
+    row = _fetch_row("http://t.com/docs/", html)
+    row["metadata"] = json.dumps(
+        {"collection.seed": "http://t.com/docs/", "org.domains": "example.net"})
+    out = ParseBatch(cfg)(pd.DataFrame([row]))
+    assert _linked_urls(out) == [
+        "http://cdn.example.net/paper.pdf", "http://t.com/docs/child"]
+
+
+# ---------------------------------------------------------------------------
+# microformats-reltag (RelTagParser.java)
+# ---------------------------------------------------------------------------
+
+def test_reltag_parse_meta():
+    """rel='tag' anchors' last path segment (URL-decoded) lands sorted
+    and deduped in parse meta Rel-Tag; other rels don't."""
+    html = (
+        "<html><body>"
+        '<a href="http://t.com/tags/zebra" rel="tag">z</a>'
+        '<a href="http://t.com/tags/alpha%20beta" rel="tag">ab</a>'
+        '<a href="http://t.com/tags/zebra" rel="tag">dup</a>'
+        '<a href="http://t.com/tags/skip" rel="nofollow">n</a>'
+        '<a href="http://t.com/tags/notag">plain</a>'
+        "</body></html>"
+    ).encode()
+    cfg = CrawlConfig(microformats_reltag=True)
+    meta = _parse_meta(cfg, html)
+    assert meta["Rel-Tag"] == ["alpha beta", "zebra"]
+    meta2 = _parse_meta(CrawlConfig(), html)
+    assert "Rel-Tag" not in meta2
+
+
+# ---------------------------------------------------------------------------
+# parse-zip (TestZipParser.java analogue over a stdlib-built archive)
+# ---------------------------------------------------------------------------
+
+def test_parse_zip_text_and_outlinks():
+    """ZipParser/ZipTextExtractor: entry names + extracted text
+    concatenate; html entries contribute outlinks; extension-less
+    entries are skipped."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("doc.txt", "hello zip world")
+        zf.writestr("page.html",
+                    '<html><body><a href="http://x.com/in">x</a></body></html>')
+        zf.writestr("noext", "ignored")
+        zf.writestr("dir/", "")
+    content = buf.getvalue()
+    cfg = CrawlConfig(ignore_internal_links=False)
+    out = ParseBatch(cfg)(
+        pd.DataFrame([_fetch_row("http://t.com/a.zip", content,
+                                 ctype="application/zip")]))
+    assert "http://x.com/in" in _linked_urls(out)
+    doc = out[out["rtype"] == "doc"].iloc[0]
+    texts = " ".join(s["text"] for s in doc["spans"] if s["kind"] == "text")
+    assert "hello zip world" in texts
+
+
+# ---------------------------------------------------------------------------
+# parsefilter-naivebayes (Train/Classify exact-math + filter semantics)
+# ---------------------------------------------------------------------------
+
+_NB_TRAIN = (
+    "1\tray data streaming datasets distributed compute",
+    "1\tdistributed execution with datasets and actors",
+    "0\tcelebrity gossip fashion week red carpet",
+    "0\tfashion gossip tabloid celebrity scandal",
+)
+
+
+def test_naivebayes_classify_math():
+    """Classify.java:53-118 parity: per-token log(freq)+1-log(words+V)
+    folds plus log-priors; ties -> relevant."""
+    from coherencebot_ray.functions.naivebayes import classify, train
+
+    m = train(_NB_TRAIN)
+    assert classify(m, "streaming datasets on ray") == "1"
+    assert classify(m, "red carpet celebrity gossip") == "0"
+
+
+def test_naivebayes_outlink_second_chance():
+    """NaiveBayesParseFilter.filter(:157-190): an irrelevant page keeps
+    only outlinks whose url contains a wordlist term; relevant pages
+    keep everything."""
+    cfg = CrawlConfig(
+        ignore_internal_links=False,
+        extra={"nb_train_lines": _NB_TRAIN, "nb_wordlist": ("dataset",)},
+    )
+    links = ('<a href="http://x.com/datasets/1">a</a>'
+             '<a href="http://x.com/gossip/2">b</a>')
+    irrelevant = f"<html><body><p>celebrity gossip fashion scandal</p>{links}</body></html>".encode()
+    relevant = f"<html><body><p>ray data distributed datasets</p>{links}</body></html>".encode()
+
+    out_ir = ParseBatch(cfg)(pd.DataFrame([_fetch_row("http://t.com/a", irrelevant)]))
+    assert _linked_urls(out_ir) == ["http://x.com/datasets/1"]
+    out_r = ParseBatch(cfg)(pd.DataFrame([_fetch_row("http://t.com/b", relevant)]))
+    assert _linked_urls(out_r) == ["http://x.com/datasets/1", "http://x.com/gossip/2"]
