@@ -175,6 +175,10 @@ class CrawlConfig:
     # scoring-link (LinkAnalysisScoringFilter.java:52-60): indexer-score
     # normalization factor applied to the LinkRank-written db score
     link_normalize_score: float = 1.0  # link.analyze.normalize.score
+    # scoring-similarity (cosine/Model.retrieveNgrams): (mingram,
+    # maxgram) shingles; gold-standard text rides
+    # extra['cosine_goldstandard_text'] (cosine.goldstandard.file)
+    scoring_similarity_ngrams: tuple = (1, 1)
 
     # --- parse filter plugins ----------------------------------------------
     # parse-metatags (MetaTagsParser.java:46-52): meta tag names to copy

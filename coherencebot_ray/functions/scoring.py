@@ -104,6 +104,19 @@ class ScoringFilter:
         (distributeScoreToOutlinks' target-metadata side channel)."""
         return {}
 
+    def score_after_parsing(self, content_meta: dict, parse_meta: dict,
+                            text: str, cfg) -> None:
+        """Text-reading passScoreAfterParsing variant (scoring-similarity
+        computes a relevance score from the parse text). The parse stage
+        only materializes per-doc text for the hook when a registered
+        plugin overrides this (uses_parse_text)."""
+
+    def outlink_score_override(self, content_meta: dict, cfg):
+        """Return a float to SET every outlink's score wholesale
+        (CosineSimilarity.distributeScoreToOutlinks replaces the OPIC
+        share), or None to leave the chain's share arithmetic alone."""
+        return None
+
 
 class OPICScoringFilter(ScoringFilter):
     """OPIC (scoring-opic/OPICScoringFilter.java:74-166), exact float32
@@ -421,6 +434,46 @@ class DepthScoringFilter(ScoringFilter):
         return score, status, metadata
 
 
+class SimilarityScoringFilter(ScoringFilter):
+    """scoring-similarity (src/plugin/scoring-similarity/.../
+    SimilarityScoringFilter.java:33-70 + cosine/CosineSimilarity.java):
+    passScoreAfterParsing scores the page text (+ metatag.description /
+    metatag.keyword ridealongs like CosineSimilarity:47-60) against the
+    gold-standard corpus (extra['cosine_goldstandard_text'], a string or
+    list of strings) and records it under ``nutch.score`` in the content
+    metadata; distributeScoreToOutlinks then SETS every outlink's score
+    to it (replacing the OPIC share). Model built lazily once per
+    filter/actor (Model.createModel)."""
+
+    name = "similarity"
+    SCORE_KEY = "nutch.score"
+
+    def __init__(self):
+        self._model = None
+
+    def _model_for(self, cfg):
+        if self._model is None:
+            from .similarity import CosineModel
+
+            gold = (getattr(cfg, "extra", {}) or {}).get(
+                "cosine_goldstandard_text") or ""
+            ng = tuple(getattr(cfg, "scoring_similarity_ngrams", (1, 1)) or (1, 1))
+            self._model = CosineModel(gold, mingram=ng[0], maxgram=ng[1])
+        return self._model
+
+    def score_after_parsing(self, content_meta, parse_meta, text, cfg):
+        parts = [text or ""]
+        for k in ("metatag.description", "metatag.keyword"):
+            v = parse_meta.get(k)
+            if v:
+                parts.append(v if isinstance(v, str) else " ".join(v))
+        content_meta[self.SCORE_KEY] = float(
+            self._model_for(cfg).score(" ".join(parts)))
+
+    def outlink_score_override(self, content_meta, cfg):
+        return content_meta.get(self.SCORE_KEY)
+
+
 _REGISTRY = {
     "opic": OPICScoringFilter,
     "withdrawn": WithdrawnScoringFilter,
@@ -429,6 +482,7 @@ _REGISTRY = {
     "urlmeta": URLMetaScoringFilter,
     "link": LinkAnalysisScoringFilter,
     "depth": DepthScoringFilter,
+    "similarity": SimilarityScoringFilter,
 }
 
 
@@ -527,6 +581,15 @@ class ScoringFilters:
             or type(f).pass_score_after_parsing is not base.pass_score_after_parsing
             or type(f).outlink_metadata is not base.outlink_metadata
             or type(f).distribute_veto is not base.distribute_veto
+            or type(f).score_after_parsing is not base.score_after_parsing
+            for f in self.chain
+        )
+
+    @property
+    def uses_parse_text(self) -> bool:
+        base = ScoringFilter
+        return any(
+            type(f).score_after_parsing is not base.score_after_parsing
             for f in self.chain
         )
 
@@ -537,6 +600,18 @@ class ScoringFilters:
     def pass_score_after_parsing(self, content_meta, parse_meta):
         for f in self.chain:
             f.pass_score_after_parsing(content_meta, parse_meta, self.cfg)
+
+    def score_after_parsing(self, content_meta, parse_meta, text):
+        for f in self.chain:
+            f.score_after_parsing(content_meta, parse_meta, text, self.cfg)
+
+    def outlink_score_override(self, content_meta):
+        out = None
+        for f in self.chain:
+            v = f.outlink_score_override(content_meta, self.cfg)
+            if v is not None:
+                out = v
+        return out
 
     def outlink_metadata(self, parse_meta):
         out = {}

@@ -459,6 +459,10 @@ class ParseBatch:
         # pass 1: extract spans/links/signature per doc; flatten hrefs
         parsed: list[tuple] = []  # (i, spans, link_start, n_links, signature, extra_meta)
         nb_irrelevant: set[int] = set()  # parsefilter-naivebayes verdicts
+        # per-doc text retained ONLY when a scoring plugin reads it
+        # (scoring-similarity's setURLScoreAfterParsing)
+        keep_text = self.scoring.uses_parse_text
+        doc_texts: dict[int, str] = {}
         hrefs: list[str] = []
         href_anchor: list[str] = []
         for i in range(len(ok)):
@@ -593,6 +597,8 @@ class ParseBatch:
 
                 if classify(self.nb_model, text) == "0":
                     nb_irrelevant.add(i)
+            if keep_text:
+                doc_texts[i] = text
             parsed.append((i, spans, len(hrefs), len(links), signature, extra_meta))
             for href, anchor in links:
                 hrefs.append(href)
@@ -656,14 +662,19 @@ class ParseBatch:
 
             ol_md_json = None
             parse_meta: dict = dict(extra_meta)  # metatags + regex flags
+            content_meta: dict = {}
             if parse_hooks:
                 # passScoreBeforeParsing / passScoreAfterParsing /
                 # distributeScoreToOutlinks metadata side channel
                 dm = datum_metas[i] if datum_metas is not None else None
                 datum_meta = json.loads(dm) if isinstance(dm, str) and dm else {}
-                content_meta: dict = {}
                 self.scoring.pass_score_before_parsing(datum_meta, content_meta)
                 self.scoring.pass_score_after_parsing(content_meta, parse_meta)
+                if keep_text:
+                    # scoring-similarity: score the page text against the
+                    # gold standard into the content metadata
+                    self.scoring.score_after_parsing(
+                        content_meta, parse_meta, doc_texts.get(i, ""))
                 ol_md = self.scoring.outlink_metadata(parse_meta)
                 ol_md_json = json.dumps(ol_md, sort_keys=True) if ol_md else None
             if parse_meta:
@@ -720,7 +731,13 @@ class ParseBatch:
                 kept = [o for o in kept if second_chance(o[0], self.nb_wordlist)]
 
             if kept:
-                # scfilters.distributeScoreToOutlinks (OPIC share)
+                # scfilters.distributeScoreToOutlinks (OPIC share);
+                # scoring-similarity SETS every target's score wholesale
+                # (CosineSimilarity.distributeScoreToOutlinks:74-81)
+                override = (
+                    self.scoring.outlink_score_override(content_meta)
+                    if keep_text else None
+                )
                 share = self.scoring.distribute_share(float(scores[i]), len(kept))
                 for nu, anchor, dst_host in kept:
                     factor = (
@@ -728,7 +745,10 @@ class ParseBatch:
                         if dst_host == src_host
                         else cfg.score_external_factor
                     )
-                    contrib = float(np.float32(share) * np.float32(factor))
+                    if override is not None:
+                        contrib = float(np.float32(override))
+                    else:
+                        contrib = float(np.float32(share) * np.float32(factor))
                     emit("outlink", url, src_host, part, None, None, 0, 0.0,
                          None, 0, anchor, nu, ft)
                     # LINKED datum for updatedb (ParseOutputFormat.java:317-366);

@@ -402,3 +402,62 @@ def test_link_analysis_scoring():
     assert chain.generator_sort_value(scores).tolist() == [0.5, 3.0]
     assert chain.indexer_score(scores).tolist() == [1.0, 6.0]
     assert chain.initial_score(2).tolist() == [0.0, 0.0]
+
+
+# ---------------------------------------------------------------------------
+# scoring-similarity (src/plugin/scoring-similarity)
+# ---------------------------------------------------------------------------
+
+def test_similarity_cosine_model_math():
+    """cosine/Model.java: tf doc vectors, cosine = dot/(l2*l2), page
+    score = max over gold docs; shingle mode when ngrams > 1."""
+    from coherencebot_ray.functions.similarity import (
+        CosineModel, cosine, doc_vector)
+
+    a = doc_vector("ray data ray")
+    b = doc_vector("ray data")
+    # a = {ray:2, data:1}, b = {ray:1, data:1}: dot=3, |a|=sqrt5, |b|=sqrt2
+    assert abs(cosine(a, b) - 3 / (np.sqrt(5) * np.sqrt(2))) < 1e-12
+
+    m = CosineModel(["distributed datasets streaming"], mingram=1, maxgram=1)
+    assert m.score("distributed datasets streaming") > 0.99
+    assert m.score("celebrity gossip tabloid") == 0.0
+
+    mg = CosineModel(["big data pipelines"], mingram=2, maxgram=2)
+    assert mg.score("big data pipelines") > 0.99  # shared bigrams
+    assert mg.score("data big") == 0.0  # order matters for shingles
+
+
+def test_similarity_scoring_sets_outlink_scores():
+    """SimilarityScoringFilter: page text scored against the gold
+    standard; every outlink LINKED datum's score is SET to it
+    (replacing the OPIC share), and metatag.description rides into the
+    scored text (CosineSimilarity:47-60)."""
+    cfg = CrawlConfig(
+        scoring_filters=("opic", "similarity"),
+        extra={"cosine_goldstandard_text": "ray data distributed datasets"},
+        ignore_internal_links=False,
+    )
+    html = (b"<html><body><p>ray data distributed datasets</p>"
+            b'<a href="http://x.com/1">a</a><a href="http://x.com/2">b</a>'
+            b"</body></html>")
+    out = ParseBatch(cfg)(pd.DataFrame([_fetch_row("http://t.com/", html, score=0.8)]))
+    linked = out[(out["rtype"] == "crawl_parse") & (out["status"] == CS.LINKED)]
+    assert len(linked) == 2
+    scores = linked["score"].to_numpy(dtype=np.float64)
+    # identical text -> cosine 1.0 for BOTH outlinks (no share division)
+    assert np.allclose(scores, 1.0)
+
+    # unrelated text -> cosine 0.0 set on outlinks
+    html2 = (b"<html><body><p>celebrity gossip tabloid</p>"
+             b'<a href="http://x.com/1">a</a></body></html>')
+    out2 = ParseBatch(cfg)(pd.DataFrame([_fetch_row("http://t.com/", html2)]))
+    linked2 = out2[(out2["rtype"] == "crawl_parse") & (out2["status"] == CS.LINKED)]
+    assert linked2["score"].to_numpy(dtype=np.float64)[0] == 0.0
+
+    # default chain unaffected: OPIC share still divides
+    out3 = ParseBatch(CrawlConfig(ignore_internal_links=False))(
+        pd.DataFrame([_fetch_row("http://t.com/", html, score=0.8)]))
+    linked3 = out3[(out3["rtype"] == "crawl_parse") & (out3["status"] == CS.LINKED)]
+    assert np.allclose(linked3["score"].to_numpy(np.float64),
+                       np.float32(0.8) / np.float32(2.0))
