@@ -769,12 +769,100 @@ def write_index_http(docs_ds, endpoint: str, session_factory=None, batch_size: i
     return total
 
 
+class ElasticIndexWriter:
+    """indexer-elastic (src/plugin/indexer-elastic/.../
+    ElasticIndexWriter.java:115-280) over the REST bulk API: NDJSON
+    ``_bulk`` payloads of action+source line pairs (the reference's
+    BulkProcessor does the same wire format through the Java client),
+    one flush-commit via ``_refresh``. Runs as a map_batches actor stage
+    like HttpIndexWriter — one session per actor, one bulk POST per
+    batch. ``session_factory`` injectable (no elastic server or network
+    in this env; tests use a stub)."""
+
+    def __init__(self, endpoint: str, index: str = "nutch",
+                 session_factory=None, timeout_s: float = 30.0):
+        self.endpoint = endpoint.rstrip("/")
+        self.index = index
+        self.timeout_s = timeout_s
+        if session_factory is not None:
+            self._session = session_factory()
+        else:  # pragma: no cover - no network in the test environment
+            import requests
+
+            self._session = requests.Session()
+
+    def _bulk(self, lines: list[str]) -> None:
+        r = self._session.post(
+            f"{self.endpoint}/_bulk",
+            data="\n".join(lines) + "\n",
+            headers={"Content-Type": "application/x-ndjson"},
+            timeout=self.timeout_s,
+        )
+        status = getattr(r, "status_code", 200)
+        if status >= 300:
+            raise RuntimeError(f"elastic bulk failed: HTTP {status}")
+
+    def write_batch(self, df: pd.DataFrame) -> int:
+        """One action+source pair per doc, _id = url (the reference's
+        key field), list columns as arrays (ElasticIndexWriter:230-250)."""
+        if len(df) == 0:
+            return 0
+        lines: list[str] = []
+        for doc in df.to_dict(orient="records"):
+            _id = doc.get("url") or doc.get("id")
+            lines.append(json.dumps({"index": {"_index": self.index, "_id": _id}}))
+            lines.append(json.dumps(
+                {k: (list(v) if isinstance(v, (np.ndarray, tuple)) else v)
+                 for k, v in doc.items()},
+                default=str))
+        self._bulk(lines)
+        return len(df)
+
+    def delete_batch(self, keys) -> int:
+        """CleaningJob deletes (ElasticIndexWriter.delete:259-263)."""
+        keys = list(keys)
+        if not keys:
+            return 0
+        self._bulk([
+            json.dumps({"delete": {"_index": self.index, "_id": k}})
+            for k in keys
+        ])
+        return len(keys)
+
+    def commit(self) -> None:
+        self._session.post(
+            f"{self.endpoint}/{self.index}/_refresh", timeout=self.timeout_s)
+
+
+def write_index_elastic(docs_ds, endpoint: str, index: str = "nutch",
+                        session_factory=None, batch_size: int = 500,
+                        concurrency: int = 4) -> int:
+    """Stream the docs Dataset into elastic bulk. Returns docs posted;
+    one refresh from the driver after the stream drains."""
+
+    class _Post:
+        def __init__(self):
+            self.w = ElasticIndexWriter(endpoint, index, session_factory)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"n": [self.w.write_batch(df)]})
+
+    stats = docs_ds.map_batches(
+        _Post, batch_format="pandas", batch_size=batch_size, concurrency=concurrency
+    )
+    total = int(stats.sum("n") or 0)
+    ElasticIndexWriter(endpoint, index, session_factory).commit()
+    return total
+
+
 def write_index_exchanged(docs_ds, writers: dict, exchanges=None) -> None:
     """Exchange-routed index writing (exchange/Exchanges.java:144-159 +
-    IndexWriters): ``writers`` maps writer id -> (out_dir, fmt); each
-    document goes to the union of writer ids whose exchange predicate
-    matches (default route / all-writers fallback per the reference —
-    see functions/exchange.Exchanges).
+    IndexWriters): ``writers`` maps writer id -> (out_dir, fmt) for file
+    sinks, or a callable ``sink(ds) -> Any`` (e.g. a write_index_elastic
+    / write_index_http closure); each document goes to the union of
+    writer ids whose exchange predicate matches (default route /
+    all-writers fallback per the reference — see
+    functions/exchange.Exchanges).
 
     Execution shape: ONE shared upstream dataset, one vectorized
     predicate filter per writer (each a zero-copy map_batches over the
@@ -795,10 +883,13 @@ def write_index_exchanged(docs_ds, writers: dict, exchanges=None) -> None:
 
         return f
 
-    for wid, (out_dir, fmt) in writers.items():
-        write_index(
-            docs_ds.map_batches(route_for(wid), batch_format="pandas"), out_dir, fmt
-        )
+    for wid, spec in writers.items():
+        routed = docs_ds.map_batches(route_for(wid), batch_format="pandas")
+        if callable(spec):
+            spec(routed)
+        else:
+            out_dir, fmt = spec
+            write_index(routed, out_dir, fmt)
 
 
 # ---------------------------------------------------------------------------

@@ -331,3 +331,101 @@ def test_segment_merge_filter(ray_session, tmp_path):
     assert counts["fetch_out"] == 1
     got = pq.read_table(str(out / "fetch_out")).to_pandas()
     assert got["url"].tolist() == ["http://a.com/x"]
+
+
+def test_elastic_index_writer(ray_session, tmp_path):
+    """indexer-elastic bulk-NDJSON shape through the stub session:
+    action+source line pairs with _id = url, one _refresh commit,
+    delete actions for the CleaningJob path."""
+    import glob
+
+    import ray.data as rd
+
+    from coherencebot_ray.stages.tools import ElasticIndexWriter, write_index_elastic
+
+    rec = str(tmp_path / "bulk")
+
+    class _NdjsonSession:
+        def __init__(self, rec_dir):
+            self.rec_dir = rec_dir
+
+        def post(self, url, data=None, json=None, headers=None, timeout=None):
+            import json as _json
+            import os
+            import uuid
+
+            os.makedirs(self.rec_dir, exist_ok=True)
+            with open(os.path.join(self.rec_dir, f"{uuid.uuid4().hex}.json"), "w") as f:
+                _json.dump({"url": url, "data": data, "headers": headers}, f)
+
+            class R:
+                status_code = 200
+
+            return R()
+
+    docs = pd.DataFrame({
+        "url": [f"http://x/{i}" for i in range(10)],
+        "score": np.arange(10, dtype=np.float64),
+        "anchors": [["a", "b"]] * 10,
+    })
+    n = write_index_elastic(
+        rd.from_pandas(docs), "http://es.example:9200", index="crawl",
+        session_factory=lambda: _NdjsonSession(rec), batch_size=4, concurrency=1,
+    )
+    assert n == 10
+    posts = [json.load(open(p)) for p in glob.glob(rec + "/*.json")]
+    bulks = [p for p in posts if p["url"].endswith("/_bulk")]
+    refreshes = [p for p in posts if p["url"].endswith("/crawl/_refresh")]
+    assert len(refreshes) == 1
+    actions, sources = [], []
+    for p in bulks:
+        assert p["headers"]["Content-Type"] == "application/x-ndjson"
+        lines = [json.loads(l) for l in p["data"].strip().split("\n")]
+        actions.extend(lines[0::2])
+        sources.extend(lines[1::2])
+    assert {a["index"]["_id"] for a in actions} == set(docs["url"])
+    assert all(a["index"]["_index"] == "crawl" for a in actions)
+    assert sources[0]["anchors"] == ["a", "b"]
+
+    # delete path (CleaningJob)
+    w = ElasticIndexWriter("http://es.example:9200", index="crawl",
+                           session_factory=lambda: _NdjsonSession(rec))
+    assert w.delete_batch(["http://x/1", "http://x/2"]) == 2
+    posts2 = [json.load(open(p)) for p in glob.glob(rec + "/*.json")]
+    dels = [json.loads(l) for p in posts2 if p["url"].endswith("/_bulk")
+            for l in p["data"].strip().split("\n") if '"delete"' in l]
+    assert {d["delete"]["_id"] for d in dels} == {"http://x/1", "http://x/2"}
+
+
+def test_exchange_routes_to_callable_sink(ray_session, tmp_path):
+    """write_index_exchanged accepts a callable sink so the elastic
+    writer rides the exchange routing like file sinks."""
+    import ray.data as rd
+
+    from coherencebot_ray.functions.exchange import ExchangeConfig, Exchanges
+    from coherencebot_ray.stages.tools import write_index_exchanged
+
+    docs = pd.DataFrame({
+        "url": ["http://a.com/1", "http://b.org/2"],
+        "host": ["a.com", "b.org"],
+    })
+    got = {}
+
+    def sink(ds):
+        got["rows"] = sorted(ds.to_pandas()["url"])
+
+    exch = Exchanges(
+        [ExchangeConfig("orgs", 'host == "b.org"', ("es",))],
+        default_writers=("files",),
+        all_writers=("files", "es"),
+    )
+    out_dir = str(tmp_path / "files")
+    write_index_exchanged(
+        rd.from_pandas(docs), {"files": (out_dir, "parquet"), "es": sink},
+        exchanges=exch,
+    )
+    assert got["rows"] == ["http://b.org/2"]
+    import pyarrow.parquet as pq
+
+    files = pq.read_table(out_dir).to_pandas()
+    assert sorted(files["url"]) == ["http://a.com/1"]
