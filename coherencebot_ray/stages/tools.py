@@ -275,6 +275,168 @@ def export_warc(seg_dir: str, out_dir: str, warc_date: str = "2026-01-01T00:00:0
     return total
 
 
+def export_arc(seg_dir: str, out_dir: str, arc_date: str = "20260101000000") -> int:
+    """ARC/1 export for parity with the reference's arc tooling
+    (tools/arc/ArcRecordReader.java:40-60 documents the format: an arc
+    file is concatenated gzip members, each member = one header line
+    ``url ip date content-type length`` + payload). One ``part-N.arc.gz``
+    per segment partition, filedesc leader member first. Returns record
+    count; ``arc_date`` injected for determinism."""
+    import gzip as _gzip
+
+    os.makedirs(out_dir, exist_ok=True)
+    total = 0
+    for f in sorted(glob.glob(os.path.join(seg_dir, "content", "part-*", "*.parquet"))):
+        part = os.path.basename(os.path.dirname(f))
+        t = pq.read_table(f, partitioning=None)
+        path = os.path.join(out_dir, f"{part}.arc.gz")
+        with open(path, "wb") as fh:
+            desc = f"filedesc://{part}.arc 0.0.0.0 {arc_date} text/plain 0\n".encode()
+            fh.write(_gzip.compress(desc, mtime=0))
+            for url, content, ctype in zip(
+                t.column("url").to_pylist(),
+                t.column("content").to_pylist(),
+                t.column("content_type").to_pylist(),
+            ):
+                if content is None:
+                    continue
+                payload = bytes(content)
+                header = (
+                    f"{url} 0.0.0.0 {arc_date} "
+                    f"{ctype or 'application/octet-stream'} {len(payload)}\n"
+                ).encode()
+                fh.write(_gzip.compress(header + payload, mtime=0))
+                total += 1
+    return total
+
+
+def iter_arc_records(raw: bytes):
+    """Yield (header_line, body_bytes) from an arc file: concatenated
+    gzip members (ArcRecordReader.java:73-95 scans for the gzip magic;
+    zlib's unused_data gives the same member walk) OR an
+    already-decompressed stream (Ray's read_binary_files inflates *.gz
+    through Arrow's codec inference) walked by the header's length
+    field (the ARC version-1 record framing)."""
+    import zlib
+
+    if raw[:2] == b"\x1f\x8b":
+        pos = 0
+        while pos + 2 <= len(raw) and raw[pos : pos + 2] == b"\x1f\x8b":
+            d = zlib.decompressobj(wbits=31)
+            try:
+                chunk = d.decompress(raw[pos:])
+            except zlib.error:
+                break
+            consumed = (len(raw) - pos) - len(d.unused_data)
+            if consumed <= 0:
+                break
+            pos += consumed
+            header, _, body = chunk.partition(b"\n")
+            yield header.decode("utf-8", errors="replace").strip(), body
+        return
+    pos = 0
+    while pos < len(raw):
+        nl = raw.find(b"\n", pos)
+        if nl < 0:
+            break
+        header = raw[pos:nl].decode("utf-8", errors="replace").strip()
+        fields = header.split()
+        try:
+            length = int(fields[-1])
+        except (ValueError, IndexError):
+            break
+        body = raw[nl + 1 : nl + 1 + length]
+        yield header, body
+        pos = nl + 1 + length
+
+
+class ArcSegmentCreator:
+    """tools/arc/ArcSegmentCreator.java:289-360 as a map_batches stage
+    over raw arc files: each record's header supplies url / version
+    (headers[2]) / content type (headers[3]); urls are normalized
+    (SCOPE_FETCHER) and filtered; filedesc:// leader records skipped;
+    surviving records become FETCH_SUCCESS fetch-output rows ready for
+    the parse stage (the reference parses inline; here the standard
+    ParseBatch stage follows)."""
+
+    def __init__(self, cfg: CrawlConfig, cur_time_ms: int):
+        from ..functions.filters import URLFilters
+        from ..functions.normalizers import SCOPE_FETCHER, URLNormalizers
+
+        self.cfg = cfg
+        self.cur_time_ms = cur_time_ms
+        self.norms = URLNormalizers(cfg.normalizers)
+        self.scope = SCOPE_FETCHER
+        self.filters = URLFilters(cfg.filters)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.urlutil import hosts_of, partition_for_hosts
+
+        recs: list[tuple] = []
+        for raw in df["bytes"]:
+            for header, body in iter_arc_records(bytes(raw)):
+                fields = header.split()
+                if not fields or fields[0].startswith("filedesc://"):
+                    continue
+                url = fields[0]
+                version = fields[2] if len(fields) > 2 else ""
+                ctype = fields[3] if len(fields) > 3 else "text/html"
+                recs.append((url, version, ctype, body))
+        cols = ["url", "host", "part", "status", "fetch_time", "retries",
+                "fetch_interval", "score", "signature", "modified_time",
+                "gen_time", "repr_url", "fixed_interval", "metadata",
+                "content", "content_type", "fetch_order"]
+        if not recs:
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
+        urls = self.norms.normalize_many([r[0] for r in recs], self.scope)
+        keep = [
+            (u, r) for u, r in zip(urls, recs) if u is not None
+        ]
+        if keep:
+            mask = self.filters.accept_many(np.array([u for u, _ in keep], dtype=object))
+            keep = [kr for kr, m in zip(keep, mask) if m]
+        if not keep:
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
+        urls_v = np.array([u for u, _ in keep], dtype=object)
+        hosts = hosts_of(urls_v)
+        parts = partition_for_hosts(
+            hosts, self.cfg.num_partitions, self.cfg.partition_seed,
+            self.cfg.partition_mode)
+        return pd.DataFrame({
+            "url": urls_v,
+            "host": hosts.to_numpy(dtype=object),
+            "part": np.asarray(parts, dtype=np.int64),
+            "status": np.int64(CS.FETCH_SUCCESS),
+            "fetch_time": np.int64(self.cur_time_ms),
+            "retries": np.int64(0),
+            "fetch_interval": np.int64(self.cfg.interval_default),
+            "score": np.float32(1.0),  # CrawlDatum(STATUS_DB_FETCHED, interval, 1.0f)
+            "signature": None,
+            "modified_time": np.int64(0),
+            "gen_time": np.int64(0),
+            "repr_url": None,
+            "fixed_interval": np.int64(0),
+            "metadata": [json.dumps({"arc.url.version": r[1]}) for _, r in keep],
+            "content": [r[3] for _, r in keep],
+            "content_type": [r[2] for _, r in keep],
+            "fetch_order": np.int64(0),
+        })
+
+
+def arc_segment_creator(arc_paths, cfg: CrawlConfig, cur_time_ms: int):
+    """Read arc files into a fetch-output Dataset (one task per file;
+    parse with ParseBatch downstream like any fetched segment)."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(arc_paths)
+    return ds.map_batches(
+        ArcSegmentCreator,
+        fn_constructor_kwargs={"cfg": cfg, "cur_time_ms": cur_time_ms},
+        batch_format="pandas",
+        concurrency=max(2, cfg.task_num_cpus),
+    )
+
+
 # ---------------------------------------------------------------------------
 # LinkRank (scoring/webgraph/LinkRank analogue): iterative link analysis
 # ---------------------------------------------------------------------------

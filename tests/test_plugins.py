@@ -675,3 +675,52 @@ def test_warc_export_real_format(tmp_path, ray_session):
     first = blob.split(b"\r\n\r\n", 1)[0].decode()
     cl = [l for l in first.splitlines() if l.startswith("Content-Length: ")]
     assert cl and int(cl[0].split(": ")[1]) > 0
+
+
+def test_arc_roundtrip_segment(tmp_path, ray_session):
+    """ARC export/ingest round-trip (tools/arc/*): a crawled segment
+    exports to concatenated-gzip arc members (filedesc leader + one
+    member per stored doc), and ArcSegmentCreator reads them back into
+    fetch-output rows whose urls and payloads match the segment."""
+    from coherencebot_ray.pipelines.crawl import CrawlDriver
+    from coherencebot_ray.sources.synth import EPOCH, synth_frontier
+
+    cfg = CrawlConfig(num_partitions=2, topn=50, server_delay_s=0.0)
+    d = CrawlDriver(str(tmp_path / "c"), cfg)
+    d.bootstrap(synth_frontier(60, 5, cfg))
+    d.run_round(EPOCH)
+    seg = d.seg_dir(1)
+
+    arc_dir = str(tmp_path / "arc")
+    n = tools.export_arc(seg, arc_dir)
+    assert n > 0
+
+    import glob as g
+
+    arc_files = sorted(g.glob(arc_dir + "/*.arc.gz"))
+    assert arc_files
+    # raw member walk: filedesc leader first
+    first_header, _ = next(tools.iter_arc_records(open(arc_files[0], "rb").read()))
+    assert first_header.startswith("filedesc://")
+
+    back = tools.arc_segment_creator(arc_files, cfg, EPOCH).to_pandas()
+    assert len(back) == n
+    assert (back["status"] == CS.FETCH_SUCCESS).all()
+
+    import pyarrow.parquet as pq
+
+    orig = pd.concat([
+        pq.read_table(f, partitioning=None).to_pandas()
+        for f in g.glob(seg + "/content/part-*/*.parquet")
+    ])
+    orig = orig[orig["content"].notna()]
+    assert set(back["url"]) == set(orig["url"])
+    ob = orig.set_index("url")["content"].map(bytes)
+    bb = back.set_index("url")["content"].map(bytes)
+    assert all(ob[u] == bb[u] for u in bb.index)
+
+    # and the standard parse stage consumes the re-created segment
+    from coherencebot_ray.stages.parse import ParseBatch
+
+    parsed = ParseBatch(cfg)(back)
+    assert (parsed["rtype"] == "doc").sum() > 0
