@@ -113,8 +113,19 @@ def derived_frontier_ds(
             out = transform(out, ids)
         return out
 
+    # Floor the read-block size (same rationale as queries._read's
+    # min_block_bytes): Ray's default parallelism shatters the small
+    # doc_id file into ~2xCPU micro-blocks and the downstream bucketed
+    # sort exchange pays per-block overhead that dominates the wall at
+    # bench scale (measured 3.6s -> sub-second on generate_topn at
+    # sf0.1). No-op at real scale where blocks already exceed the floor.
+    import math
+    import os
+
+    path = f"{sf_dir}/documents.parquet"
+    n_blocks = max(1, math.ceil(os.path.getsize(path) / (4 << 20)))
     return rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        path, columns=["doc_id"], override_num_blocks=n_blocks
     ).map_batches(build, batch_format="pandas")
 
 
