@@ -150,6 +150,12 @@ class CrawlConfig:
     # second-chance wordlist ride extra['nb_train_lines'] /
     # extra['nb_wordlist'] (the reference reads trainfile/wordlist files)
 
+    # parsefilter-archive (ArchiveParseFilter.java:165-180): archive
+    # fetched PDFs to an object store; the client rides
+    # extra['archive_store_factory'] (S3 SDK absent in env)
+    archive_s3_bucket: str = ""            # parsefilter.archive.s3bucket
+    archive_s3_prefix: str = "file/coherencebot-archive/"  # .s3prefix
+
     # mimetype-filter (MimeTypeIndexingFilter.java:160-185): rule lines
     # from mimetype.filter.file — '+'/'-' switch accept/block mode,
     # other lines are MIME prefixes

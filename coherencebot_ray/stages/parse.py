@@ -416,6 +416,15 @@ class ParseBatch:
         # parsefilter-naivebayes: model trained once per actor from the
         # injected training lines (the reference trains from
         # parsefilter.naivebayes.trainfile at setConf)
+        # parsefilter-archive: store client built once per actor
+        store_factory = (cfg.extra or {}).get("archive_store_factory")
+        if store_factory is not None and cfg.archive_s3_bucket:
+            from ..functions.archive import ArchiveFilter
+
+            self.archiver = ArchiveFilter(
+                cfg.archive_s3_bucket, cfg.archive_s3_prefix, store_factory())
+        else:
+            self.archiver = None
         nb_lines = (cfg.extra or {}).get("nb_train_lines")
         if nb_lines:
             from ..functions.naivebayes import train
@@ -554,6 +563,16 @@ class ParseBatch:
             signature = self.signer(text, bytes(content), urls[i])
             # parse-filter metadata: metatag.<name> entries + regex flags
             extra_meta: dict = {}
+            if self.archiver is not None:
+                # parsefilter-archive: digest keys the stored object
+                # (ArchiveParseFilter.java:84-93 uses the parse digest)
+                from ..functions.archive import ARCHIVE_META_KEY
+
+                a_url = self.archiver.archive(
+                    urls[i], ctype, bytes(content),
+                    signature.hex() if signature else None)
+                if a_url:
+                    extra_meta[ARCHIVE_META_KEY] = a_url
             if self.cfg.cc_license and metatags is not None and "pdf" not in ctype:
                 # creativecommons CCParseFilter (License-Url etc.)
                 from ..functions.license import find_cc_license

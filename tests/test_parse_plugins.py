@@ -680,3 +680,51 @@ def test_naivebayes_outlink_second_chance():
     assert _linked_urls(out_ir) == ["http://x.com/datasets/1"]
     out_r = ParseBatch(cfg)(pd.DataFrame([_fetch_row("http://t.com/b", relevant)]))
     assert _linked_urls(out_r) == ["http://x.com/datasets/1", "http://x.com/gossip/2"]
+
+
+# ---------------------------------------------------------------------------
+# parsefilter-archive (ArchiveParseFilter.java analogue w/ store seam)
+# ---------------------------------------------------------------------------
+
+def test_archive_parse_filter(tmp_path):
+    """PDF content is archived under <prefix><host>/<digest>.pdf, the
+    parse metadata gains file.url_archive, non-PDF types are ignored,
+    and existing keys are not re-uploaded (but still stamped)."""
+    import os
+
+    from coherencebot_ray.functions.archive import LocalObjectStore, archive_key, slugify
+
+    root = str(tmp_path / "store")
+    cfg = CrawlConfig(
+        archive_s3_bucket="assets-dev",
+        extra={"archive_store_factory": lambda: LocalObjectStore(root)},
+    )
+    pdf = b"%FPDF|Title|Head|Body"
+    out = ParseBatch(cfg)(pd.DataFrame([
+        _fetch_row("http://t.com/doc.pdf", pdf, ctype="application/pdf"),
+        _fetch_row("http://t.com/page.html", b"<html><body><p>x</p></body></html>"),
+    ]))
+    pm = out[out["status"] == CS.PARSE_META]
+    metas = [json.loads(m) for m in pm["metadata"]]
+    archived = [m["file.url_archive"] for m in metas if "file.url_archive" in m]
+    assert len(archived) == 1
+    aurl = archived[0]
+    assert aurl.startswith("s3://assets-dev/file/coherencebot-archive/t.com/")
+    assert aurl.endswith(".pdf")
+    key = aurl.split("s3://assets-dev/")[1]
+    path = os.path.join(root, "assets-dev", key)
+    assert open(path, "rb").read() == pdf
+
+    # idempotent second pass: key exists -> stamped, not rewritten
+    mtime = os.path.getmtime(path)
+    out2 = ParseBatch(cfg)(pd.DataFrame([
+        _fetch_row("http://t.com/doc.pdf", pdf, ctype="application/pdf")]))
+    pm2 = [json.loads(m) for m in out2[out2["status"] == CS.PARSE_META]["metadata"]]
+    assert pm2[0]["file.url_archive"] == aurl
+    assert os.path.getmtime(path) == mtime
+
+    # key derivation corners (:95-118)
+    assert archive_key("http://h.com/a/b?q=1", "ab12", "p/") == "p/h.com/ab12.pdf"
+    assert archive_key("http://h.com/x/y", None, "p/") == "p/h.com/x-y.pdf"
+    assert archive_key("http://no-path-host", "ab12", "p/") == "p/no-host/ab12.pdf"
+    assert slugify("A/B c.PDF") == "a-b-c-pdf"
