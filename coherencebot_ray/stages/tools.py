@@ -869,6 +869,14 @@ def write_index(docs_ds, out_dir: str, fmt: str = "parquet") -> None:
         docs_ds.write_csv(out_dir)
     elif fmt == "jsonl":
         docs_ds.write_json(out_dir)
+    elif fmt == "dummy":
+        # indexer-dummy (DummyIndexWriter.java:37-95): '<action>\t<url>'
+        # debug lines; one file per block (the reference's single local
+        # file doesn't exist on a cluster — per-block parts do)
+        def to_lines(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"line": "update\t" + df["url"].astype(str)})
+
+        docs_ds.map_batches(to_lines, batch_format="pandas").write_csv(out_dir)
     else:
         raise ValueError(f"unknown index sink format: {fmt}")
 
