@@ -781,6 +781,44 @@ class CrawlDriver:
             by_part, gen=0, parent_gen=None, counters={"bootstrap_rows": frontier_table.num_rows}
         )
 
+    def bootstrap_ds(self, frontier_ds) -> dict:
+        """Install generation 0 from a frontier Dataset WITHOUT driver
+        materialization: one task per partition writes its file + seen
+        shard directly into the store tmp dir (the _InjectTask layout);
+        the driver only commits the manifest. Use this over bootstrap()
+        when the seed frontier is itself corpus-scale."""
+        self.store.begin_generation(0)
+        root = self.store.root
+
+        def write_part(g: pd.DataFrame) -> pd.DataFrame:
+            from ..state.cuckoo import CuckooFilter
+
+            out = []
+            for part, sub in g.groupby("part", sort=False):
+                part = int(part)
+                table = _frontier_pa(sub.reset_index(drop=True))
+                dest = os.path.join(
+                    root, "gen=000000.tmp", f"part={part}", "data-0.parquet")
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                pq.write_table(table, dest, compression="zstd")
+                cf = CuckooFilter(capacity=max(1024, 2 * len(sub)))
+                cf.add_many(sub["url"].to_numpy())
+                with open(dest.replace(".parquet", ".seen"), "wb") as fh:
+                    fh.write(cf.to_bytes())
+                out.append({"part": part, "rows": len(sub)})
+            return pd.DataFrame(out)
+
+        stats = (
+            frontier_ds.groupby("part")
+            .map_groups(write_part, batch_format="pandas")
+            .to_pandas()
+        )
+        written = {int(p): int(r) for p, r in zip(stats["part"], stats["rows"])}
+        return self.store.commit_generation(
+            written, gen=0, parent_gen=None,
+            counters={"bootstrap_rows": int(stats["rows"].sum())},
+        )
+
     def inject(self, seed_lines: list[str], cur_time_ms: int) -> dict:
         """J1: seeds ∪ frontier -> new generation (Injector.java:209-348)."""
         from ..functions.filters import URLFilters

@@ -1512,18 +1512,20 @@ def q_crawl_round(sf_dir: str):
     discovery arithmetic (FakeProtocol outlink_targets/_redirect_target)."""
     import tempfile
 
-    import pyarrow as pa
-
-    from ..pipelines.crawl import CrawlDriver, _frontier_pa
     from ..functions.urlutil import partition_for_hosts
+    from ..pipelines.crawl import CrawlDriver
 
     cfg = CrawlConfig(num_partitions=4, topn=10_000, server_delay_s=0.0)
-    df = DV.derived_frontier(DV.read_doc_ids(sf_dir))
-    df["part"] = partition_for_hosts(df["host"], cfg.num_partitions, cfg.partition_seed)
-    df["signature"] = None
+
+    def partify(df, ids):
+        df["part"] = partition_for_hosts(
+            df["host"], cfg.num_partitions, cfg.partition_seed)
+        df["signature"] = None
+        return df
+
     with tempfile.TemporaryDirectory() as wd:
         d = CrawlDriver(wd, cfg)
-        d.bootstrap(_frontier_pa(df))
+        d.bootstrap_ds(DV.derived_frontier_ds(sf_dir, transform=partify))
         d.run_round(EPOCH + 10_000)
         out = d.store.read_table(1).to_pandas()[["url", "status"]]
         out["status"] = out["status"].astype(np.int64)
