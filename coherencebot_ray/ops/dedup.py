@@ -510,3 +510,103 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, text_col: str = "text"):
     return bucketed_group_apply(
         out, ["a", "b"], lambda g: g.drop_duplicates(subset=["a", "b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering: near-dup pairs -> connected components -> canonical rep
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
+                         max_iters: int = 30, n_buckets: int = 64):
+    """Distributed min-label connected components over a pair Dataset:
+    the dedup-clustering step that turns pairwise near-dup hits
+    (minhash / simhash / embedding) into KEEP-ONE groups. Returns a
+    Dataset (id, rep) for every node that appears in a pair, rep = the
+    component's minimum id.
+
+    Min-label propagation: each iteration hash-joins the current labels
+    onto the symmetric edge set (one tagged-union bucketed co-group, the
+    indexer-join machinery) and folds per-node minima (one bucketed
+    min). Iterations needed = component diameter — near-dup clusters
+    are shallow (pairs come from a shared bucket), so a handful of
+    rounds converges; the per-iteration label-sum (a monotonically
+    decreasing integer) gives an exact distributed convergence check
+    with no driver-side labels.
+    """
+    from .agg import bucketed_group_apply
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        u = np.concatenate([df[a_col].to_numpy(np.int64), df[b_col].to_numpy(np.int64)])
+        v = np.concatenate([df[b_col].to_numpy(np.int64), df[a_col].to_numpy(np.int64)])
+        return pd.DataFrame({"u": u, "v": v})
+
+    edges = pairs_ds.map_batches(sym, batch_format="pandas")
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": df["u"].to_numpy(np.int64),
+                             "label": df["u"].to_numpy(np.int64)}).drop_duplicates("u")
+
+    def _label_checksum(lab_ds) -> int:
+        # exact arbitrary-precision sum: int64 would overflow at
+        # 10^10-scale ids x 10^10 nodes; per-block partial sums are
+        # Python ints serialized as strings (one tiny row per block)
+        parts = lab_ds.map_batches(
+            lambda df: pd.DataFrame(
+                {"s": [str(int(df["label"].astype(object).sum())) if len(df) else "0"]}
+            ),
+            batch_format="pandas",
+        ).take_all()
+        return sum(int(r["s"]) for r in parts)
+
+    labels = bucketed_group_apply(
+        edges.map_batches(init_labels, batch_format="pandas"), "u",
+        lambda g: g.drop_duplicates("u"), n_buckets=n_buckets,
+    ).materialize()
+    prev_sum = _label_checksum(labels)
+
+    def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+        # join key = u (the label owner); v = the neighbor to notify
+        return pd.DataFrame({"u": df["u"].to_numpy(np.int64),
+                             "v": df["v"].to_numpy(np.int64),
+                             "label": np.int64(-1)})
+
+    def tag_label(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": df["u"].to_numpy(np.int64),
+                             "v": np.int64(-1),
+                             "label": df["label"].to_numpy(np.int64)})
+
+    def propagate(g: pd.DataFrame) -> pd.DataFrame:
+        # one bucket: edges (u, v) + labels (u, label) co-grouped on u;
+        # emit (v, label_of_u) candidates + the existing (u, label)
+        lab = g[g["v"] < 0][["u", "label"]]
+        e = g[g["label"] < 0][["u", "v"]]
+        if len(e) and len(lab):
+            m = e.merge(lab, on="u", how="inner")
+            cand = pd.DataFrame({"u": m["v"].to_numpy(np.int64),
+                                 "label": m["label"].to_numpy(np.int64)})
+            out = pd.concat([lab, cand], ignore_index=True)
+        else:
+            out = lab
+        # partial min inside the bucket before the fold exchange
+        return out.groupby("u", sort=False, as_index=False)["label"].min()
+
+    tagged_edges = edges.map_batches(tag_edge, batch_format="pandas")
+    for _ in range(max_iters):
+        tagged = labels.map_batches(tag_label, batch_format="pandas").union(tagged_edges)
+        cand = bucketed_group_apply(tagged, "u", propagate, n_buckets=n_buckets)
+        labels = bucketed_group_apply(
+            cand, "u",
+            lambda g: g.groupby("u", sort=False, as_index=False)["label"].min(),
+            n_buckets=n_buckets,
+        ).materialize()
+        s = _label_checksum(labels)
+        if s == prev_sum:
+            break  # fixpoint: min-labels are monotone non-increasing ints
+        prev_sum = s
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id": df["u"].to_numpy(np.int64),
+                             "rep": df["label"].to_numpy(np.int64)})
+
+    return labels.map_batches(finish, batch_format="pandas")

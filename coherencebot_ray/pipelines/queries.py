@@ -1079,6 +1079,40 @@ ORDER BY a, b
 """
 
 
+def q_dedup_components(sf_dir: str):
+    """Dedup clustering: exact embedding near-dup pairs (cosine >= 0.45)
+    -> distributed min-label connected components -> (id, rep) with rep
+    = the component's minimum vec_id (the KEEP-ONE canonical). Oracle:
+    transitive closure via a recursive CTE."""
+    from ..ops.dedup import connected_components
+    from ..ops.knn import embedding_neardup_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    pairs = embedding_neardup_pairs(ds, threshold=0.45)
+    out = connected_components(pairs).to_pandas()
+    out["id"] = out["id"].astype(np.int64)
+    out["rep"] = out["rep"].astype(np.int64)
+    return out.sort_values("id").reset_index(drop=True)
+
+
+_DEDUP_COMPONENTS_SQL = """
+WITH RECURSIVE p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+    AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+),
+sym AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+)
+SELECT u AS id, least(u, min(v)) AS rep FROM reach GROUP BY u ORDER BY id
+"""
+
+
 def q_knn_ivf(sf_dir: str):
     """IVF-bucketed ANN (scale path of knn) with deterministic first-N
     centroid seeding so the exact same IVF algorithm is expressible as
@@ -1621,6 +1655,7 @@ def build_queries() -> dict:
         "knn_ivf": q_knn_ivf,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "dedup_components": q_dedup_components,
         "window_tumbling": q_window_tumbling,
         "sliding_window": q_sliding_window,
         "sessionize": q_sessionize,
@@ -1662,6 +1697,7 @@ def build_oracle_sql() -> dict:
         "knn_cosine": _KNN_SQL,
         "embedding_neardup": _NEARDUP_SQL,
         "embedding_neardup_lsh": _embedding_lsh_sql(),
+        "dedup_components": _DEDUP_COMPONENTS_SQL,
         "window_tumbling": _TUMBLING_SQL,
         "sliding_window": _SLIDING_SQL,
         "sessionize": _SESSION_SQL,

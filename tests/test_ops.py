@@ -461,3 +461,25 @@ def test_bpe_token_count():
     # I |'ll| pay| $|42|.|50| today|!  -> 9 pieces
     assert bpe_token_count(s).tolist() == [9, 0, 2]
     assert token_count(s).tolist() == [4, 0, 2]
+
+
+def test_connected_components_clusters(ray_session):
+    """Distributed min-label components over near-dup pairs: a 4-chain,
+    a triangle and a 2-pair resolve to their min-id representative; the
+    checksum fixpoint stops before max_iters."""
+    import ray.data as rd
+
+    from coherencebot_ray.ops.dedup import connected_components
+
+    pairs = pd.DataFrame({
+        # chain 7-3-9-12 (diameter 3), triangle 20-21-22, pair 40-41
+        "a": [7, 3, 9, 20, 21, 20, 40],
+        "b": [3, 9, 12, 21, 22, 22, 41],
+    })
+    out = (
+        connected_components(rd.from_pandas(pairs), n_buckets=4)
+        .to_pandas().set_index("id")["rep"].to_dict()
+    )
+    assert out == {7: 3, 3: 3, 9: 3, 12: 3,
+                   20: 20, 21: 20, 22: 20,
+                   40: 40, 41: 40}
