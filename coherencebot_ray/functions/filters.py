@@ -203,8 +203,45 @@ class ExemptionURLFilter:
         return True
 
 
+class AutomatonURLFilter:
+    """urlfilter-automaton (AutomatonURLFilter.java:95-108): +/- regex
+    rules compiled into ONE union DFA (functions/automaton.UnionDFA),
+    FULL-string match per rule (brics RunAutomaton.run), first matching
+    rule in file order wins, no match -> reject. The batch path
+    (``accept_batch``) steps the DFA column-major — one numpy gather
+    per character position for the whole url batch."""
+
+    name = "automaton"
+
+    def __init__(self, rules: list[tuple[str, str]] | None = None):
+        from .automaton import UnionDFA
+
+        src = rules if rules is not None else [
+            # the plugin's WholeWebCrawling sample defaults (full-match
+            # patterns, hence the explicit .* where regex used search)
+            ("-", r"(file|ftp|mailto):.*"),
+            ("-", r".*\.(gif|GIF|jpg|JPG|ico|ICO|css|sit|eps|wmf|zip|ppt|mpg|xls|gz|rpm|tgz|mov|MOV|exe)"),
+            ("-", r".*[?*!@=].*"),
+            ("+", r".*"),
+        ]
+        self.signs = np.array([s == "+" for s, _ in src], dtype=bool)
+        self.dfa = UnionDFA([pat for _, pat in src])
+
+    def __call__(self, url: str) -> bool:
+        r = int(self.dfa.match_rule([url])[0])
+        return bool(self.signs[r]) if r >= 0 else False
+
+    def accept_batch(self, urls) -> np.ndarray:
+        r = self.dfa.match_rule(urls)
+        out = np.zeros(len(r), dtype=bool)
+        m = r >= 0
+        out[m] = self.signs[r[m]]
+        return out
+
+
 _REGISTRY = {
     "regex": RegexURLFilter,
+    "automaton": AutomatonURLFilter,
     "fast": FastURLFilter,
     "validator": ValidatorURLFilter,
     "path": PathURLFilter,
@@ -245,12 +282,23 @@ class URLFilters:
         return all(f(url) for f in self.chain)
 
     def accept_many(self, urls) -> np.ndarray:
-        memo: dict[str, bool] = {}
-        out = np.empty(len(urls), dtype=bool)
-        for i, u in enumerate(urls):
-            v = memo.get(u)
-            if v is None:
-                v = self.accept(u)
-                memo[u] = v
-            out[i] = v
+        # vectorized members (accept_batch, e.g. the automaton DFA) run
+        # column-major over the whole batch; per-row members keep the
+        # memoized loop over the still-accepted subset
+        out = np.ones(len(urls), dtype=bool)
+        rowwise = []
+        for f in self.chain:
+            if hasattr(f, "accept_batch"):
+                out &= np.asarray(f.accept_batch(urls), dtype=bool)
+            else:
+                rowwise.append(f)
+        if rowwise and out.any():
+            memo: dict[str, bool] = {}
+            for i in np.flatnonzero(out):
+                u = urls[i]
+                v = memo.get(u)
+                if v is None:
+                    v = all(f(u) for f in rowwise)
+                    memo[u] = v
+                out[i] = v
         return out

@@ -81,3 +81,97 @@ def test_exemption_filter():
     assert e.is_exempt("http://img.cdn.example/x.png")
     assert not e.is_exempt("http://other.com/x")
     assert e("http://anything/")  # standalone: accept-all
+
+
+# ---------------------------------------------------------------------------
+# urlfilter-automaton (TestAutomatonURLFilter port: WholeWebCrawling +
+# IntranetCrawling sample matrices over the true-DFA engine)
+# ---------------------------------------------------------------------------
+
+def _automaton(rules):
+    from coherencebot_ray.functions.filters import AutomatonURLFilter
+
+    return AutomatonURLFilter(rules=rules)
+
+
+_WHOLE_WEB_RULES = [
+    ("-", r"(file|ftp|mailto):.*"),
+    ("-", r".*\.(gif|GIF|jpg|JPG|ico|ICO|css|sit|eps|wmf|zip|ppt|mpg|xls|gz|rpm|tgz|mov|MOV|exe)"),
+    ("-", r".*[?*!@=].*"),
+    ("+", r".*"),
+]
+
+_WHOLE_WEB_URLS = [
+    (False, "file://home/jc/nutch/index.html"),
+    (False, "ftp://ftp.apache.org/nutch.html"),
+    (False, "mailto:jerome.charron@gmail.com"),
+    (True, "news://any.news.server/comp.lang.java"),
+    (True, "whois:/nutch.org"),
+    (False, "http://www.nutch.org/nutch.gif"),
+    (False, "http://www.nutch.org/nutch.eps"),
+    (False, "http://www.nutch.org/nutch?q=nutch"),
+    (True, "http://www.nutch.org/"),
+    (True, "http://www.nutch.org/abcd/foo/bar/foo/bar/foo/"),
+    (True, "http://www.nutch.org/abcd/foo/bar/xyz/foo/bar/foo/"),
+]
+
+
+def test_automaton_whole_web_matrix():
+    """WholeWebCrawling.rules/.urls sample port: full-string DFA match,
+    first matching rule wins."""
+    f = _automaton(_WHOLE_WEB_RULES)
+    for expected, url in _WHOLE_WEB_URLS:
+        assert f(url) == expected, url
+    # vectorized batch path agrees with the scalar path
+    urls = np.array([u for _, u in _WHOLE_WEB_URLS], dtype=object)
+    batch = f.accept_batch(urls)
+    assert batch.tolist() == [e for e, _ in _WHOLE_WEB_URLS]
+
+
+def test_automaton_intranet_matrix():
+    """IntranetCrawling.rules/.urls sample port (accept only
+    MY.DOMAIN.NAME hosts; '.' in the un-escaped domain matches any
+    char, like the brics automaton does)."""
+    rules = [
+        ("-", r"(file|ftp|mailto):.*"),
+        ("-", r".*\.(gif|GIF|jpg|JPG|ico|ICO|css|sit|eps|wmf|zip|ppt|mpg|xls|gz|rpm|tgz|mov|MOV|exe|png)"),
+        ("-", r".*[?*!@=].*"),
+        ("+", r"http://([a-z0-9]*\.)*MY.DOMAIN.NAME/.*"),
+        ("-", r".*"),
+    ]
+    f = _automaton(rules)
+    cases = [
+        (False, "file://home/jc/nutch/index.html"),
+        (False, "ftp://ftp.apache.org/nutch.html"),
+        (False, "mailto:jerome.charron@gmail.com"),
+        (False, "news://any.news.server/comp.lang.java"),
+        (False, "whois:/nutch.org"),
+        (True, "http://MY.DOMAIN.NAME/"),
+        (True, "http://MY.DOMAIN.NAME/nutch"),
+        (True, "http://www.MY.DOMAIN.NAME/"),
+    ]
+    for expected, url in cases:
+        assert f(url) == expected, url
+
+
+def test_automaton_chain_and_vectorized_accept_many():
+    """The automaton plugin rides URLFilters: accept_many takes the
+    vectorized accept_batch path and agrees with per-row accept."""
+    from coherencebot_ray.functions.filters import URLFilters
+
+    chain = URLFilters(instances=[_automaton(_WHOLE_WEB_RULES)])
+    urls = np.array([u for _, u in _WHOLE_WEB_URLS], dtype=object)
+    assert chain.accept_many(urls).tolist() == [e for e, _ in _WHOLE_WEB_URLS]
+    assert [chain.accept(u) for u in urls] == [e for e, _ in _WHOLE_WEB_URLS]
+
+
+def test_automaton_regex_features():
+    """DFA engine corners: classes w/ ranges + negation, +, ?, nested
+    groups/alternation, escaped dot, full-match anchoring."""
+    f = _automaton([("+", r"[a-c]+x?(d|e[fg])*")])
+    assert f("abcd") and f("axd") and f("a") and f("abefeg")
+    assert not f("abxx") and not f("d") and not f("abcdz")
+    neg = _automaton([("+", r"[^0-9]*")])
+    assert neg("abc/:!") and not neg("ab3c")
+    esc = _automaton([("+", r"a\.b")])
+    assert esc("a.b") and not esc("axb")
