@@ -129,6 +129,22 @@ def select_partition(
     count = 0
 
     hosts_arr = g["host"].to_numpy()
+    if default_max <= 0 and not hostdb:
+        # FAST PATH (the stock config: generate.max.count=-1, no hostdb
+        # overrides): no per-host caps means selection degenerates to
+        # the first limit×segments rows in score order with block
+        # segment assignment — fully vectorized, no per-row loop. This
+        # is the 10^10-frontier common case; the loop below only runs
+        # when host caps or overrides are live.
+        n_take = min(n, limit * max_num_segments)
+        out = g.iloc[:n_take].copy()
+        out["segnum"] = (np.arange(n_take, dtype=np.int64) // limit + 1).astype(np.int32)
+        out["sort_score"] = out["score"].astype(np.float32)
+        out["fetch_delay_ms"] = np.int64(0)
+        out["gen_time"] = gen_time_ms
+        h = generator_url_hash_vec(out["url"].to_numpy())
+        return out.iloc[np.argsort(h, kind="stable")].reset_index(drop=True)
+
     for i in range(n):
         max_count = default_max
         fd = 0
