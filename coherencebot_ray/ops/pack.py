@@ -1,0 +1,98 @@
+"""Token-budget shard packing: assign documents (in stable doc-id
+order) to training shards of ~``budget`` tokens each — the sequential
+"running total" pass expressed as a DISTRIBUTED PREFIX SUM, an operator
+Ray Data has no native primitive for.
+
+Two-pass range scan (the classic parallel-scan layout):
+
+1. map_batches computes per-document token counts and per-RANGE partial
+   sums (range = id // range_size) — the range table is
+   ``n_docs / range_size`` rows, bounded and tiny relative to the data
+   (~150k rows for 10^10 docs at the default), so the driver can hold
+   the range PREFIX OFFSETS and broadcast them.
+2. a second map over ranges: local cumsum within the range (rows sorted
+   by id) + the broadcast offset = the exact global running total;
+   ``shard = (running_total - tokens) // budget`` (a document's shard
+   is decided by its START offset, matching SQL's
+   ``(sum(t) OVER (ORDER BY id) - t) // budget``).
+
+Deterministic, exact, and one all-to-all (the range groupby) of
+(id, tokens) pairs — the text never reshuffles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def pack_by_token_budget(
+    docs_ds,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    range_size: int = 65536,
+    n_buckets: int = 64,
+):
+    """Returns a Dataset (id_col, tokens, shard). Tokens = whitespace
+    runs (ops.text.token_count)."""
+    from ..ops.agg import bucketed_group_apply
+    from ..ops.text import token_count
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "tokens": token_count(df[text_col]).astype(np.int64),
+                "rng": ids // range_size,
+            }
+        )
+
+    tok = docs_ds.map_batches(counts, batch_format="pandas")
+
+    # pass 1: per-range sums -> driver-held prefix offsets (bounded)
+    from ..ops.agg import bucketed_sum
+
+    range_sums = bucketed_sum(
+        tok.map_batches(
+            lambda df: df[["rng", "tokens"]], batch_format="pandas"
+        ),
+        "rng",
+        ["tokens"],
+        n_buckets=n_buckets,
+    ).to_pandas()
+    range_sums = range_sums.sort_values("rng").reset_index(drop=True)
+    offsets = np.r_[0, np.cumsum(range_sums["tokens"].to_numpy(np.int64))[:-1]]
+    offset_by_range = dict(zip(range_sums["rng"].to_numpy(np.int64), offsets))
+
+    # pass 2: per-range local cumsum + broadcast offset -> shard
+    import ray
+
+    offsets_ref = ray.put(offset_by_range)
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offsets_ref)
+        outs = []
+        for rng_id, sub in g.groupby("rng", sort=False):
+            sub = sub.sort_values(id_col, kind="stable")
+            t = sub["tokens"].to_numpy(np.int64)
+            start = int(off[int(rng_id)]) + np.cumsum(t) - t
+            outs.append(
+                pd.DataFrame(
+                    {
+                        id_col: sub[id_col].to_numpy(np.int64),
+                        "tokens": t,
+                        "shard": (start // budget).astype(np.int64),
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype="int64"),
+                 "tokens": pd.Series(dtype="int64"),
+                 "shard": pd.Series(dtype="int64")}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_group_apply(tok, "rng", assign, n_buckets=n_buckets)

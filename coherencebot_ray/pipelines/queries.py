@@ -862,6 +862,33 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_pack_tokens(sf_dir: str):
+    """Token-budget shard packing (training-data curation): documents in
+    doc_id order greedily fill ~4096-token shards; shard = the doc's
+    START offset // budget, computed via the distributed two-pass range
+    prefix sum (ops/pack.py). Oracle: a window cumsum."""
+    from ..ops.pack import pack_by_token_budget
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    out = pack_by_token_budget(ds, budget=4096, range_size=128).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_PACK_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(coalesce(text, ''), '\\S+'))::BIGINT AS tokens
+  FROM documents
+)
+SELECT doc_id, tokens,
+       ((sum(tokens) OVER (ORDER BY doc_id) - tokens) // 4096)::BIGINT AS shard
+FROM t ORDER BY doc_id
+"""
+
+
 def q_gopher_quality(sf_dir: str):
     """Gopher-style quality rules (Rae et al. 2021 §A2) over documents,
     integer-arithmetic keep flag. Oracle: the same rules in DuckDB list
@@ -1666,6 +1693,7 @@ def build_queries() -> dict:
         "crawl_round": q_crawl_round,
         "subcollection": q_subcollection,
         "gopher_quality": q_gopher_quality,
+        "pack_tokens": q_pack_tokens,
         "token_counts": q_token_counts,
         "c4_filters": q_c4_filters,
         "crawlcomplete": q_crawlcomplete,
@@ -1711,6 +1739,7 @@ def build_oracle_sql() -> dict:
         "langid": _langid_sql(),
         "subcollection": _SUBCOLL_SQL,
         "gopher_quality": _GOPHER_SQL,
+        "pack_tokens": _PACK_SQL,
         "token_counts": _token_counts_sql(),
         "c4_filters": _C4_SQL,
         "knn_ivf": _KNN_IVF_SQL,

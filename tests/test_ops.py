@@ -483,3 +483,23 @@ def test_connected_components_clusters(ray_session):
     assert out == {7: 3, 3: 3, 9: 3, 12: 3,
                    20: 20, 21: 20, 22: 20,
                    40: 40, 41: 40}
+
+
+def test_pack_by_token_budget_prefix_sum(ray_session):
+    """Distributed two-pass range prefix sum: shard boundaries match the
+    sequential cumsum exactly, including docs straddling a boundary
+    (shard decided by START offset) and sparse/non-contiguous ids."""
+    import ray.data as rd
+
+    from coherencebot_ray.ops.pack import pack_by_token_budget
+
+    ids = [1, 5, 9, 100, 101, 300]       # sparse across ranges (size 4)
+    texts = ["a b c", "d e", "f", "g h i j", "k", "l m"]  # 3,2,1,4,1,2
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts}))
+    out = (
+        pack_by_token_budget(ds, budget=4, range_size=4, n_buckets=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # cumsum starts: 0,3,5,6,10,11 -> //4 = 0,0,1,1,2,2
+    assert out["tokens"].tolist() == [3, 2, 1, 4, 1, 2]
+    assert out["shard"].tolist() == [0, 0, 1, 1, 2, 2]
