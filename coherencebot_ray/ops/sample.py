@@ -1,0 +1,50 @@
+"""Curation sampling operators: deterministic hash-Bernoulli sampling
+and stratified per-key quotas — the "take 1% of the corpus" / "at most
+k docs per host/language" steps of a training-data pipeline, both
+exactly reproducible (no RNG state, no ray-level sampling) so reruns
+and the SQL oracle agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+
+def _md5_bucket(ids: np.ndarray, mod: int = 100) -> np.ndarray:
+    """First 8 md5 hex chars of str(id) as an int, mod ``mod`` —
+    deterministic, uniform, and computable in SQL
+    (CAST('0x' || substr(md5(id::VARCHAR),1,8) AS UBIGINT) % mod)."""
+    return np.fromiter(
+        (int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16) % mod
+         for i in ids),
+        dtype=np.int64, count=len(ids),
+    )
+
+
+def hash_sample(ds, rate_pct: int, id_col: str = "doc_id"):
+    """Keep ~rate_pct% of rows by id hash: a pure map_batches filter —
+    embarrassingly parallel, no shuffle, stable under repartitioning."""
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        return df[_md5_bucket(ids) < rate_pct]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def stratified_topk(ds, key_col: str, k: int, order_col: str,
+                    n_buckets: int = 64, descending: bool = True):
+    """At most ``k`` rows per key, ranked by ``order_col`` (ties broken
+    by the order column only — callers wanting total determinism pass a
+    unique order column). One bucketed exchange; the per-key head runs
+    vectorized inside the bucket."""
+    from .agg import bucketed_group_apply
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col, ascending=not descending, kind="stable")
+        return g.groupby(key_col, sort=False).head(k)
+
+    return bucketed_group_apply(ds, key_col, head, n_buckets=n_buckets)

@@ -889,6 +889,53 @@ FROM t ORDER BY doc_id
 """
 
 
+def q_hash_sample(sf_dir: str):
+    """Deterministic ~20% corpus sample by doc_id md5 bucket (curation
+    sampling; no RNG, stable under repartitioning)."""
+    from ..ops.sample import hash_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    out = hash_sample(ds, rate_pct=20).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_HASH_SAMPLE_SQL = """
+SELECT doc_id FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 20
+ORDER BY doc_id
+"""
+
+
+def q_stratified_topk(sf_dir: str):
+    """Per-host quota: at most 3 docs per derived host, highest derived
+    score first (tie-broken by score only — scores are distinct by
+    construction)."""
+    from ..ops.sample import stratified_topk
+
+    def hostify(df, ids):
+        return df[["url", "host", "score"]]
+
+    ds = DV.derived_frontier_ds(sf_dir, transform=hostify)
+    out = stratified_topk(ds, "host", 3, "score").to_pandas()
+    out["score"] = out["score"].astype(np.float64)
+    return out[["url", "host", "score"]].sort_values("url").reset_index(drop=True)
+
+
+_STRATIFIED_SQL = f"""
+WITH f AS (
+  SELECT {DV.URL_SQL} AS url, {DV.HOST_SQL} AS host, {DV.SCORE_SQL} AS score
+  FROM documents
+), r AS (
+  SELECT url, host, score,
+         row_number() OVER (PARTITION BY host ORDER BY score DESC) AS rn
+  FROM f
+)
+SELECT url, host, score FROM r WHERE rn <= 3 ORDER BY url
+"""
+
+
 def q_gopher_quality(sf_dir: str):
     """Gopher-style quality rules (Rae et al. 2021 §A2) over documents,
     integer-arithmetic keep flag. Oracle: the same rules in DuckDB list
@@ -1693,6 +1740,8 @@ def build_queries() -> dict:
         "crawl_round": q_crawl_round,
         "subcollection": q_subcollection,
         "gopher_quality": q_gopher_quality,
+        "hash_sample": q_hash_sample,
+        "stratified_topk": q_stratified_topk,
         "pack_tokens": q_pack_tokens,
         "token_counts": q_token_counts,
         "c4_filters": q_c4_filters,
@@ -1739,6 +1788,8 @@ def build_oracle_sql() -> dict:
         "langid": _langid_sql(),
         "subcollection": _SUBCOLL_SQL,
         "gopher_quality": _GOPHER_SQL,
+        "hash_sample": _HASH_SAMPLE_SQL,
+        "stratified_topk": _STRATIFIED_SQL,
         "pack_tokens": _PACK_SQL,
         "token_counts": _token_counts_sql(),
         "c4_filters": _C4_SQL,
