@@ -143,6 +143,11 @@ class CrawlConfig:
     db_descendant_links: bool = False  # db.descendant.links
     db_approve_anchors: bool = False   # db.approve.anchors
     anchor_reject_rules: tuple = ()    # urlfilter.anchor.file lines
+    # language-identifier markup detection (HTMLLanguageParser.java:
+    # 92-260): html lang attr > dc.language > http-equiv
+    # content-language -> parse meta 'language' (the statistical
+    # identify path is ops/text.langid)
+    lang_html_detect: bool = False
     # microformats-reltag (RelTagParser.java:59-136): collect rel="tag"
     # anchor targets' last path segment into parse meta 'Rel-Tag'
     microformats_reltag: bool = False

@@ -49,6 +49,7 @@ class _DocHTMLParser(HTMLParser):
         self.scripts: list[str] = []  # <script> bodies (parse-js)
         self.tag_links: list[tuple] = []  # (tag, url) non-anchor outlinks
         self.rel_tag_hrefs: list[str] = []  # <a rel="tag"> (reltag)
+        self.lang_attr: str | None = None  # first element lang= attr
         self._in_script = False
         self._script_buf: list[str] = []
         self._stack: list[str] = []
@@ -64,6 +65,13 @@ class _DocHTMLParser(HTMLParser):
     }
 
     def handle_starttag(self, tag, attrs):
+        if self.lang_attr is None:
+            # first element lang attribute wins (HTMLLanguageParser's
+            # NodeWalker order)
+            for k, v in attrs:
+                if k == "lang" and v:
+                    self.lang_attr = v
+                    break
         if tag in ("title", "h1", "h2", "h3", "p", "a"):
             self._stack.append(tag)
             self._buf = []
@@ -481,6 +489,7 @@ class ParseBatch:
             ctype = ctypes[i] or "text/html"
             metatags: list[tuple] = []
             rel_tag_hrefs: list[str] = []
+            lang_meta: str | None = None
             if self.ext_parser is not None and self.ext_parser.can_parse(ctype):
                 # parse-ext: external command, stdout = text
                 from ..functions.extparser import ExtParseError
@@ -517,6 +526,14 @@ class ParseBatch:
                 metatags = _p.metatags
                 if cfg.microformats_reltag:
                     rel_tag_hrefs = _p.rel_tag_hrefs
+                if cfg.lang_html_detect:
+                    # language-identifier markup detection: html lang
+                    # attr > dc.language > http-equiv content-language
+                    from ..functions.htmllang import detect_language
+
+                    lang = detect_language(_p.lang_attr, metatags)
+                    if lang:
+                        lang_meta = lang
                 if _p.tag_links:
                     # frame/iframe/area/source (and any un-ignored
                     # img/script/link/form) outlinks, empty anchor
@@ -603,6 +620,9 @@ class ParseBatch:
                     else:
                         continue  # misconfigured source: logged + skipped
                     extra_meta[field] = "true" if pat.search(src) else "false"
+            if lang_meta:
+                # Metadata.LANGUAGE (HTMLLanguageParser.filter:128-131)
+                extra_meta["language"] = lang_meta
             if rel_tag_hrefs:
                 # microformats-reltag: sorted unique tag set into parse
                 # meta (RelTagParser's TreeSet + Metadata.add)

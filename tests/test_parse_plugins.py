@@ -728,3 +728,54 @@ def test_archive_parse_filter(tmp_path):
     assert archive_key("http://h.com/x/y", None, "p/") == "p/h.com/x-y.pdf"
     assert archive_key("http://no-path-host", "ab12", "p/") == "p/no-host/ab12.pdf"
     assert slugify("A/B c.PDF") == "a-b-c-pdf"
+
+
+# ---------------------------------------------------------------------------
+# language-identifier markup detection (TestHTMLLanguageParser port)
+# ---------------------------------------------------------------------------
+
+def test_html_language_parser_meta_docs():
+    """testMetaHTMLParsing: html lang attr / http-equiv content-language
+    / dc.language each land in parse meta 'language'."""
+    docs = [
+        (b'<html lang="fi"><head>document 1 title</head>'
+         b"<body>jotain suomeksi</body></html>", "fi"),
+        (b'<html><head><meta http-equiv="content-language" content="en">'
+         b"<title>document 2 title</title></head>"
+         b"<body>this is english</body></html>", "en"),
+        (b'<html><head><meta name="dc.language" content="en">'
+         b"<title>document 3 title</title></head>"
+         b"<body>this is english</body></html>", "en"),
+    ]
+    cfg = CrawlConfig(lang_html_detect=True)
+    for html, expected in docs:
+        meta = _parse_meta(cfg, html)
+        assert meta.get("language") == expected, html
+
+
+def test_html_language_parse_language_matrix():
+    """testParseLanguage: the full 44-case normalization matrix
+    (HTMLLanguageParser.LanguageParser.parseLanguage)."""
+    from coherencebot_ray.functions.htmllang import parse_language
+
+    cases = [
+        ("(SCHEME=ISO.639-1) sv", "sv"), ("(SCHEME=RFC1766) sv-FI", "sv"),
+        ("(SCHEME=Z39.53) SWE", "sv"), ("EN_US, SV, EN, EN_UK", "en"),
+        ("English Swedish", "en"), ("English, swedish", "en"),
+        ("English,Swedish", "en"), ("Other (Svenska)", "sv"),
+        ("SE", "se"), ("SV", "sv"), ("SV charset=iso-8859-1", "sv"),
+        ("SV-FI", "sv"), ("SV; charset=iso-8859-1", "sv"), ("SVE", "sv"),
+        ("SW", "sw"), ("SWE", "sv"), ("SWEDISH", "sv"), ("Sv", "sv"),
+        ("Sve", "sv"), ("Svenska", "sv"), ("Swedish", "sv"),
+        ("Swedish, svenska", "sv"), ("en, sv", "en"), ("sv", "sv"),
+        ("sv, be, dk, de, fr, no, pt, ch, fi, en", "sv"), ("sv,en", "sv"),
+        ("sv-FI", "sv"), ("sv-SE", "sv"), ("sv-en", "sv"), ("sv-fi", "sv"),
+        ("sv-se", "sv"), ("sv; Content-Language: sv", "sv"), ("sv_SE", "sv"),
+        ("sve", "sv"), ("svenska, swedish, engelska, english", "sv"),
+        ("sw", "sw"), ("swe", "sv"), ("swe.SPR.", "sv"), ("sweden", "sv"),
+        ("swedish", "sv"), ("swedish,", "sv"),
+        ("text/html; charset=sv-SE", "sv"), ("text/html; sv", "sv"),
+        ("torp, stuga, uthyres, bed & breakfast", None),
+    ]
+    for raw, expected in cases:
+        assert parse_language(raw) == expected, raw
