@@ -59,40 +59,79 @@ class PrefixURLFilter:
 
 
 class SuffixURLFilter:
+    """urlfilter-suffix (SuffixURLFilter.java + TestSuffixURLFilter):
+    ``mode_accept`` True (default) rejects listed suffixes and keeps
+    everything else; False keeps ONLY listed suffixes. Case-SENSITIVE
+    by default; ``filter_from_path`` checks the url path (query and
+    fragment stripped) instead of the raw string."""
+
     name = "suffix"
 
-    def __init__(self, suffixes: tuple = (), reject_matching: bool = True):
-        # reference default mode: listed suffixes are REJECTED (media exts)
-        self.suffixes = tuple(s.lower() for s in suffixes)
-        self.reject_matching = reject_matching
+    def __init__(self, suffixes: tuple = (), mode_accept: bool = True,
+                 ignore_case: bool = False, filter_from_path: bool = False,
+                 reject_matching: bool | None = None):
+        if reject_matching is not None:  # legacy alias
+            mode_accept = reject_matching
+        self.ignore_case = ignore_case
+        self.mode_accept = mode_accept
+        self.filter_from_path = filter_from_path
+        self.suffixes = tuple(
+            s.lower() for s in suffixes) if ignore_case else tuple(suffixes)
 
     def __call__(self, url: str) -> bool:
-        hit = url.lower().endswith(self.suffixes) if self.suffixes else False
-        return not hit if self.reject_matching else hit
+        probe = url
+        if self.filter_from_path:
+            from urllib.parse import urlsplit
+
+            try:
+                probe = urlsplit(url).path
+            except ValueError:
+                pass
+        if self.ignore_case:
+            probe = probe.lower()
+        hit = probe.endswith(self.suffixes) if self.suffixes else False
+        return not hit if self.mode_accept else hit
 
 
 class DomainURLFilter:
-    """Accept URLs whose host, domain or suffix appears in the allow set."""
+    """urlfilter-domain (DomainURLFilter.java:158-176): accept URLs
+    whose public suffix, domain or host appears in the allow set
+    (checked most-general-first like the reference)."""
 
     name = "domain"
 
     def __init__(self, allowed: tuple = ()):
-        self.allowed = frozenset(allowed)
+        self.allowed = frozenset(a.lower() for a in allowed)
 
     def __call__(self, url: str) -> bool:
+        from .urlutil import get_domain_suffix
+
         host = get_host(url)
-        return host in self.allowed or get_domain(host) in self.allowed
+        return (
+            get_domain_suffix(host) in self.allowed
+            or get_domain(host) in self.allowed
+            or host in self.allowed
+        )
 
 
 class DomainDenylistURLFilter:
+    """urlfilter-domaindenylist: the domain filter's suffix/domain/host
+    membership check, inverted (listed entries rejected)."""
+
     name = "domaindenylist"
 
     def __init__(self, denied: tuple = ()):
-        self.denied = frozenset(denied)
+        self.denied = frozenset(d.lower() for d in denied)
 
     def __call__(self, url: str) -> bool:
+        from .urlutil import get_domain_suffix
+
         host = get_host(url)
-        return host not in self.denied and get_domain(host) not in self.denied
+        return (
+            get_domain_suffix(host) not in self.denied
+            and get_domain(host) not in self.denied
+            and host not in self.denied
+        )
 
 
 class DescendantURLFilter:

@@ -175,3 +175,63 @@ def test_automaton_regex_features():
     assert neg("abc/:!") and not neg("ab3c")
     esc = _automaton([("+", r"a\.b")])
     assert esc("a.b") and not esc("axb")
+
+
+# ---------------------------------------------------------------------------
+# TestSuffixURLFilter port (mode/case/path matrix)
+# ---------------------------------------------------------------------------
+
+_SUFFIXES = (".gif", ".jpg", ".js")
+_SUFFIX_URLS = [
+    "http://www.example.com/test.gif", "http://www.example.com/TEST.GIF",
+    "http://www.example.com/test.jpg", "http://www.example.com/test.JPG",
+    "http://www.example.com/test.html", "http://www.example.com/test.HTML",
+    "http://www.example.com/test.html?q=abc.js",
+    "http://www.example.com/test.js?foo=bar&baz=bar#12333",
+]
+
+
+def test_suffix_filter_matrix():
+    from coherencebot_ray.functions.filters import SuffixURLFilter
+
+    def run(**kw):
+        f = SuffixURLFilter(_SUFFIXES, **kw)
+        return [f(u) for u in _SUFFIX_URLS]
+
+    # testModeAccept (case-sensitive, full-url): listed suffixes rejected
+    assert run(mode_accept=True) == [False, True, False, True, True, True, False, True]
+    # testModeReject: ONLY listed suffixes kept
+    assert run(mode_accept=False) == [True, False, True, False, False, False, True, False]
+    # testModeAcceptIgnoreCase
+    assert run(mode_accept=True, ignore_case=True) == [False, False, False, False, True, True, False, True]
+    # testModeRejectIgnoreCase
+    assert run(mode_accept=False, ignore_case=True) == [True, True, True, True, False, False, True, False]
+    # testModeAcceptAndPathFilter: query/fragment stripped
+    assert run(mode_accept=True, filter_from_path=True) == [False, True, False, True, True, True, True, False]
+    # testModeAcceptAndNonPathFilter (explicit default)
+    assert run(mode_accept=True, filter_from_path=False) == [False, True, False, True, True, True, False, True]
+
+
+def test_domain_filter_hosts_fixture():
+    """TestDomainURLFilter port over the plugin's hosts.txt sample
+    (suffix 'net'/'be', domain 'apache.org', host 'www.yahoo.com')."""
+    from coherencebot_ray.functions.filters import (
+        DomainDenylistURLFilter, DomainURLFilter)
+
+    allowed = ("net", "apache.org", "be", "www.yahoo.com")
+    f = DomainURLFilter(allowed)
+    assert f("http://lucene.apache.org")
+    assert f("http://hadoop.apache.org")
+    assert f("http://www.apache.org")
+    assert not f("http://www.google.com")
+    assert not f("http://mail.yahoo.com")
+    assert f("http://www.foobar.net")
+    assert f("http://www.foobas.net")
+    assert f("http://www.yahoo.com")
+    assert f("http://www.foobar.be")
+    assert not f("http://www.adobe.com")
+
+    # the denylist plugin inverts the same fixture
+    d = DomainDenylistURLFilter(allowed)
+    assert not d("http://lucene.apache.org")
+    assert d("http://www.google.com")
