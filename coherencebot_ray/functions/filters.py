@@ -211,18 +211,26 @@ class ValidatorURLFilter:
 
 
 class PathURLFilter:
-    """urlfilter-path analogue: reject URLs whose path contains a listed
-    segment (e.g. /cgi-bin/, /~)."""
+    """urlfilter-path (PathURLFilter.java:66-95): reject URLs where ANY
+    non-empty path segment EXACTLY equals a listed entry (the
+    reference's trie longestMatch + same-length check); query/fragment
+    are not part of the path; backslashes normalize to slashes."""
 
     name = "path"
 
-    def __init__(self, denied_segments: tuple = ("/cgi-bin/", "/~")):
-        self.denied = tuple(denied_segments)
+    def __init__(self, denied_segments: tuple = ()):
+        self.denied = frozenset(denied_segments)
 
     def __call__(self, url: str) -> bool:
-        rest = url.split("://", 1)[-1]
-        path = rest[rest.find("/"):] if "/" in rest else "/"
-        return not any(seg in path for seg in self.denied)
+        if not self.denied:
+            return True
+        from urllib.parse import urlsplit
+
+        try:
+            path = urlsplit(url.replace("\\", "/")).path or ""
+        except ValueError:
+            return True
+        return not any(seg and seg in self.denied for seg in path.split("/"))
 
 
 class ExemptionURLFilter:

@@ -68,10 +68,12 @@ def test_chain_and_vectorized_mask():
 def test_path_filter():
     from coherencebot_ray.functions.filters import PathURLFilter
 
-    p = PathURLFilter()
+    p = PathURLFilter(("cgi-bin", "~user"))
     assert not p("http://a.com/cgi-bin/script")
     assert not p("http://a.com/~user/page")
     assert p("http://a.com/normal/page")
+    assert p("http://a.com/x")  # empty rule set default: accept-all
+    assert PathURLFilter()("http://a.com/cgi-bin/script")
 
 
 def test_exemption_filter():
@@ -235,3 +237,26 @@ def test_domain_filter_hosts_fixture():
     d = DomainDenylistURLFilter(allowed)
     assert not d("http://lucene.apache.org")
     assert d("http://www.google.com")
+
+
+def test_path_filter_matrix():
+    """TestPathURLFilter port: exact path-segment matching — 'reject'
+    anywhere in the path rejects; 'rej'/'rejection' (different length)
+    and query-only urls pass; empty segments are skipped."""
+    from coherencebot_ray.functions.filters import PathURLFilter
+
+    f = PathURLFilter(("reject",))
+    cases = [
+        (False, "https://www.example.com/section/reject"),
+        (False, "https://www.example.com/reject"),
+        (False, "https://www.example.com/section/reject?result=this-is-rejected"),
+        (False, "https://www.example.com/reject/?result=this-is-rejected"),
+        (False, "https://www.example.com/reject/someotherlastpath"),
+        (False, "https://www.example.com//ok//reject/"),
+        (True, "https://www.example.com?result=this-is-accepted"),
+        (True, "https://www.example.com/rej"),
+        (True, "https://www.example.com/rejection"),
+        (True, "https://www.example.com//rej//"),
+    ]
+    for expected, url in cases:
+        assert f(url) == expected, url
