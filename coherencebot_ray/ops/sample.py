@@ -16,7 +16,10 @@ import pandas as pd
 def _md5_bucket(ids: np.ndarray, mod: int = 100) -> np.ndarray:
     """First 8 md5 hex chars of str(id) as an int, mod ``mod`` —
     deterministic, uniform, and computable in SQL
-    (CAST('0x' || substr(md5(id::VARCHAR),1,8) AS UBIGINT) % mod)."""
+    (CAST('0x' || substr(md5(id::VARCHAR),1,8) AS UBIGINT) % mod).
+    Per-row hashlib (~1µs/row) is the price of SQL-checkable
+    determinism; a deployment that doesn't need the oracle can swap in
+    a vectorized integer mix (e.g. splitmix64 in numpy) 1:1."""
     return np.fromiter(
         (int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16) % mod
          for i in ids),

@@ -187,3 +187,40 @@ def test_updatedb_dataset_path_renormalizes_mapside(tmp_path, ray_session):
 
     expect = partition_for_hosts(out["host"], cfg.num_partitions, cfg.partition_seed)
     assert (expect == out["part"].to_numpy()).all()
+
+
+def test_injector_reference_scenario(tmp_path, ray_session):
+    """TestInjector.testInject port through CrawlDriver.inject: first
+    inject 100 seeds with nutch.score / nutch.fetchInterval / key=value
+    metadata; second inject (db.injector.update=true) re-seeds the same
+    urls plus 100 new ones — counts dedupe, and the original interval /
+    non-default score / metadata survive the update merge."""
+    import json
+
+    from coherencebot_ray.config import CrawlConfig
+    from coherencebot_ray.pipelines.crawl import CrawlDriver
+
+    EPOCH_MS = 1_700_000_000_000
+    cfg = CrawlConfig(num_partitions=4, inject_update=True)
+    d = CrawlDriver(str(tmp_path / "c"), cfg)
+
+    seeds1 = [
+        f"http://zzz.com/{i}.html\tnutch.score=2.{i}\tnutch.fetchInterval=171717\tkey=value"
+        for i in range(100)
+    ]
+    d.inject(seeds1, EPOCH_MS)
+    t = d.store.read_table(d.store.latest_gen()).to_pandas()
+    assert sorted(t["url"]) == sorted(f"http://zzz.com/{i}.html" for i in range(100))
+
+    seeds2 = [f"http://xxx.com/{i}.html" for i in range(100)] + [
+        f"http://zzz.com/{i}.html" for i in range(100)
+    ]
+    d.inject(seeds2, EPOCH_MS + 1000)
+    t2 = d.store.read_table(d.store.latest_gen()).to_pandas().set_index("url")
+    # 200 distinct urls (zzz overwritten in place, not duplicated)
+    assert len(t2) == 200
+    for i in range(100):
+        row = t2.loc[f"http://zzz.com/{i}.html"]
+        assert row["fetch_interval"] == 171717
+        assert float(row["score"]) != 1.0  # nutch.score=2.i preserved
+        assert json.loads(row["metadata"])["key"] == "value"
