@@ -224,3 +224,31 @@ def test_injector_reference_scenario(tmp_path, ray_session):
         assert row["fetch_interval"] == 171717
         assert float(row["score"]) != 1.0  # nutch.score=2.i preserved
         assert json.loads(row["metadata"])["key"] == "value"
+
+
+def test_bootstrap_ds_matches_bootstrap(tmp_path, ray_session):
+    """bootstrap_ds (distributed gen-0 install) produces the same
+    generation-0 table, manifest row counts and seen shards as the
+    driver-side bootstrap."""
+    import ray.data as rd
+
+    from coherencebot_ray.config import CrawlConfig
+    from coherencebot_ray.pipelines.crawl import CrawlDriver
+    from coherencebot_ray.sources.synth import synth_frontier
+
+    cfg = CrawlConfig(num_partitions=4)
+    table = synth_frontier(300, 9, cfg)
+
+    a = CrawlDriver(str(tmp_path / "a"), cfg)
+    a.bootstrap(table)
+    b = CrawlDriver(str(tmp_path / "b"), cfg)
+    b.bootstrap_ds(rd.from_arrow(table))
+
+    ta = a.store.read_table(0).to_pandas().sort_values("url").reset_index(drop=True)
+    tb = b.store.read_table(0).to_pandas().sort_values("url").reset_index(drop=True)
+    assert ta[["url", "part", "status", "score"]].equals(
+        tb[["url", "part", "status", "score"]])
+    ma, mb = a.store.manifest(0), b.store.manifest(0)
+    rows_a = {p: v["rows"] for p, v in ma["partitions"].items()}
+    rows_b = {p: v["rows"] for p, v in mb["partitions"].items()}
+    assert rows_a == rows_b
