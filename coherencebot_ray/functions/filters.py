@@ -167,20 +167,69 @@ class FastURLFilter:
     name = "fast"
 
     def __init__(self, rules: dict | None = None):
-        self.rules = {
-            k: [(sign == "+", re.compile(pat)) for sign, pat in v]
-            for k, v in (rules or {}).items()
-        }
+        # legacy dict form: key -> [(sign, path_regex)]; entries match
+        # against path+query, keys are looked up as host then domain
+        self.host_rules: dict[str, list] = {}
+        self.domain_rules: dict[str, list] = {}
+        self.global_rules: list = []
+        for k, v in (rules or {}).items():
+            group = [(sign == "+", re.compile(pat), True) for sign, pat in v]
+            if k == "":
+                self.global_rules = group
+            else:
+                self.host_rules[k] = group
+                self.domain_rules[k] = group
+
+    @classmethod
+    def from_rules_text(cls, text: str) -> "FastURLFilter":
+        """Parse the plugin's rule-file format (FastURLFilter.java:
+        readRules): ``Host <h>`` / ``Domain <d>`` headers with indented
+        ``DenyPath <re>`` (matches the url PATH) / ``DenyPathQuery <re>``
+        (matches path?query) lines; ``Domain .`` rules apply globally;
+        a Domain entry covers the registered domain and every
+        subdomain; no match anywhere -> accept."""
+        f = cls()
+        target: list | None = None
+        for raw in text.splitlines():
+            line = raw.strip()
+            if not line or line.startswith("#"):
+                continue
+            head, _, arg = line.partition(" ")
+            arg = arg.strip()
+            if head == "Host":
+                target = f.host_rules.setdefault(arg.lower(), [])
+            elif head == "Domain":
+                if arg == ".":
+                    target = f.global_rules
+                else:
+                    target = f.domain_rules.setdefault(arg.lower(), [])
+            elif head in ("DenyPath", "DenyPathQuery") and target is not None:
+                target.append((False, re.compile(arg), head == "DenyPathQuery"))
+        return f
 
     def __call__(self, url: str) -> bool:
-        host = get_host(url)
-        path = url.split(host, 1)[-1] if host else url
-        for key in (host, get_domain(host), ""):
-            group = self.rules.get(key)
-            if not group:
-                continue
-            for accept, pat in group:
-                if pat.search(path):
+        from urllib.parse import urlsplit
+
+        try:
+            sp = urlsplit(url)
+            path = sp.path or "/"
+            pathquery = path + (f"?{sp.query}" if sp.query else "")
+            host = (sp.hostname or "").lower()
+        except ValueError:
+            return True
+        groups = []
+        if host:
+            g = self.host_rules.get(host)
+            if g:
+                groups.append(g)
+            g = self.domain_rules.get(get_domain(host))
+            if g:
+                groups.append(g)
+        if self.global_rules:
+            groups.append(self.global_rules)
+        for group in groups:
+            for accept, pat, use_query in group:
+                if pat.search(pathquery if use_query else path):
                     return accept
         return True
 

@@ -260,3 +260,57 @@ def test_path_filter_matrix():
     ]
     for expected, url in cases:
         assert f(url) == expected, url
+
+
+def test_fast_filter_reference_sample():
+    """TestFastURLFilter port: the plugin's fast-urlfilter-test.txt
+    rules against its test.urls matrix (Host/Domain grouping,
+    DenyPath vs DenyPathQuery, Domain-dot globals, backref loop rule)."""
+    from coherencebot_ray.functions.filters import FastURLFilter
+
+    rules = """\
+Host www.example.org
+  DenyPath ^/path/to/be/excluded
+  DenyPath ^/some/other/path/excluded
+
+# Deny everything from *.example.com and example.com
+Domain example.com
+  DenyPath .*
+
+Domain example.org
+  DenyPathQuery /resource/.*?action=exclude
+
+# exclude images from image server
+Host i.example.org
+  DenyPath (?i)\\.jpe?g$
+
+# skip URLs with slash-delimited segment that repeats 3+ times, to break loops
+Domain .
+  DenyPath (/.+?)/.*?\\1/.*?\\1/
+"""
+    f = FastURLFilter.from_rules_text(rules)
+    cases = [
+        (False, "https://www.example.org/path/to/be/excluded"),
+        (False, "https://www.example.org/path/to/be/excluded/continued"),
+        (False, "https://www.example.org/some/other/path/excluded"),
+        (True, "https://www.example.org/"),
+        (True, "https://www.example.org/%20white%20space%20in%20path%20escaped/"),
+        (False, "https://www1.example.com/"),
+        (False, "https://www2.example.com/"),
+        (False, "https://www.subnet.example.com/"),
+        (True, "https://www.examplex.com/"),
+        (True, "https://www.example.co.uk/"),
+        (True, "https://www.example.com.za/"),
+        (False, "https://www.example.org/resource/put?action=exclude"),
+        (False, "http://www.nutch.org/abcd/foo/bar/foo/bar/foo/"),
+        (False, "http://www.nutch.org/abcd/foo/bar/xyz/foo/bar/foo/"),
+        (True, "http://www.nutch.org/abcd/foo1/bar1/zzz1/"),
+        (False, "https://i.example.org/394d46ef76ee5c1bbad1cb98b40dc463d322c94d/c=0-129-2047-1285/635969287686419433-WORLD-40943944.JPG?width=3200&height=1680&fit=crop"),
+        (False, "ftp://ftp.example.com/file1.txt"),
+        (True, "ftp://ftp.example.org/file1.txt"),
+        (True, "file:/path/file1.txt"),
+        (True, "file:///path/file1.txt"),
+        (False, "file:/abcd/foo/bar/xyz/foo/bar/foo/"),
+    ]
+    for expected, url in cases:
+        assert f(url) == expected, url
