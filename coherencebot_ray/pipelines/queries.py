@@ -1187,6 +1187,64 @@ SELECT u AS id, least(u, min(v)) AS rep FROM reach GROUP BY u ORDER BY id
 """
 
 
+def q_neardup_keep_one(sf_dir: str):
+    """The composed training-data dedup pipeline: near-dup pairs ->
+    connected components -> drop every non-representative member ->
+    surviving corpus ids. All three stages distributed (the loser set
+    never materializes on the driver: tagged-union anti-join)."""
+    from ..ops.agg import bucketed_group_apply
+    from ..ops.dedup import connected_components
+    from ..ops.knn import embedding_neardup_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    pairs = embedding_neardup_pairs(ds, threshold=0.45)
+    comp = connected_components(pairs)
+
+    def tag_losers(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["id"].to_numpy() != df["rep"].to_numpy()]
+        return pd.DataFrame({"vec_id": d["id"].to_numpy(np.int64),
+                             "t": np.int8(1)})
+
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"vec_id": df["vec_id"].to_numpy(np.int64),
+                             "t": np.int8(0)})
+
+    tagged = ds.map_batches(tag_docs, batch_format="pandas").union(
+        comp.map_batches(tag_losers, batch_format="pandas"))
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        losers = set(g.loc[g["t"] == 1, "vec_id"])
+        keep = g[(g["t"] == 0) & ~g["vec_id"].isin(losers)]
+        return pd.DataFrame({"vec_id": keep["vec_id"].to_numpy(np.int64)})
+
+    out = bucketed_group_apply(tagged, "vec_id", anti).to_pandas()
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+_KEEP_ONE_SQL = """
+WITH RECURSIVE p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+    AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+),
+sym AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+losers AS (
+  SELECT u FROM reach GROUP BY u HAVING least(u, min(v)) <> u
+)
+SELECT e.vec_id FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT u FROM losers)
+ORDER BY e.vec_id
+"""
+
+
 def q_knn_ivf(sf_dir: str):
     """IVF-bucketed ANN (scale path of knn) with deterministic first-N
     centroid seeding so the exact same IVF algorithm is expressible as
@@ -1730,6 +1788,7 @@ def build_queries() -> dict:
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "dedup_components": q_dedup_components,
+        "neardup_keep_one": q_neardup_keep_one,
         "window_tumbling": q_window_tumbling,
         "sliding_window": q_sliding_window,
         "sessionize": q_sessionize,
@@ -1775,6 +1834,7 @@ def build_oracle_sql() -> dict:
         "embedding_neardup": _NEARDUP_SQL,
         "embedding_neardup_lsh": _embedding_lsh_sql(),
         "dedup_components": _DEDUP_COMPONENTS_SQL,
+        "neardup_keep_one": _KEEP_ONE_SQL,
         "window_tumbling": _TUMBLING_SQL,
         "sliding_window": _SLIDING_SQL,
         "sessionize": _SESSION_SQL,
