@@ -314,3 +314,27 @@ Domain .
     ]
     for expected, url in cases:
         assert f(url) == expected, url
+
+
+def test_validator_reference_matrix():
+    """TestUrlValidator port: scheme/authority/path/query validation."""
+    from coherencebot_ray.functions.filters import ValidatorURLFilter
+
+    v = ValidatorURLFilter()
+    cases = [
+        (False, "example.com/file[/].html"),
+        (False, "http://www.example.com/space here.html"),
+        (False, "/main.html"),
+        (False, "www.example.com/main.html"),
+        (False, "ftp:www.example.com/main.html"),
+        (False, "http://999.000.456.32/nutch/trunk/README.txt"),
+        (False, " http://www.example.com/ma|in\\toc.html"),
+        (True, "https://issues.apache.org/jira/NUTCH-1127"),
+        (True, "http://domain.tld/function.cgi?url=http://fonzi.com/"
+               "&amp;name=Fonzi&amp;mood=happy&amp;coat=leather"),
+        (True, "http://validator.w3.org/feed/check.cgi?url="
+               "http%3A%2F%2Ffeeds.feedburner.com%2Fperishablepress"),
+        (True, "ftp://alfa.bravo.pi/mike/check/plan.pdf"),
+    ]
+    for expected, url in cases:
+        assert v(url) == expected, url
