@@ -338,3 +338,15 @@ def test_validator_reference_matrix():
     ]
     for expected, url in cases:
         assert v(url) == expected, url
+
+
+def test_prefix_filter_reference_matrix():
+    """TestPrefixURLFilter port: scheme-prefix allow list."""
+    f = PrefixURLFilter(("http://", "https://", "file://", "ftp://"))
+    cases = [
+        (True, "http://www.example.com/"), (True, "https://www.example.com/"),
+        (True, "ftp://www.example.com/"), (True, "file://www.example.com/"),
+        (False, "abcd://www.example.com/"), (False, "www.example.com/"),
+    ]
+    for expected, url in cases:
+        assert f(url) == expected, url
