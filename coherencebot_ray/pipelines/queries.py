@@ -1164,7 +1164,10 @@ def q_dedup_components(sf_dir: str):
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"],
                min_block_bytes=_EXCHANGE_BLOCK_BYTES)
     pairs = embedding_neardup_pairs(ds, threshold=0.45)
-    out = connected_components(pairs).to_pandas()
+    # near-dup graphs are sparse: fewer buckets keep the per-iteration
+    # exchange off the micro-block floor at harness scale (the op's
+    # 64-bucket default is the 10^10-node setting)
+    out = connected_components(pairs, n_buckets=8).to_pandas()
     out["id"] = out["id"].astype(np.int64)
     out["rep"] = out["rep"].astype(np.int64)
     return out.sort_values("id").reset_index(drop=True)
@@ -1199,7 +1202,7 @@ def q_neardup_keep_one(sf_dir: str):
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"],
                min_block_bytes=_EXCHANGE_BLOCK_BYTES)
     pairs = embedding_neardup_pairs(ds, threshold=0.45)
-    comp = connected_components(pairs)
+    comp = connected_components(pairs, n_buckets=8)
 
     def tag_losers(df: pd.DataFrame) -> pd.DataFrame:
         d = df[df["id"].to_numpy() != df["rep"].to_numpy()]
