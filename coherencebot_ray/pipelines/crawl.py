@@ -411,7 +411,7 @@ def _fetch_parse_one(cfg, cur_time_ms, seg, part, fl, protocol, load_seen) -> di
             if len(cp_frames) > 1
             else cp_frames[0]
         )
-        cp = _preagg_links(cp)
+        cp = _preagg_links(cp, cfg)
         if cfg.num_partitions > cfg.scatter_direct_max_parts:
             # P^2-file guard: one file per SOURCE partition; the
             # per-target split happens in a Ray Data hash
@@ -495,13 +495,19 @@ class _RoundPartTask:
         return df
 
 
-def _preagg_links(cp: pd.DataFrame) -> pd.DataFrame:
+def _preagg_links(cp: pd.DataFrame, cfg=None) -> pd.DataFrame:
     """Partial-combine LINKED contributions per target url BEFORE the
     cross-partition scatter (OPIC sums are additive; the updatedb kernel
     adds the partials). Cuts the exchange ~(outlinks per page)×. Note:
     the db.update.max.inlinks top-k cap then applies to per-source-
     partition partials rather than individual links — exact whenever a
-    url has <= max_inlinks contributors, the overwhelming case."""
+    url has <= max_inlinks contributors, the overwhelming case.
+
+    LINKED metadata survives the combine: the highest-score link's
+    metadata is the partial's template (the kernel's l_metadata pick),
+    and any chain link_meta_min keys (scoring-depth's _depth_) fold to
+    their per-url MIN across the combined links so the kernel's
+    pre-aggregated min stays exact."""
     linked = cp["status"] == CS.LINKED
     if not linked.any():
         return cp
@@ -513,6 +519,7 @@ def _preagg_links(cp: pd.DataFrame) -> pd.DataFrame:
         fetch_time=("fetch_time", "first"),
         fetch_interval=("fetch_interval", "first"),
         anchor=("anchor", "first"),
+        metadata=("metadata", "first"),
     )
     # deterministic f32 sum in score-desc order per url
     lk2 = lk.sort_values("url", kind="stable")
@@ -521,9 +528,36 @@ def _preagg_links(cp: pd.DataFrame) -> pd.DataFrame:
     sums = np.add.reduceat(lk2["score"].to_numpy(dtype=np.float32), starts, dtype=np.float32)
     sum_by_url = dict(zip(u[starts], sums))
     agg["score"] = agg["url"].map(sum_by_url).astype(np.float32)
+    if cfg is not None:
+        from ..functions.scoring import make_scoring
+
+        min_keys = make_scoring(cfg).link_meta_min_keys
+        if min_keys and lk2["metadata"].notna().any():
+            import json as _json
+
+            bounds = np.r_[starts, len(u)]
+            metas = lk2["metadata"].to_numpy()
+            tmpl = dict(zip(agg["url"], agg["metadata"]))
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                mins: dict = {}
+                for mj in metas[s:e]:
+                    if not (isinstance(mj, str) and mj):
+                        continue
+                    md = _json.loads(mj)
+                    for k in min_keys:
+                        v = md.get(k)
+                        if v is not None and (k not in mins or v < mins[k]):
+                            mins[k] = v
+                if mins:
+                    url = u[s]
+                    base = tmpl.get(url)
+                    md = _json.loads(base) if isinstance(base, str) and base else {}
+                    md.update(mins)
+                    tmpl[url] = _json.dumps(md, sort_keys=True)
+            agg["metadata"] = agg["url"].map(tmpl)
     agg["status"] = int(CS.LINKED)
     agg["rtype"] = "crawl_parse"
-    for c in ("doc_id", "spans", "signature", "metadata", "dst"):
+    for c in ("doc_id", "spans", "signature", "dst"):
         agg[c] = None
     agg = agg.reindex(columns=cp.columns, fill_value=None)
     return pd.concat([cp[~linked], agg], ignore_index=True)

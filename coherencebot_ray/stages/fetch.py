@@ -248,6 +248,14 @@ class FetchPartition:
 
 def _datum(row, status, fetch_time, content, content_type, meta: dict | None, repr_url=None, fetch_order=-1,
            modified_time_ms: int = 0):
+    # the fetch datum starts as the crawl datum — carried frontier
+    # metadata rides through (Fetcher copies CrawlDatum metaData; the
+    # scoring chain's passScoreBeforeParsing reads it), protocol keys
+    # (_pst_ etc.) overlay
+    base = row.get("metadata")
+    md = json.loads(base) if isinstance(base, str) and base else {}
+    if meta:
+        md.update(meta)
     return {
         "url": row["url"],
         "host": row["host"],
@@ -263,7 +271,7 @@ def _datum(row, status, fetch_time, content, content_type, meta: dict | None, re
         "gen_time": int(row.get("gen_time", 0)),
         "repr_url": repr_url,
         "fixed_interval": int(row.get("fixed_interval", 0)),
-        "metadata": json.dumps(meta, sort_keys=True) if meta else None,
+        "metadata": json.dumps(md, sort_keys=True) if md else None,
         "content": content,
         "content_type": content_type,
         "fetch_order": int(fetch_order),

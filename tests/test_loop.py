@@ -78,3 +78,31 @@ def test_loop_sitemap_host_slicing(tmp_path, ray_session):
         sitemap_hosts_cap=3,
     )
     assert len(res) == 2 and all(m["counters"]["generated"] > 0 for m in res)
+
+
+def test_depth_scoring_through_real_loop(tmp_path, ray_session):
+    """Cross-stage regression (round-4 bug): carried frontier metadata
+    must survive FetchPartition (the fetch datum starts as the crawl
+    datum) and LINKED metadata must survive the _preagg_links combine —
+    otherwise scoring-depth's inherited depths collapse to the 1000
+    fallback. Two rounds at maxdepth=3: discovered pages sit at depth 2
+    then 3."""
+    import json
+
+    from coherencebot_ray.config import CrawlConfig
+    from coherencebot_ray.pipelines.crawl import CrawlDriver
+    from coherencebot_ray.sources.synth import EPOCH
+
+    cfg = CrawlConfig(num_partitions=4, topn=5000, server_delay_s=0.0,
+                      scoring_filters=("opic", "depth"), scoring_depth_max=3)
+    d = CrawlDriver(str(tmp_path / "c"), cfg)
+    d.inject([f"http://host{h}.synth/page/0" for h in range(10)], EPOCH)
+    d.run_round(EPOCH + 100_000_000_000)
+    d.run_round(EPOCH + 200_000_000_000)
+    t = d.store.read_table(d.store.latest_gen()).to_pandas()
+    depths = t["metadata"].map(
+        lambda m: json.loads(m).get("_depth_") if isinstance(m, str) and m else None
+    ).value_counts(dropna=False).to_dict()
+    assert depths.get(1) == 10          # seeds
+    assert depths.get(2, 0) > 0         # first-hop pages inherited depth
+    assert depths.get(3, 0) > 0         # second-hop pages
