@@ -126,6 +126,14 @@ class CrawlConfig:
     # --- indexing filter chain (indexer/IndexingFilter.java) ---------------
     indexing_filters: tuple = ()  # e.g. ("basic","anchor","more","metadata",
     # "static","criteria"); empty = raw join output (index-* plugins)
+    # IndexingJob -addBinaryContent + indexer.binary.base64
+    # (IndexerMapReduce.java:86,412-425): thread the segment's raw
+    # content through the join into a 'binaryContent' field, added
+    # AFTER the indexing-filter chain (filters never see it). The
+    # non-base64 mode decodes utf-8/replace (the reference uses the
+    # JVM platform charset, utf-8 on any modern deployment).
+    indexer_add_binary_content: bool = False
+    indexer_binary_base64: bool = False
 
     # --- scoring filter chain (scoring/ScoringFilter.java:42-246) ----------
     scoring_filters: tuple = ("opic",)  # ordered plugin names; "withdrawn"

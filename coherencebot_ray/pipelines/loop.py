@@ -147,7 +147,16 @@ def crawl_loop(
         if index_every and r % index_every == 0:
             docs = tools.read_segment(d.seg_dir(gen), "docs")
             if docs.count():
-                idx = jobs.indexer_join(d.store.read(gen), docs, None, cfg)
+                # -addBinaryContent: ride the segment content part
+                # through the same join exchange (IndexerMapReduce
+                # initMRJob adds Content.DIR_NAME as an input)
+                content = (
+                    tools.read_segment(d.seg_dir(gen), "content")
+                    if cfg.indexer_add_binary_content
+                    else None
+                )
+                idx = jobs.indexer_join(d.store.read(gen), docs, None, cfg,
+                                        content_ds=content)
                 tools.write_index(idx, os.path.join(workdir, "index", f"gen={gen:06d}"))
                 metrics["indexed"] = "written"
 

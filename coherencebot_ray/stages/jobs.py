@@ -503,15 +503,25 @@ def mergedb(dbs: list, cfg: CrawlConfig):
 # ---------------------------------------------------------------------------
 
 
-def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone: bool = True):
+def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone: bool = True,
+                 content_ds=None):
     """n-way co-group by url (IndexerMapReduce.java:183-298) as a
-    per-bucket pandas merge. ALL THREE inputs (frontier, docs, linkdb)
-    ride one tagged union + groupby(hash(url) % B) exchange — the
-    linkdb is frontier-cardinality (one row per inlinked URL), so it is
+    per-bucket pandas merge. ALL inputs (frontier, docs, linkdb, and —
+    with -addBinaryContent — the segment content part) ride one tagged
+    union + groupby(hash(url) % B) exchange — the linkdb is
+    frontier-cardinality (one row per inlinked URL), so it is
     co-grouped on the join key like the others, never broadcast.
 
     Emits one row per indexable page: url, title, text, score_boost,
     n_inlinks, anchors.
+
+    ``content_ds`` (url, content columns — the segment's content part)
+    + ``cfg.indexer_add_binary_content`` adds the reference's
+    ``binaryContent`` field (IndexerMapReduce.java:412-425, exercised
+    by TestIndexerMapReduce): base64 of the raw bytes when
+    ``cfg.indexer_binary_base64``, else the bytes decoded as text.
+    Added after the IndexingFilter chain, exactly like the reference
+    (the chain never sees the field).
     """
 
     # index-links needs raw link lists riding the join (outlinks from
@@ -523,6 +533,8 @@ def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone:
         for n in (cfg.indexing_filters or ())
     )
     want_ctype = "mimetype" in (cfg.indexing_filters or ())
+    want_binary = bool(cfg.indexer_add_binary_content) and content_ds is not None
+    binary_b64 = bool(cfg.indexer_binary_base64)
     _extra_f_cols = (["metadata"] if want_meta else []) + (
         ["content_type"] if want_ctype else [])
 
@@ -564,6 +576,8 @@ def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone:
                 empty_cols["metadata"] = pd.Series(dtype="object")
             if want_ctype:
                 empty_cols["content_type"] = pd.Series(dtype="object")
+            if want_binary:
+                empty_cols["binaryContent"] = pd.Series(dtype="object")
             return pd.DataFrame(empty_cols)
         m = d.drop(columns=["status", "score"] + _extra_f_cols,
                    errors="ignore").merge(
@@ -616,6 +630,25 @@ def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone:
             from ..functions.indexing import IndexingFilters
 
             out = IndexingFilters(cfg.indexing_filters, cfg).apply(out)
+        if want_binary:
+            # binaryContent rides in AFTER the filter chain
+            # (IndexerMapReduce.java:412-425: the `doc == null` skip
+            # check precedes the content add)
+            import base64 as _b64
+
+            c = g[g["rjoin"] == "content"][["url", "content"]]
+            cmap = dict(zip(c["url"], c["content"])) if len(c) else {}
+
+            def _bin(u):
+                raw = cmap.get(u)
+                if raw is None:
+                    return None
+                raw = bytes(raw)
+                if binary_b64:
+                    return _b64.b64encode(raw).decode("ascii")
+                return raw.decode("utf-8", errors="replace")
+
+            out["binaryContent"] = out["url"].map(_bin)
         return out
 
     # typed sentinels: union blocks must agree on dtypes or the exchange
@@ -626,7 +659,8 @@ def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone:
         ("anchors", None),
     ] + ([("outlinks", None), ("srcs", None)] if want_links else []) \
       + ([("metadata", None)] if want_meta else []) \
-      + ([("content_type", None)] if want_ctype else [])
+      + ([("content_type", None)] if want_ctype else []) \
+      + ([("content", None)] if want_binary else [])
 
     from ..ops.agg import stable_bucket
 
@@ -663,6 +697,13 @@ def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone:
         unioned = unioned.union(
             linkdb_ds.map_batches(
                 lambda df: align(df[[c for c in link_cols if c in df.columns]].assign(rjoin="link")),
+                batch_format="pandas",
+            )
+        )
+    if want_binary:
+        unioned = unioned.union(
+            content_ds.map_batches(
+                lambda df: align(df[["url", "content"]].assign(rjoin="content")),
                 batch_format="pandas",
             )
         )

@@ -218,6 +218,82 @@ def test_indexer_join_with_links_filter(ray_session):
     assert list(out.loc["http://h.com/1", "inlinks"]) == []
 
 
+_TEST_HTML_DOC = (  # TestIndexerMapReduce.testHtmlDoc
+    "<!DOCTYPE html>\n<html>\n<head>\n"
+    "<title>Test Indexing Binary Content</title>\n"
+    '<meta charset="utf-8">\n'
+    '<meta name="keywords" lang="en" content="charset, encoding" />\n'
+    '<meta name="keywords" lang="fr" content="codage des caractères" />\n'
+    '<meta name="keywords" lang="cs" content="kódování znaků" />\n'
+    "</head>\n<body>\n<p>\n<ul>\n"
+    '  <li lang="en">English: character set, encoding\n'
+    '  <li lang="fr">Français: codage des caractères\n'
+    '  <li lang="cs">Čeština: kódování znaků (not covered by Latin-1)\n'
+    "</ul>\n</body>\n</html>"
+)
+
+
+def _binary_content_inputs(doc_bytes: bytes):
+    import ray.data as rd
+
+    frontier = frontier_rows(1, status=CS.DB_FETCHED)
+    docs = pd.DataFrame(
+        {
+            "url": ["http://h.com/0"],
+            "part": 0,
+            "spans": [[{"kind": "title", "text": "Test", "media_ref": "", "offset": 0}]],
+        }
+    )
+    content = pd.DataFrame({"url": ["http://h.com/0"], "content": [doc_bytes]})
+    return rd.from_pandas(frontier), rd.from_pandas(docs), rd.from_pandas(content)
+
+
+def test_indexer_binary_content_base64(ray_session):
+    """TestIndexerMapReduce.testBinaryContentBase64 port: raw segment
+    bytes in utf-8 / iso-8859-1 / iso-8859-2 survive the join as a
+    base64 binaryContent field, decodable back to the exact document
+    (IndexerMapReduce.java:412-425)."""
+    import base64
+    import re
+
+    cfg = CrawlConfig(indexer_add_binary_content=True, indexer_binary_base64=True)
+    for charset in ("utf-8", "iso-8859-1", "iso-8859-2"):
+        html = _TEST_HTML_DOC
+        if charset != "utf-8":
+            html = html.replace("utf-8", charset)
+            # reference strips the lines its charset can't encode
+            drop = "cs" if charset == "iso-8859-1" else "fr"
+            html = re.sub(r'\s*<[^>]+\slang="%s".+?\n' % drop, "", html)
+        doc_bytes = html.encode(charset)
+        f, d, c = _binary_content_inputs(doc_bytes)
+        out = jobs.indexer_join(f, d, None, cfg, content_ds=c).to_pandas()
+        assert len(out) == 1
+        b64 = out["binaryContent"].iloc[0]
+        assert base64.b64decode(b64).decode(charset) == html, charset
+
+
+def test_indexer_binary_content_raw_and_absent(ray_session):
+    """Non-base64 mode decodes the bytes as text; URLs with no content
+    record get a null field; the flag off means no column at all."""
+    doc_bytes = _TEST_HTML_DOC.encode("utf-8")
+    cfg = CrawlConfig(indexer_add_binary_content=True, indexer_binary_base64=False)
+    f, d, c = _binary_content_inputs(doc_bytes)
+    out = jobs.indexer_join(f, d, None, cfg, content_ds=c).to_pandas()
+    assert out["binaryContent"].iloc[0] == _TEST_HTML_DOC
+    # no content row for this url -> null field
+    import ray.data as rd
+
+    f2, d2, _ = _binary_content_inputs(doc_bytes)
+    empty_c = rd.from_pandas(pd.DataFrame({"url": ["http://elsewhere.com/x"],
+                                           "content": [b"zz"]}))
+    out2 = jobs.indexer_join(f2, d2, None, cfg, content_ds=empty_c).to_pandas()
+    assert out2["binaryContent"].iloc[0] is None
+    # flag off: column absent (filters and sinks see the reference shape)
+    f3, d3, c3 = _binary_content_inputs(doc_bytes)
+    out3 = jobs.indexer_join(f3, d3, None, CrawlConfig(), content_ds=c3).to_pandas()
+    assert "binaryContent" not in out3.columns
+
+
 def test_aux_stat_jobs(ray_session):
     """crawlcomplete / domainstats / protocolstats aggregate semantics
     (CrawlCompletionStats.java:220-222, DomainStatistics.java:174-199,

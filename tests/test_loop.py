@@ -106,3 +106,29 @@ def test_depth_scoring_through_real_loop(tmp_path, ray_session):
     assert depths.get(1) == 10          # seeds
     assert depths.get(2, 0) > 0         # first-hop pages inherited depth
     assert depths.get(3, 0) > 0         # second-hop pages
+
+
+def test_loop_index_with_binary_content(tmp_path, ray_session):
+    """index_every + -addBinaryContent: the written index carries a
+    base64 binaryContent field round-tripping the segment bytes."""
+    import base64
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from coherencebot_ray.pipelines.loop import crawl_loop
+
+    cfg = CrawlConfig(num_partitions=2, topn=40, server_delay_s=0.0,
+                      indexer_add_binary_content=True,
+                      indexer_binary_base64=True)
+    wd = str(tmp_path / "w")
+    res = crawl_loop(
+        wd, cfg, seeds=[f"http://host{i}.example/doc/{i}" for i in range(10)],
+        rounds=1, start_time_ms=T0, index_every=1,
+    )
+    assert res[0].get("indexed") == "written"
+    files = glob.glob(os.path.join(wd, "index", "gen=*", "*.parquet"))
+    t = pq.read_table(files)
+    assert "binaryContent" in t.schema.names
+    b64s = [v for v in t.column("binaryContent").to_pylist() if v]
+    assert b64s and base64.b64decode(b64s[0])  # decodable payloads
