@@ -134,6 +134,19 @@ class CrawlConfig:
     # JVM platform charset, utf-8 on any modern deployment).
     indexer_add_binary_content: bool = False
     indexer_binary_base64: bool = False
+    # indexer.skip.notmodified (IndexerMapReduce.java:332-336): leave
+    # DB_NOTMODIFIED pages out of the index entirely
+    indexer_skip_notmodified: bool = False
+    # indexer.delete.robots.noindex (NUTCH-1434, :277-289): purge pages
+    # whose robots metatag contains 'noindex'. Reads the frontier's
+    # merged metadata (metatag.robots, stamped by parse when
+    # metatags_names captures it) — the reference reads the segment's
+    # ParseData directly; same signal, one updatedb later.
+    indexer_delete_robots_noindex: bool = False
+    # indexer.url.normalizers / indexer.url.filters (:84-85,183-195):
+    # map-side indexer-scope renormalize + refilter of every join key
+    indexer_url_normalize: bool = False
+    indexer_url_filter: bool = False
 
     # --- scoring filter chain (scoring/ScoringFilter.java:42-246) ----------
     scoring_filters: tuple = ("opic",)  # ordered plugin names; "withdrawn"

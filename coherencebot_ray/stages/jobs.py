@@ -528,10 +528,12 @@ def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone:
     # the doc's link spans, inlinks from the linkdb srcs column);
     # subcollection/metadata filters need the frontier metadata column
     want_links = "links" in (cfg.indexing_filters or ())
-    want_meta = any(
+    want_meta_out = any(
         n in ("subcollection", "metadata", "urlmeta", "geoip", "reltag")
         for n in (cfg.indexing_filters or ())
     )
+    want_noindex = bool(cfg.indexer_delete_robots_noindex)
+    want_meta = want_meta_out or want_noindex
     want_ctype = "mimetype" in (cfg.indexing_filters or ())
     want_binary = bool(cfg.indexer_add_binary_content) and content_ds is not None
     binary_b64 = bool(cfg.indexer_binary_base64)
@@ -572,7 +574,7 @@ def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone:
             if want_links:
                 empty_cols["outlinks"] = pd.Series(dtype="object")
                 empty_cols["inlinks"] = pd.Series(dtype="object")
-            if want_meta:
+            if want_meta_out:
                 empty_cols["metadata"] = pd.Series(dtype="object")
             if want_ctype:
                 empty_cols["content_type"] = pd.Series(dtype="object")
@@ -586,6 +588,29 @@ def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone:
         )
         if delete_gone:
             m = m[~m["status"].isin([CS.DB_GONE, CS.DB_DUPLICATE, CS.DB_REDIR_PERM, CS.DB_REDIR_TEMP])]
+        if cfg.indexer_skip_notmodified:
+            # indexer.skip.notmodified (IndexerMapReduce.java:332-336)
+            m = m[m["status"] != CS.DB_NOTMODIFIED]
+        if want_noindex and len(m):
+            # indexer.delete.robots.noindex (NUTCH-1434, :277-289):
+            # cheap substring prefilter over the raw JSON, exact check
+            # only on the hits
+            import json as _json
+
+            raw = m["metadata"].astype(str)
+            maybe = raw.str.contains("noindex", case=False, na=False) & raw.str.contains(
+                "metatag.robots", na=False)
+            if maybe.any():
+                def _noidx(s):
+                    try:
+                        v = _json.loads(s).get("metatag.robots")
+                    except Exception:
+                        return False
+                    vals = v if isinstance(v, list) else [v]
+                    return any("noindex" in str(x).lower() for x in vals if x)
+
+                m = m[~(maybe & m["metadata"].where(maybe).map(
+                    lambda s: _noidx(s) if isinstance(s, str) else False))]
         ldb = g[g["rjoin"] == "link"]
         ldb_cols = ["url", "n_inlinks", "anchors"] + (["srcs"] if want_links else [])
         if len(ldb):
@@ -620,7 +645,7 @@ def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone:
             # index-links input columns (inlinks = linkdb srcs)
             out["outlinks"] = m["outlinks"].to_numpy()
             out["inlinks"] = m["srcs"].to_numpy()
-        if want_meta:
+        if want_meta_out:
             out["metadata"] = m["metadata"].to_numpy()
         if want_ctype:
             out["content_type"] = m["content_type"].to_numpy()
@@ -666,7 +691,35 @@ def indexer_join(frontier_ds, docs_ds, linkdb_ds, cfg: CrawlConfig, delete_gone:
 
     n_buckets = max(64, cfg.num_partitions)
 
+    _key_norms = _key_filts = None
+    if cfg.indexer_url_normalize:
+        from ..functions.normalizers import URLNormalizers
+
+        _key_norms = URLNormalizers(cfg.normalizers)
+    if cfg.indexer_url_filter:
+        from ..functions.filters import URLFilters
+
+        _key_filts = URLFilters(cfg.filters)
+
     def align(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) and (_key_norms is not None or _key_filts is not None):
+            # IndexerMapper (IndexerMapReduce.java:183-195): map-side
+            # indexer-scope renormalize + refilter of the join key on
+            # EVERY input, before the exchange — so rewritten urls
+            # still co-group
+            from ..functions.normalizers import SCOPE_INDEXER
+
+            urls = df["url"]
+            if _key_norms is not None:
+                urls = pd.Series(
+                    _key_norms.normalize_many(urls, scope=SCOPE_INDEXER),
+                    index=df.index)
+            keep = urls.notna()
+            if _key_filts is not None:
+                keep &= pd.Series(
+                    _key_filts.accept_many(urls.fillna("").to_numpy()),
+                    index=df.index)
+            df = df[keep].assign(url=urls[keep])
         out = pd.DataFrame()
         n = len(df)
         for c, default in _UNION_DEFAULTS:

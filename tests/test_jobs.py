@@ -294,6 +294,70 @@ def test_indexer_binary_content_raw_and_absent(ray_session):
     assert "binaryContent" not in out3.columns
 
 
+def test_indexer_skip_notmodified_and_robots_noindex(ray_session):
+    """indexer.skip.notmodified (IndexerMapReduce.java:332-336) and
+    indexer.delete.robots.noindex (NUTCH-1434): both rows drop."""
+    import json
+
+    import ray.data as rd
+
+    frontier = frontier_rows(3, status=CS.DB_FETCHED)
+    frontier.loc[1, "status"] = CS.DB_NOTMODIFIED
+    frontier.loc[2, "metadata"] = json.dumps(
+        {"metatag.robots": "NOINDEX, nofollow"})
+    docs = pd.DataFrame(
+        {
+            "url": [f"http://h.com/{i}" for i in range(3)],
+            "part": 0,
+            "spans": [[{"kind": "title", "text": f"T{i}", "media_ref": "", "offset": 0}]
+                      for i in range(3)],
+        }
+    )
+    cfg = CrawlConfig(indexer_skip_notmodified=True,
+                      indexer_delete_robots_noindex=True)
+    out = jobs.indexer_join(
+        rd.from_pandas(frontier), rd.from_pandas(docs), None, cfg
+    ).to_pandas()
+    assert sorted(out["url"]) == ["http://h.com/0"]
+    assert "metadata" not in out.columns  # carried for the check, not emitted
+    # flags off: all three index
+    out2 = jobs.indexer_join(
+        rd.from_pandas(frontier), rd.from_pandas(docs), None, CrawlConfig()
+    ).to_pandas()
+    assert len(out2) == 3
+
+
+def test_indexer_url_normalize_filter(ray_session):
+    """indexer.url.normalizers / indexer.url.filters
+    (IndexerMapReduce.java:183-195): map-side key rewrite happens on
+    every input BEFORE the exchange, so a frontier key that only
+    matches the doc key after normalization still co-groups; filtered
+    keys drop."""
+    import ray.data as rd
+
+    frontier = frontier_rows(2, status=CS.DB_FETCHED)
+    frontier.loc[0, "url"] = "HTTP://H.com/0"       # normalizes to match doc
+    frontier.loc[1, "url"] = "file:///etc/passwd"   # default regex filter kills
+    docs = pd.DataFrame(
+        {
+            "url": ["http://h.com/0", "file:///etc/passwd"],
+            "part": 0,
+            "spans": [[{"kind": "title", "text": "T", "media_ref": "", "offset": 0}]] * 2,
+        }
+    )
+    cfg = CrawlConfig(indexer_url_normalize=True, indexer_url_filter=True)
+    out = jobs.indexer_join(
+        rd.from_pandas(frontier), rd.from_pandas(docs), None, cfg
+    ).to_pandas()
+    assert list(out["url"]) == ["http://h.com/0"]
+    # without the flags, the case-mismatched key never joins and the
+    # file: url sails through
+    out2 = jobs.indexer_join(
+        rd.from_pandas(frontier), rd.from_pandas(docs), None, CrawlConfig()
+    ).to_pandas()
+    assert list(out2["url"]) == ["file:///etc/passwd"]
+
+
 def test_aux_stat_jobs(ray_session):
     """crawlcomplete / domainstats / protocolstats aggregate semantics
     (CrawlCompletionStats.java:220-222, DomainStatistics.java:174-199,
