@@ -222,6 +222,11 @@ class CrawlConfig:
     # "html"|"text", regex), ...); field set "true"/"false" in parse
     # metadata by regex find over raw html / extracted text
     parsefilter_regex_rules: tuple = ()
+    # parser.skip.truncated (ParseSegment.java:67,113,176-209; reference
+    # default true): don't parse pages whose content was cut short —
+    # either by http.content.limit or a declared Content-Length larger
+    # than the received bytes (fetch marks them with metadata _tr_)
+    parser_skip_truncated: bool = True
     # creativecommons CCParseFilter: detect CC license anchors/RDF and
     # record License-Url/License-Location/Work-Type parse metadata
     # (one extra HTML pass per doc when enabled)

@@ -37,6 +37,9 @@ class FakeResponse:
     content_type: str
     redirect_to: str | None = None
     modified_time_ms: int = 0  # Last-Modified header (0 = absent)
+    # declared Content-Length header (-1 = absent/non-numeric, NUTCH-2564);
+    # ParseSegment.isTruncated compares it to the actual byte count
+    content_length: int = -1
 
 
 @dataclass

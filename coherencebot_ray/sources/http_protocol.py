@@ -131,9 +131,13 @@ class HttpProtocol:
         ctype = (r.headers.get("Content-Type") or "text/html").split(";")[0].strip()
         if code in _PERM_REDIRECTS or code in _TEMP_REDIRECTS:
             target = r.headers.get("Location")
-            if target and target.startswith("/"):
-                base = url.split("://", 1)
-                target = base[0] + "://" + base[1].split("/", 1)[0] + target
+            if target:
+                # resolve relative / protocol-relative / no-leading-slash
+                # Locations against the request url (the NUTCH-2555
+                # family of URL normalization problems)
+                from urllib.parse import urljoin
+
+                target = urljoin(url, target.strip())
             status = "moved" if code in _PERM_REDIRECTS else "temp_moved"
             return FakeResponse(status, b"", ctype, redirect_to=target)
         if 200 <= code < 300:
@@ -165,7 +169,18 @@ class HttpProtocol:
                     mod_ms = http_date_to_ms(lm)
                 except ValueError:
                     mod_ms = 0
-            return FakeResponse("success", content, ctype, modified_time_ms=mod_ms)
+            # declared Content-Length for truncation detection; a
+            # non-numeric value is tolerated, not an error (NUTCH-2564:
+            # "Content-Length: thousand" must not kill the fetch)
+            clen = -1
+            raw_cl = (r.headers.get("Content-Length") or "").strip()
+            if raw_cl:
+                try:
+                    clen = int(raw_cl)
+                except ValueError:
+                    clen = -1
+            return FakeResponse("success", content, ctype,
+                                modified_time_ms=mod_ms, content_length=clen)
         if code == 404:
             return FakeResponse("notfound", b"", ctype)
         if code in (410, 401, 403):

@@ -145,9 +145,17 @@ class FetchPartition:
                     host_dead[host] = "too_many_exceptions"
 
             content = resp.content if (cfg.store_content and resp.content) else None
-            if content is not None and len(content) > cfg.content_limit:
-                content = content[: cfg.content_limit]
             meta = {}
+            if content is not None:
+                if len(content) > cfg.content_limit:
+                    # http.content.limit cut: mark like the reference's
+                    # Response.TRUNCATED_CONTENT(_REASON) (NUTCH-2729)
+                    content = content[: cfg.content_limit]
+                    meta["_tr_"] = "length"
+                elif getattr(resp, "content_length", -1) > len(content):
+                    # declared Content-Length exceeds the received bytes
+                    # (ParseSegment.isTruncated semantics, :176-209)
+                    meta["_tr_"] = "length"
             repr_url = None
             if resp.redirect_to:
                 meta["_redirect_to_"] = resp.redirect_to

@@ -462,6 +462,11 @@ class ParseBatch:
         if len(batch) == 0:
             return _empty_parse_out()
         ok = batch[batch["status"] == CS.FETCH_SUCCESS]
+        if cfg.parser_skip_truncated and len(ok) and "metadata" in ok.columns:
+            # parser.skip.truncated (ParseSegment.java:113): drop
+            # content the fetch stage marked cut-short; substring scan
+            # over the raw JSON — the key is unique by construction
+            ok = ok[~ok["metadata"].astype(str).str.contains('"_tr_"', regex=False)]
         if len(ok) == 0:
             return _empty_parse_out()
         urls = ok["url"].to_numpy()

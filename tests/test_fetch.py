@@ -247,3 +247,51 @@ def test_file_protocol(tmp_path):
         [fl_row(f"file://{d}/doc.txt", host="localfile")], cfg, proto
     ).set_index("url")
     assert out.iloc[0]["status"] == CS.FETCH_SUCCESS
+
+
+def test_truncation_marked_in_metadata():
+    """NUTCH-2729/2575 analogue: a content_limit cut AND a declared
+    Content-Length larger than the body both mark the datum truncated
+    (metadata _tr_=length) for parser.skip.truncated."""
+    import json
+
+    proto = ScriptedProtocol(
+        {
+            "http://big.com/x": FakeResponse("success", b"A" * 100, "text/html"),
+            "http://short.com/x": FakeResponse(
+                "success", b"A" * 50, "text/html", content_length=64000),
+            "http://ok.com/x": FakeResponse(
+                "success", b"A" * 50, "text/html", content_length=50),
+        }
+    )
+    cfg = CrawlConfig(content_limit=80)
+    out = run_fetch(
+        [fl_row("http://big.com/x"), fl_row("http://short.com/x"),
+         fl_row("http://ok.com/x")], cfg, proto
+    ).set_index("url")
+    assert len(out.loc["http://big.com/x", "content"]) == 80
+    assert json.loads(out.loc["http://big.com/x", "metadata"])["_tr_"] == "length"
+    assert json.loads(out.loc["http://short.com/x", "metadata"])["_tr_"] == "length"
+    md_ok = out.loc["http://ok.com/x", "metadata"]
+    assert md_ok is None or "_tr_" not in json.loads(md_ok)
+
+
+def test_parser_skip_truncated():
+    """ParseSegment.java:113 — truncated docs don't parse by default;
+    parser_skip_truncated=False restores the old behavior."""
+    import json
+
+    from coherencebot_ray.stages.parse import ParseBatch
+
+    row = dict(
+        url="http://t.com/x", host="t.com", part=0, status=CS.FETCH_SUCCESS,
+        fetch_time=CUR, retries=0, fetch_interval=86400, score=1.0,
+        signature=None, modified_time=0, gen_time=0, repr_url=None,
+        fixed_interval=0, metadata=json.dumps({"_tr_": "length"}),
+        content=b"<html><title>T</title><body>x</body></html>",
+        content_type="text/html", fetch_order=0,
+    )
+    out = ParseBatch(CrawlConfig())(pd.DataFrame([row]))
+    assert len(out) == 0
+    out2 = ParseBatch(CrawlConfig(parser_skip_truncated=False))(pd.DataFrame([row]))
+    assert (out2["rtype"] == "doc").sum() == 1

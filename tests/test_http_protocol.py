@@ -186,3 +186,31 @@ def test_http_protocol_through_fetch_stage():
     out = FetchPartition(cfg, CUR, proto)(pd.DataFrame(rows)).set_index("url")
     assert out.loc["http://h.com/a", "status"] == CS.FETCH_SUCCESS
     assert out.loc["http://h.com/no/x", "status"] == CS.FETCH_GONE  # robots denied
+
+
+def test_bad_server_responses():
+    """TestBadServerResponses analogue at this client's layer (the wire
+    parsing itself is the HTTP library's): non-numeric Content-Length
+    is tolerated (NUTCH-2564), relative / no-slash / protocol-relative
+    redirect Locations resolve against the request url (NUTCH-2555),
+    and a declared length larger than the body surfaces for
+    ParseSegment.isTruncated."""
+    s = _Session(
+        {
+            "http://a.com/clen": _Resp(
+                200, b"Hello", {"Content-Type": "text/plain",
+                                "Content-Length": "thousand"}),
+            "http://a.com/short": _Resp(
+                200, b"Hello", {"Content-Type": "text/plain",
+                                "Content-Length": "64000"}),
+            "http://a.com/dir/rd": _Resp(302, headers={"Location": "other?171"}),
+            "http://a.com/pp": _Resp(301, headers={"Location": "//b.com/x"}),
+        }
+    )
+    p = HttpProtocol(session=s)
+    r = p.fetch("http://a.com/clen")
+    assert r.status == "success" and r.content == b"Hello"
+    assert r.content_length == -1  # tolerated, not trusted
+    assert p.fetch("http://a.com/short").content_length == 64000
+    assert p.fetch("http://a.com/dir/rd").redirect_to == "http://a.com/dir/other?171"
+    assert p.fetch("http://a.com/pp").redirect_to == "http://b.com/x"
