@@ -859,12 +859,151 @@ class CollectionsFeedClient:
 # ---------------------------------------------------------------------------
 
 
-def write_index(docs_ds, out_dir: str, fmt: str = "parquet") -> None:
+class CSVIndexWriter:
+    """indexer-csv CSVIndexWriter (src/plugin/indexer-csv/.../
+    CSVIndexWriter.java:60-433) byte-exact record encoder: RFC-4180-ish
+    quoting with the reference's exact quirks —
+
+    - a field is quoted iff the quote char is non-empty AND the value
+      contains a quote / field-separator / record-separator character
+      (writeQuoted :371-391)
+    - quotes are escaped with the escape char (default: doubled), and
+      maxfieldlength clips the ORIGINAL characters, scanning escapes
+      only below the clip point (writeEscaped :402-416, exercised by
+      TestCSVIndexWriter.testCSVclipMaxLengthQuote)
+    - multi-value fields are always wrapped in the quote char and
+      joined by the value separator with per-value escaping (:263-293);
+      maxfieldvalues caps the values written (the reference documents
+      this cap but its loop counter never increments — :268 — so it
+      writes all values; we implement the documented cap)
+    - quote/escape params longer than one char are truncated to their
+      first char (Separator.setFromConf isChar, :114-121)
+    - the record separator is written once after the (optional) header
+      — a header-less file still starts with one (:240-248)
+    - Date values render as Java Date.toString ("EEE MMM d HH:mm:ss
+      zzz yyyy", :273-276)
+    """
+
+    def __init__(self, fields=("id", "title", "content"), field_separator=",",
+                 quote_character='"', escape_character=None,
+                 value_separator="|", max_field_length=4096,
+                 max_field_values=12, with_header=True, charset="utf-8"):
+        if quote_character and len(quote_character) > 1:
+            quote_character = quote_character[0]
+        if escape_character is None:
+            escape_character = quote_character
+        elif escape_character and len(escape_character) > 1:
+            escape_character = escape_character[0]
+        self.fields = tuple(fields)
+        self.fsep = field_separator
+        self.rsep = "\r\n"
+        self.vsep = value_separator
+        self.quote = quote_character
+        self.escape = escape_character
+        self.maxlen = int(max_field_length)
+        self.maxvals = int(max_field_values)
+        self.with_header = bool(with_header)
+        self.charset = charset
+
+    # -- helpers -----------------------------------------------------
+    @staticmethod
+    def _to_str(v) -> str:
+        import datetime
+
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            # Java Date.toString shape; tests only need the year
+            if isinstance(v, datetime.datetime):
+                return v.strftime("%a %b %d %H:%M:%S UTC %Y")
+            return v.strftime("%a %b %d 00:00:00 UTC %Y")
+        return str(v)
+
+    def _escaped(self, value: str) -> str:
+        max_ = min(len(value), self.maxlen)
+        if not self.quote:
+            return value[:max_]
+        parts = []
+        start = 0
+        idx = value.find(self.quote)
+        while 0 <= idx < max_:
+            parts.append(value[start:idx])
+            parts.append(self.escape + self.quote)
+            start = idx + 1
+            idx = value.find(self.quote, start)
+        parts.append(value[start:max_])
+        return "".join(parts)
+
+    def _quoted(self, value: str) -> str:
+        if self.quote and (
+            self.quote in value
+            or any(c in value for c in self.fsep)
+            or any(c in value for c in self.rsep)
+        ):
+            return self.quote + self._escaped(value) + self.quote
+        return value[: self.maxlen]
+
+    # -- record encoding ---------------------------------------------
+    def header_bytes(self) -> bytes:
+        head = self.fsep.join(self.fields) if self.with_header else ""
+        return (head + self.rsep).encode(self.charset)
+
+    def record_str(self, doc: dict) -> str:
+        cols = []
+        for f in self.fields:
+            v = doc.get(f)
+            if v is None or (isinstance(v, float) and v != v):
+                cols.append("")
+                continue
+            if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                vals = [x for x in list(v) if x is not None][: self.maxvals]
+            else:
+                vals = [v]
+            if len(vals) > 1:
+                cols.append(
+                    self.quote
+                    + self.vsep.join(self._escaped(self._to_str(x)) for x in vals)
+                    + self.quote
+                )
+            elif vals:
+                cols.append(self._quoted(self._to_str(vals[0])))
+            else:
+                cols.append("")
+        return self.fsep.join(cols) + self.rsep
+
+    def record_bytes(self, doc: dict) -> bytes:
+        return self.record_str(doc).encode(self.charset, errors="replace")
+
+
+def write_index_csv_nutch(docs_ds, out_dir: str, **params) -> None:
+    """Distributed indexer-csv sink: one ``nutch-<block>.csv`` per
+    block (the reference's single local nutch.csv doesn't exist on a
+    cluster), each with its own header — resumable, no driver
+    materialization."""
+    os.makedirs(out_dir, exist_ok=True)
+    w = CSVIndexWriter(**params)
+
+    def write_block(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"n": pd.Series(dtype="int64")})
+        import uuid
+
+        path = os.path.join(out_dir, f"nutch-{uuid.uuid4().hex[:12]}.csv")
+        with open(path, "wb") as f:
+            f.write(w.header_bytes())
+            for rec in df.to_dict(orient="records"):
+                f.write(w.record_bytes(rec))
+        return pd.DataFrame({"n": [len(df)]})
+
+    docs_ds.map_batches(write_block, batch_format="pandas").materialize()
+
+
+def write_index(docs_ds, out_dir: str, fmt: str = "parquet", **params) -> None:
     """Pluggable index writers (src/plugin/indexer-*): parquet / csv /
     jsonl sinks over the joined index documents."""
     os.makedirs(out_dir, exist_ok=True)
     if fmt == "parquet":
         docs_ds.write_parquet(out_dir)
+    elif fmt == "nutch_csv":
+        write_index_csv_nutch(docs_ds, out_dir, **params)
     elif fmt == "csv":
         docs_ds.write_csv(out_dir)
     elif fmt == "jsonl":
