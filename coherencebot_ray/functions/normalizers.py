@@ -202,6 +202,64 @@ DEFAULT_REGEX_RULES: list[tuple[str, str]] = [
 ]
 
 
+def _java_regex_to_py(pattern: str) -> tuple[str, int]:
+    """Adapt a Java regex to Python re: Java allows inline ``(?i)``
+    anywhere (scoped to the rest), Python 3.11 requires global flags at
+    the start — when the pattern uses inline ``(?i)`` mid-expression we
+    strip them and compile IGNORECASE (exact for the reference rule
+    files, whose flags cover every cased literal)."""
+    flags = 0
+    if "(?i)" in pattern:
+        stripped = pattern.replace("(?i)", "")
+        if not pattern.startswith("(?i)") or "(?i)" in pattern[4:]:
+            flags = re.IGNORECASE
+            pattern = stripped
+        else:
+            pattern = "(?i)" + stripped
+    return pattern, flags
+
+
+def _java_sub_to_py(sub: str) -> str:
+    """Java Matcher.replaceAll template -> Python re.sub template:
+    ``$N`` group refs become ``\\N``; Java's ``\\X`` escapes the next
+    char to a literal (Python leaves unknown punctuation escapes like
+    ``\\?`` verbatim, so they must be unescaped here)."""
+    out: list[str] = []
+    i = 0
+    while i < len(sub):
+        c = sub[i]
+        if c == "\\" and i + 1 < len(sub):
+            nxt = sub[i + 1]
+            out.append("\\\\" if nxt == "\\" else nxt)
+            i += 2
+            continue
+        if c == "$" and i + 1 < len(sub) and sub[i + 1].isdigit():
+            out.append("\\" + sub[i + 1])
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def parse_regex_normalize_xml(text: str) -> list[tuple[str, str]]:
+    """conf/regex-normalize.xml rule-file parser
+    (RegexURLNormalizer.readConfiguration, :180-230): ordered
+    <regex><pattern/><substitution/></regex> entries; a missing
+    substitution means delete-the-match."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(text)
+    rules: list[tuple[str, str]] = []
+    for node in root.findall("regex"):
+        pat = node.findtext("pattern")
+        if pat is None or not pat.strip():
+            continue  # reference skips malformed/empty rules
+        sub = node.findtext("substitution") or ""
+        rules.append((pat.strip(), _java_sub_to_py(sub.strip())))
+    return rules
+
+
 class RegexNormalizer:
     """RegexURLNormalizer: ordered regex substitutions applied once each."""
 
@@ -209,7 +267,14 @@ class RegexNormalizer:
 
     def __init__(self, rules: list[tuple[str, str]] | None = None):
         src = rules if rules is not None else DEFAULT_REGEX_RULES
-        self.rules = [(re.compile(p), s) for p, s in src]
+        self.rules = []
+        for p, s in src:
+            pat, flags = _java_regex_to_py(p)
+            self.rules.append((re.compile(pat, flags), s))
+
+    @classmethod
+    def from_xml(cls, text: str) -> "RegexNormalizer":
+        return cls(parse_regex_normalize_xml(text))
 
     def __call__(self, url: str, scope: str = SCOPE_DEFAULT) -> str | None:
         for pat, sub in self.rules:
