@@ -34,15 +34,58 @@ DEFAULT_REGEX_FILTER_RULES: list[tuple[str, str]] = [
 ]
 
 
+def parse_regex_filter_rules(text: str) -> list[tuple[str, str, str | None]]:
+    """RegexURLFilterBase.readRules (:240-286): ``+``/``-`` regex lines,
+    ``#``/blank skipped, ``> host-or-domain`` opens a scoped block and
+    ``<`` closes it (NUTCH-1838). Returns (sign, regex, host_or_domain)
+    triples; an invalid first character raises like the reference."""
+    rules: list[tuple[str, str, str | None]] = []
+    host_or_domain: str | None = None
+    for line in text.splitlines():
+        if not line:
+            continue
+        first = line[0]
+        if first in (" ", "#", "\n"):
+            continue
+        if first == ">":
+            host_or_domain = line[1:].strip()
+            continue
+        if first == "<":
+            host_or_domain = None
+            continue
+        if first not in "+-":
+            raise ValueError(f"Invalid first character: {line}")
+        rules.append((first, line[1:], host_or_domain))
+    return rules
+
+
 class RegexURLFilter:
     name = "regex"
 
-    def __init__(self, rules: list[tuple[str, str]] | None = None):
+    def __init__(self, rules=None):
         src = rules if rules is not None else DEFAULT_REGEX_FILTER_RULES
-        self.rules = [(sign == "+", re.compile(pat)) for sign, pat in src]
+        # entries are (sign, regex) pairs or (sign, regex, host_or_domain)
+        # triples from parse_regex_filter_rules
+        self.rules = [
+            (r[0] == "+", re.compile(r[1]), r[2] if len(r) > 2 else None)
+            for r in src
+        ]
+        self._has_scoped = any(h is not None for _, _, h in self.rules)
+
+    @classmethod
+    def from_rule_lines(cls, text: str) -> "RegexURLFilter":
+        return cls(parse_regex_filter_rules(text))
 
     def __call__(self, url: str) -> bool:
-        for accept, pat in self.rules:
+        host = domain = None
+        if self._has_scoped:
+            # scoped rules apply only when their tag equals the url's
+            # host OR its domain (RegexURLFilterBase.filter:171-205)
+            host = get_host(url)
+            domain = get_domain(host)
+        for accept, pat, scope in self.rules:
+            if scope is not None and scope != host and scope != domain:
+                continue
             if pat.search(url):
                 return accept
         return False
