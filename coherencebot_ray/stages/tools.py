@@ -1207,12 +1207,23 @@ def write_index_exchanged(docs_ds, writers: dict, exchanges=None) -> None:
 # ---------------------------------------------------------------------------
 
 
-def merge_segments(seg_dirs: list[str], out_dir: str, n_buckets: int = 64, merge_filters=()) -> dict:
+def merge_segments(seg_dirs: list[str], out_dir: str, n_buckets: int = 64, merge_filters=(),
+                   url_filter: bool = False, url_normalize: bool = False,
+                   slice_size: int = -1, cfg=None) -> dict:
     """Merge the fetch_out/docs components of several segments (latest
     fetch_time per url wins, like SegmentMerger's last-writer-by-segment
     semantics) and union+dedup the outlinks edges. Writes merged
     per-bucket parquet under ``out_dir`` (resumable layout). Everything
     is one bucketed exchange per component — no driver materialization.
+
+    ``url_filter`` / ``url_normalize``: the reference's -filter /
+    -normalize options (SegmentMerger.java:370-399) — map-side url
+    rewrite + drop BEFORE the exchange, so renamed urls co-group.
+    ``slice_size``: the -slice NNNN option (:420-434,555-560) — the
+    merged output is split into record-count slices, written as
+    ``out_dir/slice-<j>/<component>/bucket-<b>.parquet``; the per-bucket
+    chunk is ``slice_size / n_buckets`` exactly as the reference divides
+    the global slice size by its reducer count.
 
     ``merge_filters``: SegmentMergeFilter chain
     (segment/SegmentMergeFilter.java / SegmentMergeFilters.java) —
@@ -1241,14 +1252,39 @@ def merge_segments(seg_dirs: list[str], out_dir: str, n_buckets: int = 64, merge
 
     from ..ops.agg import stable_bucket
 
+    _norms = _filts = None
+    if url_normalize or url_filter:
+        from ..config import CrawlConfig
+        from ..functions.filters import URLFilters
+        from ..functions.normalizers import URLNormalizers
+
+        _cfg = cfg or CrawlConfig()
+        if url_normalize:
+            _norms = URLNormalizers(_cfg.normalizers)
+        if url_filter:
+            _filts = URLFilters(_cfg.filters)
+    per_bucket_slice = max(1, slice_size // max(1, n_buckets)) if slice_size > 0 else -1
+
     def _merge_component(files, dest, dedup_fn):
         """Arrow batches end to end: the component's parquet schema rides
         through the bucket exchange untouched (a pandas round-trip would
         re-infer all-null object columns as Arrow null and break the
         union)."""
         ds = rd.read_parquet(files, partitioning=None)
+        comp = os.path.basename(dest)
 
         def add_bucket(t: pa.Table) -> pa.Table:
+            if _norms is not None or _filts is not None:
+                urls = t.column("url").to_pandas()
+                if _norms is not None:
+                    urls = pd.Series(_norms.normalize_many(urls), dtype=object)
+                keep = urls.notna().to_numpy()
+                if _filts is not None:
+                    keep &= _filts.accept_many(urls.fillna("").to_numpy())
+                t = t.set_column(
+                    t.schema.get_field_index("url"), "url",
+                    pa.array(urls, pa.string())
+                ).filter(pa.array(keep))
             b = stable_bucket(t.column("url").to_pandas(), n_buckets)
             return t.append_column("__bucket", pa.array(b, pa.int32()))
 
@@ -1256,9 +1292,17 @@ def merge_segments(seg_dirs: list[str], out_dir: str, n_buckets: int = 64, merge
             b = t.column("__bucket")[0].as_py() if t.num_rows else 0
             t2 = t.drop_columns(["__bucket"])
             df = dedup_fn(t2.to_pandas())
-            os.makedirs(dest, exist_ok=True)
             out_t = pa.Table.from_pandas(df, schema=t2.schema, preserve_index=False)
-            pq.write_table(out_t, os.path.join(dest, f"bucket-{int(b)}.parquet"), compression="zstd")
+            if per_bucket_slice > 0:
+                for j in range(0, max(1, len(df)), per_bucket_slice):
+                    sdest = os.path.join(out_dir, f"slice-{j // per_bucket_slice}", comp)
+                    os.makedirs(sdest, exist_ok=True)
+                    pq.write_table(out_t.slice(j, per_bucket_slice),
+                                   os.path.join(sdest, f"bucket-{int(b)}.parquet"),
+                                   compression="zstd")
+            else:
+                os.makedirs(dest, exist_ok=True)
+                pq.write_table(out_t, os.path.join(dest, f"bucket-{int(b)}.parquet"), compression="zstd")
             return pa.table({"rows": pa.array([len(df)], pa.int64())})
 
         stats = (

@@ -429,3 +429,60 @@ def test_exchange_routes_to_callable_sink(ray_session, tmp_path):
 
     files = pq.read_table(out_dir).to_pandas()
     assert sorted(files["url"]) == ["http://a.com/1"]
+
+
+def test_segment_merger_large_disjoint(ray_session, tmp_path):
+    """TestSegmentMerger.testLargeMerge analogue: two segments with
+    disjoint key spaces merge losslessly (every record from both
+    survives, values intact)."""
+    import pyarrow.parquet as pq
+
+    from coherencebot_ray.stages.tools import merge_segments
+
+    n1, n2 = 5000, 4000
+    segs = [
+        _seg(tmp_path, "big1",
+             [(f"http://seg1.example/{i:07d}", CS.FETCH_SUCCESS, i) for i in range(n1)]),
+        _seg(tmp_path, "big2",
+             [(f"http://seg2.example/{i:07d}", CS.FETCH_SUCCESS, i) for i in range(n2)]),
+    ]
+    out = tmp_path / "out_large"
+    counts = merge_segments(segs, str(out), n_buckets=8)
+    assert counts["fetch_out"] == n1 + n2
+    got = pq.read_table(str(out / "fetch_out")).to_pandas()
+    assert (got["url"].str.startswith("http://seg1.example/")).sum() == n1
+    assert (got["url"].str.startswith("http://seg2.example/")).sum() == n2
+
+
+def test_segment_merger_slice_filter_normalize(ray_session, tmp_path):
+    """-slice / -filter / -normalize options (SegmentMerger.java:
+    370-434): sliced output directories each hold at most the
+    per-bucket chunk; filtered urls drop; normalization rewrites keys
+    map-side."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from coherencebot_ray.stages.tools import merge_segments
+
+    rows = [(f"http://h.example/p/{i}", CS.FETCH_SUCCESS, i) for i in range(600)]
+    rows.append(("http://h.example/skip.gif", CS.FETCH_SUCCESS, 999))   # filtered
+    rows.append(("http://h.example/a#frag", CS.FETCH_SUCCESS, 998))     # normalized
+    segs = [_seg(tmp_path, "sl1", rows)]
+    out = tmp_path / "out_slice"
+    counts = merge_segments(
+        segs, str(out), n_buckets=4, url_filter=True, url_normalize=True,
+        slice_size=400)
+    assert counts["fetch_out"] == 601  # gif dropped, #frag merged in
+    slice_dirs = sorted(_glob.glob(str(out / "slice-*")))
+    assert len(slice_dirs) >= 2
+    got = pd.concat([
+        pq.read_table(f).to_pandas()
+        for f in _glob.glob(str(out / "slice-*" / "fetch_out" / "*.parquet"))
+    ])
+    assert len(got) == 601
+    assert "http://h.example/a" in set(got["url"])      # fragment stripped
+    assert "http://h.example/skip.gif" not in set(got["url"])
+    # every slice file holds at most the per-bucket chunk (400/4)
+    for f in _glob.glob(str(out / "slice-*" / "fetch_out" / "*.parquet")):
+        assert pq.read_metadata(f).num_rows <= 100
