@@ -862,6 +862,67 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_vocab_topk(sf_dir: str):
+    """Corpus vocabulary: global top-20 lowercased \\S+ tokens by
+    frequency (ops/vocab.vocab_topk — partial counts, one token-hash
+    exchange, per-bucket top-k, k x buckets driver merge)."""
+    from ..ops.vocab import vocab_topk
+
+    ds = _read(sf_dir, "documents", columns=["text"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    return vocab_topk(ds, k=20, n_buckets=32).reset_index(drop=True)
+
+
+_VOCAB_SQL = r"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '\S+')) AS token
+      FROM documents)
+GROUP BY token
+ORDER BY cnt DESC, token ASC
+LIMIT 20
+"""
+
+
+def q_token_quantiles(sf_dir: str):
+    """Exact per-language PERCENTILE_DISC of whitespace token counts
+    via the distributed value-histogram (ops/vocab.grouped_int_
+    quantiles): the exchange moves (lang, value, cnt) histogram rows,
+    never documents."""
+    from ..ops.text import token_count
+    from ..ops.vocab import grouped_int_quantiles
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+
+    def value_pre(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lang": df["lang"].to_numpy(),
+                             "value": token_count(df["text"])})
+
+    out = grouped_int_quantiles(ds, value_pre, ps=(0.25, 0.5, 0.9, 0.99),
+                                group_col="lang")
+    out["value"] = out["value"].astype(np.int64)
+    return out.sort_values(["lang", "p"]).reset_index(drop=True)
+
+
+_TOKEN_QUANTILES_SQL = r"""
+WITH t AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '\S+')) AS BIGINT) AS ws
+  FROM documents
+)
+SELECT lang, p, CAST(v AS BIGINT) AS value FROM (
+  SELECT lang, 0.25 AS p, percentile_disc(0.25) WITHIN GROUP (ORDER BY ws) AS v FROM t GROUP BY lang
+  UNION ALL
+  SELECT lang, 0.5  AS p, percentile_disc(0.5)  WITHIN GROUP (ORDER BY ws) AS v FROM t GROUP BY lang
+  UNION ALL
+  SELECT lang, 0.9  AS p, percentile_disc(0.9)  WITHIN GROUP (ORDER BY ws) AS v FROM t GROUP BY lang
+  UNION ALL
+  SELECT lang, 0.99 AS p, percentile_disc(0.99) WITHIN GROUP (ORDER BY ws) AS v FROM t GROUP BY lang
+)
+ORDER BY lang, p
+"""
+
+
 def q_pack_tokens(sf_dir: str):
     """Token-budget shard packing (training-data curation): documents in
     doc_id order greedily fill ~4096-token shards; shard = the doc's
@@ -1806,6 +1867,8 @@ def build_queries() -> dict:
         "stratified_topk": q_stratified_topk,
         "pack_tokens": q_pack_tokens,
         "token_counts": q_token_counts,
+        "vocab_topk": q_vocab_topk,
+        "token_quantiles": q_token_quantiles,
         "c4_filters": q_c4_filters,
         "crawlcomplete": q_crawlcomplete,
         "domainstats": q_domainstats,
@@ -1855,6 +1918,8 @@ def build_oracle_sql() -> dict:
         "stratified_topk": _STRATIFIED_SQL,
         "pack_tokens": _PACK_SQL,
         "token_counts": _token_counts_sql(),
+        "vocab_topk": _VOCAB_SQL,
+        "token_quantiles": _TOKEN_QUANTILES_SQL,
         "c4_filters": _C4_SQL,
         "knn_ivf": _KNN_IVF_SQL,
         "crawl_round": _CRAWL_ROUND_SQL,

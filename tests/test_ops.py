@@ -503,3 +503,53 @@ def test_pack_by_token_budget_prefix_sum(ray_session):
     # cumsum starts: 0,3,5,6,10,11 -> //4 = 0,0,1,1,2,2
     assert out["tokens"].tolist() == [3, 2, 1, 4, 1, 2]
     assert out["shard"].tolist() == [0, 0, 1, 1, 2, 2]
+
+
+def test_vocab_topk_crosses_buckets(ray_session):
+    """Global top-k is exact even when candidate tokens hash to
+    different buckets; ties break on token asc at the k boundary."""
+    import ray.data as rd
+
+    from coherencebot_ray.ops.vocab import vocab_topk
+
+    docs = pd.DataFrame({
+        "text": ["alpha alpha alpha beta beta gamma",
+                 "beta delta delta delta delta GAMMA gamma",
+                 "epsilon zeta zeta"],
+    })
+    out = vocab_topk(rd.from_pandas(docs), k=3, n_buckets=4)
+    assert list(out["token"]) == ["delta", "alpha", "beta"]
+    assert list(out["cnt"]) == [4, 3, 3]  # beta beats gamma (3) on tie? no:
+    # alpha=3, beta=3, gamma=3 (case-folded), delta=4 -> tie at k=3
+    # breaks alphabetically: alpha then beta win, gamma drops
+
+
+def test_grouped_int_quantiles_exact(ray_session):
+    """percentile_disc parity with a brute-force reference on a skewed
+    multimodal distribution, grouped and ungrouped."""
+    import ray.data as rd
+
+    from coherencebot_ray.ops.vocab import grouped_int_quantiles
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate([rng.randint(0, 10, 500),
+                           rng.randint(100, 1000, 499), [10_000]])
+    langs = np.where(np.arange(1000) % 3 == 0, "en", "fr")
+    df = pd.DataFrame({"lang": langs, "v": vals})
+
+    def pre(b):
+        return pd.DataFrame({"lang": b["lang"].to_numpy(),
+                             "value": b["v"].to_numpy(dtype=np.int64)})
+
+    ps = (0.25, 0.5, 0.9, 0.99)
+    out = grouped_int_quantiles(
+        rd.from_pandas(df), pre, ps=ps, group_col="lang"
+    ).set_index(["lang", "p"])
+
+    import math
+
+    for lang in ("en", "fr"):
+        s = np.sort(df[df["lang"] == lang]["v"].to_numpy())
+        for p in ps:
+            expect = s[max(1, math.ceil(p * len(s) - 1e-9)) - 1]
+            assert out.loc[(lang, p), "value"] == expect, (lang, p)
