@@ -37,6 +37,13 @@ class FileProtocol:
         path = url[len("file:"):]
         while path.startswith("//"):
             path = path[1:]
+        # FileResponse.java:123-134 (NUTCH-384): the query part is
+        # ignored and the path is always URL-decoded before the
+        # filesystem lookup ('file:.../a_%28b%29.txt' reads 'a_(b).txt')
+        path = path.split("?", 1)[0]
+        from urllib.parse import unquote
+
+        path = unquote(path)
         # realpath (not abspath) on both sides: a symlink inside the
         # jail pointing outside must not pass the containment check
         path = os.path.realpath(path)

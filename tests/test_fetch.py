@@ -295,3 +295,22 @@ def test_parser_skip_truncated():
     assert len(out) == 0
     out2 = ParseBatch(CrawlConfig(parser_skip_truncated=False))(pd.DataFrame([row]))
     assert (out2["rtype"] == "doc").sum() == 1
+
+
+def test_file_protocol_content_type_and_decode(tmp_path):
+    """TestProtocolFile port (NUTCH-384): plain-text files with plain,
+    parenthesized, and percent-encoded names all fetch successfully
+    with content type text/plain; the percent-encoded url resolves to
+    the decoded filename (FileResponse.java:123-134)."""
+    from coherencebot_ray.sources.file_protocol import FileProtocol
+
+    for name in ("testprotocolfile.txt", "testprotocolfile_(encoded).txt"):
+        (tmp_path / name).write_text("hello")
+    proto = FileProtocol(root=str(tmp_path))
+    for name in ("testprotocolfile.txt",
+                 "testprotocolfile_(encoded).txt",
+                 "testprotocolfile_%28encoded%29.txt"):
+        r = proto.fetch(f"file:{tmp_path}/{name}")
+        assert r.status == "success", name
+        assert r.content == b"hello"
+        assert r.content_type == "text/plain", name
