@@ -44,18 +44,34 @@ class IndexingFilter:
 
 
 class BasicIndexingFilter(IndexingFilter):
+    """index-basic (BasicIndexingFilter.java:53-130, exercised by
+    TestBasicIndexingFilter): host/url/content/title/tstamp fields;
+    indexer.max.title.length clip (default 100), indexer.add.domain
+    (default false), indexer.max.content.length clip (default -1 =
+    unlimited). The knobs ride cfg.extra like the other index-* params."""
+
     name = "basic"
 
     def apply(self, df, cfg):
+        extra = getattr(cfg, "extra", {}) or {}
+        max_title = int(extra.get("indexer_max_title_length", MAX_TITLE_LENGTH))
+        max_content = int(extra.get("indexer_max_content_length", -1))
+        add_domain = bool(extra.get("indexer_add_domain", False))
         df = df.copy()
         if "host" not in df.columns:
             from .urlutil import hosts_of
 
             df["host"] = hosts_of(df["url"].to_numpy()).to_numpy()
-        if "title" in df.columns:
-            df["title"] = df["title"].fillna("").str.slice(0, MAX_TITLE_LENGTH)
+        if add_domain and "domain" not in df.columns:
+            from .urlutil import domains_of
+
+            df["domain"] = domains_of(df["host"].to_numpy()).to_numpy()
+        if "title" in df.columns and max_title >= 0:
+            df["title"] = df["title"].fillna("").str.slice(0, max_title)
         if "content" not in df.columns and "text" in df.columns:
             df["content"] = df["text"]
+        if max_content >= 0 and "content" in df.columns:
+            df["content"] = df["content"].fillna("").str.slice(0, max_content)
         if "tstamp" not in df.columns:
             df["tstamp"] = df["fetch_time"] if "fetch_time" in df.columns else 0
         return df, np.ones(len(df), dtype=bool)

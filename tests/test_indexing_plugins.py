@@ -494,3 +494,37 @@ def test_reltag_indexing_filter():
     })
     out = IndexingFilters(("reltag",), cfg=CrawlConfig()).apply(df)
     assert out["tag"].tolist() == [["python", "ray"], []]
+
+
+def test_basic_indexing_filter_matrix():
+    """TestBasicIndexingFilter port: title clipped to
+    indexer.max.title.length, domain added with indexer.add.domain,
+    content clipped to indexer.max.content.length, host/url/tstamp
+    populated (BasicIndexingFilter.java:53-130)."""
+    cfg = CrawlConfig(
+        indexing_filters=("basic",),
+        extra={"indexer_max_title_length": 10,
+               "indexer_add_domain": True,
+               "indexer_max_content_length": 20},
+    )
+    df = pd.DataFrame([{
+        "url": "http://nutch.apache.org/index.html",
+        "title": "The Foo Page",
+        "text": "this is a sample foo bar page. hope you enjoy it.",
+        "fetch_time": 100,
+        "score_boost": 1.0,
+        "n_inlinks": 0,
+        "anchors": [],
+    }])
+    out = IndexingFilters(cfg.indexing_filters, cfg).apply(df)
+    row = out.iloc[0]
+    assert row["title"] == "The Foo Pa"
+    assert row["domain"] == "apache.org"
+    assert row["host"] == "nutch.apache.org"
+    assert row["url"] == "http://nutch.apache.org/index.html"
+    assert row["content"] == "this is a sample foo"
+    assert row["tstamp"] == 100
+    # defaults leave title/content whole and add no domain
+    out2 = IndexingFilters(("basic",), CrawlConfig(indexing_filters=("basic",))).apply(df)
+    assert out2.iloc[0]["title"] == "The Foo Page"
+    assert "domain" not in out2.columns
