@@ -91,14 +91,64 @@ class RegexURLFilter:
         return False
 
 
+class PrefixMatcher:
+    """PrefixStringMatcher (util/PrefixStringMatcher.java, exercised by
+    TestPrefixStringMatcher) re-expressed for batches: the trie's
+    O(len(input)) lookup becomes K vectorized hash passes (K = number
+    of DISTINCT prefix lengths, bounded by the longest prefix) — each
+    pass one ``str.slice(0, L).isin(set)`` over the whole column, no
+    per-row Python. Empty prefixes never match (the reference's
+    matcher agrees with its brute-force oracle on that)."""
+
+    def __init__(self, prefixes):
+        self._by_len: dict[int, set] = {}
+        for p in prefixes:
+            if p:
+                self._by_len.setdefault(len(p), set()).add(p)
+        self._lens = sorted(self._by_len)
+
+    def matches(self, s: str) -> bool:
+        return any(s[:L] in ps for L, ps in self._by_len.items())
+
+    def shortest_match(self, s: str) -> str | None:
+        for L in self._lens:
+            if s[:L] in self._by_len[L]:
+                return s[:L]
+        return None
+
+    def longest_match(self, s: str) -> str | None:
+        for L in reversed(self._lens):
+            if s[:L] in self._by_len[L]:
+                return s[:L]
+        return None
+
+    def matches_batch(self, values) -> np.ndarray:
+        import pandas as pd
+
+        s = pd.Series(values, dtype=object).fillna("")
+        out = np.zeros(len(s), dtype=bool)
+        for L in self._lens:
+            out |= s.str.slice(0, L).isin(self._by_len[L]).to_numpy()
+        return out
+
+
 class PrefixURLFilter:
     name = "prefix"
 
     def __init__(self, prefixes: tuple = ()):
-        self.prefixes = tuple(prefixes)
+        # blank entries are skipped like the reference's rule-file
+        # reader (keeps the scalar and batch paths consistent)
+        self.prefixes = tuple(p for p in prefixes if p)
+        self._matcher = PrefixMatcher(self.prefixes)
 
     def __call__(self, url: str) -> bool:
         return url.startswith(self.prefixes) if self.prefixes else False
+
+    def accept_batch(self, urls) -> np.ndarray:
+        # vectorized chain member (URLFilters.accept_many fast path)
+        if not self.prefixes:
+            return np.zeros(len(urls), dtype=bool)
+        return self._matcher.matches_batch(urls)
 
 
 class SuffixURLFilter:

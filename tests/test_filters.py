@@ -350,3 +350,35 @@ def test_prefix_filter_reference_matrix():
     ]
     for expected, url in cases:
         assert f(url) == expected, url
+
+
+def test_prefix_string_matcher_property():
+    """TestPrefixStringMatcher port (seeded): the vectorized by-length
+    matcher agrees with brute force on matches / shortest / longest
+    over random prefix sets and inputs."""
+    import numpy as np
+
+    from coherencebot_ray.functions.filters import PrefixMatcher
+
+    rng = np.random.RandomState(42)
+    alphabet = "abcd"
+
+    def rand_str(max_len):
+        n = rng.randint(0, max_len + 1)
+        return "".join(alphabet[i] for i in rng.randint(0, 4, n))
+
+    for _ in range(20):
+        prefixes = [rand_str(10) for _ in range(rng.randint(0, 100))]
+        m = PrefixMatcher(prefixes)
+        inputs = [rand_str(20) for _ in range(100)]
+        batch = m.matches_batch(inputs)
+        for s, got in zip(inputs, batch):
+            hits = [p for p in prefixes if p and s.startswith(p)]
+            assert m.matches(s) is bool(hits)
+            assert bool(got) is bool(hits)
+            if hits:
+                assert m.longest_match(s) == max(hits, key=len)
+                assert m.shortest_match(s) == min(hits, key=len)
+            else:
+                assert m.longest_match(s) is None
+                assert m.shortest_match(s) is None
