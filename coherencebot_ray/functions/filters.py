@@ -132,6 +132,44 @@ class PrefixMatcher:
         return out
 
 
+class SuffixMatcher:
+    """SuffixStringMatcher (util/SuffixStringMatcher.java, exercised by
+    TestSuffixStringMatcher) — the mirror of PrefixMatcher: by-length
+    tail-slice set passes."""
+
+    def __init__(self, suffixes):
+        self._by_len: dict[int, set] = {}
+        for p in suffixes:
+            if p:
+                self._by_len.setdefault(len(p), set()).add(p)
+        self._lens = sorted(self._by_len)
+
+    def matches(self, s: str) -> bool:
+        return any(len(s) >= L and s[-L:] in ps for L, ps in self._by_len.items())
+
+    def shortest_match(self, s: str) -> str | None:
+        for L in self._lens:
+            if len(s) >= L and s[-L:] in self._by_len[L]:
+                return s[-L:]
+        return None
+
+    def longest_match(self, s: str) -> str | None:
+        for L in reversed(self._lens):
+            if len(s) >= L and s[-L:] in self._by_len[L]:
+                return s[-L:]
+        return None
+
+    def matches_batch(self, values) -> np.ndarray:
+        import pandas as pd
+
+        s = pd.Series(values, dtype=object).fillna("")
+        out = np.zeros(len(s), dtype=bool)
+        for L in self._lens:
+            out |= (s.str.len() >= L).to_numpy() & s.str.slice(-L).isin(
+                self._by_len[L]).to_numpy()
+        return out
+
+
 class PrefixURLFilter:
     name = "prefix"
 
@@ -184,6 +222,22 @@ class SuffixURLFilter:
             probe = probe.lower()
         hit = probe.endswith(self.suffixes) if self.suffixes else False
         return not hit if self.mode_accept else hit
+
+    def accept_batch(self, urls) -> np.ndarray:
+        if self.filter_from_path:
+            # path extraction stays per-row (urlsplit); the chain's
+            # rowwise fallback handles this member
+            return np.fromiter((self(u) for u in urls), dtype=bool,
+                               count=len(urls))
+        import pandas as pd
+
+        s = pd.Series(urls, dtype=object).fillna("")
+        if self.ignore_case:
+            s = s.str.lower()
+        if not hasattr(self, "_matcher"):
+            self._matcher = SuffixMatcher(self.suffixes)
+        hit = self._matcher.matches_batch(s)
+        return ~hit if self.mode_accept else hit
 
 
 class DomainURLFilter:

@@ -382,3 +382,35 @@ def test_prefix_string_matcher_property():
             else:
                 assert m.longest_match(s) is None
                 assert m.shortest_match(s) is None
+
+
+def test_suffix_string_matcher_property():
+    """TestSuffixStringMatcher port (seeded), plus SuffixURLFilter
+    batch/scalar agreement in both modes."""
+    import numpy as np
+
+    from coherencebot_ray.functions.filters import SuffixMatcher, SuffixURLFilter
+
+    rng = np.random.RandomState(1838)
+    alphabet = "abcd"
+
+    def rand_str(max_len):
+        n = rng.randint(0, max_len + 1)
+        return "".join(alphabet[i] for i in rng.randint(0, 4, n))
+
+    for _ in range(20):
+        suffixes = [rand_str(10) for _ in range(rng.randint(0, 100))]
+        m = SuffixMatcher(suffixes)
+        inputs = [rand_str(20) for _ in range(100)]
+        batch = m.matches_batch(inputs)
+        for s, got in zip(inputs, batch):
+            hits = [p for p in suffixes if p and s.endswith(p)]
+            assert m.matches(s) is bool(hits)
+            assert bool(got) is bool(hits)
+            if hits:
+                assert m.longest_match(s) == max(hits, key=len)
+                assert m.shortest_match(s) == min(hits, key=len)
+        for mode in (True, False):
+            f = SuffixURLFilter(tuple(p for p in suffixes if p), mode_accept=mode)
+            fb = f.accept_batch(inputs)
+            assert [f(u) for u in inputs] == list(map(bool, fb))
