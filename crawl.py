@@ -35,6 +35,10 @@ def main() -> int:
     ap.add_argument("--dedup-every", type=int, default=0)
     ap.add_argument("--invertlinks-every", type=int, default=0)
     ap.add_argument("--index-every", type=int, default=0)
+    ap.add_argument("--add-binary-content", action="store_true",
+                    help="IndexingJob -addBinaryContent: binaryContent field from segment bytes")
+    ap.add_argument("--base64", action="store_true",
+                    help="indexer.binary.base64: base64-encode binaryContent")
     ap.add_argument("--num-cpus", type=int, default=32)
     args = ap.parse_args()
 
@@ -61,6 +65,8 @@ def main() -> int:
         schedule=args.schedule,
         server_delay_s=0.0,  # fake protocol: no wall-clock politeness sleeps
         gen_update_crawldb=args.generate_update_crawldb,
+        indexer_add_binary_content=args.add_binary_content,
+        indexer_binary_base64=args.base64,
     )
 
     seeds = None
