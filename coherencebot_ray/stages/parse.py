@@ -495,6 +495,7 @@ class ParseBatch:
             metatags: list[tuple] = []
             rel_tag_hrefs: list[str] = []
             lang_meta: str | None = None
+            media_meta: dict = {}
             if self.ext_parser is not None and self.ext_parser.can_parse(ctype):
                 # parse-ext: external command, stdout = text
                 from ..functions.extparser import ExtParseError
@@ -516,6 +517,28 @@ class ParseBatch:
                 js = bytes(content).decode("utf-8", errors="replace")
                 spans, text = [], ""
                 links = [(u, "") for u in extract_js_outlinks(js, urls[i])]
+            elif ctype.startswith("image/") or ctype.startswith("audio/"):
+                # interleaved media documents: the doc row is a single
+                # media span (media_ref = the fetched url) and the
+                # header probe's dimensions land in parse meta —
+                # TestImageMetadata semantics (tika extracts width=121/
+                # height=48 from the gif header; ops/media.probe_*
+                # reads the same header bytes, no codecs needed)
+                from ..ops.media import probe_audio, probe_image
+
+                raw = bytes(content)
+                spans, links, text = [("media", "", urls[i])], [], ""
+                pr = (probe_image(raw) if ctype.startswith("image/")
+                      else probe_audio(raw))
+                if pr is not None:
+                    kind, a, b = pr
+                    media_meta["media.format"] = kind
+                    if ctype.startswith("image/"):
+                        media_meta["width"] = str(a)
+                        media_meta["height"] = str(b)
+                    else:
+                        media_meta["audio.rate"] = str(a)
+                        media_meta["audio.channels"] = str(b)
             else:
                 # EncodingDetector clue chain: BOM / strict-UTF-8 probe
                 # wins, else the <meta charset> sniff, else utf-8
@@ -584,7 +607,7 @@ class ParseBatch:
                     ]
             signature = self.signer(text, bytes(content), urls[i])
             # parse-filter metadata: metatag.<name> entries + regex flags
-            extra_meta: dict = {}
+            extra_meta: dict = dict(media_meta)
             if self.archiver is not None:
                 # parsefilter-archive: digest keys the stored object
                 # (ArchiveParseFilter.java:84-93 uses the parse digest)

@@ -147,3 +147,41 @@ def test_parse_feed():
 </feed>"""
     spans2, links2, _ = parse_feed(atom)
     assert links2 == [("http://y.com/1", "E1")]
+
+
+def test_image_document_parse_metadata():
+    """TestImageMetadata port (parse-tika image path): an image/gif doc
+    parses to a single media span and width/height parse metadata read
+    from the header bytes (the reference's tika run extracts width=121
+    height=48 from nutch_logo_tm.gif; same header fields here)."""
+    import json
+
+    gif = (b"GIF89a" + (121).to_bytes(2, "little") + (48).to_bytes(2, "little")
+           + b"\x00" * 6)
+    row = fetch_row("http://a.com/logo.gif", gif, ctype="image/gif")
+    out = ParseBatch(CrawlConfig())(pd.DataFrame([row]))
+    docs = out[out["rtype"] == "doc"]
+    assert len(docs) == 1
+    spans = docs.iloc[0]["spans"]
+    assert [(s["kind"], s["media_ref"]) for s in spans] == \
+        [("media", "http://a.com/logo.gif")]
+    pm = out[out["rtype"] == "crawl_parse"]
+    pm = pm[pm["metadata"].notna()]
+    meta = json.loads(pm.iloc[0]["metadata"])
+    assert meta["width"] == "121" and meta["height"] == "48"
+    assert meta["media.format"] == "gif"
+
+
+def test_audio_document_parse_metadata():
+    """WAV doc: media span + sample-rate/channel parse metadata."""
+    import json
+
+    wav = (b"RIFF" + (100).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+           + (44100).to_bytes(4, "little") + b"\x00" * 8)
+    row = fetch_row("http://a.com/s.wav", wav, ctype="audio/x-wav")
+    out = ParseBatch(CrawlConfig())(pd.DataFrame([row]))
+    pm = out[(out["rtype"] == "crawl_parse") & out["metadata"].notna()]
+    meta = json.loads(pm.iloc[0]["metadata"])
+    assert meta["audio.rate"] == "44100" and meta["audio.channels"] == "2"
