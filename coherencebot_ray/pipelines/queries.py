@@ -431,6 +431,38 @@ FROM f GROUP BY status ORDER BY status
 """
 
 
+def q_readdb_stats_sort(sf_dir: str):
+    """readdb -stats -sort long format (CrawlDbStatMapper with
+    db.reader.stats.sort, CrawlDbReader.java:336-415): exact-integer
+    (key, value) stat rows incl. the per-host status breakdown."""
+    from ..stages.jobs import readdb_stats_long
+
+    out = readdb_stats_long(DV.derived_frontier_ds(sf_dir),
+                            sort_hosts=True).to_pandas()
+    out["value"] = out["value"].astype(np.int64)
+    return out.sort_values("key").reset_index(drop=True)
+
+
+_STATS_SORT_SQL = f"""
+WITH f AS (
+  SELECT {DV.STATUS_CASE_SQL} AS status, {DV.HOST_SQL} AS host,
+         CAST({DV.FETCH_TIME_SQL} AS BIGINT) AS fetch_time,
+         CAST({DV.INTERVAL_SQL} AS BIGINT) AS fetch_interval,
+         0 AS retries
+  FROM documents
+)
+SELECT key, CAST(value AS BIGINT) AS value FROM (
+  SELECT 'T' AS key, count(*) AS value FROM f
+  UNION ALL SELECT 'fit', sum(fetch_interval) FROM f
+  UNION ALL SELECT 'ftt', sum(fetch_time // 60000) FROM f
+  UNION ALL SELECT 'status ' || status, count(*) FROM f GROUP BY status
+  UNION ALL SELECT 'retry ' || retries, count(*) FROM f GROUP BY retries
+  UNION ALL SELECT 'status ' || status || ' ' || host, count(*) FROM f GROUP BY status, host
+)
+ORDER BY key
+"""
+
+
 def q_readdb_topn(sf_dir: str):
     """readdb -topN (CrawlDbReader.java:925-1006)."""
     from ..stages.jobs import readdb_topn
@@ -1835,6 +1867,7 @@ def build_queries() -> dict:
         "linkdb_merge": q_linkdb_merge,
         "hostdb": q_hostdb,
         "readdb_stats": q_readdb_stats,
+        "readdb_stats_sort": q_readdb_stats_sort,
         "readdb_topn": q_readdb_topn,
         "mergedb": q_mergedb,
         "criteria_filter": q_criteria_filter,
@@ -1888,6 +1921,7 @@ def build_oracle_sql() -> dict:
         "linkdb_merge": _LINKDB_MERGE_SQL,
         "hostdb": _HOSTDB_SQL,
         "readdb_stats": _STATS_SQL,
+        "readdb_stats_sort": _STATS_SORT_SQL,
         "readdb_topn": _TOPN_SQL,
         "mergedb": _MERGEDB_SQL,
         "criteria_filter": _CRITERIA_SQL,

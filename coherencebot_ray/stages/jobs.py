@@ -472,6 +472,50 @@ def readdb_stats(frontier_ds):
     return out
 
 
+def readdb_stats_long(frontier_ds, sort_hosts: bool = False, n_buckets: int = 16):
+    """readdb -stats long format (CrawlDbStatMapper/Reducer,
+    CrawlDbReader.java:336-470): (key, value) rows exactly in the
+    reference's key shapes — 'T' total, 'status <n>' counts,
+    'retry <r>' counts, 'fit' fetch-interval total (seconds), 'ftt'
+    fetch-time total (minutes, the reference's overflow guard), and
+    with ``sort_hosts`` (-sort / db.reader.stats.sort) the per-host
+    'status <n> <host>' breakdown. All values are exact integers —
+    hash-stable across engines. Partial-combined per batch, one small
+    key exchange."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"key": pd.Series(dtype="object"),
+                                 "value": pd.Series(dtype="int64")})
+        keys: list = ["T", "fit", "ftt"]
+        vals: list = [len(df),
+                      int(df["fetch_interval"].astype("int64").sum()),
+                      int((df["fetch_time"].astype("int64") // 60_000).sum())]
+        sc = df["status"].value_counts()
+        keys += [f"status {int(s)}" for s in sc.index]
+        vals += [int(v) for v in sc.to_numpy()]
+        rc = df["retries"].value_counts()
+        keys += [f"retry {int(r)}" for r in rc.index]
+        vals += [int(v) for v in rc.to_numpy()]
+        if sort_hosts:
+            hc = df.groupby([df["status"].astype("int64"), df["host"]],
+                            sort=False).size()
+            keys += [f"status {s} {h}" for s, h in hc.index]
+            vals += [int(v) for v in hc.to_numpy()]
+        return pd.DataFrame({"key": keys,
+                             "value": np.asarray(vals, dtype=np.int64)})
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("key", sort=False)["value"].sum().reset_index()
+        s["value"] = s["value"].astype(np.int64)
+        return s
+
+    from ..ops.agg import bucketed_group_apply
+
+    return bucketed_group_apply(frontier_ds, "key", bucket_fn,
+                                n_buckets=n_buckets, pre=partial)
+
+
 def readdb_topn(frontier_ds, k: int):
     """readdb -topN (CrawlDbReader.java:925-1006): top-k by score desc."""
     return frontier_ds.sort("score", descending=True).limit(k)

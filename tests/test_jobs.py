@@ -443,3 +443,26 @@ def test_hostdb_dns_check_matrix(ray_session):
     # not eligible (checked 10s ago, recheck interval 1d): untouched
     assert out.loc["fresh-skip.example", "dns_failures"] == 0
     assert out.loc["fresh-skip.example", "last_check"] == NOW - 10
+
+
+def test_readdb_stats_long(ray_session):
+    """readdb -stats long format (CrawlDbStatMapper key shapes,
+    CrawlDbReader.java:349-383): T / status / retry / fit / ftt and
+    the -sort per-host breakdown, all exact integers."""
+    import ray.data as rd
+
+    from coherencebot_ray.stages.jobs import readdb_stats_long
+
+    f = frontier_rows(10)
+    f.loc[3, "retries"] = 2
+    out = readdb_stats_long(rd.from_pandas(f), sort_hosts=True).to_pandas()
+    kv = dict(zip(out["key"], out["value"]))
+    assert kv["T"] == 10
+    assert kv[f"status {int(CS.DB_FETCHED)}"] == 10
+    assert kv["retry 0"] == 9 and kv["retry 2"] == 1
+    assert kv["fit"] == int(f["fetch_interval"].sum())
+    assert kv["ftt"] == int((f["fetch_time"] // 60_000).sum())
+    assert kv[f"status {int(CS.DB_FETCHED)} h.com"] == 10
+    # without -sort the per-host keys are absent
+    out2 = readdb_stats_long(rd.from_pandas(f)).to_pandas()
+    assert not out2["key"].str.contains("h.com").any()
