@@ -431,6 +431,37 @@ FROM f GROUP BY status ORDER BY status
 """
 
 
+def q_readdb_dump(sf_dir: str):
+    """readdb -dump with -regex + -status + -sample filters
+    (CrawlDbDumpMapper, CrawlDbReader.java:667-740): full-match url
+    regex, status-name equality, deterministic hash-Bernoulli sample."""
+    from ..stages.jobs import readdb_dump
+
+    out = readdb_dump(
+        DV.derived_frontier_ds(sf_dir),
+        regex=r"http://host[0-4]\d?\.example/doc/\d+",
+        status="db_fetched",
+        sample=0.5,
+    ).to_pandas()[["url", "status", "retries"]]
+    out["status"] = out["status"].astype(np.int64)
+    out["retries"] = out["retries"].astype(np.int64)
+    return out.sort_values("url").reset_index(drop=True)
+
+
+_READDB_DUMP_SQL = f"""
+WITH f AS (
+  SELECT {DV.URL_SQL} AS url, {DV.STATUS_CASE_SQL} AS status, 0 AS retries
+  FROM documents
+)
+SELECT url, CAST(status AS BIGINT) AS status, CAST(retries AS BIGINT) AS retries
+FROM f
+WHERE regexp_full_match(url, 'http://host[0-4]\\d?\\.example/doc/\\d+')
+  AND status = 2
+  AND CAST('0x' || substr(md5(url), 1, 8) AS UBIGINT) % 100 < 50
+ORDER BY url
+"""
+
+
 def q_readdb_stats_sort(sf_dir: str):
     """readdb -stats -sort long format (CrawlDbStatMapper with
     db.reader.stats.sort, CrawlDbReader.java:336-415): exact-integer
@@ -1868,6 +1899,7 @@ def build_queries() -> dict:
         "hostdb": q_hostdb,
         "readdb_stats": q_readdb_stats,
         "readdb_stats_sort": q_readdb_stats_sort,
+        "readdb_dump": q_readdb_dump,
         "readdb_topn": q_readdb_topn,
         "mergedb": q_mergedb,
         "criteria_filter": q_criteria_filter,
@@ -1922,6 +1954,7 @@ def build_oracle_sql() -> dict:
         "hostdb": _HOSTDB_SQL,
         "readdb_stats": _STATS_SQL,
         "readdb_stats_sort": _STATS_SORT_SQL,
+        "readdb_dump": _READDB_DUMP_SQL,
         "readdb_topn": _TOPN_SQL,
         "mergedb": _MERGEDB_SQL,
         "criteria_filter": _CRITERIA_SQL,

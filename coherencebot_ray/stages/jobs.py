@@ -526,6 +526,55 @@ def readdb_url(frontier_ds, url: str):
     return frontier_ds.filter(expr=f"url == '{url}'")
 
 
+def readdb_dump(frontier_ds, regex: str | None = None, status: str | None = None,
+                retry_min: int = -1, expr: str | None = None,
+                sample: float = 1.0):
+    """readdb -dump filter surface (CrawlDbDumpMapper,
+    CrawlDbReader.java:667-740): -regex (FULL match on the url, the
+    reference's Matcher.matches), -status (case-insensitive status
+    NAME), -retry (retries >= N), -expr (JEXL predicate), -sample.
+    All filters vectorized per batch; rows stream through, nothing
+    materializes. DIVERGENCE, documented: -sample uses Math.random()
+    in the reference; here it is the deterministic hash-Bernoulli
+    keep rule (ops/sample) so dumps are reproducible."""
+    import re as _re
+
+    from ..model import CrawlStatus
+
+    status_code = None
+    if status is not None:
+        matches = [c for c, n in CrawlStatus.NAMES.items()
+                   if n.lower() == status.lower()]
+        status_code = matches[0] if matches else -999  # unknown name: none pass
+    rx = _re.compile(regex) if regex else None
+
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        keep = np.ones(len(df), dtype=bool)
+        if sample < 1.0:
+            import hashlib as _hl
+
+            thr = int(round(sample * 100))
+            keep &= np.fromiter(
+                (int(_hl.md5(u.encode()).hexdigest()[:8], 16) % 100 < thr
+                 for u in df["url"]),
+                dtype=bool, count=len(df))
+        if retry_min != -1:
+            keep &= (df["retries"].to_numpy() >= retry_min)
+        if status_code is not None:
+            keep &= (df["status"].to_numpy() == status_code)
+        if rx is not None:
+            keep &= df["url"].str.fullmatch(rx).fillna(False).to_numpy()
+        if expr is not None:
+            from ..functions.jexl import evaluate
+
+            keep &= np.asarray(evaluate(df, expr), dtype=bool)
+        return df[keep]
+
+    return frontier_ds.map_batches(filt, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # J12 CrawlDbMerger (mergedb)
 # ---------------------------------------------------------------------------

@@ -466,3 +466,31 @@ def test_readdb_stats_long(ray_session):
     # without -sort the per-host keys are absent
     out2 = readdb_stats_long(rd.from_pandas(f)).to_pandas()
     assert not out2["key"].str.contains("h.com").any()
+
+
+def test_readdb_dump_filters(ray_session):
+    """readdb -dump filter matrix (CrawlDbDumpMapper): regex is a FULL
+    match, status matches the name case-insensitively, -retry is a
+    minimum, -expr runs the JEXL predicate."""
+    import ray.data as rd
+
+    from coherencebot_ray.stages.jobs import readdb_dump
+
+    f = frontier_rows(10)
+    f.loc[5, "retries"] = 3
+    f.loc[6, "status"] = CS.DB_GONE
+    ds = rd.from_pandas(f)
+    # full-match regex: a substring-only pattern matches nothing
+    assert readdb_dump(ds, regex="h.com").to_pandas().empty
+    assert len(readdb_dump(ds, regex=r"http://h\.com/\d").to_pandas()) == 10
+    assert list(readdb_dump(ds, status="DB_GONE").to_pandas()["url"]) == \
+        ["http://h.com/6"]
+    assert list(readdb_dump(ds, retry_min=1).to_pandas()["url"]) == \
+        ["http://h.com/5"]
+    # -expr: JEXL predicate over datum fields
+    assert list(readdb_dump(ds, expr="retriesSinceFetch > 1").to_pandas()["url"]) == \
+        ["http://h.com/5"]
+    # deterministic sample: same subset both times
+    a = readdb_dump(ds, sample=0.5).to_pandas()["url"].tolist()
+    b = readdb_dump(ds, sample=0.5).to_pandas()["url"].tolist()
+    assert a == b and 0 < len(a) < 10
