@@ -1446,3 +1446,100 @@ def node_dumper(edges_ds, topn: int = 50, by: str = "inlinks", n_buckets: int = 
     cand = bucketed_group_apply(sums, "url", bucket_topn, n_buckets=n_buckets).to_pandas()
     out = cand.sort_values(["n", "url"], ascending=[False, True], kind="stable").head(topn)
     return rd.from_pandas(out.reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Single-URL debug checkers (parse/ParserChecker.java:160-300,
+# indexer/IndexingFiltersChecker.java) — driver-side by design: the
+# reference tools fetch exactly one URL to inspect the plugin chains.
+# ---------------------------------------------------------------------------
+
+
+def parser_checker(url: str, cfg=None, protocol=None, max_redirects: int = 5,
+                   force_content_type: str | None = None,
+                   check_robots: bool = False, dump_text: bool = True) -> dict:
+    """bin/nutch parsechecker analogue: fetch ONE url through the
+    protocol (following redirects up to max_redirects like
+    ParserChecker:195-202), run the real ParseBatch on the single-row
+    batch, and return what the tool prints — content type, signature
+    hex, spans, outlinks, parse metadata, text."""
+    from ..config import CrawlConfig
+    from ..model import CrawlStatus as CS
+    from ..sources.fake_protocol import FakeProtocol
+    from .parse import ParseBatch
+
+    cfg = cfg or CrawlConfig()
+    proto = protocol or FakeProtocol()
+    if check_robots:
+        host = url.split("://", 1)[-1].split("/", 1)[0]
+        rb = proto.robots(host)
+        if not proto.robots_allows(rb, url):
+            return {"error": "Fetch disallowed by robots.txt"}
+    cur, n_redir = url, 0
+    resp = proto.fetch(cur)
+    while resp.status in ("moved", "temp_moved") and resp.redirect_to \
+            and n_redir < max_redirects:
+        cur = resp.redirect_to
+        n_redir += 1
+        resp = proto.fetch(cur)
+    if resp.status != "success":
+        return {"error": f"Fetch failed with protocol status: {resp.status}",
+                "redirects_handled": n_redir}
+    ctype = force_content_type or resp.content_type
+    host = cur.split("://", 1)[-1].split("/", 1)[0]
+    row = dict(url=cur, host=host, part=0, status=CS.FETCH_SUCCESS,
+               fetch_time=0, retries=0, fetch_interval=cfg.interval_default,
+               score=1.0, signature=None, modified_time=0, gen_time=0,
+               repr_url=None, fixed_interval=0, metadata=None,
+               content=resp.content, content_type=ctype, fetch_order=0)
+    out = ParseBatch(cfg)(pd.DataFrame([row]))
+    docs = out[out["rtype"] == "doc"]
+    cp = out[out["rtype"] == "crawl_parse"]
+    sig = cp[cp["status"] == int(CS.SIGNATURE)]
+    pm = cp[(cp["status"] == int(CS.PARSE_META)) & cp["metadata"].notna()]
+    import json as _json
+
+    spans = list(docs.iloc[0]["spans"]) if len(docs) else []
+    res = {
+        "url": cur,
+        "redirects_handled": n_redir,
+        "content_type": ctype,
+        "signature": (bytes(sig.iloc[0]["signature"]).hex()
+                      if len(sig) and sig.iloc[0]["signature"] is not None else None),
+        "spans": spans,
+        "outlinks": out[out["rtype"] == "outlink"]["dst"].tolist(),
+        "parse_meta": _json.loads(pm.iloc[0]["metadata"]) if len(pm) else {},
+    }
+    if dump_text:
+        res["text"] = " ".join(
+            s["text"] for s in spans if s["kind"] in ("title", "heading", "text"))
+    return res
+
+
+def indexing_filters_checker(url: str, cfg=None, protocol=None) -> dict:
+    """IndexingFiltersChecker analogue: fetch+parse one url, then run
+    the configured IndexingFilter chain over the single doc; returns
+    the indexed field dict (or {'error'/'skipped'})."""
+    from ..config import CrawlConfig
+    from ..functions.indexing import IndexingFilters
+
+    cfg = cfg or CrawlConfig()
+    pc = parser_checker(url, cfg=cfg, protocol=protocol, dump_text=True)
+    if "error" in pc:
+        return pc
+    titles = [s["text"] for s in pc["spans"] if s["kind"] == "title"]
+    doc = pd.DataFrame([{
+        "url": pc["url"],
+        "title": titles[0] if titles else "",
+        "text": pc["text"],
+        "content_type": pc["content_type"],
+        "score_boost": 1.0,
+        "n_inlinks": 0,
+        "anchors": [],
+        "fetch_time": 0,
+        "metadata": None,
+    }])
+    out = IndexingFilters(cfg.indexing_filters or ("basic",), cfg).apply(doc)
+    if len(out) == 0:
+        return {"skipped": "document rejected by the indexing-filter chain"}
+    return {k: v for k, v in out.iloc[0].items()}

@@ -724,3 +724,47 @@ def test_arc_roundtrip_segment(tmp_path, ray_session):
 
     parsed = ParseBatch(cfg)(back)
     assert (parsed["rtype"] == "doc").sum() > 0
+
+
+def test_parser_checker_and_index_checker():
+    """ParserChecker / IndexingFiltersChecker analogues
+    (parse/ParserChecker.java:160-300): one-url fetch -> parse ->
+    signature + spans + outlinks; redirect following; robots denial;
+    fetch failure surfaced; indexing chain over the parsed doc."""
+    from coherencebot_ray.sources.fake_protocol import FakeProtocol, FakeResponse, FakeRobots
+    from coherencebot_ray.stages.tools import (
+        indexing_filters_checker,
+        parser_checker,
+    )
+
+    class _Proto(FakeProtocol):
+        def __init__(self, routes, robots=None):
+            super().__init__()
+            self.routes = routes
+            self._rb = robots or {}
+
+        def fetch(self, url):
+            return self.routes.get(url, FakeResponse("notfound", b"", "text/html"))
+
+        def robots(self, host):
+            return self._rb.get(host, FakeRobots(disallow=(), crawl_delay=None))
+
+    html = b"<html><title>T1</title><body><a href='http://x.com/n'>n</a></body></html>"
+    proto = _Proto({
+        "http://a.com/r": FakeResponse("moved", b"", "text/html",
+                                       redirect_to="http://a.com/final"),
+        "http://a.com/final": FakeResponse("success", html, "text/html"),
+        "http://deny.com/x": FakeResponse("success", html, "text/html"),
+    }, robots={"deny.com": FakeRobots(disallow=("/",), crawl_delay=None)})
+
+    r = parser_checker("http://a.com/r", protocol=proto)
+    assert r["url"] == "http://a.com/final" and r["redirects_handled"] == 1
+    assert r["signature"] and r["outlinks"] == ["http://x.com/n"]
+    assert [s["text"] for s in r["spans"] if s["kind"] == "title"] == ["T1"]
+
+    assert "error" in parser_checker("http://a.com/missing", protocol=proto)
+    assert "error" in parser_checker("http://deny.com/x", protocol=proto,
+                                     check_robots=True)
+
+    idx = indexing_filters_checker("http://a.com/final", protocol=proto)
+    assert idx["title"] == "T1" and idx["host"] == "a.com"
