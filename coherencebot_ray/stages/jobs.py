@@ -341,6 +341,43 @@ def update_hostdb(frontier_ds):
     return bucketed_sum(partials, "host", list(_STATUS_COLS) + ["n_urls", "score_sum"])
 
 
+def read_hostdb(hostdb_ds, expr: str | None = None,
+                dump_hostnames: bool = False, dump_homepages: bool = False):
+    """ReadHostDb (hostdb/ReadHostDb.java:64-160): dump hostdb rows
+    filtered by a JEXL expression over the aggregate counters
+    (unfetched/fetched/gone/redirTemp/redirPerm/redirs/notModified/ok/
+    numRecords), or just the hostname / homepage-url columns. Pure
+    vectorized map — no shuffle (the hostdb is already per-host)."""
+    _JEXL_COLS = {
+        "redirTemp": "redir_temp", "redirPerm": "redir_perm",
+        "notModified": "not_modified", "numRecords": "n_urls",
+    }
+
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        if expr is not None:
+            from ..functions.jexl import evaluate
+
+            e = expr
+            for jexl, col in _JEXL_COLS.items():
+                import re as _re
+
+                e = _re.sub(rf"\b{jexl}\b", col, e)
+            d = df.copy()
+            # derived JEXL context variables (:105-107)
+            d["redirs"] = d["redir_temp"] + d["redir_perm"]
+            d["ok"] = d["fetched"] + d["not_modified"]
+            df = df[np.asarray(evaluate(d, e), dtype=bool)]
+        if dump_hostnames:
+            return df[["host"]]
+        if dump_homepages and "homepage_url" in df.columns:
+            return df[["homepage_url"]]
+        return df
+
+    return hostdb_ds.map_batches(filt, batch_format="pandas")
+
+
 class DnsCheckStage:
     """hostdb DNS resolver check (hostdb/ResolverThread.java:66-120,
     UpdateHostDbReducer.shouldCheck/isEligibleForCheck :361-400) as an

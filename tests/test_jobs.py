@@ -494,3 +494,27 @@ def test_readdb_dump_filters(ray_session):
     a = readdb_dump(ds, sample=0.5).to_pandas()["url"].tolist()
     b = readdb_dump(ds, sample=0.5).to_pandas()["url"].tolist()
     assert a == b and 0 < len(a) < 10
+
+
+def test_read_hostdb_expr(ray_session):
+    """ReadHostDb JEXL filter (ReadHostDb.java:95-135): derived
+    context vars (redirs, ok, numRecords) and the dump modes."""
+    import ray.data as rd
+
+    from coherencebot_ray.stages.jobs import read_hostdb, update_hostdb
+
+    df = pd.concat(
+        [
+            frontier_rows(4, host="a.com", status=CS.DB_FETCHED),
+            frontier_rows(3, host="a.com", status=CS.DB_UNFETCHED),
+            frontier_rows(2, host="b.com", status=CS.DB_REDIR_TEMP),
+        ],
+        ignore_index=True,
+    )
+    hdb = update_hostdb(rd.from_pandas(df))
+    out = read_hostdb(hdb, expr="ok > 2").to_pandas()
+    assert list(out["host"]) == ["a.com"]
+    out2 = read_hostdb(hdb, expr="redirs >= 2", dump_hostnames=True).to_pandas()
+    assert list(out2.columns) == ["host"] and list(out2["host"]) == ["b.com"]
+    out3 = read_hostdb(hdb, expr="numRecords >= 2").to_pandas()
+    assert set(out3["host"]) == {"a.com", "b.com"}
