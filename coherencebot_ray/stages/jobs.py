@@ -319,11 +319,15 @@ _STATUS_COLS = {
 def update_hostdb(frontier_ds):
     """frontier -> hostdb (status counts + score sum per host), with a
     per-batch partial combine before the groupby (UpdateHostDbReducer
-    analogue, hostdb/UpdateHostDbReducer.java:122-322)."""
+    analogue, hostdb/UpdateHostDbReducer.java:122-322). Homepage
+    detection per UpdateHostDbMapper.java:144-182: the host's root url
+    ('proto://host/'), when not UNFETCHED, proposes the homepage — a
+    perm/temp redirect's repr_url wins over the root itself."""
+    _num_cols = list(_STATUS_COLS) + ["n_urls", "score_sum"]
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
-            cols = ["host"] + list(_STATUS_COLS) + ["n_urls", "score_sum"]
+            cols = ["host"] + _num_cols + ["homepage_url"]
             return pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
         g = df.groupby("host", sort=False)
         out = pd.DataFrame({"host": list(g.groups.keys())})
@@ -333,12 +337,31 @@ def update_hostdb(frontier_ds):
             out[name] = s.groupby(df["host"], sort=False).sum().reindex(out["host"]).to_numpy()
         out["n_urls"] = g.size().reindex(out["host"]).to_numpy()
         out["score_sum"] = g["score"].sum().reindex(out["host"]).to_numpy()
+        # homepage candidates
+        root = df["url"].str.split("://", n=1).str[0] + "://" + df["host"].astype(str) + "/"
+        is_root = (df["url"] == root) & (df["status"] != CS.DB_UNFETCHED)
+        hp = pd.Series(np.full(len(df), None, dtype=object), index=df.index)
+        if "repr_url" in df.columns:
+            redir = is_root & df["status"].isin(
+                [CS.DB_REDIR_PERM, CS.DB_REDIR_TEMP]) & df["repr_url"].notna()
+            hp[redir] = df.loc[redir, "repr_url"]
+        else:
+            redir = pd.Series(False, index=df.index)
+        plain = is_root & ~redir
+        hp[plain] = root[plain]
+        out["homepage_url"] = hp.groupby(df["host"], sort=False).first().reindex(out["host"]).to_numpy()
         return out
 
-    from ..ops.agg import bucketed_sum
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("host", sort=False, as_index=False)[_num_cols].sum()
+        hp = g.groupby("host", sort=False)["homepage_url"].first()
+        agg["homepage_url"] = hp.reindex(agg["host"]).to_numpy()
+        return agg
+
+    from ..ops.agg import bucketed_group_apply
 
     partials = frontier_ds.map_batches(partial, batch_format="pandas")
-    return bucketed_sum(partials, "host", list(_STATUS_COLS) + ["n_urls", "score_sum"])
+    return bucketed_group_apply(partials, "host", combine)
 
 
 def read_hostdb(hostdb_ds, expr: str | None = None,
@@ -372,7 +395,8 @@ def read_hostdb(hostdb_ds, expr: str | None = None,
         if dump_hostnames:
             return df[["host"]]
         if dump_homepages and "homepage_url" in df.columns:
-            return df[["homepage_url"]]
+            # hasHomepageUrl guard (ReadHostDb.java:140-146)
+            return df[df["homepage_url"].notna()][["homepage_url"]]
         return df
 
     return hostdb_ds.map_batches(filt, batch_format="pandas")

@@ -518,3 +518,34 @@ def test_read_hostdb_expr(ray_session):
     assert list(out2.columns) == ["host"] and list(out2["host"]) == ["b.com"]
     out3 = read_hostdb(hdb, expr="numRecords >= 2").to_pandas()
     assert set(out3["host"]) == {"a.com", "b.com"}
+
+
+def test_hostdb_homepage_detection(ray_session):
+    """UpdateHostDbMapper.java:144-182: the fetched root url proposes
+    the homepage; a perm-redirect root's repr_url wins; an unfetched
+    root proposes nothing."""
+    import ray.data as rd
+
+    a = frontier_rows(2, host="a.com")
+    a.loc[0, "url"] = "http://a.com/"               # fetched root
+    b = frontier_rows(2, host="b.com")
+    b.loc[0, "url"] = "http://b.com/"
+    b.loc[0, "status"] = CS.DB_REDIR_PERM
+    b.loc[0, "repr_url"] = "http://www.b.com/home"  # redirect target wins
+    c = frontier_rows(2, host="c.com")
+    c.loc[0, "url"] = "http://c.com/"
+    c.loc[0, "status"] = CS.DB_UNFETCHED            # not resolved
+    out = jobs.update_hostdb(
+        rd.from_pandas(pd.concat([a, b, c], ignore_index=True))
+    ).to_pandas().set_index("host")
+    assert out.loc["a.com", "homepage_url"] == "http://a.com/"
+    assert out.loc["b.com", "homepage_url"] == "http://www.b.com/home"
+    assert out.loc["c.com", "homepage_url"] is None
+    # ReadHostDb -dumpHomepages surfaces them
+    from coherencebot_ray.stages.jobs import read_hostdb, update_hostdb
+
+    hp = read_hostdb(
+        update_hostdb(rd.from_pandas(pd.concat([a, b], ignore_index=True))),
+        dump_homepages=True,
+    ).to_pandas()
+    assert set(hp["homepage_url"]) == {"http://a.com/", "http://www.b.com/home"}
