@@ -52,10 +52,16 @@ class FakeRobots:
 class FakeProtocol:
     """Stateless; safe to instantiate once per fetch actor."""
 
-    def __init__(self, n_outlinks: int = 4, n_external: int = 1, n_hosts_universe: int = 1000):
+    def __init__(self, n_outlinks: int = 4, n_external: int = 1, n_hosts_universe: int = 1000,
+                 media_pct: int = 0):
         self.n_outlinks = n_outlinks
         self.n_external = n_external
         self.n_hosts = n_hosts_universe
+        # opt-in interleaved-media mode: this share of successes returns
+        # image/gif or audio WAV payloads (deterministic header bytes).
+        # Default 0 keeps crawl-order/URL-seen hashes identical to every
+        # prior recorded run.
+        self.media_pct = int(media_pct)
 
     # ---------------- robots ----------------
     def robots(self, host: str) -> FakeRobots:
@@ -101,6 +107,20 @@ class FakeProtocol:
 
     def _success(self, url: str, hh: int) -> FakeResponse:
         host = url.split("://", 1)[-1].split("/", 1)[0]
+        if self.media_pct and (hh >> 7) % 100 < self.media_pct:
+            # interleaved media payloads: deterministic gif / wav headers
+            if hh % 2 == 0:
+                w, h = 16 + hh % 480, 16 + (hh >> 9) % 320
+                body = (b"GIF89a" + int(w).to_bytes(2, "little")
+                        + int(h).to_bytes(2, "little") + b"\x00" * 6
+                        + bytes([hh % 251]) * (hh % 512))
+                return FakeResponse("success", body, "image/gif")
+            rate = (8000, 16000, 22050, 44100)[hh % 4]
+            body = (b"RIFF" + (36).to_bytes(4, "little") + b"WAVE"
+                    + b"fmt " + (16).to_bytes(4, "little")
+                    + (1).to_bytes(2, "little") + (1 + hh % 2).to_bytes(2, "little")
+                    + int(rate).to_bytes(4, "little") + b"\x00" * 8)
+            return FakeResponse("success", body, "audio/x-wav")
         if hh % 10 == 0:  # pdf-ish payload
             body = self._pdf_body(url, hh)
             return FakeResponse("success", body, "application/pdf")

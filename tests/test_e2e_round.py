@@ -252,3 +252,50 @@ def test_bootstrap_ds_matches_bootstrap(tmp_path, ray_session):
     rows_a = {p: v["rows"] for p, v in ma["partitions"].items()}
     rows_b = {p: v["rows"] for p, v in mb["partitions"].items()}
     assert rows_a == rows_b
+
+
+def test_interleaved_media_round(tmp_path, ray_session):
+    """Interleaved text+media crawl (the north-star payload shape): with
+    the fake protocol's media mode on, a full round produces doc rows
+    whose span sequences are single media spans with probed width/
+    height metadata, side by side with text docs — and the segment's
+    content part round-trips the binary payloads through the indexer
+    binary-content join."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from coherencebot_ray.config import CrawlConfig
+    from coherencebot_ray.pipelines.crawl import CrawlDriver
+    from coherencebot_ray.sources.fake_protocol import FakeProtocol
+
+    cfg = CrawlConfig(num_partitions=4, topn=2000, server_delay_s=0.0)
+    d = CrawlDriver(str(tmp_path / "m"), cfg,
+                    protocol=FakeProtocol(media_pct=30))
+    d.inject([f"http://host{h}.example/doc/{h}" for h in range(40)], EPOCH)
+    d.run_round(EPOCH + 1_000_000)
+    seg = d.seg_dir(d.store.latest_gen())
+    docs = pq.read_table(
+        sorted(__import__("glob").glob(f"{seg}/docs/part-*/*.parquet")),
+    ).to_pandas()
+    spans_kinds = docs["spans"].map(
+        lambda ss: tuple(s["kind"] for s in ss))
+    media_docs = docs[spans_kinds.map(lambda k: k == ("media",))]
+    text_docs = docs[spans_kinds.map(lambda k: "text" in k or "title" in k)]
+    assert len(media_docs) > 0 and len(text_docs) > 0
+    # media docs carry probe metadata through crawl_parse -> updatedb
+    cp = pq.read_table(
+        sorted(__import__("glob").glob(f"{seg}/crawl_parse/part-*/*.parquet")),
+    ).to_pandas()
+    metas = [json.loads(m) for m in cp["metadata"].dropna()]
+    dims = [m for m in metas if "width" in m or "audio.rate" in m]
+    assert dims and all(
+        int(m.get("width", 1)) > 0 and int(m.get("height", 1)) > 0
+        for m in dims if "width" in m)
+    # content part holds the binary payloads for the media urls
+    content = pq.read_table(
+        sorted(__import__("glob").glob(f"{seg}/content/part-*/*.parquet")),
+    ).to_pandas().set_index("url")
+    u = media_docs.iloc[0]["url"]
+    raw = bytes(content.loc[u, "content"])
+    assert raw[:6] in (b"GIF89a", b"RIFF" + raw[4:6])
