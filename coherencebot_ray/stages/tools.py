@@ -97,6 +97,24 @@ def segment_stats(seg_dir: str) -> dict:
     return out
 
 
+def segment_get(seg_dir: str, url: str) -> dict:
+    """readseg -get analogue (segment/SegmentReader.java get mode):
+    one url's rows from every segment component, as
+    {component: list[row dict]}. Parquet row-group pruning via the url
+    filter keeps this a scan of matching row groups, not a full read."""
+    out: dict = {}
+    for what in ("fetchlist", "fetch_out", "docs", "outlinks",
+                 "crawl_parse", "content"):
+        ds = read_segment(seg_dir, what)
+        try:
+            rows = ds.filter(expr=f"url == '{url}'").take_all()
+        except Exception:
+            rows = []
+        if rows:
+            out[what] = rows
+    return out
+
+
 def dump_segment_csv(seg_dir: str, what: str, out_path: str, columns=None) -> int:
     """readseg -dump analogue -> CSV. A single-file dump is inherently
     driver-bound — use it for debugging slices; pass a DIRECTORY path

@@ -39,6 +39,8 @@ def main() -> int:
                     help="IndexingJob -addBinaryContent: binaryContent field from segment bytes")
     ap.add_argument("--base64", action="store_true",
                     help="indexer.binary.base64: base64-encode binaryContent")
+    ap.add_argument("--media-pct", type=int, default=0,
+                    help="share of fetches returning interleaved media (gif/wav) payloads")
     ap.add_argument("--num-cpus", type=int, default=32)
     args = ap.parse_args()
 
@@ -80,9 +82,16 @@ def main() -> int:
         CrawlDriver(args.workdir, cfg).bootstrap(synth_frontier(args.synthetic, max(1, args.synthetic // 50), cfg))
         seeds = []
 
+    protocol = None
+    if args.media_pct:
+        from coherencebot_ray.sources.fake_protocol import FakeProtocol
+
+        protocol = FakeProtocol(media_pct=args.media_pct)
+
     results = crawl_loop(
         args.workdir,
         cfg,
+        protocol=protocol,
         seeds=seeds,
         rounds=args.rounds,
         use_feed=args.feed,

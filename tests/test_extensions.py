@@ -486,3 +486,15 @@ def test_segment_merger_slice_filter_normalize(ray_session, tmp_path):
     # every slice file holds at most the per-bucket chunk (400/4)
     for f in _glob.glob(str(out / "slice-*" / "fetch_out" / "*.parquet")):
         assert pq.read_metadata(f).num_rows <= 100
+
+
+def test_segment_get(ray_session, tmp_path):
+    """readseg -get: one url's rows from every component."""
+    from coherencebot_ray.stages.tools import segment_get
+
+    seg = _seg(tmp_path, "sg", [(URL, CS.FETCH_SUCCESS, 10),
+                                ("http://other.example/x", CS.FETCH_GONE, 11)])
+    got = segment_get(seg, URL)
+    assert list(got) == ["fetch_out"]
+    assert got["fetch_out"][0]["status"] == int(CS.FETCH_SUCCESS)
+    assert segment_get(seg, "http://missing.example/") == {}
