@@ -193,6 +193,66 @@ def knn_ivf(embeddings_ds, query_ids: list[int], k: int = 10, n_centroids: int =
     )
 
 
+def knn_lsh(embeddings_ds, query_ids: list[int], k: int = 10, n_tables: int = 8,
+            n_bits: int = 8, id_col: str = "vec_id", vec_col: str = "embedding",
+            seed: int = 42, dim: int | None = None):
+    """LSH-bucketed ANN (the third similarity-search flavor, next to
+    brute force and IVF): candidates = vectors sharing at least one
+    random-hyperplane (table, signature) bucket with the query; exact
+    cosine re-rank among candidates only. Same pruned-scan shape as
+    :func:`knn_ivf` — one broadcast of the queries + their signatures,
+    one map_batches scan with per-query partial top-k, one tiny final
+    groupby — so the full corpus streams once and no row leaves a task
+    un-pruned. Approximate by construction: recall for a neighbor at
+    cosine s is 1-(1-p^n_bits)^n_tables, p = 1 - arccos(s)/pi.
+    Deterministic: 6-dp rounded sims, ties break by neighbor id."""
+    import ray
+
+    if dim is None:
+        dim = len(embeddings_ds.take(1)[0][vec_col])
+    rng = np.random.default_rng(seed)
+    H = rng.standard_normal((n_tables * n_bits, dim))
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    def table_sigs(M: np.ndarray) -> np.ndarray:
+        bits = (M @ H.T) > 0
+        return np.stack(
+            [bits[:, t * n_bits:(t + 1) * n_bits] @ weights
+             for t in range(n_tables)], axis=1)
+
+    qdf = pick_query_vectors(embeddings_ds, query_ids, id_col, vec_col)
+    Q = _normalize(_batch_matrix(qdf, vec_col))
+    qids = qdf[id_col].to_numpy()
+    q_ref = ray.put((qids, Q, table_sigs(Q)))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        qids_, Q_, qsigs = ray.get(q_ref)
+        X = _normalize(_batch_matrix(df, vec_col))
+        ids = df[id_col].to_numpy()
+        sigs = table_sigs(X)  # (n, n_tables)
+        sims = X @ Q_.T
+        out = {"query_id": [], "neighbor_id": [], "sim": []}
+        for j, q in enumerate(qids_):
+            cand = (sigs == qsigs[j]).any(axis=1) & (ids != q)
+            cids, csims = _prune_topk(ids[cand], np.round(sims[cand, j], 6), k)
+            out["query_id"].extend([int(q)] * len(cids))
+            out["neighbor_id"].extend(cids.tolist())
+            out["sim"].extend(csims.tolist())
+        return _typed_partial(out)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        embeddings_ds.map_batches(partial, batch_format="pandas")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
 def embedding_neardup_pairs(
     embeddings_ds,
     threshold: float = 0.95,

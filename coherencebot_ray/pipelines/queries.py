@@ -1416,6 +1416,68 @@ ORDER BY query_id, rank
 """
 
 
+def q_knn_lsh(sf_dir: str):
+    """LSH-bucketed ANN: hyperplane-bucket candidate pruning + exact
+    re-rank (ops/knn.knn_lsh). Oracled with the hyperplane constants
+    embedded in the generated SQL (_knn_lsh_sql)."""
+    from ..ops.knn import knn_lsh
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    out = knn_lsh(ds, query_ids=list(range(8)), k=10,
+                  n_tables=8, n_bits=8).to_pandas()
+    out = out[["query_id", "neighbor_id", "rank"]]
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _knn_lsh_sql(k=10, n_tables=8, n_bits=8, dim=64, seed=42, n_queries=8):
+    """DuckDB twin of knn_lsh: same seeded hyperplanes as SQL literals,
+    same bucket-candidate rule, same 6-dp/neighbor-id tie-break."""
+    rng = np.random.default_rng(seed)
+    H = rng.standard_normal((n_tables * n_bits, dim))
+    selects = []
+    for t in range(n_tables):
+        terms = []
+        for b in range(n_bits):
+            row = H[t * n_bits + b]
+            lit = "[" + ",".join(repr(float(v)) for v in row) + "]"
+            terms.append(
+                f"(CASE WHEN list_inner_product(embedding, {lit}) > 0 "
+                f"THEN {1 << b} ELSE 0 END)"
+            )
+        selects.append(
+            f"SELECT vec_id, {t} AS tbl, " + " + ".join(terms)
+            + " AS sig FROM embeddings"
+        )
+    sigs = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH sigs AS (
+{sigs}
+),
+cand AS (
+  SELECT DISTINCT sq.vec_id AS qid, sx.vec_id AS nid
+  FROM sigs sq JOIN sigs sx ON sq.tbl = sx.tbl AND sq.sig = sx.sig
+  WHERE sq.vec_id < {n_queries} AND sx.vec_id <> sq.vec_id
+),
+s AS (
+  SELECT c.qid, c.nid,
+         round(list_cosine_similarity(eq.embedding, en.embedding), 6) AS sim
+  FROM cand c
+  JOIN embeddings eq ON eq.vec_id = c.qid
+  JOIN embeddings en ON en.vec_id = c.nid
+),
+r AS (
+  SELECT qid, nid,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+  FROM s
+)
+SELECT qid AS query_id, nid AS neighbor_id, rank FROM r WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 def q_window_tumbling(sf_dir: str):
     """Tumbling 1h window per user: event count + value cents."""
     ds = _read(sf_dir, "events", columns=["ts", "user_id", "value"], min_block_bytes=_EXCHANGE_BLOCK_BYTES)
@@ -1914,6 +1976,7 @@ def build_queries() -> dict:
         "langid": q_langid,
         "knn_cosine": q_knn_cosine,
         "knn_ivf": q_knn_ivf,
+        "knn_lsh": q_knn_lsh,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "dedup_components": q_dedup_components,
@@ -1989,6 +2052,7 @@ def build_oracle_sql() -> dict:
         "token_quantiles": _TOKEN_QUANTILES_SQL,
         "c4_filters": _C4_SQL,
         "knn_ivf": _KNN_IVF_SQL,
+        "knn_lsh": _knn_lsh_sql(),
         "crawl_round": _CRAWL_ROUND_SQL,
         "crawlcomplete": _CRAWLCOMPLETE_SQL,
         "domainstats": _DOMAINSTATS_SQL,

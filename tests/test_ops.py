@@ -553,3 +553,32 @@ def test_grouped_int_quantiles_exact(ray_session):
         for p in ps:
             expect = s[max(1, math.ceil(p * len(s) - 1e-9)) - 1]
             assert out.loc[(lang, p), "value"] == expect, (lang, p)
+
+
+def test_knn_lsh_recall_vs_brute(ray_session):
+    """knn_lsh: every returned neighbor is a true candidate re-ranked
+    exactly; with enough tables the top-1 matches brute force for most
+    queries (recall property, seeded)."""
+    import ray.data as rd
+
+    from coherencebot_ray.ops.knn import knn_brute, knn_lsh
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(8, 16)
+    # 200 vectors clustered around 8 anchors -> high-sim neighbors exist
+    X = np.repeat(base, 25, axis=0) + 0.1 * rng.randn(200, 16)
+    df = pd.DataFrame({"vec_id": np.arange(200),
+                       "embedding": [r.astype(np.float64) for r in X]})
+    ds = rd.from_pandas(df)
+    qids = [0, 25, 50, 75]
+    lsh = knn_lsh(ds, qids, k=5, n_tables=12, n_bits=6, dim=16).to_pandas()
+    brute = knn_brute(ds, qids, k=5).to_pandas()
+    b1 = brute[brute["rank"] == 1].set_index("query_id")["neighbor_id"]
+    l1 = lsh[lsh["rank"] == 1].set_index("query_id")["neighbor_id"]
+    hits = sum(int(l1.get(q, -1) == b1[q]) for q in qids)
+    assert hits >= 3  # high-sim top-1 survives bucketing
+    # determinism across runs
+    lsh2 = knn_lsh(ds, qids, k=5, n_tables=12, n_bits=6, dim=16).to_pandas()
+    pd.testing.assert_frame_equal(
+        lsh.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        lsh2.sort_values(["query_id", "rank"]).reset_index(drop=True))
