@@ -319,7 +319,9 @@ def q_invertlinks(sf_dir: str):
 
     edges = li.map_batches(to_edges, batch_format="pandas")
     cfg = CrawlConfig(linkdb_ignore_internal=False, linkdb_max_inlinks=10_000_000)
-    out = invertlinks(edges, cfg).to_pandas()
+    # 16 buckets at harness scale: keeps exchange blocks off the
+    # micro-block floor (the job's 64 default is the at-scale setting)
+    out = invertlinks(edges, cfg, n_buckets=16).to_pandas()
     out["min_src"] = out["srcs"].map(min)
     out["min_anchor"] = out["anchors"].map(min)
     return out[["url", "n_inlinks", "min_src", "min_anchor"]].sort_values("url").reset_index(drop=True)
