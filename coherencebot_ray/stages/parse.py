@@ -465,8 +465,14 @@ class ParseBatch:
         if cfg.parser_skip_truncated and len(ok) and "metadata" in ok.columns:
             # parser.skip.truncated (ParseSegment.java:113): drop
             # content the fetch stage marked cut-short; substring scan
-            # over the raw JSON — the key is unique by construction
-            ok = ok[~ok["metadata"].astype(str).str.contains('"_tr_"', regex=False)]
+            # over the raw JSON — the key is unique by construction.
+            # Scan only the non-null metadata rows (most rows carry none).
+            md = ok["metadata"]
+            nn = md.notna()
+            if nn.any():
+                hit = pd.Series(False, index=ok.index)
+                hit[nn] = md[nn].str.contains('"_tr_"', regex=False)
+                ok = ok[~hit]
         if len(ok) == 0:
             return _empty_parse_out()
         urls = ok["url"].to_numpy()
