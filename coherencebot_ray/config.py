@@ -237,6 +237,16 @@ class CrawlConfig:
     # parse-ext ExtParser: ((content_type, command, timeout_s), ...) —
     # content piped through the command, stdout = parse text
     ext_parsers: tuple = ()
+    # ParserFactory routing (conf/parse-plugins.xml.template +
+    # parse/ParserFactory.java): ((mimeType, (parser ids...)), ...) —
+    # exact mime match wins, '*' is the fallback entry, ids are tried
+    # IN ORDER until one parses (a failing parser falls through to the
+    # next, like ParseUtil's parser iteration). Reference plugin ids
+    # map onto the built-ins: parse-html/parse-tika -> html,
+    # parse-zip -> zip, parse-js -> js, feed -> feed, parse-ext -> ext,
+    # plus this engine's pdf and media parsers. Empty = the built-in
+    # heuristic table (the template's effective routing).
+    parse_plugins: tuple = ()
     # DOMContentUtils non-anchor outlink tags to SKIP
     # (parser.html.outlinks.ignore_tags). DELIBERATE DIVERGENCE from the
     # reference: nutch-default.xml:1669 ships an EMPTY list (img/script/

@@ -450,6 +450,87 @@ class ParseBatch:
                 {ct: (cmd, to) for ct, cmd, to in cfg.ext_parsers})
         else:
             self.ext_parser = None
+        # ParserFactory mime routing table (parse-plugins.xml analogue):
+        # reference plugin ids normalized onto the built-in parser ids
+        _ALIASES = {"parse-html": "html", "parse-tika": "html",
+                    "parse-zip": "zip", "parse-js": "js",
+                    "parse-feed": "feed", "parse-ext": "ext",
+                    "parse-pdf": "pdf"}
+        self._routes = {
+            m.lower(): tuple(_ALIASES.get(p, p) for p in ids)
+            for m, ids in (cfg.parse_plugins or ())
+        }
+
+    # -- ParserFactory.getExtensions analogue ---------------------------
+    def _resolve_parsers(self, ctype: str) -> tuple:
+        if self._routes:
+            base = ctype.split(";")[0].strip().lower()
+            ids = self._routes.get(base) or self._routes.get("*")
+            if ids:
+                return ids
+        # built-in heuristic table = the template's effective routing
+        if self.ext_parser is not None and self.ext_parser.can_parse(ctype):
+            return ("ext",)
+        if "pdf" in ctype:
+            return ("pdf",)
+        if "rss" in ctype or "atom" in ctype:
+            return ("feed",)
+        if "zip" in ctype:
+            return ("zip",)
+        if "javascript" in ctype:
+            return ("js",)
+        if ctype.startswith("image/") or ctype.startswith("audio/"):
+            return ("media",)
+        return ("html",)
+
+    def _run_simple_parser(self, pid: str, content, ctype: str, url: str,
+                           media_meta: dict):
+        """Run a non-html parser id; returns (spans, links, text) or
+        None on failure (the caller falls through to the next routed
+        id, like ParseUtil's parser iteration)."""
+        if pid == "ext":
+            if self.ext_parser is None or not self.ext_parser.can_parse(ctype):
+                return None
+            from ..functions.extparser import ExtParseError
+
+            try:
+                text = self.ext_parser.parse(bytes(content), ctype)
+            except ExtParseError:
+                return None  # ParseStatus.FAILED -> next parser
+            return ([("text", text, "")] if text else []), [], text
+        if pid == "pdf":
+            return parse_pdf(bytes(content))
+        if pid == "feed":
+            return parse_feed(bytes(content))
+        if pid == "zip":
+            return parse_zip(bytes(content), url)
+        if pid == "js":
+            # parse-js pure .js documents: string-literal outlinks,
+            # no text spans (JSParseFilter.getParse:170-190)
+            js = bytes(content).decode("utf-8", errors="replace")
+            return [], [(u, "") for u in extract_js_outlinks(js, url)], ""
+        if pid == "media":
+            # interleaved media documents: the doc row is a single
+            # media span (media_ref = the fetched url) and the header
+            # probe's dimensions land in parse meta — TestImageMetadata
+            # semantics (tika extracts width=121/height=48 from the gif
+            # header; ops/media.probe_* reads the same header bytes)
+            from ..ops.media import probe_audio, probe_image
+
+            raw = bytes(content)
+            pr = (probe_image(raw) if ctype.startswith("image/")
+                  else probe_audio(raw))
+            if pr is not None:
+                kind, a, b = pr
+                media_meta["media.format"] = kind
+                if ctype.startswith("image/"):
+                    media_meta["width"] = str(a)
+                    media_meta["height"] = str(b)
+                else:
+                    media_meta["audio.rate"] = str(a)
+                    media_meta["audio.channels"] = str(b)
+            return [("media", "", url)], [], ""
+        return None  # unknown parser id: skip to the next routed one
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         """Columnar parse pass: the only per-document Python is the html/
@@ -502,49 +583,24 @@ class ParseBatch:
             rel_tag_hrefs: list[str] = []
             lang_meta: str | None = None
             media_meta: dict = {}
-            if self.ext_parser is not None and self.ext_parser.can_parse(ctype):
-                # parse-ext: external command, stdout = text
-                from ..functions.extparser import ExtParseError
-
-                try:
-                    text = self.ext_parser.parse(bytes(content), ctype)
-                except ExtParseError:
-                    continue  # parse failure: no output row (ParseStatus.FAILED)
-                spans, links = ([("text", text, "")] if text else []), []
-            elif "pdf" in ctype:
-                spans, links, text = parse_pdf(bytes(content))
-            elif "rss" in ctype or "atom" in ctype:
-                spans, links, text = parse_feed(bytes(content))
-            elif "zip" in ctype:
-                spans, links, text = parse_zip(bytes(content), urls[i])
-            elif "javascript" in ctype:
-                # parse-js pure .js documents: string-literal outlinks,
-                # no text spans (JSParseFilter.getParse:170-190)
-                js = bytes(content).decode("utf-8", errors="replace")
-                spans, text = [], ""
-                links = [(u, "") for u in extract_js_outlinks(js, urls[i])]
-            elif ctype.startswith("image/") or ctype.startswith("audio/"):
-                # interleaved media documents: the doc row is a single
-                # media span (media_ref = the fetched url) and the
-                # header probe's dimensions land in parse meta —
-                # TestImageMetadata semantics (tika extracts width=121/
-                # height=48 from the gif header; ops/media.probe_*
-                # reads the same header bytes, no codecs needed)
-                from ..ops.media import probe_audio, probe_image
-
-                raw = bytes(content)
-                spans, links, text = [("media", "", urls[i])], [], ""
-                pr = (probe_image(raw) if ctype.startswith("image/")
-                      else probe_audio(raw))
-                if pr is not None:
-                    kind, a, b = pr
-                    media_meta["media.format"] = kind
-                    if ctype.startswith("image/"):
-                        media_meta["width"] = str(a)
-                        media_meta["height"] = str(b)
-                    else:
-                        media_meta["audio.rate"] = str(a)
-                        media_meta["audio.channels"] = str(b)
+            # ParserFactory routing: ordered parser ids for this mime
+            # (exact match > '*' > built-in heuristic table); ids run
+            # in order until one parses (ParseUtil iteration)
+            pids = self._resolve_parsers(ctype)
+            chosen_html = False
+            parsed_simple = None
+            for pid in pids:
+                if pid == "html":
+                    chosen_html = True
+                    break
+                parsed_simple = self._run_simple_parser(
+                    pid, content, ctype, urls[i], media_meta)
+                if parsed_simple is not None:
+                    break
+            if not chosen_html and parsed_simple is None:
+                continue  # every routed parser failed (ParseStatus.FAILED)
+            if not chosen_html:
+                spans, links, text = parsed_simple
             else:
                 # EncodingDetector clue chain: BOM / strict-UTF-8 probe
                 # wins, else the <meta charset> sniff, else utf-8

@@ -185,3 +185,43 @@ def test_audio_document_parse_metadata():
     pm = out[(out["rtype"] == "crawl_parse") & out["metadata"].notna()]
     meta = json.loads(pm.iloc[0]["metadata"])
     assert meta["audio.rate"] == "44100" and meta["audio.channels"] == "2"
+
+
+def test_parser_factory_routing():
+    """ParserFactory port (parse-plugins.xml + ParserFactory.java):
+    exact mime match wins, '*' is the fallback, ids run IN ORDER until
+    one parses, and reference plugin ids alias onto the built-ins."""
+    # route zip-named mime to the js parser, '*' to html
+    cfg = CrawlConfig(parse_plugins=(
+        ("application/zip", ("parse-js",)),
+        ("application/x-custom", ("parse-ext", "parse-zip")),  # ext absent -> zip
+        ("*", ("parse-html",)),
+    ))
+    pb = ParseBatch(cfg)
+    # exact match: zip mime goes to the JS parser (no text spans)
+    js_doc = b"var a = 'http://x.com/from-js';"
+    out = pb(pd.DataFrame([fetch_row("http://a.com/f.zip", js_doc,
+                                     ctype="application/zip")]))
+    assert set(out[out["rtype"] == "outlink"]["dst"]) == {"http://x.com/from-js"}
+    # ordered fallback: parse-ext unavailable -> parse-zip runs
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("inner.txt", "zip inner text")
+    out2 = pb(pd.DataFrame([fetch_row("http://a.com/c", buf.getvalue(),
+                                      ctype="application/x-custom")]))
+    docs2 = out2[out2["rtype"] == "doc"]
+    assert any("zip inner text" in s["text"]
+               for s in docs2.iloc[0]["spans"] if s["kind"] == "text")
+    # '*' fallback: a pdf mime routes to html under this table
+    out3 = pb(pd.DataFrame([fetch_row("http://a.com/x", b"<html><title>T</title></html>",
+                                      ctype="application/pdf")]))
+    assert [s["text"] for s in out3[out3["rtype"] == "doc"].iloc[0]["spans"]
+            if s["kind"] == "title"] == ["T"]
+    # empty table keeps the built-in heuristic routing
+    out4 = ParseBatch(CrawlConfig())(pd.DataFrame(
+        [fetch_row("http://a.com/p", b"%FPDF|T|H|body", ctype="application/pdf")]))
+    assert [s["text"] for s in out4[out4["rtype"] == "doc"].iloc[0]["spans"]
+            if s["kind"] == "title"] == ["T"]
