@@ -1,0 +1,63 @@
+"""Benchmark decontamination — flag training documents sharing an
+n-gram with an evaluation set (the GPT-3/Pile-style 13-gram rule).
+
+Scale shape: the eval side of this op is benchmark-sized (thousands of
+documents), so its distinct n-grams are collected once into a broadcast
+set (`ray.put`, read per task) and the training corpus streams through
+one vectorized map_batches containment scan — no shuffle at all. At
+10^10 training rows the exchange-free scan is the entire cost; if the
+eval side ever outgrows broadcast, the same gram frames feed a bucketed
+co-group on the gram key instead.
+
+Grams here are exact token strings (space-joined \\S+ runs) so the
+DuckDB oracle can rebuild them verbatim; a production deployment would
+hash them (the set membership test is identical).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _grams_of(text: str, n: int) -> list[str]:
+    toks = (text or "").lower().split()
+    if len(toks) < n:
+        return []
+    return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+
+def eval_gram_set(eval_ds, n: int = 13, text_col: str = "text") -> set:
+    """Distinct n-grams of the (benchmark-sized) eval side: per-batch
+    gram extraction + set-union, collected to the driver once."""
+
+    def grams(df: pd.DataFrame) -> pd.DataFrame:
+        out: set = set()
+        for t in df[text_col]:
+            out.update(_grams_of(t, n))
+        return pd.DataFrame({"g": sorted(out)})
+
+    parts = eval_ds.map_batches(grams, batch_format="pandas").to_pandas()
+    return set(parts["g"])
+
+
+def decontaminate(train_ds, eval_ds, n: int = 13, id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Returns a Dataset of (id_col, contaminated int 0/1) for every
+    training document; contaminated = shares >= 1 n-gram with eval."""
+    import ray
+
+    gset_ref = ray.put(eval_gram_set(eval_ds, n=n, text_col=text_col))
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        gset = ray.get(gset_ref)
+        flags = np.zeros(len(df), dtype=np.int64)
+        for i, t in enumerate(df[text_col]):
+            toks = (t or "").lower().split()
+            for j in range(len(toks) - n + 1):
+                if " ".join(toks[j:j + n]) in gset:
+                    flags[i] = 1
+                    break
+        return pd.DataFrame({id_col: df[id_col].to_numpy(), "contaminated": flags})
+
+    return train_ds.map_batches(scan, batch_format="pandas")

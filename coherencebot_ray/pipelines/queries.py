@@ -927,6 +927,51 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3/Pile n-gram rule): training docs
+    (doc_id % 37 != 0) flagged when they share an 8-gram with the eval
+    slice (doc_id % 37 == 0). Broadcast eval-gram set + exchange-free
+    vectorized scan (ops/decontaminate.py)."""
+    from ..ops.decontaminate import decontaminate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+
+    def _slice(df: pd.DataFrame, is_eval: bool) -> pd.DataFrame:
+        m = (df["doc_id"].to_numpy() % 37 == 0)
+        return df[m if is_eval else ~m]
+
+    ev = ds.map_batches(lambda df: _slice(df, True), batch_format="pandas")
+    tr = ds.map_batches(lambda df: _slice(df, False), batch_format="pandas")
+    out = decontaminate(tr, ev, n=8).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["contaminated"] = out["contaminated"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_DECONTAMINATE_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\S+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i.i:i.i+7], ' ') AS g
+  FROM tok, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) i
+  WHERE len(t) >= 8
+),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 37 = 0),
+hit AS (
+  SELECT DISTINCT gr.doc_id FROM grams gr JOIN ev ON gr.g = ev.g
+  WHERE gr.doc_id % 37 <> 0
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS contaminated
+FROM documents d LEFT JOIN hit h USING (doc_id)
+WHERE d.doc_id % 37 <> 0
+ORDER BY d.doc_id
+"""
+
+
 def q_vocab_topk(sf_dir: str):
     """Corpus vocabulary: global top-20 lowercased \\S+ tokens by
     frequency (ops/vocab.vocab_topk — partial counts, one token-hash
@@ -1998,6 +2043,7 @@ def build_queries() -> dict:
         "pack_tokens": q_pack_tokens,
         "token_counts": q_token_counts,
         "vocab_topk": q_vocab_topk,
+        "decontaminate": q_decontaminate,
         "token_quantiles": q_token_quantiles,
         "c4_filters": q_c4_filters,
         "crawlcomplete": q_crawlcomplete,
@@ -2051,6 +2097,7 @@ def build_oracle_sql() -> dict:
         "pack_tokens": _PACK_SQL,
         "token_counts": _token_counts_sql(),
         "vocab_topk": _VOCAB_SQL,
+        "decontaminate": _DECONTAMINATE_SQL,
         "token_quantiles": _TOKEN_QUANTILES_SQL,
         "c4_filters": _C4_SQL,
         "knn_ivf": _KNN_IVF_SQL,

@@ -582,3 +582,26 @@ def test_knn_lsh_recall_vs_brute(ray_session):
     pd.testing.assert_frame_equal(
         lsh.sort_values(["query_id", "rank"]).reset_index(drop=True),
         lsh2.sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
+def test_decontaminate(ray_session):
+    """n-gram decontamination: a train doc sharing an n-gram with eval
+    flags; disjoint docs don't; short docs (< n tokens) never flag."""
+    import ray.data as rd
+
+    from coherencebot_ray.ops.decontaminate import decontaminate
+
+    ev = rd.from_pandas(pd.DataFrame({
+        "doc_id": [100],
+        "text": ["the quick brown fox jumps over the lazy dog tonight"]}))
+    tr = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "prefix words the quick brown fox jumps over the end",  # shares 7-gram
+            "completely different content with no overlap at all here",
+            "short doc",
+        ]}))
+    out = decontaminate(tr, ev, n=7).to_pandas().set_index("doc_id")
+    assert out.loc[1, "contaminated"] == 1
+    assert out.loc[2, "contaminated"] == 0
+    assert out.loc[3, "contaminated"] == 0
