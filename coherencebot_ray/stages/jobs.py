@@ -645,14 +645,31 @@ def readdb_dump(frontier_ds, regex: str | None = None, status: str | None = None
 # ---------------------------------------------------------------------------
 
 
-def mergedb(dbs: list, cfg: CrawlConfig):
+def mergedb(dbs: list, cfg: CrawlConfig, url_normalize: bool = False,
+            url_filter: bool = False):
     """Union several frontiers; per URL keep the entry with the newest
     calculateLastFetchTime, metadata merged newer-over-older
-    (CrawlDbMerger.java:82-119)."""
+    (CrawlDbMerger.java:82-119).
 
-    from .updatedb import merge_frontier_frames
+    ``-normalize`` / ``-filter`` (CrawlDbMerger.java:128-179 runs
+    CrawlDbFilter as the merge mapper): map-side url rewrite + drop
+    BEFORE the exchange — renamed urls land in their recomputed
+    hash(host) partition, so cross-db twins that only match after
+    normalization still merge."""
+    from dataclasses import replace
+
+    from .updatedb import merge_frontier_frames, renormalize_frame
 
     ds = dbs[0].union(*dbs[1:]) if len(dbs) > 1 else dbs[0]
+    if url_normalize or url_filter:
+        mcfg = replace(cfg, update_url_normalize=url_normalize,
+                       update_url_filter=url_filter)
+
+        def renorm(df: pd.DataFrame) -> pd.DataFrame:
+            out, _ = renormalize_frame(df.copy(), mcfg)
+            return out
+
+        ds = ds.map_batches(renorm, batch_format="pandas")
     return ds.groupby("part").map_groups(merge_frontier_frames, batch_format="pandas")
 
 

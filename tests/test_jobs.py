@@ -549,3 +549,33 @@ def test_hostdb_homepage_detection(ray_session):
         dump_homepages=True,
     ).to_pandas()
     assert set(hp["homepage_url"]) == {"http://a.com/", "http://www.b.com/home"}
+
+
+def test_mergedb_normalize_filter(ray_session):
+    """CrawlDbMerger -normalize/-filter (CrawlDbMerger.java:128-179):
+    a url that only matches its twin after crawldb-scope normalization
+    merges into ONE row in the rewritten url's partition; filtered
+    urls drop."""
+    import ray.data as rd
+
+    from coherencebot_ray.functions.urlutil import partition_for_hosts
+
+    # fixture parts must be hash-consistent (renamed rows are routed to
+    # the RECOMPUTED hash(host) partition, like the real pipeline)
+    part = int(partition_for_hosts(np.array(["h.com"], dtype=object),
+                                   16, 42, "byHost")[0])
+    a = frontier_rows(2)
+    a["part"] = part
+    a.loc[0, "url"] = "http://h.com/0#frag"   # normalizes to /0
+    a.loc[1, "url"] = "http://h.com/x.gif"    # default regex filter kills
+    b = frontier_rows(1)                       # the canonical /0, newer
+    b["part"] = part
+    b["fetch_time"] = b["fetch_time"] + 50_000
+    b["score"] = np.float32(7.0)
+    out = jobs.mergedb([rd.from_pandas(a), rd.from_pandas(b)], CrawlConfig(),
+                       url_normalize=True, url_filter=True).to_pandas()
+    assert list(out["url"]) == ["http://h.com/0"]
+    assert float(out["score"].iloc[0]) == 7.0  # newest wins post-merge
+    # without the flags: three distinct urls survive
+    out2 = jobs.mergedb([rd.from_pandas(a), rd.from_pandas(b)], CrawlConfig()).to_pandas()
+    assert len(out2) == 3
