@@ -228,14 +228,61 @@ def invertlinks(outlinks_ds, cfg: CrawlConfig, n_buckets: int = 64):
     return bucketed_group_apply(partials, "dst", final_bucket, n_buckets=n_buckets)
 
 
-def merge_linkdbs(linkdb_dss: list, cfg: CrawlConfig):
+def merge_linkdbs(linkdb_dss: list, cfg: CrawlConfig,
+                  url_normalize: bool = False, url_filter: bool = False):
     """LinkDbMerger (crawl/LinkDbMerger.java:39-110 reduce): union the
     inlink lists per target url across several linkdbs, dedup by source
     url (Inlinks is keyed by fromUrl), cap at db.max.inlinks; counts
     follow the capped list. One bucketed exchange over the union —
     linkdbs merge without any driver materialization.
+
+    ``-normalize`` / ``-filter`` run LinkDbFilter as the map side
+    (LinkDbMerger.createMergeJob:148-160): the TARGET url is
+    renormalized (linkdb scope) / filtered before the exchange, and
+    each inlink fromUrl is rewritten/dropped too (LinkDbFilter.map).
     """
     max_in = cfg.linkdb_max_inlinks
+
+    if url_normalize or url_filter:
+        from ..functions.filters import URLFilters
+        from ..functions.normalizers import SCOPE_LINKDB, URLNormalizers
+
+        norms = URLNormalizers(cfg.normalizers) if url_normalize else None
+        filts = URLFilters(cfg.filters) if url_filter else None
+
+        def linkdb_filter(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return df
+            urls = df["url"]
+            if norms is not None:
+                urls = pd.Series(norms.normalize_many(urls, SCOPE_LINKDB),
+                                 index=df.index)
+            keep = urls.notna()
+            if filts is not None:
+                keep &= pd.Series(
+                    filts.accept_many(urls.fillna("").to_numpy()),
+                    index=df.index)
+            df = df[keep].assign(url=urls[keep])
+            # inlink fromUrls (row-wise over bounded lists, like the
+            # reference's per-Inlink loop)
+            new_srcs, new_ancs = [], []
+            for srcs, ancs in zip(df["srcs"], df["anchors"]):
+                pairs = []
+                for s, a in zip(list(srcs), list(ancs)):
+                    if norms is not None:
+                        s = norms.normalize(s, SCOPE_LINKDB)
+                        if s is None:
+                            continue
+                    if filts is not None and not filts.accept(s):
+                        continue
+                    pairs.append((s, a))
+                new_srcs.append([p[0] for p in pairs])
+                new_ancs.append([p[1] for p in pairs])
+            df = df.assign(srcs=new_srcs, anchors=new_ancs)
+            return df
+
+        linkdb_dss = [ds.map_batches(linkdb_filter, batch_format="pandas")
+                      for ds in linkdb_dss]
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         """Vectorized fold (same machinery as invertlinks.final_bucket):

@@ -768,3 +768,40 @@ def test_parser_checker_and_index_checker():
 
     idx = indexing_filters_checker("http://a.com/final", protocol=proto)
     assert idx["title"] == "T1" and idx["host"] == "a.com"
+
+
+def test_linkdb_merger_normalize_filter(ray_session):
+    """LinkDbMerger -normalize/-filter (LinkDbFilter as map side):
+    target urls re-key after normalization so cross-db twins merge;
+    filtered targets drop; inlink fromUrls rewrite/drop too."""
+    import pandas as pd
+    import ray.data as rd
+
+    from coherencebot_ray.config import CrawlConfig
+    from coherencebot_ray.stages.jobs import merge_linkdbs
+
+    a = pd.DataFrame({
+        "url": ["http://t.com/a#frag", "http://t.com/x.gif"],
+        "n_inlinks": [1, 1],
+        "anchors": [["a1"], ["ax"]],
+        "srcs": [["http://s1.com/p#f"], ["http://sx.com/"]],
+    })
+    b = pd.DataFrame({
+        "url": ["http://t.com/a"],
+        "n_inlinks": [1],
+        "anchors": [["a2"]],
+        "srcs": [["http://s2.com/bad.gif"]],  # inlink filtered away
+    })
+    out = merge_linkdbs(
+        [rd.from_pandas(a), rd.from_pandas(b)], CrawlConfig(),
+        url_normalize=True, url_filter=True,
+    ).to_pandas().set_index("url")
+    assert list(out.index) == ["http://t.com/a"]  # gif target dropped
+    row = out.iloc[0]
+    # normalized twin merged; normalized inlink kept, gif inlink dropped
+    assert row["srcs"] == ["http://s1.com/p"]
+    assert row["n_inlinks"] == 1
+    # flags off: three targets survive untouched
+    out2 = merge_linkdbs([rd.from_pandas(a), rd.from_pandas(b)],
+                         CrawlConfig()).to_pandas()
+    assert len(out2) == 3
