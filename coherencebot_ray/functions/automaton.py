@@ -89,7 +89,12 @@ class _Parser:
             return ("set", _ALL)
         if c == "\\":
             return ("set", _escape(self._next()))
-        return ("set", frozenset(c.encode("utf-8")) if ord(c) < 128 else frozenset(c.encode("utf-8")[:1]))
+        if ord(c) < 128:
+            return ("set", frozenset(c.encode("utf-8")))
+        # non-ASCII literal: one NFA transition per UTF-8 byte (inputs
+        # are utf-8 encoded, so 'é' must match its 2-byte sequence, not
+        # any string whose byte happens to be the 0xC3 lead byte)
+        return ("cat", [("set", frozenset([b])) for b in c.encode("utf-8")])
 
     def _cls(self):
         negate = False
@@ -111,9 +116,13 @@ class _Parser:
                 members |= _escape(self._next())
                 continue
             lo = ord(c)
+            if lo > 127:
+                raise ValueError(f"non-ASCII {c!r} not supported in character classes")
             if self._peek() == "-" and self.i + 1 < len(self.p) and self.p[self.i + 1] != "]":
                 self._next()
                 hi = ord(self._next())
+                if hi > 127:
+                    raise ValueError("non-ASCII range bound not supported in character classes")
                 members |= set(range(lo, hi + 1))
             else:
                 members.add(lo)
@@ -135,7 +144,11 @@ def _escape(c: str) -> frozenset:
         return _ALL - table["w"]
     if c == "S":
         return _ALL - table["s"]
-    return frozenset([ord(c)]) if ord(c) < 256 else frozenset(c.encode("utf-8")[:1])
+    if ord(c) < 128:
+        return frozenset([ord(c)])
+    # a byte-set can't express a multi-byte UTF-8 sequence; refuse
+    # loudly rather than silently over-match on the lead byte
+    raise ValueError(f"non-ASCII {c!r} not supported in escapes/character classes")
 
 
 # ---------------------------------------------------------------------------

@@ -84,9 +84,12 @@ def classify(model: NBModel, text: str) -> str:
         prob_ir += (math.log(f) if f else 0.0) + 1 - z_ir
         f = model.wordfreq_r.get(t)
         prob_r += (math.log(f) if f else 0.0) + 1 - z_r
-    total = math.log(model.numof_ir + model.numof_r)
-    prob_ir += math.log(model.numof_ir) - total
-    prob_r += math.log(model.numof_r) - total
+    # Java Math.log(0) is -Infinity (one-class training data must not
+    # crash; the comparison still resolves toward the populated class)
+    _log = lambda x: math.log(x) if x else float("-inf")
+    total = _log(model.numof_ir + model.numof_r)
+    prob_ir += _log(model.numof_ir) - total
+    prob_r += _log(model.numof_r) - total
     return "0" if prob_ir > prob_r else "1"
 
 

@@ -684,6 +684,7 @@ class _UpdateTask:
                 # stray pass before the generation commits.
                 ren = merged.pop("_renamed_").to_numpy(dtype=bool)
                 move = ren & (merged["part"].to_numpy() != part) if n_sub == 1 else ren
+                stayed_renamed = bool((ren & ~move).any())
                 if move.any():
                     stray = merged[move].reset_index(drop=True)
                     merged = merged[~move].reset_index(drop=True)
@@ -696,6 +697,16 @@ class _UpdateTask:
                             os.path.join(sdir, f"from-{part}-{sub}.parquet"),
                             compression="zstd",
                         )
+                if stayed_renamed:
+                    # a rename can land on a url whose canonical twin
+                    # already lives in this same partition (merge_partition
+                    # grouped by the PRE-rename url, so the twins are now
+                    # two rows); re-fold so the committed generation never
+                    # carries duplicate url rows — the reference's map-side
+                    # CrawlDbFilter merges such twins in one reduce
+                    from ..stages.updatedb import merge_frontier_frames
+
+                    merged = merge_frontier_frames(merged).reset_index(drop=True)
             merged["domain"] = (
                 domains_of(merged["host"]).to_numpy(dtype=object) if len(merged) else None
             )

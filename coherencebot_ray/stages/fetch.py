@@ -254,6 +254,14 @@ class FetchPartition:
         return resp, final_url, chain
 
 
+# per-fetch protocol keys this stage writes: recomputed every fetch, so
+# a stale copy carried in the frontier row (updatedb unions metadata and
+# never deletes) must NOT leak into the new fetch datum. The reference
+# keeps TRUNCATED in per-segment Content metadata, rebuilt each fetch
+# (ParseSegment.isTruncated reads the segment, not the CrawlDb).
+_PER_FETCH_KEYS = ("_tr_", "_redirect_to_", "_final_url_", "_skip_", "_robots_denied_")
+
+
 def _datum(row, status, fetch_time, content, content_type, meta: dict | None, repr_url=None, fetch_order=-1,
            modified_time_ms: int = 0):
     # the fetch datum starts as the crawl datum — carried frontier
@@ -262,6 +270,8 @@ def _datum(row, status, fetch_time, content, content_type, meta: dict | None, re
     # (_pst_ etc.) overlay
     base = row.get("metadata")
     md = json.loads(base) if isinstance(base, str) and base else {}
+    for k in _PER_FETCH_KEYS:
+        md.pop(k, None)
     if meta:
         md.update(meta)
     return {

@@ -166,6 +166,27 @@ def test_crawldb_host_rename_repartitions(tmp_path, ray_session):
         assert (sub["part"] == int(pdir.split("=")[1])).all()
 
 
+def test_crawldb_rename_same_partition_twin_folds(tmp_path, ray_session):
+    """ADVICE r4: a crawldb-scope rename landing on a url whose canonical
+    twin lives in the SAME partition (part unchanged, no stray staging)
+    must still fold — the committed generation never carries duplicate
+    url rows (the reference's map-side CrawlDbFilter merges such twins
+    in one reduce)."""
+    cfg = CFG.with_(
+        update_url_normalize=True,
+        crawldb_regex_rules=(
+            (r"^http://host0\.example/page/1$", "http://host0.example/page/0"),
+        ),
+    )
+    d = CrawlDriver(str(tmp_path / "twin"), cfg)
+    d.bootstrap(synth_frontier(300, 12, cfg))
+    d.run_round(EPOCH)
+    t = d.store.read_table(1).to_pandas()
+    assert not (t["url"] == "http://host0.example/page/1").any()
+    assert (t["url"] == "http://host0.example/page/0").sum() == 1
+    assert t["url"].is_unique
+
+
 def test_updatedb_dataset_path_renormalizes_mapside(tmp_path, ray_session):
     """stages.updatedb.updatedb applies CrawlDbFilter renormalization
     map-side (before the groupby) so a renamed url meets its canonical

@@ -276,6 +276,28 @@ def test_truncation_marked_in_metadata():
     assert md_ok is None or "_tr_" not in json.loads(md_ok)
 
 
+def test_truncation_not_sticky_across_fetches():
+    """A frontier row carrying a stale '_tr_' from a previous truncated
+    fetch must NOT keep the mark when the re-fetch is complete: the
+    reference stores TRUNCATED in per-segment Content metadata, rebuilt
+    each fetch (ParseSegment.isTruncated reads the segment, not the
+    CrawlDb), so truncation state is recomputed per fetch."""
+    import json
+
+    proto = ScriptedProtocol(
+        {"http://t.com/x": FakeResponse(
+            "success", b"A" * 50, "text/html", content_length=50)}
+    )
+    row = fl_row(
+        "http://t.com/x",
+        metadata=json.dumps({"_tr_": "length", "keep": "me"}),
+    )
+    out = run_fetch([row], CrawlConfig(content_limit=80), proto).set_index("url")
+    md = json.loads(out.loc["http://t.com/x", "metadata"])
+    assert "_tr_" not in md  # recomputed: this fetch is complete
+    assert md["keep"] == "me"  # non-protocol metadata still carried
+
+
 def test_parser_skip_truncated():
     """ParseSegment.java:113 — truncated docs don't parse by default;
     parser_skip_truncated=False restores the old behavior."""

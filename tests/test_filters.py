@@ -179,6 +179,24 @@ def test_automaton_regex_features():
     assert esc("a.b") and not esc("axb")
 
 
+def test_automaton_non_ascii_literal():
+    """A non-ASCII literal compiles to its full UTF-8 byte sequence —
+    it must match exactly that character, never another string whose
+    byte at the position is the same lead byte; classes/escapes reject
+    non-ASCII loudly instead of silently over-matching."""
+    import pytest
+
+    f = _automaton([("+", "a/é")])
+    assert f("a/é")
+    assert not f("a/è") and not f("a/e") and not f("a/Ã")
+    rep = _automaton([("+", "(é)+x")])
+    assert rep("ééx") and not rep("éx" + "\xc3") and not rep("x")
+    with pytest.raises(ValueError):
+        _automaton([("+", "[é]")])
+    with pytest.raises(ValueError):
+        _automaton([("+", r"\é")])
+
+
 # ---------------------------------------------------------------------------
 # TestSuffixURLFilter port (mode/case/path matrix)
 # ---------------------------------------------------------------------------

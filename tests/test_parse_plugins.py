@@ -663,6 +663,17 @@ def test_naivebayes_classify_math():
     assert classify(m, "red carpet celebrity gossip") == "0"
 
 
+def test_naivebayes_one_class_training():
+    """Java Math.log(0) = -Infinity: one-class training lines must not
+    crash classify; everything resolves toward the populated class."""
+    from coherencebot_ray.functions.naivebayes import classify, train
+
+    only_r = train(("1\tray data distributed datasets",))
+    assert classify(only_r, "anything at all") == "1"
+    only_ir = train(("0\tcelebrity gossip fashion",))
+    assert classify(only_ir, "anything at all") == "0"
+
+
 def test_naivebayes_outlink_second_chance():
     """NaiveBayesParseFilter.filter(:157-190): an irrelevant page keeps
     only outlinks whose url contains a wordlist term; relevant pages
