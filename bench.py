@@ -103,6 +103,7 @@ def run_headline() -> dict:
     urls_sorted = sorted(t1.column("url").to_pylist())
     urlseen_hash = hashlib.md5("\x1f".join(urls_sorted).encode()).hexdigest()
 
+    d.close()  # release the persistent round-worker pool
     shutil.rmtree(wd, ignore_errors=True)
     busy_total = sum(
         v for k, v in m["timings_s"].items() if k.startswith("busy_")

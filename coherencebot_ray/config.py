@@ -64,6 +64,12 @@ class CrawlConfig:
     # pandas tasks don't thrash (concurrency = session_cpus / this)
     task_num_cpus: int = 1
 
+    # persistent fused-round worker actors: robots cache + parser chain
+    # survive across rounds (the reference's RobotRulesParser.CACHE is a
+    # static per-JVM Hashtable alive for the whole crawl). False falls
+    # back to per-round task-pool execution (fresh state every round).
+    persistent_workers: bool = True
+
     # above this partition count the fetch+parse tasks stop scattering
     # crawl_parse files per TARGET partition (P^2 small files) and write
     # one file per SOURCE partition instead; a Ray Data groupby("part")

@@ -311,9 +311,14 @@ class _FetchParseTask:
         return df
 
 
-def _fetch_parse_one(cfg, cur_time_ms, seg, part, fl, protocol, load_seen) -> dict:
+def _fetch_parse_one(cfg, cur_time_ms, seg, part, fl, protocol, load_seen,
+                     robots_cache: dict | None = None, parse=None) -> dict:
     """Fetch+parse one partition's fetchlist (in-memory frame) and write
-    the segment artifacts; returns the partition's stat row."""
+    the segment artifacts; returns the partition's stat row.
+
+    ``robots_cache`` / ``parse`` let a persistent worker (one actor per
+    partition subset, alive across rounds) reuse robots rules and the
+    compiled parser chain instead of rebuilding them every round."""
     from ..stages.fetch import FetchPartition
     from ..stages.parse import ParseBatch
 
@@ -323,7 +328,9 @@ def _fetch_parse_one(cfg, cur_time_ms, seg, part, fl, protocol, load_seen) -> di
         from ..functions.publisher import JsonlPublisher
 
         publisher = JsonlPublisher(cfg.publisher_dir)
-    fetch_out = FetchPartition(cfg, cur_time_ms, protocol, publisher=publisher)(fl)
+    fetch_out = FetchPartition(
+        cfg, cur_time_ms, protocol, publisher=publisher, robots_cache=robots_cache
+    )(fl)
     # Split redirect-discovery LINKED rows out of fetch_out: they
     # are partitioned by TARGET host (stages/fetch.py) and join the
     # crawl_parse cross-partition exchange below, so a cross-host
@@ -351,7 +358,7 @@ def _fetch_parse_one(cfg, cur_time_ms, seg, part, fl, protocol, load_seen) -> di
     t_fetch = time.monotonic() - t0
 
     t0 = time.monotonic()
-    parsed = ParseBatch(cfg)(fetch_out)
+    parsed = (parse if parse is not None else ParseBatch(cfg))(fetch_out)
     t_parse = time.monotonic() - t0
 
     # fetch datums (without content bytes — narrow segment record)
@@ -493,6 +500,86 @@ class _RoundPartTask:
         df = pd.DataFrame(stats)
         df["busy"] = (time.monotonic() - t_busy) / max(1, len(stats))
         return df
+
+
+class _RoundWorkerImpl:
+    """Persistent fused-round worker (created as a Ray ACTOR by
+    CrawlDriver._round_workers, one per CPU slot, alive across rounds).
+
+    The reference keeps robots rules in a static per-JVM cache that
+    survives the whole crawl (protocol/RobotRulesParser.java:63) and
+    constructs the parser chain once per JVM; a per-round task pool
+    rebuilds both every round — the recurring fixed cost the
+    512-partition rehearsal surfaced (round-1 wall >> steady-state).
+    This actor owns that state; per-round inputs (segment dir, clock,
+    file lists, hostdb, generate filters) arrive as call arguments.
+
+    Partitions route to workers by ``part % n_workers`` so the same
+    actor sees the same hosts every round and its robots entries re-hit.
+    Scheduled with num_cpus=0 + SPREAD: run_round's phases are
+    sequential, so the pool is the only stage running while it works —
+    reserving CPUs would only starve the updatedb tasks that run
+    between calls. On a multi-node cluster SPREAD places workers across
+    nodes; politeness state is partition-local so any placement is
+    correct."""
+
+    def __init__(self, cfg, protocol):
+        _pin_arrow_threads()
+        from ..stages.parse import ParseBatch
+
+        self.cfg = cfg
+        self.protocol = protocol
+        self.robots_cache: dict = {}
+        self.parse = ParseBatch(cfg)
+
+    def run_parts(self, parts, cur_time_ms, limit, seg, files_by_part,
+                  hostdb, filters, seen_files_by_part) -> list[dict]:
+        from ..stages.generate import eligibility_filter, select_partition
+
+        seen_files_by_part = seen_files_by_part or {}
+
+        def load_seen(part: int):
+            from ..state.cuckoo import CuckooFilter
+
+            shards = []
+            for f in seen_files_by_part.get(part, []):
+                if os.path.exists(f):
+                    with open(f, "rb") as fh:
+                        shards.append(CuckooFilter.from_bytes(fh.read()))
+            return shards
+
+        t_busy = time.monotonic()
+        stats = []
+        for part in parts:
+            part = int(part)
+            files = files_by_part.get(part, [])
+            if not files:
+                st = _fp_stat(part, 0, 0, 0.0, 0.0)
+                st["selected"] = 0
+                stats.append(st)
+                continue
+            df = pq.read_table(files, partitioning=None).to_pandas()
+            elig = eligibility_filter(df, self.cfg, cur_time_ms, filters)
+            sel = select_partition(elig, self.cfg, limit, cur_time_ms, hostdb)
+            if len(sel) == 0:
+                st = _fp_stat(part, 0, 0, 0.0, 0.0)
+                st["selected"] = 0
+                stats.append(st)
+                continue
+            _write_df(
+                sel, os.path.join(seg, "fetchlist", f"part-{part}", "data-0.parquet"),
+                FETCHLIST_SCHEMA,
+            )
+            stats.append(
+                _fetch_parse_one(
+                    self.cfg, cur_time_ms, seg, part, sel, self.protocol, load_seen,
+                    robots_cache=self.robots_cache, parse=self.parse,
+                )
+            )
+        busy = (time.monotonic() - t_busy) / max(1, len(stats))
+        for st in stats:
+            st["busy"] = busy
+        return stats
 
 
 def _preagg_links(cp: pd.DataFrame, cfg=None) -> pd.DataFrame:
@@ -802,6 +889,50 @@ class CrawlDriver:
             skew_split_rows=self.cfg.skew_split_rows,
         )
         os.makedirs(os.path.join(workdir, "segments"), exist_ok=True)
+        self._workers: list | None = None  # persistent round-worker pool
+
+    # ------------------------------------------------------------------
+    def _round_workers(self) -> list:
+        """Lazily create (and cache) the persistent fused-round actor
+        pool — see _RoundWorkerImpl. Pool size = one worker per CPU slot
+        (cluster CPUs / task_num_cpus), capped at the partition count;
+        partitions route by part % n so robots state re-hits each round."""
+        import ray
+
+        n = min(
+            self.cfg.num_partitions,
+            max(1, int(ray.cluster_resources().get("CPU", 1)) // max(1, self.cfg.task_num_cpus)),
+        )
+        if self._workers is not None and len(self._workers) == n:
+            return self._workers
+        self.close()
+        worker_cls = ray.remote(num_cpus=0, max_restarts=2, max_task_retries=2)(
+            _RoundWorkerImpl
+        )
+        self._workers = [
+            worker_cls.options(scheduling_strategy="SPREAD").remote(self.cfg, self.protocol)
+            for _ in range(n)
+        ]
+        return self._workers
+
+    def close(self) -> None:
+        """Kill the persistent worker pool (tests create many drivers in
+        one Ray session; actors must not accumulate)."""
+        if self._workers:
+            import ray
+
+            for w in self._workers:
+                try:
+                    ray.kill(w)
+                except Exception:
+                    pass
+        self._workers = None
+
+    def __del__(self):  # best-effort; explicit close() preferred
+        try:
+            self.close()
+        except Exception:
+            pass
 
     # ------------------------------------------------------------------
     def seg_dir(self, gen: int) -> str:
@@ -987,7 +1118,29 @@ class CrawlDriver:
         fused_parts = [p for p in parts if len(files_by_part[p]) <= 2]
         split_parts = [p for p in parts if len(files_by_part[p]) > 2]
         frames = []
-        if fused_parts:
+        if fused_parts and cfg.persistent_workers:
+            # persistent actor pool: robots cache + parser chain survive
+            # across rounds (reference's static RobotRulesParser.CACHE);
+            # partitions route by part % n for cache locality
+            import ray
+
+            workers = self._round_workers()
+            n = len(workers)
+            futs = []
+            for w_idx, w in enumerate(workers):
+                mine = [p for p in fused_parts if p % n == w_idx]
+                if mine:
+                    futs.append(
+                        w.run_parts.remote(
+                            mine, cur_time_ms, limit, seg,
+                            {p: files_by_part[p] for p in mine},
+                            hostdb, filters,
+                            {p: seen_files_by_part.get(p, []) for p in mine},
+                        )
+                    )
+            stats_rows = [st for rows in ray.get(futs) for st in rows]
+            frames.append(pd.DataFrame(stats_rows))
+        elif fused_parts:
             rp_task = _RoundPartTask(
                 cfg, cur_time_ms, limit, seg, files_by_part, hostdb, filters,
                 self.protocol, seen_files_by_part,

@@ -58,6 +58,29 @@ def crawl_loop(
 
     hostdb_overrides = None
     results = []
+    try:
+        results = _loop_rounds(
+            d, cfg, rounds, now, round_interval_ms, use_feed, hostdb_every,
+            sitemaps_every, sitemap_host_slices, sitemap_hosts_cap, warc_out,
+            gc_keep_gens, invertlinks_every, dedup_every, index_every,
+            workdir, hostdb_overrides,
+        )
+    finally:
+        d.close()  # release the persistent round-worker pool
+    return results
+
+
+def _loop_rounds(
+    d, cfg, rounds, now, round_interval_ms, use_feed, hostdb_every,
+    sitemaps_every, sitemap_host_slices, sitemap_hosts_cap, warc_out,
+    gc_keep_gens, invertlinks_every, dedup_every, index_every,
+    workdir, hostdb_overrides,
+) -> list[dict]:
+    import ray.data as rd  # noqa: F401 (kept: parity with crawl_loop imports)
+
+    from ..stages import jobs, tools
+
+    results = []
     for r in range(rounds):
         if os.path.exists(os.path.join(workdir, ".STOP")):
             break

@@ -1927,11 +1927,14 @@ def q_crawl_round(sf_dir: str):
 
     with tempfile.TemporaryDirectory() as wd:
         d = CrawlDriver(wd, cfg)
-        d.bootstrap_ds(DV.derived_frontier_ds(sf_dir, transform=partify))
-        d.run_round(EPOCH + 10_000)
-        out = d.store.read_table(1).to_pandas()[["url", "status"]]
-        out["status"] = out["status"].astype(np.int64)
-        return out.sort_values("url").reset_index(drop=True)
+        try:
+            d.bootstrap_ds(DV.derived_frontier_ds(sf_dir, transform=partify))
+            d.run_round(EPOCH + 10_000)
+            out = d.store.read_table(1).to_pandas()[["url", "status"]]
+            out["status"] = out["status"].astype(np.int64)
+            return out.sort_values("url").reset_index(drop=True)
+        finally:
+            d.close()
 
 
 # The round, re-derived from the fake protocol's pure-hash rules

@@ -56,7 +56,8 @@ _STATUS_MAP = {
 class FetchPartition:
     """Callable for ``groupby("part").map_groups`` — fetches one partition."""
 
-    def __init__(self, cfg: CrawlConfig, cur_time_ms: int, protocol=None, publisher=None):
+    def __init__(self, cfg: CrawlConfig, cur_time_ms: int, protocol=None, publisher=None,
+                 robots_cache: dict | None = None):
         self.cfg = cfg
         self.cur_time_ms = cur_time_ms
         self.protocol = protocol if protocol is not None else FakeProtocol()
@@ -64,6 +65,15 @@ class FetchPartition:
         # FetcherThreadPublisher): START/REPORTING/END events per
         # partition, buffered and flushed once at partition end
         self.publisher = publisher
+        # robots rules cache, optionally OWNED BY THE CALLER so it
+        # survives this instance: the reference's RobotRulesParser.CACHE
+        # is a static per-JVM Hashtable alive for the whole crawl
+        # (protocol/RobotRulesParser.java:63), not per segment — a
+        # persistent round worker passes its own dict here so robots
+        # fetched in round k are re-used in round k+1. Delay/dead
+        # bookkeeping stays per-call (it depends on this round's hostdb
+        # overrides), only the fetched rules persist.
+        self.robots_cache = robots_cache
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
         cfg = self.cfg
@@ -76,7 +86,10 @@ class FetchPartition:
         g = g.reset_index(drop=True)
 
         scheme_robots = hasattr(proto, "robots_for")
-        robots_cache: dict[str, object] = {}
+        robots_cache: dict[str, object] = (
+            self.robots_cache if self.robots_cache is not None else {}
+        )
+        seen_rkeys: set[str] = set()  # per-call: delay/dead recomputed each call
         host_delay_ms: dict[str, float] = {}
         host_count: dict[str, int] = {}
         host_dead: dict[str, str] = {}  # host -> reason (delay_too_long | exceptions)
@@ -111,6 +124,8 @@ class FetchPartition:
             if rb is None:
                 rb = proto.robots_for(host, url) if scheme_robots else proto.robots(host)
                 robots_cache[rkey] = rb
+            if rkey not in seen_rkeys:
+                seen_rkeys.add(rkey)
                 delay_ms = cfg.server_delay_s * 1000.0
                 if rb.crawl_delay is not None:
                     if rb.crawl_delay > cfg.max_crawl_delay_s:

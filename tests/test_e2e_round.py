@@ -187,6 +187,35 @@ def test_crawldb_rename_same_partition_twin_folds(tmp_path, ray_session):
     assert t["url"].is_unique
 
 
+def test_round_workers_persist_robots_across_rounds(tmp_path, ray_session):
+    """The persistent worker pool keeps robots state across rounds (the
+    reference's RobotRulesParser.CACHE is a static per-JVM Hashtable
+    alive for the whole crawl): with partitions routed part % n to a
+    stable actor, each host's robots is fetched AT MOST ONCE over the
+    whole crawl, not once per round."""
+    from coherencebot_ray.sources.fake_protocol import FakeProtocol
+
+    log = tmp_path / "robots_calls.log"
+
+    class LoggingProtocol(FakeProtocol):
+        def robots(self, host):
+            with open(log, "a") as fh:
+                fh.write(host + "\n")
+            return super().robots(host)
+
+    d = CrawlDriver(str(tmp_path / "crawl"), CFG, protocol=LoggingProtocol())
+    d.bootstrap(synth_frontier(300, 12, CFG))
+    d.run_round(EPOCH)
+    workers1 = d._workers
+    assert workers1  # pool created
+    d.run_round(EPOCH + 40 * 86400 * 1000)
+    assert d._workers is workers1  # pool reused, not rebuilt
+    calls = log.read_text().splitlines()
+    assert len(calls) == len(set(calls)), "a host's robots was re-fetched"
+    d.close()
+    assert d._workers is None
+
+
 def test_updatedb_dataset_path_renormalizes_mapside(tmp_path, ray_session):
     """stages.updatedb.updatedb applies CrawlDbFilter renormalization
     map-side (before the groupby) so a renamed url meets its canonical
