@@ -320,7 +320,7 @@ def embedding_neardup_pairs(
     chunks = sorted(int(c) for c in present["chunk"])
 
     def pair_task(batch: pd.DataFrame) -> pd.DataFrame:
-        out = {"a": [], "b": [], "sim": []}
+        frames = []
         for ci, cj in zip(batch["ci"], batch["cj"]):
             zi = np.load(os.path.join(scratch, f"chunk-{int(ci)}.npz"))
             ids_i, Mi = zi["ids"], zi["m"]
@@ -339,18 +339,18 @@ def embedding_neardup_pairs(
                 # (every id lives in exactly one chunk)
                 ii, jj = np.nonzero(hit)
             a_ids, b_ids = ids_i[ii], ids_j[jj]
-            # orient a<b (chunking is by hash, not id range)
-            lo = np.minimum(a_ids, b_ids)
-            hi = np.maximum(a_ids, b_ids)
-            for x, y, s in zip(lo, hi, sims[ii, jj]):
-                out["a"].append(int(x))
-                out["b"].append(int(y))
-                out["sim"].append(round(float(s), 6))
-        return pd.DataFrame(
-            {"a": pd.Series(out["a"], dtype="int64"),
-             "b": pd.Series(out["b"], dtype="int64"),
-             "sim": pd.Series(out["sim"], dtype="float64")}
-        )
+            # orient a<b (chunking is by hash, not id range); direct
+            # array construction — hits are sparse but never row-looped
+            frames.append(pd.DataFrame({
+                "a": np.minimum(a_ids, b_ids).astype(np.int64),
+                "b": np.maximum(a_ids, b_ids).astype(np.int64),
+                "sim": np.round(sims[ii, jj].astype(np.float64), 6),
+            }))
+        if not frames:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+                 "sim": pd.Series(dtype="float64")})
+        return pd.concat(frames, ignore_index=True)
 
     pairs = [{"ci": i, "cj": j} for i in chunks for j in chunks if i <= j]
     return rd.from_items(pairs, override_num_blocks=max(1, len(pairs))).map_batches(

@@ -263,22 +263,36 @@ def merge_linkdbs(linkdb_dss: list, cfg: CrawlConfig,
                     filts.accept_many(urls.fillna("").to_numpy()),
                     index=df.index)
             df = df[keep].assign(url=urls[keep])
-            # inlink fromUrls (row-wise over bounded lists, like the
-            # reference's per-Inlink loop)
-            new_srcs, new_ancs = [], []
-            for srcs, ancs in zip(df["srcs"], df["anchors"]):
-                pairs = []
-                for s, a in zip(list(srcs), list(ancs)):
-                    if norms is not None:
-                        s = norms.normalize(s, SCOPE_LINKDB)
-                        if s is None:
-                            continue
-                    if filts is not None and not filts.accept(s):
-                        continue
-                    pairs.append((s, a))
-                new_srcs.append([p[0] for p in pairs])
-                new_ancs.append([p[1] for p in pairs])
-            df = df.assign(srcs=new_srcs, anchors=new_ancs)
+            if len(df) == 0:
+                return df
+            # inlink fromUrls: explode once, normalize_many/accept_many
+            # over the exploded column, boundary-split reassemble (the
+            # merge_bucket machinery below) — no per-inlink Python loop
+            from itertools import chain
+
+            srcs_col = df["srcs"].to_numpy()
+            ancs_col = df["anchors"].to_numpy()
+            lens = np.fromiter((len(s) for s in srcs_col), dtype=np.int64, count=len(df))
+            total = int(lens.sum())
+            if total == 0:
+                return df
+            src_e = np.fromiter(chain.from_iterable(srcs_col), dtype=object, count=total)
+            anc_e = np.fromiter(chain.from_iterable(ancs_col), dtype=object, count=total)
+            if norms is not None:
+                src_e = np.asarray(
+                    norms.normalize_many(src_e, SCOPE_LINKDB), dtype=object)
+            keep_e = pd.notna(src_e)
+            if filts is not None:
+                keep_e &= filts.accept_many(np.where(keep_e, src_e, ""))
+            row_e = np.repeat(np.arange(len(df)), lens)[keep_e]
+            src_k, anc_k = src_e[keep_e], anc_e[keep_e]
+            # kept elements stay row-ordered, so per-row slices are
+            # contiguous; rows whose every inlink dropped get []
+            bounds = np.r_[0, np.cumsum(np.bincount(row_e, minlength=len(df)))]
+            df = df.assign(
+                srcs=[src_k[s:e].tolist() for s, e in zip(bounds[:-1], bounds[1:])],
+                anchors=[anc_k[s:e].tolist() for s, e in zip(bounds[:-1], bounds[1:])],
+            )
             return df
 
         linkdb_dss = [ds.map_batches(linkdb_filter, batch_format="pandas")

@@ -805,3 +805,43 @@ def test_linkdb_merger_normalize_filter(ray_session):
     out2 = merge_linkdbs([rd.from_pandas(a), rd.from_pandas(b)],
                          CrawlConfig()).to_pandas()
     assert len(out2) == 3
+
+
+def test_linkdb_merger_filter_bulk(ray_session):
+    """-normalize/-filter over 10k+ inlink rows (the vectorized
+    explode/normalize_many/boundary-split path): every fromUrl with a
+    fragment is rewritten, every .gif fromUrl drops, per-row pairing of
+    (src, anchor) survives the round trip."""
+    import pandas as pd
+    import ray.data as rd
+
+    from coherencebot_ray.config import CrawlConfig
+    from coherencebot_ray.stages.jobs import merge_linkdbs
+
+    n_targets, per = 500, 24  # 12k inlink rows
+    urls = [f"http://t{i % 97}.com/p/{i}" for i in range(n_targets)]
+    srcs = [
+        [
+            f"http://s{j % 31}.com/x/{i}-{j}.gif" if j % 3 == 0
+            else f"http://s{j % 31}.com/x/{i}-{j}#frag{j}"
+            for j in range(per)
+        ]
+        for i in range(n_targets)
+    ]
+    ancs = [[f"a{i}-{j}" for j in range(per)] for i in range(n_targets)]
+    db = pd.DataFrame(
+        {"url": urls, "n_inlinks": per, "anchors": ancs, "srcs": srcs})
+    out = (
+        merge_linkdbs([rd.from_pandas(db)], CrawlConfig(),
+                      url_normalize=True, url_filter=True)
+        .to_pandas().set_index("url")
+    )
+    assert len(out) == n_targets
+    i = 7
+    row = out.loc[f"http://t{i % 97}.com/p/{i}"]
+    expect = [
+        (f"http://s{j % 31}.com/x/{i}-{j}", f"a{i}-{j}")
+        for j in range(per) if j % 3 != 0  # .gif inlinks dropped
+    ]
+    assert list(zip(row["srcs"], row["anchors"])) == expect
+    assert int(out["n_inlinks"].sum()) == n_targets * len(expect)
