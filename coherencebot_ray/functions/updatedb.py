@@ -49,6 +49,7 @@ _DATUM_COLS = [
     "fixed_interval",
     "metadata",
     "content_type",
+    "pst",  # typed protocol-status hot key (SURVEY §1.3)
 ]
 
 _DB_CODES = np.array(sorted(CS._DB), dtype=np.int64)
@@ -56,7 +57,7 @@ _FETCH_CODES = np.array(sorted(CS._FETCH), dtype=np.int64)
 
 
 def empty_datums() -> pd.DataFrame:
-    return pd.DataFrame({c: pd.Series(dtype="object" if c in ("url", "host", "signature", "metadata", "repr_url", "content_type") else "int64") for c in _DATUM_COLS})
+    return pd.DataFrame({c: pd.Series(dtype="object" if c in ("url", "host", "signature", "metadata", "repr_url", "content_type", "pst") else "int64") for c in _DATUM_COLS})
 
 
 def _latest_per_url(df: pd.DataFrame) -> pd.DataFrame:
@@ -196,7 +197,7 @@ def merge_partition(
     for c in ("status", "fetch_time", "retries", "fetch_interval", "score", "modified_time", "gen_time", "fixed_interval"):
         m[f"o_{c}"] = pd.to_numeric(col(old, c, 0), errors="coerce").fillna(0)
         m[f"f_{c}"] = pd.to_numeric(col(fetch, c, 0), errors="coerce").fillna(0)
-    for c in ("host", "part", "signature", "metadata", "repr_url", "content_type"):
+    for c in ("host", "part", "signature", "metadata", "repr_url", "content_type", "pst"):
         m[f"o_{c}"] = col(old, c, None)
         m[f"f_{c}"] = col(fetch, c, None)
     if len(link_agg):
@@ -439,6 +440,10 @@ def merge_partition(
     part = pd.to_numeric(m["f_part"].where(m["has_fetch"], m["l_part"]), errors="coerce")
     part = part.where(part.notna(), pd.to_numeric(m["o_part"], errors="coerce")).fillna(0)
     repr_url = m["f_repr_url"].where(m["has_fetch"] & m["f_repr_url"].notna(), m["o_repr_url"])
+    # typed protocol-status hot key: the fetch datum's stamp wins (the
+    # reference fetcher writes _pst_ on every attempted fetch,
+    # FetcherThread.java:650); rows without a new fetch keep the old
+    r_pst = m["f_pst"].where(m["f_pst"].notna(), m["o_pst"])
 
     sig_out = r_sig.to_numpy(dtype=object)
     sig_out = np.array(
@@ -461,6 +466,7 @@ def merge_partition(
             "repr_url": repr_url.to_numpy(),
             "fixed_interval": r_fixed,
             "metadata": r_meta,
+            "pst": r_pst.to_numpy(),
         }
     )
     orphans = _orphan_rows(m_orphan, scoring, now_s)
@@ -496,6 +502,7 @@ def _orphan_rows(m_orphan: pd.DataFrame, scoring=None, now_s: int | None = None)
             "repr_url": m_orphan["o_repr_url"].to_numpy(),
             "fixed_interval": m_orphan["o_fixed_interval"].to_numpy(dtype=np.int64),
             "metadata": metadata,
+            "pst": m_orphan["o_pst"].to_numpy(),
         }
     )
 

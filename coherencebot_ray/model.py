@@ -143,6 +143,12 @@ FRONTIER_SCHEMA = pa.schema(
         ("repr_url", pa.string()),
         ("fixed_interval", pa.int32()),  # 0 = none
         ("metadata", pa.string()),  # residual JSON map
+        # _pst_ hot key promoted to a typed column (SURVEY §1.3): the
+        # fetcher stamps protocol status on every fetch datum
+        # (FetcherThread.java:650 WRITABLE_PROTO_STATUS_KEY) and stats
+        # tools read it per row — a typed column avoids scanning the
+        # JSON metadata string at 10^10 rows. None = never fetched.
+        ("pst", pa.string()),
     ]
 )
 

@@ -68,6 +68,7 @@ _FETCH_DATUM_COLS = [
     "url", "host", "part", "status", "fetch_time", "retries", "fetch_interval",
     "score", "signature", "modified_time", "gen_time", "repr_url",
     "fixed_interval", "metadata", "fetch_order", "content_type",
+    "pst", "truncated",  # hot keys as typed columns (SURVEY §1.3)
 ]
 
 
@@ -85,7 +86,12 @@ FETCHLIST_SCHEMA = pa.schema(
        ("fetch_delay_ms", pa.int64())]
 )
 FETCH_OUT_SCHEMA = pa.schema(
-    _DATUM_FIELDS + [("fetch_order", pa.int64()), ("content_type", pa.string())]
+    _DATUM_FIELDS
+    + [("fetch_order", pa.int64()), ("content_type", pa.string()),
+       # typed hot keys: protocol status (rides into the frontier) and
+       # the per-segment truncation mark (reference keeps TRUNCATED in
+       # segment Content metadata — it does NOT enter the crawldb)
+       ("pst", pa.string()), ("truncated", pa.string())]
 )
 CONTENT_SCHEMA = pa.schema(
     [("url", pa.string()), ("content", pa.binary()), ("content_type", pa.string())]
@@ -916,23 +922,20 @@ class CrawlDriver:
         return self._workers
 
     def close(self) -> None:
-        """Kill the persistent worker pool (tests create many drivers in
-        one Ray session; actors must not accumulate)."""
+        """Eagerly kill the persistent worker pool. Optional: the
+        actors are non-detached, so dropping the handles (driver GC)
+        terminates them too — but long-lived processes that create many
+        drivers should release the pool as soon as the crawl ends."""
         if self._workers:
-            import ray
+            try:
+                import ray
 
-            for w in self._workers:
-                try:
-                    ray.kill(w)
-                except Exception:
-                    pass
+                if ray.is_initialized():
+                    for w in self._workers:
+                        ray.kill(w)
+            except Exception:
+                pass  # pool dies with its handles either way
         self._workers = None
-
-    def __del__(self):  # best-effort; explicit close() preferred
-        try:
-            self.close()
-        except Exception:
-            pass
 
     # ------------------------------------------------------------------
     def seg_dir(self, gen: int) -> str:

@@ -557,19 +557,17 @@ FROM f WHERE status IN (2, 6) GROUP BY key ORDER BY key
 
 def q_protocolstats(sf_dir: str):
     """ProtocolStatusStatistics (util/ProtocolStatusStatistics.java:
-    140-179): counts per metadata['_pst_'] code, UNFETCHED when the key
-    is absent. The derived frontier stamps _pst_ from doc_id % 5."""
+    140-179): counts per protocol-status code, UNFETCHED when absent.
+    The derived frontier stamps the typed ``pst`` column from
+    doc_id % 5 (SURVEY §1.3 hot-key promotion — the stats job reads a
+    column, never the metadata JSON)."""
     from ..stages.jobs import protocol_status_stats
 
-    _CODES = np.array(
-        [None if c is None else f'{{"_pst_": "{c}"}}'
-         for c in ("200", "301", "404", "503", None)],
-        dtype=object,
-    )
+    _CODES = np.array(["200", "301", "404", "503", None], dtype=object)
 
     def stamp(df, ids):
-        df["metadata"] = _CODES[ids % 5]
-        return df[["url", "metadata"]]
+        df["pst"] = _CODES[ids % 5]
+        return df[["url", "pst"]]
 
     ds = DV.derived_frontier_ds(sf_dir, transform=stamp)
     out = protocol_status_stats(ds).to_pandas()

@@ -80,6 +80,7 @@ def synth_frontier(
             "repr_url": pa.array([None] * n_urls, type=pa.string()),
             "fixed_interval": np.zeros(n_urls, dtype=np.int32),
             "metadata": pa.array([None] * n_urls, type=pa.string()),
+            "pst": pa.array([None] * n_urls, type=pa.string()),
         },
         schema=FRONTIER_SCHEMA,
     )

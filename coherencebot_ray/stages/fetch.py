@@ -139,7 +139,8 @@ class FetchPartition:
                 rows.append(_datum(row, CS.FETCH_GONE, self.cur_time_ms, None, None, {"_skip_": host_dead[host]}))
                 continue
             if not proto.robots_allows(rb, url):
-                rows.append(_datum(row, CS.FETCH_GONE, self.cur_time_ms, None, None, {"_robots_denied_": "1"}))
+                rows.append(_datum(row, CS.FETCH_GONE, self.cur_time_ms, None, None,
+                                   {"_robots_denied_": "1"}, pst="robots_denied"))
                 continue
 
             # politeness clock
@@ -209,6 +210,8 @@ class FetchPartition:
                         "content": None,
                         "content_type": None,
                         "fetch_order": -1,
+                        "pst": None,
+                        "truncated": None,
                     }
                 )
             if final_url != url:
@@ -224,6 +227,8 @@ class FetchPartition:
                     repr_url=repr_url,
                     fetch_order=i,
                     modified_time_ms=int(getattr(resp, "modified_time_ms", 0) or 0),
+                    pst=resp.status,
+                    truncated=meta.get("_tr_"),
                 )
             )
 
@@ -278,7 +283,7 @@ _PER_FETCH_KEYS = ("_tr_", "_redirect_to_", "_final_url_", "_skip_", "_robots_de
 
 
 def _datum(row, status, fetch_time, content, content_type, meta: dict | None, repr_url=None, fetch_order=-1,
-           modified_time_ms: int = 0):
+           modified_time_ms: int = 0, pst: str | None = None, truncated: str | None = None):
     # the fetch datum starts as the crawl datum — carried frontier
     # metadata rides through (Fetcher copies CrawlDatum metaData; the
     # scoring chain's passScoreBeforeParsing reads it), protocol keys
@@ -308,6 +313,11 @@ def _datum(row, status, fetch_time, content, content_type, meta: dict | None, re
         "content": content,
         "content_type": content_type,
         "fetch_order": int(fetch_order),
+        # hot keys as typed columns (SURVEY §1.3): protocol status on
+        # every attempted fetch (FetcherThread.java:650); truncation
+        # mark mirrors metadata _tr_ so the parse scan reads a column
+        "pst": pst,
+        "truncated": truncated,
     }
 
 
@@ -315,6 +325,7 @@ _OUT_COLS = [
     "url", "host", "part", "status", "fetch_time", "retries", "fetch_interval",
     "score", "signature", "modified_time", "gen_time", "repr_url",
     "fixed_interval", "metadata", "content", "content_type", "fetch_order",
+    "pst", "truncated",
 ]
 
 

@@ -1082,14 +1082,14 @@ def domain_statistics(frontier_ds, mode: str = "host"):
 
 
 def protocol_status_stats(frontier_ds):
-    """Counts per protocol status code stored in metadata['_pst_']
-    (ProtocolStatusStatistics.java:140-149; rows without the key count
-    as UNFETCHED). Returns Dataset (code, count)."""
+    """Counts per protocol status code (ProtocolStatusStatistics.java:
+    140-149; rows without one count as UNFETCHED). Reads the typed
+    ``pst`` frontier column when present (SURVEY §1.3 hot-key
+    promotion — zero string scanning); falls back to a C-level regex
+    extract of metadata['_pst_'] for frontiers that only carry the
+    JSON map. Returns Dataset (code, count)."""
     from ..ops.agg import bucketed_sum
 
-    # vectorized _pst_ pull: the stamp is written by this engine as a
-    # flat JSON string/number value, so a C-level regex extract replaces
-    # the per-row json.loads (SURVEY §1.3 hot-key extraction)
     _PST_RE = r'"_pst_"\s*:\s*"?([^",}]*)"?'
 
     def pre(df: pd.DataFrame) -> pd.DataFrame:
@@ -1097,13 +1097,16 @@ def protocol_status_stats(frontier_ds):
             return pd.DataFrame(
                 {"code": pd.Series(dtype="object"), "count": pd.Series(dtype="int64")}
             )
-        codes = (
-            df["metadata"]
-            .astype("string")
-            .str.extract(_PST_RE, expand=False)
-            .fillna("UNFETCHED")
-            .to_numpy(dtype=object)
-        )
+        if "pst" in df.columns:
+            codes = df["pst"].fillna("UNFETCHED").to_numpy(dtype=object)
+        else:
+            codes = (
+                df["metadata"]
+                .astype("string")
+                .str.extract(_PST_RE, expand=False)
+                .fillna("UNFETCHED")
+                .to_numpy(dtype=object)
+            )
         return pd.DataFrame({"code": codes, "count": np.int64(1)})
 
     return bucketed_sum(

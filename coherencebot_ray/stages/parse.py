@@ -543,17 +543,21 @@ class ParseBatch:
         if len(batch) == 0:
             return _empty_parse_out()
         ok = batch[batch["status"] == CS.FETCH_SUCCESS]
-        if cfg.parser_skip_truncated and len(ok) and "metadata" in ok.columns:
+        if cfg.parser_skip_truncated and len(ok):
             # parser.skip.truncated (ParseSegment.java:113): drop
-            # content the fetch stage marked cut-short; substring scan
-            # over the raw JSON — the key is unique by construction.
-            # Scan only the non-null metadata rows (most rows carry none).
-            md = ok["metadata"]
-            nn = md.notna()
-            if nn.any():
-                hit = pd.Series(False, index=ok.index)
-                hit[nn] = md[nn].str.contains('"_tr_"', regex=False)
-                ok = ok[~hit]
+            # content the fetch stage marked cut-short. The fetch stage
+            # writes a typed ``truncated`` column (SURVEY §1.3 hot-key
+            # promotion) — authoritative when present; hand-built
+            # frames without it fall back to the metadata JSON scan.
+            if "truncated" in ok.columns:
+                ok = ok[ok["truncated"].isna()]
+            elif "metadata" in ok.columns:
+                md = ok["metadata"]
+                nn = md.notna()
+                if nn.any():
+                    hit = pd.Series(False, index=ok.index)
+                    hit[nn] = md[nn].str.contains('"_tr_"', regex=False)
+                    ok = ok[~hit]
         if len(ok) == 0:
             return _empty_parse_out()
         urls = ok["url"].to_numpy()

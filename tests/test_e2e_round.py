@@ -187,6 +187,30 @@ def test_crawldb_rename_same_partition_twin_folds(tmp_path, ray_session):
     assert t["url"].is_unique
 
 
+def test_pst_typed_column_rides_into_frontier(driver):
+    """The fetcher stamps protocol status as a typed ``pst`` column
+    (FetcherThread.java:650 stamps _pst_ on every fetch datum; SURVEY
+    §1.3 promotes the hot key) and updatedb carries it into the
+    frontier: fetched rows have a code, never-fetched rows are null,
+    and protocol_status_stats reads the column."""
+    from coherencebot_ray.stages.jobs import protocol_status_stats
+
+    driver.run_round(EPOCH)
+    t = driver.store.read_table(1).to_pandas()
+    assert "pst" in t.columns
+    fetched = t[t["status"] == CS.DB_FETCHED]
+    assert len(fetched) and (fetched["pst"] == "success").all()
+    unfetched = t[t["status"] == CS.DB_UNFETCHED]
+    # never-attempted rows carry no protocol status; an attempted row
+    # bounced back to UNFETCHED (FETCH_RETRY → retry path) keeps its
+    # "exception" stamp, like the reference's _pst_ metadata
+    assert set(unfetched["pst"].dropna()) <= {"exception"}
+    assert unfetched["pst"].isna().any()
+    stats = protocol_status_stats(driver.store.read(1)).to_pandas().set_index("code")
+    assert int(stats.loc["success", "count"]) == int((t["pst"] == "success").sum())
+    assert int(stats.loc["UNFETCHED", "count"]) == int(t["pst"].isna().sum())
+
+
 def test_round_workers_persist_robots_across_rounds(tmp_path, ray_session):
     """The persistent worker pool keeps robots state across rounds (the
     reference's RobotRulesParser.CACHE is a static per-JVM Hashtable
