@@ -214,3 +214,92 @@ def test_bad_server_responses():
     assert p.fetch("http://a.com/short").content_length == 64000
     assert p.fetch("http://a.com/dir/rd").redirect_to == "http://a.com/dir/other?171"
     assert p.fetch("http://a.com/pp").redirect_to == "http://b.com/x"
+
+
+# ---------------------------------------------------------------------------
+# TestFetcher politeness e2e against a REAL loopback HTTP server
+# (src/test/org/apache/nutch/fetcher/TestFetcher.java:116-119 asserts
+# wall-clock spacing against Jetty; here http.server drives the real
+# requests-backed HttpProtocol — no stubbed session)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def loopback_server():
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    hits = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            import time as _t
+
+            hits.append((self.path, _t.monotonic()))
+            if self.path == "/robots.txt":
+                body = b"User-agent: *\nDisallow: /private/\n"
+            elif self.path.startswith("/private/"):
+                body = b""
+            elif self.path == "/missing.html":
+                self.send_response(404)
+                self.end_headers()
+                return
+            else:
+                body = f"<html><body>page {self.path}</body></html>".encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield srv, hits
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_fetcher_politeness_real_http(loopback_server):
+    """TestFetcher.java:116-119 port: fetching N urls of one host
+    through the REAL HTTP client with fetcher.server.delay=d and
+    real_sleep takes wall-clock > (N-1)*d, robots.txt is fetched once
+    over the wire, /private/ is robots-denied, and the 404 maps to
+    FETCH_GONE."""
+    import time
+
+    from test_fetch import fl_row, run_fetch
+
+    srv, hits = loopback_server
+    host = f"127.0.0.1:{srv.server_address[1]}"
+    urls = [f"http://{host}/page{i}.html" for i in range(4)]
+    urls += [f"http://{host}/private/x.html", f"http://{host}/missing.html"]
+    rows = [fl_row(u, host=host) for u in urls]
+
+    delay = 0.3
+    cfg = CrawlConfig(server_delay_s=delay, real_sleep=True)
+    t0 = time.monotonic()
+    out = run_fetch(rows, cfg, HttpProtocol()).set_index("url")
+    elapsed = time.monotonic() - t0
+    # politeness: 5 fetched urls from one host => at least 4 gaps
+    # (the robots-denied url never hits the wire or the clock)
+    assert elapsed > (5 - 1) * delay
+    for u in urls[:4]:
+        assert out.loc[u, "status"] == CS.FETCH_SUCCESS
+        assert bytes(out.loc[u, "content"]) == (
+            f"<html><body>page /{u.rsplit('/', 1)[1]}</body></html>".encode())
+    assert out.loc[f"http://{host}/private/x.html", "status"] == CS.FETCH_GONE
+    assert out.loc[f"http://{host}/missing.html", "status"] == CS.FETCH_GONE
+    # robots fetched exactly once (per-host cache), pages hit once each
+    paths = [p for p, _ in hits]
+    assert paths.count("/robots.txt") == 1
+    assert paths.count("/page0.html") == 1 and "/private/x.html" not in paths
+    # wire-level spacing: consecutive page hits are >= delay apart
+    page_times = [t for p, t in hits if p != "/robots.txt"]
+    gaps = [b - a for a, b in zip(page_times, page_times[1:])]
+    assert all(g >= delay * 0.9 for g in gaps)
