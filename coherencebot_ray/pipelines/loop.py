@@ -30,6 +30,7 @@ def crawl_loop(
     use_feed: bool = False,
     hostdb_every: int = 0,
     dedup_every: int = 0,
+    doc_dedup_every: int = 0,
     invertlinks_every: int = 0,
     index_every: int = 0,
     sitemaps_every: int = 0,
@@ -63,18 +64,32 @@ def crawl_loop(
             d, cfg, rounds, now, round_interval_ms, use_feed, hostdb_every,
             sitemaps_every, sitemap_host_slices, sitemap_hosts_cap, warc_out,
             gc_keep_gens, invertlinks_every, dedup_every, index_every,
-            workdir, hostdb_overrides,
+            workdir, hostdb_overrides, doc_dedup_every,
         )
     finally:
         d.close()  # release the persistent round-worker pool
     return results
 
 
+def _append_round_counters(seg_dir: str, counters: dict) -> None:
+    """Fold post-round cadence counters into the segment's _ROUND.json
+    (run_round wrote it before the cadence ran)."""
+    path = os.path.join(seg_dir, "_ROUND.json")
+    try:
+        with open(path) as fh:
+            doc = json.load(fh)
+        doc.setdefault("counters", {}).update(counters)
+        with open(path, "w") as fh:
+            json.dump(doc, fh)
+    except Exception:
+        pass  # metrics-only artifact; never fail the loop over it
+
+
 def _loop_rounds(
     d, cfg, rounds, now, round_interval_ms, use_feed, hostdb_every,
     sitemaps_every, sitemap_host_slices, sitemap_hosts_cap, warc_out,
     gc_keep_gens, invertlinks_every, dedup_every, index_every,
-    workdir, hostdb_overrides,
+    workdir, hostdb_overrides, doc_dedup_every=0,
 ) -> list[dict]:
     import ray.data as rd  # noqa: F401 (kept: parity with crawl_loop imports)
 
@@ -166,6 +181,39 @@ def _loop_rounds(
                 .sum("n")
             )
             metrics["duplicates_marked"] = n_dups
+
+        if doc_dedup_every and r % doc_dedup_every == 0:
+            # document-level near-dup keep-one over ALL segments so far
+            # (minhash -> components -> losers): the training-data
+            # analogue of J9's URL dedup. Losers materialize once (the
+            # loser set, not the corpus), land as a resumable parquet
+            # artifact, and get marked DB_DUPLICATE in the frontier for
+            # the counter — visible in _ROUND.json like J9's marks.
+            import glob as _glob
+
+            import ray.data as _rd
+
+            doc_files = sorted(_glob.glob(os.path.join(
+                workdir, "segments", "gen=*", "docs", "part-*", "*.parquet")))
+            n_doc_dups = 0
+            if doc_files:
+                docs = _rd.read_parquet(doc_files, partitioning=None)
+                losers = jobs.doc_neardup_losers(docs).materialize()
+                n_doc_dups = losers.count()
+                if n_doc_dups:
+                    losers.write_parquet(
+                        os.path.join(workdir, "doc_dedup", f"gen={gen:06d}"))
+                    marked = jobs.apply_duplicate_marks(d.store.read(gen), losers)
+                    n_doc_dups = int(
+                        marked.map_batches(
+                            lambda df: pd.DataFrame(
+                                {"n": [int((df["status"] == CS.DB_DUPLICATE).sum())]}),
+                            batch_format="pandas",
+                        ).sum("n")
+                    )
+            metrics["doc_dups_marked"] = n_doc_dups
+            _append_round_counters(
+                d.seg_dir(gen), {"doc_dups_marked": n_doc_dups})
 
         if index_every and r % index_every == 0:
             docs = tools.read_segment(d.seg_dir(gen), "docs")

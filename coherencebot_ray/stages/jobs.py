@@ -131,6 +131,79 @@ def apply_duplicate_marks(frontier_ds, dups_ds):
     return bucketed_group_apply(tagged, "url", mark_bucket)
 
 
+def doc_neardup_losers(docs_ds, threshold: float = 0.8, n_perm: int = 64,
+                       n_bands: int = 8):
+    """Document-level near-dup keep-one — the training-data analogue of
+    J9's URL dedup (DeduplicationJob.java dedups on exact content
+    signature; this catches NEAR duplicates the signature misses):
+    minhash+LSH pairs over the parsed doc text -> connected components
+    -> every non-representative member is a loser. Returns a Dataset of
+    loser urls (column ``url``) ready for :func:`apply_duplicate_marks`.
+
+    Winner = the component's minimum doc int id (deterministic; J9's
+    score/fetch-time/url-length criteria need frontier fields the docs
+    segment doesn't carry — at corpus scale what matters is keeping
+    exactly one member per cluster). Ids are the url md5 low 63 bits;
+    the (id, url) mapping is re-derived by a second pass of the same
+    cheap prep scan, so losers map back to urls through one
+    id-cardinality bucketed co-group, never a driver-side dict.
+    """
+    import hashlib
+
+    from ..ops.agg import bucketed_group_apply
+    from ..ops.dedup import connected_components, minhash_lsh_pairs
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "url": pd.Series(dtype="object"),
+                 "text": pd.Series(dtype="object")})
+        texts = [
+            " ".join(s["text"] for s in spans if s.get("text"))
+            if spans is not None and len(spans) else ""
+            for spans in df["spans"]
+        ]
+        ids = np.array(
+            [int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big") >> 1
+             for u in df["url"]],
+            dtype=np.int64,
+        )
+        return pd.DataFrame({
+            "doc_id": ids,
+            "url": df["url"].to_numpy(dtype=object),
+            "text": np.array(texts, dtype=object),
+        })
+
+    prepped = docs_ds.map_batches(prep, batch_format="pandas")
+    pairs = minhash_lsh_pairs(
+        prepped, threshold=threshold, n_perm=n_perm, n_bands=n_bands)
+    comp = connected_components(pairs)
+
+    def tag_map(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id": df["doc_id"].to_numpy(np.int64),
+                             "url": df["url"].to_numpy(dtype=object),
+                             "__t": np.int8(0)})
+
+    def tag_loser(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["id"].to_numpy() != df["rep"].to_numpy()]
+        return pd.DataFrame({"id": d["id"].to_numpy(np.int64),
+                             "url": np.array([None] * len(d), dtype=object),
+                             "__t": np.int8(1)})
+
+    tagged = prepped.map_batches(tag_map, batch_format="pandas").union(
+        comp.map_batches(tag_loser, batch_format="pandas"))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        loser_ids = set(g.loc[g["__t"] == 1, "id"])
+        if not loser_ids:
+            return pd.DataFrame({"url": pd.Series(dtype="object")})
+        m = g[(g["__t"] == 0) & g["id"].isin(loser_ids)]
+        return pd.DataFrame({"url": m["url"].to_numpy(dtype=object)})
+
+    return bucketed_group_apply(tagged, "id", pick)
+
+
 # ---------------------------------------------------------------------------
 # J10 LinkDb (invertlinks): outlinks -> per-target inlink lists
 # ---------------------------------------------------------------------------

@@ -33,6 +33,8 @@ def main() -> int:
     ap.add_argument("--gc-keep-gens", type=int, default=0, help="garbage-collect frontier generations, keeping the newest N")
     ap.add_argument("--hostdb-every", type=int, default=0)
     ap.add_argument("--dedup-every", type=int, default=0)
+    ap.add_argument("--doc-dedup-every", type=int, default=0,
+                    help="document-level near-dup keep-one (minhash→components→mark losers) every N rounds")
     ap.add_argument("--invertlinks-every", type=int, default=0)
     ap.add_argument("--index-every", type=int, default=0)
     ap.add_argument("--add-binary-content", action="store_true",
@@ -97,6 +99,7 @@ def main() -> int:
         use_feed=args.feed,
         hostdb_every=args.hostdb_every,
         dedup_every=args.dedup_every,
+        doc_dedup_every=args.doc_dedup_every,
         invertlinks_every=args.invertlinks_every,
         index_every=args.index_every,
         sitemaps_every=args.sitemaps_every,

@@ -40,6 +40,37 @@ def test_no_seeds_raises(tmp_path, ray_session):
         crawl_loop(str(tmp_path / "w4"), CFG, rounds=1, start_time_ms=T0)
 
 
+def test_doc_dedup_cadence_marks_losers(tmp_path, ray_session):
+    """--doc-dedup-every: document-level near-dup keep-one (minhash →
+    connected components → mark losers DB_DUPLICATE). Five hosts serve
+    an identical page -> one cluster -> exactly 4 losers; the counter
+    lands in the round metrics AND the segment's _ROUND.json, and the
+    loser list is written as a resumable parquet artifact."""
+    import glob
+    import json
+
+    from coherencebot_ray.sources.fake_protocol import FakeProtocol, FakeResponse
+
+    class DupProtocol(FakeProtocol):
+        def fetch(self, url):
+            if "/start" in url:
+                body = (b"<html><body><p>identical corpus page with shared "
+                        b"text tokens repeated verbatim across hosts for the "
+                        b"near duplicate cluster</p></body></html>")
+                return FakeResponse("success", body, "text/html")
+            return super().fetch(url)
+
+    wd = str(tmp_path / "w5")
+    res = crawl_loop(wd, CFG, seeds=SEEDS, rounds=1, start_time_ms=T0,
+                     doc_dedup_every=1, protocol=DupProtocol())
+    assert res[0]["doc_dups_marked"] == 4
+    files = glob.glob(os.path.join(wd, "doc_dedup", "gen=*", "*.parquet"))
+    assert files  # resumable loser artifact
+    with open(os.path.join(wd, "segments", "gen=000001", "_ROUND.json")) as fh:
+        rj = json.load(fh)
+    assert rj["counters"]["doc_dups_marked"] == 4
+
+
 def test_loop_with_sitemaps_and_warc(tmp_path, ray_session):
     """Crawl loop with sitemap rounds and WARC export wired in."""
     from coherencebot_ray.config import CrawlConfig
