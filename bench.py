@@ -56,6 +56,16 @@ BENCH_QUERIES = [
     "media_features",
     "q1_agg",
     "q3_join",
+    # training-data heavyweights (round-4 verdict: correctness-gated but
+    # previously not perf-tracked — regressions here must be visible)
+    "pack_tokens",
+    "vocab_topk",
+    "token_quantiles",
+    "decontaminate",
+    "dedup_components",
+    "knn_ivf",
+    "knn_lsh",
+    "sliding_window",
 ]
 
 

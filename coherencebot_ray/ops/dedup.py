@@ -559,12 +559,6 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
         ).take_all()
         return sum(int(r["s"]) for r in parts)
 
-    labels = bucketed_group_apply(
-        edges.map_batches(init_labels, batch_format="pandas"), "u",
-        lambda g: g.drop_duplicates("u"), n_buckets=n_buckets,
-    ).materialize()
-    prev_sum = _label_checksum(labels)
-
     def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
         # join key = u (the label owner); v = the neighbor to notify
         return pd.DataFrame({"u": df["u"].to_numpy(np.int64),
@@ -591,7 +585,26 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
         # partial min inside the bucket before the fold exchange
         return out.groupby("u", sort=False, as_index=False)["label"].min()
 
-    tagged_edges = edges.map_batches(tag_edge, batch_format="pandas")
+    # materialize the symmetric edge set ONCE: it is unioned into every
+    # iteration (and seeds the initial labels), so a lazy Dataset would
+    # re-execute the entire upstream pair-generation pipeline (minhash
+    # banding / embedding matmuls) per iteration. Edge cardinality is
+    # pair-scale (2x the near-dup hits), not corpus-scale, so holding it
+    # in the object store is bounded.
+    # repartition before materializing: the pair pipeline leaves many
+    # near-empty blocks (one per chunk-pair/band task) and every
+    # iteration's sort exchange pays per-block overhead on the union
+    tagged_edges = (
+        edges.map_batches(tag_edge, batch_format="pandas")
+        .repartition(n_buckets)
+        .materialize()
+    )
+    labels = bucketed_group_apply(
+        tagged_edges.map_batches(init_labels, batch_format="pandas"), "u",
+        lambda g: g.drop_duplicates("u"), n_buckets=n_buckets,
+    ).materialize()
+    prev_sum = _label_checksum(labels)
+
     for _ in range(max_iters):
         tagged = labels.map_batches(tag_label, batch_format="pandas").union(tagged_edges)
         cand = bucketed_group_apply(tagged, "u", propagate, n_buckets=n_buckets)
