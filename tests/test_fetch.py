@@ -298,6 +298,44 @@ def test_truncation_not_sticky_across_fetches():
     assert md["keep"] == "me"  # non-protocol metadata still carried
 
 
+def test_persistent_robots_cache_recomputes_delay_per_call():
+    """A persistent robots cache (round-worker actors reuse one dict
+    across rounds) must NOT freeze politeness bookkeeping: the hostdb
+    fetch_delay_ms override and crawl-delay adoption are per-call
+    (per-round hostdb state), so a cache HIT still recomputes the
+    host's delay from this call's row."""
+
+    class CountingProtocol(FakeProtocol):
+        def __init__(self):
+            super().__init__()
+            self.robots_calls = 0
+
+        def robots(self, host):
+            self.robots_calls += 1
+            return FakeRobots(disallow=(), crawl_delay=None)
+
+    proto = CountingProtocol()
+    cache: dict = {}
+    cfg = CrawlConfig(server_delay_s=0.0)
+    rows = [fl_row(f"http://h.com/{i}", host="h.com") for i in range(3)]
+
+    fp1 = FetchPartition(cfg, CUR, proto, robots_cache=cache)
+    out1 = fp1(pd.DataFrame(rows))
+    assert proto.robots_calls == 1 and len(cache) == 1
+    # no delay: all three virtual fetch times equal CUR
+    assert (out1[out1["fetch_order"] >= 0]["fetch_time"] == CUR).all()
+
+    # "next round": same cache (robots not re-fetched), but a hostdb
+    # override now sets a 2s delay — the clocks must space out
+    rows2 = [fl_row(f"http://h.com/{i}", host="h.com", fetch_delay_ms=2000)
+             for i in range(3)]
+    fp2 = FetchPartition(cfg, CUR, proto, robots_cache=cache)
+    out2 = fp2(pd.DataFrame(rows2))
+    assert proto.robots_calls == 1  # cache hit across instances
+    fetched = out2[out2["fetch_order"] >= 0].sort_values("fetch_order")
+    assert list(fetched["fetch_time"]) == [CUR, CUR + 2000, CUR + 4000]
+
+
 def test_parser_skip_truncated():
     """ParseSegment.java:113 — truncated docs don't parse by default;
     parser_skip_truncated=False restores the old behavior."""
