@@ -57,6 +57,7 @@ import pyarrow.parquet as pq
 
 from ..config import CrawlConfig
 from ..model import (
+    FRONTIER_SCHEMA,
     SPAN_TYPE,
     CrawlStatus as CS,
     frontier_table_from_pandas,
@@ -164,9 +165,14 @@ class _GenScanTask:
                 keep = np.argpartition(-scores, self.limit - 1)[: self.limit]
                 elig = elig.iloc[np.sort(keep)]  # preserve input order for ties
             if len(elig):
+                # explicit frontier schema: candidates are frontier rows,
+                # and schema inference would type an all-None slice of a
+                # nullable column (pst, repr_url...) as Arrow null —
+                # unmergeable with a sibling cand file that has values
                 _write_df(
                     elig,
                     os.path.join(self.cand_dir, f"part-{int(part)}", f"cand-{int(fidx)}.parquet"),
+                    FRONTIER_SCHEMA,
                 )
             out.append({"part": int(part), "eligible": int(len(elig))})
         df = pd.DataFrame(out)
