@@ -974,22 +974,28 @@ class CrawlDriver:
         when the seed frontier is itself corpus-scale."""
         self.store.begin_generation(0)
         root = self.store.root
+        skew_split_rows = self.store.skew_split_rows
 
         def write_part(g: pd.DataFrame) -> pd.DataFrame:
             from ..state.cuckoo import CuckooFilter
+            from ..state.frontier_store import _subshards
 
             out = []
             for part, sub in g.groupby("part", sort=False):
                 part = int(part)
                 table = _frontier_pa(sub.reset_index(drop=True))
-                dest = os.path.join(
-                    root, "gen=000000.tmp", f"part={part}", "data-0.parquet")
-                os.makedirs(os.path.dirname(dest), exist_ok=True)
-                pq.write_table(table, dest, compression="zstd")
-                cf = CuckooFilter(capacity=max(1024, 2 * len(sub)))
-                cf.add_many(sub["url"].to_numpy())
-                with open(dest.replace(".parquet", ".seen"), "wb") as fh:
-                    fh.write(cf.to_bytes())
+                pdir = os.path.join(root, "gen=000000.tmp", f"part={part}")
+                os.makedirs(pdir, exist_ok=True)
+                # mega-host partitions get the same url-hash subshard
+                # split as write_generation, so round subtasks stay
+                # bounded even when one Zipf host owns the partition
+                for subid, _n_sub, shard in _subshards(table, skew_split_rows):
+                    dest = os.path.join(pdir, f"data-{subid}.parquet")
+                    pq.write_table(shard, dest, compression="zstd")
+                    cf = CuckooFilter(capacity=max(1024, 2 * shard.num_rows))
+                    cf.add_many(shard.column("url").to_pylist())
+                    with open(dest.replace(".parquet", ".seen"), "wb") as fh:
+                        fh.write(cf.to_bytes())
                 out.append({"part": part, "rows": len(sub)})
             return pd.DataFrame(out)
 

@@ -86,6 +86,111 @@ def synth_frontier(
     )
 
 
+def _zipf_weights(n_hosts: int, zipf_a: float) -> np.ndarray:
+    w = 1.0 / np.arange(1, n_hosts + 1) ** zipf_a
+    return w / w.sum()
+
+
+def synth_frontier_chunk(
+    start: int,
+    rows: int,
+    n_hosts: int,
+    cfg: CrawlConfig,
+    seed: int,
+    cur_time_ms: int,
+    zipf_a: float,
+) -> pa.Table:
+    """One deterministic chunk of the distributed synthetic frontier.
+
+    Pure function of (start, rows, n_hosts, seed): the rng is keyed by
+    (seed, start) so any chunking of the same n_urls yields the same
+    multiset of hosts in distribution, and page paths carry the GLOBAL
+    row index so URLs are unique across chunks. URL text is built with
+    Arrow kernels, not per-row f-strings."""
+    import pyarrow.compute as pc
+
+    rng = np.random.default_rng([seed, start])
+    if n_hosts == 1:
+        host_idx = np.zeros(rows, dtype=np.int64)
+    else:
+        host_idx = rng.choice(n_hosts, size=rows, p=_zipf_weights(n_hosts, zipf_a))
+    page = np.arange(start, start + rows, dtype=np.int64)
+    hid_s = pc.cast(pa.array(host_idx), pa.string())
+    hosts = pc.binary_join_element_wise("host", hid_s, ".example", "")
+    urls = pc.binary_join_element_wise(
+        "http://", hosts, "/page/", pc.cast(pa.array(page), pa.string()), ""
+    )
+    hosts_np = hosts.to_numpy(zero_copy_only=False)
+    mix = (
+        host_idx.astype(np.uint64) * np.uint64(2654435761)
+        + page.astype(np.uint64) * np.uint64(40503)
+        + np.uint64(seed)
+    ) % np.uint64(1 << 32)
+    score = ((mix % np.uint64(10_000)).astype(np.float64) / 10_000.0).astype(np.float32)
+    parts = partition_for_hosts(hosts_np, cfg.num_partitions, cfg.partition_seed, cfg.partition_mode)
+    return pa.table(
+        {
+            "url": urls,
+            "host": hosts,
+            "domain": domains_of(hosts_np).to_numpy(dtype=object),
+            "part": parts.astype(np.int32),
+            "status": np.full(rows, CS.DB_UNFETCHED, dtype=np.uint8),
+            "fetch_time": np.full(rows, cur_time_ms - 1000, dtype=np.int64),
+            "retries": np.zeros(rows, dtype=np.uint8),
+            "fetch_interval": np.full(rows, cfg.interval_default, dtype=np.int32),
+            "score": score,
+            "signature": pa.array([None] * rows, type=pa.binary()),
+            "modified_time": np.zeros(rows, dtype=np.int64),
+            "gen_time": np.zeros(rows, dtype=np.int64),
+            "repr_url": pa.array([None] * rows, type=pa.string()),
+            "fixed_interval": np.zeros(rows, dtype=np.int32),
+            "metadata": pa.array([None] * rows, type=pa.string()),
+            "pst": pa.array([None] * rows, type=pa.string()),
+        },
+        schema=FRONTIER_SCHEMA,
+    )
+
+
+def synth_frontier_ds(
+    n_urls: int,
+    n_hosts: int,
+    cfg: CrawlConfig | None = None,
+    seed: int = 42,
+    cur_time_ms: int = EPOCH,
+    zipf_a: float = 1.3,
+    chunk_rows: int = 1_000_000,
+):
+    """Distributed variant of ``synth_frontier`` for corpus-scale
+    rehearsals (the 100M-row rung): the frontier never materializes on
+    the driver — one Ray Data block per ``chunk_rows`` slice, each
+    generated inside map_batches by ``synth_frontier_chunk``. Feed the
+    result to ``CrawlDriver.bootstrap_ds``. Deterministic given
+    (n_urls, n_hosts, seed, chunk_rows); host-size distribution matches
+    the driver-side generator (same Zipf weights) but rows are not
+    byte-identical to ``synth_frontier`` (per-chunk host draws, global
+    page index)."""
+    import ray
+
+    cfg = cfg or CrawlConfig()
+    chunks = [
+        {"start": s, "rows": min(chunk_rows, n_urls - s)}
+        for s in range(0, n_urls, chunk_rows)
+    ]
+
+    def gen(batch: pd.DataFrame) -> pa.Table:
+        tabs = [
+            synth_frontier_chunk(
+                int(r.start), int(r.rows), n_hosts, cfg, seed, cur_time_ms, zipf_a
+            )
+            for r in batch.itertuples()
+        ]
+        return tabs[0] if len(tabs) == 1 else pa.concat_tables(tabs)
+
+    return ray.data.from_items(chunks, override_num_blocks=len(chunks)).map_batches(
+        gen, batch_format="pandas", batch_size=None
+    )
+
+
 def synth_seeds(n: int, n_hosts: int = 10, with_meta_every: int = 5) -> list[str]:
     lines = ["# synthetic seed list"]
     for i in range(n):

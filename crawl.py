@@ -79,9 +79,21 @@ def main() -> int:
             seeds = f.read().splitlines()
     elif args.synthetic:
         from coherencebot_ray.pipelines.crawl import CrawlDriver
-        from coherencebot_ray.sources.synth import synth_frontier
 
-        CrawlDriver(args.workdir, cfg).bootstrap(synth_frontier(args.synthetic, max(1, args.synthetic // 50), cfg))
+        n_hosts = max(1, args.synthetic // 50)
+        if args.synthetic >= 20_000_000:
+            # corpus-scale bootstrap: never materialize the frontier on
+            # the driver — generate chunks in parallel tasks and write
+            # partitions directly into the store (bootstrap_ds).
+            from coherencebot_ray.sources.synth import synth_frontier_ds
+
+            CrawlDriver(args.workdir, cfg).bootstrap_ds(
+                synth_frontier_ds(args.synthetic, n_hosts, cfg))
+        else:
+            from coherencebot_ray.sources.synth import synth_frontier
+
+            CrawlDriver(args.workdir, cfg).bootstrap(
+                synth_frontier(args.synthetic, n_hosts, cfg))
         seeds = []
 
     protocol = None

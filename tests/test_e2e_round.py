@@ -328,6 +328,44 @@ def test_bootstrap_ds_matches_bootstrap(tmp_path, ray_session):
     assert rows_a == rows_b
 
 
+def test_synth_frontier_ds_distributed_bootstrap(tmp_path, ray_session):
+    """synth_frontier_ds generates the frontier in chunked tasks (no
+    driver materialization) with unique urls, the frontier schema, and
+    deterministic content; bootstrap_ds splits a mega-host partition
+    into url-hash subshards like write_generation does."""
+    import glob
+
+    from coherencebot_ray.config import CrawlConfig
+    from coherencebot_ray.model import FRONTIER_SCHEMA
+    from coherencebot_ray.pipelines.crawl import CrawlDriver
+    from coherencebot_ray.sources.synth import synth_frontier_ds
+
+    cfg = CrawlConfig(num_partitions=4, skew_split_rows=200)
+    ds = synth_frontier_ds(1000, 20, cfg, chunk_rows=300)
+    t = ds.to_pandas()
+    assert len(t) == 1000
+    assert t["url"].nunique() == 1000
+    assert set(t["part"].unique()) <= set(range(4))
+    # deterministic: a second build yields the identical table
+    t2 = synth_frontier_ds(1000, 20, cfg, chunk_rows=300).to_pandas()
+    assert t.sort_values("url").reset_index(drop=True).equals(
+        t2.sort_values("url").reset_index(drop=True))
+
+    d = CrawlDriver(str(tmp_path / "w"), cfg)
+    stats = d.bootstrap_ds(synth_frontier_ds(1000, 20, cfg, chunk_rows=300))
+    back = d.store.read_table(0)
+    assert back.num_rows == 1000
+    assert back.schema.equals(FRONTIER_SCHEMA)
+    # Zipf host 0 dominates -> its partition exceeds skew_split_rows and
+    # must be written as multiple url-hash subshard files
+    sizes = {p: v["rows"] for p, v in d.store.manifest(0)["partitions"].items()}
+    big = max(sizes, key=sizes.get)
+    assert sizes[big] > 200
+    files = glob.glob(str(tmp_path / "w" / "frontier" / "gen=000000" / f"part={big}" / "data-*.parquet"))
+    assert len(files) >= 2
+    assert stats["partitions"]
+
+
 def test_interleaved_media_round(tmp_path, ray_session):
     """Interleaved text+media crawl (the north-star payload shape): with
     the fake protocol's media mode on, a full round produces doc rows
