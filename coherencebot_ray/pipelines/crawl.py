@@ -715,6 +715,65 @@ class _InjectTask:
         return pd.DataFrame(out)
 
 
+class _DedupMarkTask:
+    """Per-touched-partition J9 merge-back (StatusUpdateReducer,
+    DeduplicationJob.java:330-377): read the partition's files, flip
+    DB_FETCHED/DB_NOTMODIFIED rows named by this partition's mark slice
+    to DB_DUPLICATE, re-split by the url-hash subshard rule and write
+    into the new generation's tmp dir. Partitions whose marks hit
+    nothing are NOT rewritten (they inherit the parent files), and the
+    frontier itself never crosses an all-to-all exchange — only the
+    small mark set shuffles (the reference's second MapReduce job
+    rewrites the whole crawldb; partition inheritance is the Ray-native
+    improvement)."""
+
+    def __init__(self, cfg, files_by_part, store_root, new_gen, skew_split_rows):
+        self.cfg = cfg
+        self.files_by_part = files_by_part
+        self.store_root, self.new_gen = store_root, new_gen
+        self.skew_split_rows = skew_split_rows
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        _pin_arrow_threads()
+        from ..state.cuckoo import CuckooFilter
+        from ..state.frontier_store import _subshards
+
+        out = []
+        for part, sub in g.groupby("part", sort=False):
+            part = int(part)
+            files = self.files_by_part.get(part)
+            if not files:
+                continue
+            t = pq.read_table(files, partitioning=None).to_pandas()
+            hit = t["url"].isin(sub["url"].to_numpy()) & t["status"].isin(
+                [int(CS.DB_FETCHED), int(CS.DB_NOTMODIFIED)]
+            )
+            marked = int(hit.sum())
+            if not marked:
+                out.append({"part": part, "rows": len(t), "marked": 0, "written": 0})
+                continue
+            t.loc[hit, "status"] = t["status"].dtype.type(CS.DB_DUPLICATE)
+            table = _frontier_pa(t)
+            pdir = os.path.join(
+                self.store_root, f"gen={self.new_gen:06d}.tmp", f"part={part}"
+            )
+            os.makedirs(pdir, exist_ok=True)
+            for subid, _n_sub, shard in _subshards(table, self.skew_split_rows):
+                dest = os.path.join(pdir, f"data-{subid}.parquet")
+                pq.write_table(shard, dest, compression="zstd")
+                cf = CuckooFilter(capacity=max(1024, 2 * shard.num_rows))
+                cf.add_many(shard.column("url").to_pylist())
+                with open(dest.replace(".parquet", ".seen"), "wb") as fh:
+                    fh.write(cf.to_bytes())
+            out.append({"part": part, "rows": len(t), "marked": marked, "written": 1})
+        if not out:
+            return pd.DataFrame(
+                {"part": pd.Series(dtype="int64"), "rows": pd.Series(dtype="int64"),
+                 "marked": pd.Series(dtype="int64"), "written": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(out)
+
+
 class _UpdateTask:
     def __init__(self, cfg, cur_time_ms, seg, files_by_part, store_root, new_gen):
         self.cfg, self.cur, self.seg = cfg, cur_time_ms, seg
@@ -1009,6 +1068,77 @@ class CrawlDriver:
             written, gen=0, parent_gen=None,
             counters={"bootstrap_rows": int(stats["rows"].sum())},
         )
+
+    def apply_dedup_marks(self, marks_ds) -> dict:
+        """Commit duplicate marks as a new generation (J9's second job,
+        DeduplicationJob.java:330-411 StatusUpdateReducer). The marks
+        (columns ``url`` [, ``part``]) are tiny relative to the
+        frontier, so instead of co-grouping the whole frontier on
+        hash(url) — a full all-to-all exchange — the marks shuffle to
+        their partitions and each TOUCHED partition is rewritten in
+        place; untouched (and unhit) partitions inherit the parent
+        generation's files through the manifest. Returns
+        {"gen", "duplicates_marked"}; commits nothing when no row flips.
+
+        Use :func:`stages.jobs.apply_duplicate_marks` instead when the
+        frontier is a free-standing Dataset with no store behind it."""
+        marks = marks_ds.materialize()  # loser cardinality, not corpus
+        gen = self.store.latest_gen()
+        if gen is None or marks.count() == 0:
+            return {"gen": gen, "duplicates_marked": 0}
+        if "part" not in marks.schema().names:
+            cfg = self.cfg
+
+            def add_part(df: pd.DataFrame) -> pd.DataFrame:
+                from ..functions.urlutil import get_host, partition_for_hosts
+
+                hosts = df["url"].map(get_host).to_numpy(dtype=object)
+                d = df[["url"]].copy()
+                d["part"] = partition_for_hosts(
+                    hosts, cfg.num_partitions, cfg.partition_seed, cfg.partition_mode
+                )
+                return d
+
+            marks = marks.map_batches(add_part, batch_format="pandas")
+        new_gen = gen + 1
+        man = self.store.manifest(gen)
+        files_by_part = {
+            int(p): [os.path.join(self.store.root, f) for f in ent["files"]]
+            for p, ent in man["partitions"].items()
+            if ent["files"]
+        }
+        self.store.begin_generation(new_gen)
+        task = _DedupMarkTask(
+            self.cfg, files_by_part, self.store.root, new_gen,
+            self.store.skew_split_rows,
+        )
+
+        def mark_part(g: pd.DataFrame) -> pd.DataFrame:
+            return task(g)
+
+        stats = (
+            marks.groupby("part")
+            .map_groups(mark_part, batch_format="pandas")
+            .to_pandas()
+        )
+        n_marked = int(stats["marked"].sum()) if len(stats) else 0
+        written = {
+            int(p): int(r)
+            for p, r, w in zip(stats["part"], stats["rows"], stats["written"])
+            if int(w)
+        }
+        if not written:
+            # nothing flipped anywhere: drop the tmp dir, keep the gen
+            shutil.rmtree(
+                os.path.join(self.store.root, f"gen={new_gen:06d}.tmp"),
+                ignore_errors=True,
+            )
+            return {"gen": gen, "duplicates_marked": 0}
+        self.store.commit_generation(
+            written, gen=new_gen, parent_gen=gen,
+            counters={"duplicates_marked": n_marked},
+        )
+        return {"gen": new_gen, "duplicates_marked": n_marked}
 
     def inject(self, seed_lines: list[str], cur_time_ms: int) -> dict:
         """J1: seeds ∪ frontier -> new generation (Injector.java:209-348)."""

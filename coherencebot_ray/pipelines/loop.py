@@ -168,19 +168,15 @@ def _loop_rounds(
                 metrics["linkdb_rows"] = "written"
 
         if dedup_every and r % dedup_every == 0:
-            frontier = d.store.read(gen)
-            dups = jobs.dedup(frontier, cfg)
-            marked = jobs.apply_duplicate_marks(d.store.read(gen), dups)
-            # distributed count — the marked frontier is corpus-sized,
-            # never collect it to the driver just to count a status
-            n_dups = int(
-                marked.map_batches(
-                    lambda df: pd.DataFrame({"n": [int((df["status"] == CS.DB_DUPLICATE).sum())]}),
-                    batch_format="pandas",
-                )
-                .sum("n")
-            )
-            metrics["duplicates_marked"] = n_dups
+            # J9: decide losers over the (signature-pruned) frontier,
+            # then COMMIT the marks as a new generation via the
+            # per-touched-partition merge-back — the frontier never
+            # crosses an all-to-all exchange, and the marks persist so
+            # the indexer / CleaningJob see DB_DUPLICATE in later rounds
+            # (bin/crawl runs dedup right before index for this reason).
+            dups = jobs.dedup(d.store.read(gen), cfg)
+            res = d.apply_dedup_marks(dups)
+            metrics["duplicates_marked"] = res["duplicates_marked"]
 
         if doc_dedup_every and r % doc_dedup_every == 0:
             # document-level near-dup keep-one over ALL segments so far
@@ -203,14 +199,10 @@ def _loop_rounds(
                 if n_doc_dups:
                     losers.write_parquet(
                         os.path.join(workdir, "doc_dedup", f"gen={gen:06d}"))
-                    marked = jobs.apply_duplicate_marks(d.store.read(gen), losers)
-                    n_doc_dups = int(
-                        marked.map_batches(
-                            lambda df: pd.DataFrame(
-                                {"n": [int((df["status"] == CS.DB_DUPLICATE).sum())]}),
-                            batch_format="pandas",
-                        ).sum("n")
-                    )
+                    # commit the loser marks (per-touched-partition
+                    # merge-back; apply_dedup_marks derives part from
+                    # the loser urls since docs don't carry it)
+                    n_doc_dups = d.apply_dedup_marks(losers)["duplicates_marked"]
             metrics["doc_dups_marked"] = n_doc_dups
             _append_round_counters(
                 d.seg_dir(gen), {"doc_dups_marked": n_doc_dups})

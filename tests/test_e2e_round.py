@@ -366,6 +366,52 @@ def test_synth_frontier_ds_distributed_bootstrap(tmp_path, ray_session):
     assert stats["partitions"]
 
 
+def test_apply_dedup_marks_partition_merge_back(tmp_path, ray_session):
+    """CrawlDriver.apply_dedup_marks commits duplicate marks as a new
+    generation by rewriting ONLY the touched partitions; untouched
+    partitions inherit the parent generation's files, url-only marks
+    derive their partition, and a no-hit mark set commits nothing."""
+    import numpy as np
+    import ray.data as rd
+
+    from coherencebot_ray.config import CrawlConfig
+    from coherencebot_ray.model import CrawlStatus as CS, frontier_table_from_pandas
+    from coherencebot_ray.pipelines.crawl import CrawlDriver
+    from coherencebot_ray.sources.synth import synth_frontier
+
+    cfg = CrawlConfig(num_partitions=4)
+    t = synth_frontier(200, 8, cfg).to_pandas()
+    t["status"] = np.uint8(CS.DB_FETCHED)
+    d = CrawlDriver(str(tmp_path / "w"), cfg)
+    d.bootstrap(frontier_table_from_pandas(t))
+
+    one_part = int(t["part"].iloc[0])
+    marks = t[t["part"] == one_part][["url", "part"]].head(5)
+    res = d.apply_dedup_marks(rd.from_pandas(marks))
+    assert res == {"gen": 1, "duplicates_marked": 5}
+    back = d.store.read_table(1).to_pandas().set_index("url")
+    assert (back.loc[marks["url"], "status"] == CS.DB_DUPLICATE).all()
+    assert len(back) == 200
+    man = d.store.manifest(1)
+    for p, ent in man["partitions"].items():
+        if not ent["files"]:
+            continue
+        rewritten = ent["files"][0].startswith("gen=000001")
+        assert rewritten == (int(p) == one_part)
+
+    # url-only marks (the doc-dedup shape): part derived from the url
+    more = t[t["part"] != one_part][["url"]].head(3)
+    res2 = d.apply_dedup_marks(rd.from_pandas(more))
+    assert res2 == {"gen": 2, "duplicates_marked": 3}
+
+    # marks that hit nothing (already-duplicate rows): no commit
+    res3 = d.apply_dedup_marks(rd.from_pandas(marks))
+    assert res3 == {"gen": 2, "duplicates_marked": 0}
+    assert d.store.latest_gen() == 2
+    assert not os.path.exists(os.path.join(
+        str(tmp_path / "w"), "frontier", "gen=000003.tmp"))
+
+
 def test_interleaved_media_round(tmp_path, ray_session):
     """Interleaved text+media crawl (the north-star payload shape): with
     the fake protocol's media mode on, a full round produces doc rows

@@ -71,6 +71,34 @@ def test_doc_dedup_cadence_marks_losers(tmp_path, ray_session):
     assert rj["counters"]["doc_dups_marked"] == 4
 
 
+def test_dedup_cadence_commits_marks(tmp_path, ray_session):
+    """--dedup-every: J9's StatusUpdateReducer now COMMITS a new
+    frontier generation (per-touched-partition merge-back), so the
+    DB_DUPLICATE marks survive into later rounds instead of being a
+    count-only artifact."""
+    from coherencebot_ray.model import CrawlStatus as CS
+    from coherencebot_ray.pipelines.crawl import CrawlDriver
+    from coherencebot_ray.sources.fake_protocol import FakeProtocol, FakeResponse
+
+    class SameBodyProtocol(FakeProtocol):
+        def fetch(self, url):
+            if "/start" in url:
+                return FakeResponse(
+                    "success", b"<html><body>same body</body></html>", "text/html")
+            return super().fetch(url)
+
+    wd = str(tmp_path / "w")
+    # distinct url lengths: the reference's compare fold marks no one in
+    # a fully-tied pair, so ties must break on urlLength for a winner
+    seeds = [f"http://host{i}.example/start{'x' * i}" for i in range(5)]
+    res = crawl_loop(wd, CFG, seeds=seeds, rounds=1, start_time_ms=T0,
+                     dedup_every=1, protocol=SameBodyProtocol())
+    assert res[0]["duplicates_marked"] == 4  # 5 identical pages, 1 winner
+    d = CrawlDriver(wd, CFG)
+    front = d.store.read_table(d.store.latest_gen()).to_pandas()
+    assert int((front["status"] == CS.DB_DUPLICATE).sum()) == 4
+
+
 def test_loop_with_sitemaps_and_warc(tmp_path, ray_session):
     """Crawl loop with sitemap rounds and WARC export wired in."""
     from coherencebot_ray.config import CrawlConfig
