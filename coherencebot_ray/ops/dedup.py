@@ -339,6 +339,22 @@ def minhash_lsh_pairs(
     cands = bucketed_group_apply(
         cands, ["a", "b"], lambda g: g.drop_duplicates(subset=["a", "b"])
     )
+    return verify_pairs_idjoin(docs_ds, cands, threshold, text_col)
+
+
+def verify_pairs_idjoin(docs_ds, cands, threshold: float, text_col: str = "text"):
+    """Exact-Jaccard verify of candidate (a, b) pairs by hash-joining each
+    half back to the docs table (the large-document layout shared by
+    minhash_lsh_pairs and ngram_jaccard_pairs): two bucketed exchanges,
+    each moving the corpus text ONCE plus pair-cardinality rows."""
+
+    def _empty_pairs() -> pd.DataFrame:
+        return pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "jaccard": pd.Series(dtype="float64")}
+        )
+
+    from .agg import bucketed_group_apply
 
     # Tagged-union hash join, one side at a time. Union schemas are
     # aligned and typed on EVERY path (the round-2 simhash lesson:
@@ -430,6 +446,152 @@ def minhash_lsh_pairs(
     return bucketed_group_apply(
         docs_kv2.union(with_a.map_batches(pair_side_b, batch_format="pandas")),
         "key", join_b_bucket,
+    )
+
+
+def ngram_jaccard_pairs(
+    docs_ds,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    with_text: bool = True,
+    max_bucket: int = 0,
+):
+    """EXACT n-gram Jaccard similarity self-join via AllPairs prefix
+    filtering (Bayardo, Ma & Srikant, WWW 2007; Chaudhuri et al. SSJoin).
+
+    Unlike ``minhash_lsh_pairs`` there is no LSH recall loss: every pair
+    of documents whose 3-token-shingle Jaccard >= ``threshold`` is
+    returned. Candidate generation uses the prefix-filtering principle —
+    under ANY fixed total order of the shingle universe (here: ascending
+    64-bit shingle hash), two sets A, B with J(A,B) >= t must share an
+    element inside their (|S| - ceil(t*|S|) + 1)-prefixes — so only
+    ~(1-t) of each document's shingles are emitted as index keys, and
+    ONE groupby on the shingle hash yields a complete candidate set.
+    A pairwise size filter (min_sz >= t*max_sz, a necessary condition
+    for J >= t) prunes inside the bucket before the exact verify.
+
+    Scale shape (100 TB): map_batches (per-doc sorted shingle prefixes)
+    + one bucketed exchange on the 8-byte hash key + exact verify.
+    ``with_text=True`` ships the text on each prefix row so the verify
+    runs inside the bucket (prefix_len x text volume through one
+    exchange — fine for small/medium docs); ``with_text=False`` ships
+    ids only and verifies through ``verify_pairs_idjoin`` (~2x corpus
+    text through two exchanges — the multi-node/large-doc path, same
+    rule as minhash_lsh_pairs). ``max_bucket=0`` means uncapped
+    (exactness); at real corpus scale set a cap or a document-frequency
+    stoplist for degenerate hot shingles — drops are the caller's to
+    log, never silent.
+
+    64-bit hash collisions could in principle merge two distinct
+    shingles during candidate generation (verify is on true string
+    shingles, so no false positives); at 2^-64 per pair this is
+    ignored, as in minhash banding.
+    """
+    import math
+
+    def _empty_pairs() -> pd.DataFrame:
+        return pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "jaccard": pd.Series(dtype="float64")}
+        )
+
+    from .agg import bucketed_group_apply
+
+    cap = max_bucket if max_bucket > 0 else (1 << 31)
+
+    def prefix_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out_h, out_doc, out_sz, out_txt = [], [], [], []
+        for doc_id, text in zip(df["doc_id"], df[text_col]):
+            text = text if isinstance(text, str) else ""
+            h = np.unique(_shingle_hashes(text))  # sorted distinct
+            sz = int(h.size)
+            if sz == 0:
+                continue
+            # epsilon guards the float ceil: t*sz that is exactly an
+            # integer must NOT round up a ulp (p too small = missed
+            # pairs); erring toward a longer prefix only adds candidates
+            plen = sz - int(math.ceil(threshold * sz - 1e-9)) + 1
+            out_h.append(h[:plen])
+            out_doc.append(np.full(plen, int(doc_id), dtype=np.int64))
+            out_sz.append(np.full(plen, sz, dtype=np.int64))
+            if with_text:
+                out_txt.extend([text] * plen)
+        if not out_h:
+            cols = {"h": pd.Series(dtype="int64"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "sz": pd.Series(dtype="int64")}
+            if with_text:
+                cols["text"] = pd.Series(dtype="object")
+            return pd.DataFrame(cols)
+        cols = {"h": np.concatenate(out_h).view(np.int64),
+                "doc_id": np.concatenate(out_doc),
+                "sz": np.concatenate(out_sz)}
+        if with_text:
+            cols["text"] = np.array(out_txt, dtype=object)
+        return pd.DataFrame(cols)
+
+    def _candidates(b: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        cand_a, cand_b = candidate_pairs_whole_bucket(
+            b, max_bucket=cap, band_col="h", hash_col="h"
+        )
+        if not len(cand_a):
+            return cand_a, cand_b
+        szmap = pd.Series(b["sz"].to_numpy(), index=b["doc_id"].to_numpy())
+        szmap = szmap[~szmap.index.duplicated()]
+        sa = szmap.loc[cand_a].to_numpy(dtype=np.float64)
+        sb = szmap.loc[cand_b].to_numpy(dtype=np.float64)
+        keep = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb) - 1e-9
+        return cand_a[keep], cand_b[keep]
+
+    pre_ds = docs_ds.map_batches(prefix_rows, batch_format="pandas")
+
+    if not with_text:
+        def cand_bucket(b: pd.DataFrame) -> pd.DataFrame:
+            cand_a, cand_b = _candidates(b)
+            return pd.DataFrame(
+                {"a": pd.Series(cand_a, dtype="int64"),
+                 "b": pd.Series(cand_b, dtype="int64")}
+            )
+
+        cands = bucketed_group_apply(pre_ds, "h", cand_bucket)
+        cands = bucketed_group_apply(
+            cands, ["a", "b"], lambda g: g.drop_duplicates(subset=["a", "b"])
+        )
+        return verify_pairs_idjoin(docs_ds, cands, threshold, text_col)
+
+    def pairs_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        cand_a, cand_b = _candidates(b)
+        if not len(cand_a):
+            return _empty_pairs()
+        texts = dict(zip(b["doc_id"], b["text"]))
+        sh_cache: dict = {}
+
+        def sh(doc_id):
+            s = sh_cache.get(doc_id)
+            if s is None:
+                t = texts.get(doc_id, "")
+                s = _token_shingles(t if isinstance(t, str) else "")
+                sh_cache[doc_id] = s
+            return s
+
+        out = {"a": [], "b": [], "jaccard": []}
+        for pa, pb in zip(cand_a, cand_b):
+            j = _jaccard_sets(sh(pa), sh(pb))
+            if j >= threshold:
+                out["a"].append(int(pa))
+                out["b"].append(int(pb))
+                out["jaccard"].append(round(j, 6))
+        if not out["a"]:
+            return _empty_pairs()
+        return pd.DataFrame(
+            {"a": pd.Series(out["a"], dtype="int64"),
+             "b": pd.Series(out["b"], dtype="int64"),
+             "jaccard": pd.Series(out["jaccard"], dtype="float64")}
+        )
+
+    verified = bucketed_group_apply(pre_ds, "h", pairs_bucket)
+    return bucketed_group_apply(
+        verified, ["a", "b"], lambda g: g.drop_duplicates(subset=["a", "b"])
     )
 
 

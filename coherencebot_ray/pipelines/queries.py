@@ -757,6 +757,45 @@ FROM ver WHERE inter * 1.0 / uni >= 0.8 ORDER BY a, b
 """
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """EXACT n-gram (3-token shingle) Jaccard similarity self-join via
+    AllPairs prefix filtering — the no-recall-loss member of the dedup
+    family (minhash/simhash are its approximate siblings). Oracle is the
+    brute-force Jaccard self-join over the same shingle definition, so
+    any candidate the prefix filter missed would show up as a hash
+    mismatch."""
+    from ..ops.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"], min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    ).to_pandas()
+    out["jaccard_ppm"] = np.floor(out["jaccard"].astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    out = out[["a", "b", "jaccard_ppm"]]
+    for c in ("a", "b"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+_NGRAM_JACCARD_SQL = """
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents),
+sh_long AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+  FROM toks, unnest(range(1, greatest(len(ts) - 2, 0) + 1)) AS u(i)
+  WHERE len(ts) >= 3
+),
+sh_short AS (SELECT doc_id, array_to_string(ts, ' ') AS s FROM toks WHERE len(ts) BETWEEN 1 AND 2),
+sh AS (SELECT DISTINCT doc_id, s FROM (SELECT * FROM sh_long UNION ALL SELECT * FROM sh_short)),
+shl AS (SELECT doc_id, list(s) AS ss FROM sh GROUP BY doc_id),
+ver AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, len(list_intersect(x.ss, y.ss)) AS inter,
+         len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss)) AS uni
+  FROM shl x JOIN shl y ON x.doc_id < y.doc_id
+)
+SELECT a, b, CAST(FLOOR(inter * 1.0 / uni * 1000000 + 0.5) AS BIGINT) AS jaccard_ppm
+FROM ver WHERE inter * 1.0 / uni >= 0.8 ORDER BY a, b
+"""
+
+
 def q_simhash(sf_dir: str):
     """SimHash near-dup pairs (hamming <= 3). The 4x16-bit band blocking
     is lossless for hamming <= 3 (pigeonhole), so the oracle is the
@@ -2018,6 +2057,7 @@ def build_queries() -> dict:
         "dedup_norm_docs": q_dedup_norm_docs,
         "minhash_lsh": q_minhash_lsh,
         "minhash_lsh_idjoin": q_minhash_lsh_idjoin,
+        "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "text_quality": q_text_quality,
         "fingerprint": q_fingerprint,
@@ -2089,6 +2129,7 @@ def build_oracle_sql() -> dict:
         "q3_join": _Q3_SQL,
         "minhash_lsh": _minhash_sql(),
         "minhash_lsh_idjoin": _minhash_sql(),
+        "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "simhash": _SIMHASH_SQL,
         "langid": _langid_sql(),
         "subcollection": _SUBCOLL_SQL,

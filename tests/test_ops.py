@@ -164,6 +164,47 @@ def test_minhash_lsh_id_join_path_matches_text_path(ray_session):
     assert jt == jj
 
 
+def test_ngram_jaccard_exact_vs_bruteforce(ray_session):
+    """The prefix-filtered similarity self-join must return EXACTLY the
+    brute-force all-pairs Jaccard result (no LSH-style recall loss), in
+    both verify layouts, including tie-prone sizes around the threshold."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(150)]
+    texts = []
+    for i in range(35):
+        base_words = list(rng.choice(words, size=25, replace=False))
+        texts.append(" ".join(base_words))
+        if i % 3 == 0:  # near-dup: drop 2 words, append 1
+            texts.append(" ".join(base_words[:-2] + ["tail"]))
+        if i % 7 == 0:  # exact dup
+            texts.append(" ".join(base_words))
+    texts.append("")  # empty doc: no shingles, never a candidate
+    texts.append("one two")  # short doc: single whole-text shingle
+    texts.append("one two")  # its exact dup (jaccard 1.0)
+    docs = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    ds = rd.from_pandas(docs)
+
+    thresh = 0.6
+    brute = {}
+    for i in range(len(texts)):
+        if not texts[i]:
+            continue
+        for j in range(i + 1, len(texts)):
+            if not texts[j]:
+                continue
+            jac = dd.jaccard(texts[i], texts[j])
+            if jac >= thresh:
+                brute[(i, j)] = round(jac, 6)
+
+    for with_text in (True, False):
+        out = dd.ngram_jaccard_pairs(ds, threshold=thresh, with_text=with_text).to_pandas()
+        got = dict(zip(map(tuple, out[["a", "b"]].to_numpy()), out["jaccard"]))
+        assert got == brute, f"with_text={with_text}"
+    assert len(brute) >= 12  # the fixture actually exercises the join
+
+
 def test_simhash_pipeline(ray_session):
     import ray.data as rd
 
