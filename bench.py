@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "knn_ivf",
     "knn_lsh",
     "sliding_window",
+    "ngram_jaccard",
 ]
 
 

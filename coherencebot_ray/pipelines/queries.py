@@ -776,6 +776,25 @@ def q_ngram_jaccard(sf_dir: str):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def q_ngram_jaccard_idjoin(sf_dir: str):
+    """Same exact similarity join through the large-document layout
+    (with_text=False): prefix rows carry ids only, candidate halves are
+    hash-joined back to the docs table. Both layouts must be bitwise
+    identical under the same brute-force oracle (the minhash-layout
+    precedent)."""
+    from ..ops.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"], min_block_bytes=_EXCHANGE_BLOCK_BYTES),
+        with_text=False,
+    ).to_pandas()
+    out["jaccard_ppm"] = np.floor(out["jaccard"].astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    out = out[["a", "b", "jaccard_ppm"]]
+    for c in ("a", "b"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 _NGRAM_JACCARD_SQL = """
 WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents),
 sh_long AS (
@@ -2058,6 +2077,7 @@ def build_queries() -> dict:
         "minhash_lsh": q_minhash_lsh,
         "minhash_lsh_idjoin": q_minhash_lsh_idjoin,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_idjoin": q_ngram_jaccard_idjoin,
         "simhash": q_simhash,
         "text_quality": q_text_quality,
         "fingerprint": q_fingerprint,
@@ -2130,6 +2150,7 @@ def build_oracle_sql() -> dict:
         "minhash_lsh": _minhash_sql(),
         "minhash_lsh_idjoin": _minhash_sql(),
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "ngram_jaccard_idjoin": _NGRAM_JACCARD_SQL,
         "simhash": _SIMHASH_SQL,
         "langid": _langid_sql(),
         "subcollection": _SUBCOLL_SQL,
