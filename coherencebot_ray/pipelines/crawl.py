@@ -1056,6 +1056,12 @@ class CrawlDriver:
                     with open(dest.replace(".parquet", ".seen"), "wb") as fh:
                         fh.write(cf.to_bytes())
                 out.append({"part": part, "rows": len(sub)})
+            if not out:
+                # typed empty frame: Ray's streaming executor warns on
+                # RefBundles whose schema flips to columnless-empty
+                return pd.DataFrame(
+                    {"part": pd.Series(dtype="int64"), "rows": pd.Series(dtype="int64")}
+                )
             return pd.DataFrame(out)
 
         stats = (

@@ -184,6 +184,8 @@ def synth_frontier_ds(
             )
             for r in batch.itertuples()
         ]
+        if not tabs:  # empty block: emit a typed 0-row table, not a crash
+            return synth_frontier_chunk(0, 0, n_hosts, cfg, seed, cur_time_ms, zipf_a)
         return tabs[0] if len(tabs) == 1 else pa.concat_tables(tabs)
 
     return ray.data.from_items(chunks, override_num_blocks=len(chunks)).map_batches(
