@@ -42,6 +42,7 @@ def bucketed_group_apply(
     pre: "callable | None" = None,
     keep_bucket: bool = False,
     coalesce_rows: int | None = None,
+    empty_schema=None,
 ):
     """ds -> per-bucket ``bucket_fn(DataFrame) -> DataFrame``.
 
@@ -57,6 +58,10 @@ def bucketed_group_apply(
     (e.g. the per-bucket outputs of an upstream grouped stage) should
     be bundled before the shuffle — measured 2-4x on chained bucketed
     stages at sf0.1. Leave None when upstream blocks are already large:
+    ``empty_schema``: optional ``pyarrow.Schema``; empty bucket_fn
+    outputs are replaced with a typed empty Arrow table (silences Ray's
+    per-empty-block pandas size-estimation warning and fixes the block
+    schema for sparse emitters).
     batch_size also SPLITS bigger blocks to that row count, which at
     full scale would shrink healthy blocks.
     """
@@ -83,8 +88,23 @@ def bucketed_group_apply(
         df[BUCKET_COL] = b
         return df
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return bucket_fn(g if keep_bucket else g.drop(columns=[BUCKET_COL]))
+    def per_bucket(g: pd.DataFrame):
+        out = bucket_fn(g if keep_bucket else g.drop(columns=[BUCKET_COL]))
+        if empty_schema is not None and isinstance(out, pd.DataFrame):
+            # Sparse-output bucket fns (dedup marks, pair emitters) return
+            # MOSTLY empty frames; an empty pandas block with a string
+            # column makes Ray's size estimator log a vectorize warning
+            # per block, and a mix of empty/non-empty blocks flips the
+            # reported bundle schema. Emitting every block as Arrow with
+            # the declared schema keeps the operator output uniform.
+            import pyarrow as _pa
+
+            if len(out) == 0:
+                return empty_schema.empty_table()
+            return _pa.Table.from_pandas(
+                out[list(empty_schema.names)], schema=empty_schema, preserve_index=False
+            )
+        return out
 
     map_kw = {"batch_size": coalesce_rows} if coalesce_rows else {}
     return (

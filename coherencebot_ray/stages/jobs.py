@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ..config import CrawlConfig
 from ..functions.dedup import mark_duplicates_in_group
@@ -67,7 +68,12 @@ def dedup(frontier_ds, cfg: CrawlConfig):
     from ..ops.agg import bucketed_group_apply
 
     keyed_ds = frontier_ds.map_batches(keyed, batch_format="pandas")
-    return bucketed_group_apply(keyed_ds, "sig_key", decide_bucket)
+    return bucketed_group_apply(
+        keyed_ds,
+        "sig_key",
+        decide_bucket,
+        empty_schema=pa.schema([("url", pa.string()), ("part", pa.int64())]),
+    )
 
 
 def apply_duplicate_marks(frontier_ds, dups_ds):
@@ -128,7 +134,15 @@ def apply_duplicate_marks(frontier_ds, dups_ds):
     tagged = frontier_ds.map_batches(tag_front, batch_format="pandas").union(
         dups_ds.map_batches(tag_dup, batch_format="pandas")
     )
-    return bucketed_group_apply(tagged, "url", mark_bucket)
+    from ..model import FRONTIER_SCHEMA
+
+    known = set(FRONTIER_SCHEMA.names)
+    empty_schema = (
+        pa.schema([(c, FRONTIER_SCHEMA.field(c).type) for c in front_cols])
+        if all(c in known for c in front_cols)
+        else None
+    )
+    return bucketed_group_apply(tagged, "url", mark_bucket, empty_schema=empty_schema)
 
 
 def doc_neardup_losers(docs_ds, threshold: float = 0.8, n_perm: int = 64,
