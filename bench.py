@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "knn_lsh",
     "sliding_window",
     "ngram_jaccard",
+    "dup_spans",
 ]
 
 

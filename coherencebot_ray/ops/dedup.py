@@ -785,3 +785,77 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
                              "rep": df["label"].to_numpy(np.int64)})
 
     return labels.map_batches(finish, batch_format="pandas")
+
+
+def dup_span_counts(docs_ds, k: int = 8, text_col: str = "text",
+                    id_col: str = "doc_id", n_buckets: int = 64):
+    """Cross-document duplicate k-gram span statistics — the detection
+    half of exact substring dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better": repeated ~50-token
+    spans across a corpus are memorization fuel; pipelines first measure
+    per-doc duplicated-span mass, then cut).
+
+    Returns one row per document: ``(doc_id, n_spans, n_dup)`` where
+    n_spans = max(len(words)-k+1, 0) and n_dup counts spans whose exact
+    k-word string occurs >1 time anywhere in the corpus (including
+    other positions of the same document).
+
+    Scale shape (100 TB): the exchange moves (doc_id, span) pairs —
+    O(tokens) like every shingle op here. All occurrences of a span
+    hash to one bucket, so global span counts are exact per bucket with
+    no second pass; per-doc partial sums leave each bucket (rows ≤
+    docs-touched-per-bucket) and one small bucketed sum folds them. No
+    stage holds more than a bucket. A suffix-array would find variable-
+    length maximal repeats; fixed-k spans are the standard streaming
+    approximation and are SQL-oracle-able.
+    """
+    from .agg import bucketed_group_apply, bucketed_sum
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        words_per_doc = [str(t).split() if t is not None else [] for t in df[text_col]]
+        lens = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64,
+                           count=len(words_per_doc))
+        nspans = np.maximum(lens - k + 1, 0)
+        total = int(nspans.sum())
+        if total == 0:
+            return pd.DataFrame({id_col: np.array([], dtype=ids.dtype),
+                                 "span": pd.Series(dtype="object")})
+        flat = np.empty(int(lens.sum()), dtype=object)
+        pos = 0
+        for w in words_per_doc:
+            flat[pos:pos + len(w)] = w
+            pos += len(w)
+        starts = np.cumsum(lens) - lens
+        # flat start index of every span: starts[d] + 0..nspans[d]-1
+        idx = np.repeat(starts, nspans) + (
+            np.arange(total) - np.repeat(np.cumsum(nspans) - nspans, nspans)
+        )
+        # object-array adds run str.__add__ in a C loop (no per-row Python
+        # bytecode); k-1 passes build the exact ' '-joined span strings
+        acc = flat[idx]
+        for j in range(1, k):
+            acc = np.add(np.add(acc, " "), flat[idx + j])
+        return pd.DataFrame({id_col: np.repeat(ids, nspans), "span": acc})
+
+    def mark_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        sizes = b.groupby("span", sort=False)["span"].transform("size").to_numpy()
+        part = pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            "n_spans": np.ones(len(b), dtype=np.int64),
+            "n_dup": (sizes > 1).astype(np.int64),
+        })
+        return part.groupby(id_col, sort=False, as_index=False).sum()
+
+    def zero_rows(df: pd.DataFrame) -> pd.DataFrame:
+        # every doc appears in the output, spans or not
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "n_spans": np.zeros(len(df), dtype=np.int64),
+            "n_dup": np.zeros(len(df), dtype=np.int64),
+        })
+
+    spans = docs_ds.map_batches(explode, batch_format="pandas")
+    partials = bucketed_group_apply(spans, "span", mark_bucket, n_buckets=n_buckets)
+    base = docs_ds.map_batches(zero_rows, batch_format="pandas")
+    return bucketed_sum(partials.union(base), id_col, ["n_spans", "n_dup"])

@@ -815,6 +815,43 @@ FROM ver WHERE inter * 1.0 / uni >= 0.8 ORDER BY a, b
 """
 
 
+def q_dup_spans(sf_dir: str):
+    """Cross-document duplicate 8-gram span counts — the detection half
+    of exact substring dedup (Lee et al. 2021). One (doc_id, span)
+    exchange, per-bucket exact global counts, one small per-doc sum."""
+    from ..ops.dedup import dup_span_counts
+
+    out = dup_span_counts(
+        _read(sf_dir, "documents", columns=["doc_id", "text"],
+              min_block_bytes=_EXCHANGE_BLOCK_BYTES),
+        k=8,
+    ).to_pandas()
+    out = out[["doc_id", "n_spans", "n_dup"]]
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_DUP_SPANS_SQL = """
+WITH w AS (SELECT doc_id, regexp_extract_all(coalesce(text,''), '\\S+') AS ws FROM documents),
+spans AS (
+  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS span
+  FROM w, UNNEST(range(1, len(ws) - 8 + 2)) AS t(i)
+),
+cnt AS (SELECT span, COUNT(*) AS c FROM spans GROUP BY span),
+per_doc AS (
+  SELECT spans.doc_id, COUNT(*) AS n_spans,
+         SUM(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END) AS n_dup
+  FROM spans JOIN cnt USING (span) GROUP BY spans.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_simhash(sf_dir: str):
     """SimHash near-dup pairs (hamming <= 3). The 4x16-bit band blocking
     is lossless for hamming <= 3 (pigeonhole), so the oracle is the
@@ -2078,6 +2115,7 @@ def build_queries() -> dict:
         "minhash_lsh_idjoin": q_minhash_lsh_idjoin,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_idjoin": q_ngram_jaccard_idjoin,
+        "dup_spans": q_dup_spans,
         "simhash": q_simhash,
         "text_quality": q_text_quality,
         "fingerprint": q_fingerprint,
@@ -2151,6 +2189,7 @@ def build_oracle_sql() -> dict:
         "minhash_lsh_idjoin": _minhash_sql(),
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "ngram_jaccard_idjoin": _NGRAM_JACCARD_SQL,
+        "dup_spans": _DUP_SPANS_SQL,
         "simhash": _SIMHASH_SQL,
         "langid": _langid_sql(),
         "subcollection": _SUBCOLL_SQL,

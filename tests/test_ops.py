@@ -646,3 +646,48 @@ def test_decontaminate(ray_session):
     assert out.loc[1, "contaminated"] == 1
     assert out.loc[2, "contaminated"] == 0
     assert out.loc[3, "contaminated"] == 0
+
+
+def test_dup_span_counts(ray_session):
+    """Cross-doc duplicate k-gram spans vs a brute-force reference."""
+    import ray.data
+
+    k = 3
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4, 5],
+        "text": [
+            "a b c d e",          # shares "a b c"/"b c d" with doc 1
+            "x a b c d y",        # shares with doc 0
+            "one two",            # < k words -> 0 spans
+            "",                   # empty -> 0 spans
+            "p q r p q r p q",    # self-repeat: "p q r" twice, "q r p" twice
+            "unique words only here",
+        ],
+    })
+
+    def brute(df):
+        from collections import Counter
+        spans = []
+        for _, r in df.iterrows():
+            w = r["text"].split()
+            spans.append([(r["doc_id"], " ".join(w[i:i + k]))
+                          for i in range(max(len(w) - k + 1, 0))])
+        cnt = Counter(s for doc in spans for _, s in doc)
+        rows = []
+        for doc_id, doc in zip(df["doc_id"], spans):
+            rows.append({"doc_id": doc_id, "n_spans": len(doc),
+                         "n_dup": sum(1 for _, s in doc if cnt[s] > 1)})
+        return pd.DataFrame(rows)
+
+    expect = brute(docs).sort_values("doc_id").reset_index(drop=True)
+    got = (
+        dd.dup_span_counts(ray.data.from_pandas(docs), k=k, n_buckets=4)
+        .to_pandas()[["doc_id", "n_spans", "n_dup"]]
+        .astype(np.int64)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expect.astype(np.int64))
+    # self-repeat doc: every span duplicated except the lone "r p q"
+    row4 = got[got.doc_id == 4].iloc[0]
+    assert row4.n_spans == 6 and row4.n_dup > 0
