@@ -788,7 +788,8 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
 
 
 def dup_span_counts(docs_ds, k: int = 8, text_col: str = "text",
-                    id_col: str = "doc_id", n_buckets: int = 64):
+                    id_col: str = "doc_id", n_buckets: int = 64,
+                    hash_spans: bool = False):
     """Cross-document duplicate k-gram span statistics — the detection
     half of exact substring dedup (Lee et al. 2021, "Deduplicating
     Training Data Makes Language Models Better": repeated ~50-token
@@ -808,6 +809,13 @@ def dup_span_counts(docs_ds, k: int = 8, text_col: str = "text",
     stage holds more than a bucket. A suffix-array would find variable-
     length maximal repeats; fixed-k spans are the standard streaming
     approximation and are SQL-oracle-able.
+
+    ``hash_spans=True`` is the 100-TB layout: the exchange carries a
+    128-bit span hash (two independent 64-bit pandas hashes packed into
+    one Python int, ~16 bytes/span) instead of the k-word string
+    (~50-100 bytes/span) — same bucketing, same counts, collision odds
+    ~n^2/2^129 (≪1 even at 10^13 spans). Default False so the query
+    layout stays exactly equal to the string-comparing SQL oracle.
     """
     from .agg import bucketed_group_apply, bucketed_sum
 
@@ -836,6 +844,10 @@ def dup_span_counts(docs_ds, k: int = 8, text_col: str = "text",
         acc = flat[idx]
         for j in range(1, k):
             acc = np.add(np.add(acc, " "), flat[idx + j])
+        if hash_spans:
+            h1 = pd.util.hash_array(acc, hash_key="0123456789123456")
+            h2 = pd.util.hash_array(acc, hash_key="6543210987654321")
+            acc = (h1.astype(object) << np.uint64(64)) | h2.astype(object)
         return pd.DataFrame({id_col: np.repeat(ids, nspans), "span": acc})
 
     def mark_bucket(b: pd.DataFrame) -> pd.DataFrame:

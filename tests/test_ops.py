@@ -691,3 +691,14 @@ def test_dup_span_counts(ray_session):
     # self-repeat doc: every span duplicated except the lone "r p q"
     row4 = got[got.doc_id == 4].iloc[0]
     assert row4.n_spans == 6 and row4.n_dup > 0
+
+    # the 128-bit-hash exchange layout must produce identical counts
+    hashed = (
+        dd.dup_span_counts(ray.data.from_pandas(docs), k=k, n_buckets=4,
+                           hash_spans=True)
+        .to_pandas()[["doc_id", "n_spans", "n_dup"]]
+        .astype(np.int64)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(hashed, expect.astype(np.int64))
