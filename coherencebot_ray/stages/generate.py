@@ -87,6 +87,7 @@ def select_partition(
     gen_time_ms: int,
     hostdb: dict | None = None,
     max_num_segments: int = 1,
+    _force_loop: bool = False,
 ) -> pd.DataFrame:
     """SelectorReducer for one partition (Generator.java:381-537).
 
@@ -129,7 +130,7 @@ def select_partition(
     count = 0
 
     hosts_arr = g["host"].to_numpy()
-    if default_max <= 0 and not hostdb:
+    if default_max <= 0 and not hostdb and not _force_loop:
         # FAST PATH (the stock config: generate.max.count=-1, no hostdb
         # overrides): no per-host caps means selection degenerates to
         # the first limit×segments rows in score order with block
@@ -141,6 +142,50 @@ def select_partition(
         out["segnum"] = (np.arange(n_take, dtype=np.int64) // limit + 1).astype(np.int32)
         out["sort_score"] = out["score"].astype(np.float32)
         out["fetch_delay_ms"] = np.int64(0)
+        out["gen_time"] = gen_time_ms
+        h = generator_url_hash_vec(out["url"].to_numpy())
+        return out.iloc[np.argsort(h, kind="stable")].reset_index(drop=True)
+
+    if max_num_segments == 1 and not _force_loop:
+        # VECTORIZED single-segment path (the production loop shape:
+        # maxNumSegments=1, caps/overrides live). The sequential
+        # reducer semantics collapse exactly: a row is taken iff its
+        # 1-based rank within its count-key group (score order) is
+        # within the row's cap, and the running count of such rows has
+        # not filled the per-partition budget. Equivalence with the
+        # reference-shaped loop below is property-tested
+        # (tests/test_generate.py::test_select_vectorized_matches_loop).
+        mc = np.full(n, default_max, dtype=np.int64)
+        fdel = np.zeros(n, dtype=np.int64)
+        if hostdb:
+            hseries = pd.Series(hosts_arr)
+            ov_mc = {h: int(v[0]) for h, v in hostdb.items() if v[0] is not None}
+            ov_fd = {h: int(v[1]) for h, v in hostdb.items()
+                     if len(v) > 1 and v[1]}
+            if ov_mc:
+                m = hseries.map(ov_mc)
+                has = m.notna().to_numpy()
+                mc[has] = m.to_numpy(dtype="float64")[has].astype(np.int64)
+            if ov_fd:
+                f = hseries.map(ov_fd)
+                has = f.notna().to_numpy()
+                fdel[has] = f.to_numpy(dtype="float64")[has].astype(np.int64)
+        # group counter semantics: only rows whose OWN cap is live
+        # (mc > 0) increment their count-key group's counter — uncapped
+        # rows take the reducer's else-branch and never touch it
+        capped = mc > 0
+        rank = (
+            pd.Series(capped.astype(np.int64))
+            .groupby(keys, sort=False)
+            .cumsum()
+            .to_numpy()
+        )
+        pass_host = ~capped | (rank <= mc)
+        take = pass_host & (np.cumsum(pass_host) <= limit)
+        out = g[take].copy()
+        out["segnum"] = np.int32(1)
+        out["sort_score"] = out["score"].astype(np.float32)
+        out["fetch_delay_ms"] = fdel[take]
         out["gen_time"] = gen_time_ms
         h = generator_url_hash_vec(out["url"].to_numpy())
         return out.iloc[np.argsort(h, kind="stable")].reset_index(drop=True)

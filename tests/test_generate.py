@@ -215,3 +215,38 @@ def test_url_util_domain_name():
     ]
     for url, expected in cases:
         assert get_domain(get_host(url)) == expected, url
+
+
+def test_select_vectorized_matches_loop():
+    """The single-segment vectorized selector must equal the
+    reference-shaped sequential reducer row-for-row across randomized
+    caps, overrides, skew, count modes and budgets."""
+    rng = np.random.RandomState(7)
+    for trial in range(40):
+        n = int(rng.randint(1, 400))
+        n_hosts = int(rng.randint(1, 12))
+        hosts = [f"h{rng.randint(n_hosts)}.example" for _ in range(n)]
+        domains = [h.split(".", 1)[-1] if rng.rand() < 0.5 else h for h in hosts]
+        urls = [f"http://{h}/p{i}" for i, h in enumerate(hosts)]
+        scores = rng.rand(n).astype(np.float32) * 10
+        df = frontier_df(urls, scores=list(scores), hosts=hosts, domains=domains)
+        cfg = CrawlConfig(
+            gen_max_count=int(rng.choice([-1, 0, 1, 2, 5])),
+            gen_count_mode=str(rng.choice(["host", "domain"])),
+        )
+        hostdb = None
+        if rng.rand() < 0.6:
+            hostdb = {}
+            for hid in range(n_hosts):
+                if rng.rand() < 0.5:
+                    mc = None if rng.rand() < 0.3 else int(rng.choice([0, 1, 3]))
+                    fd = int(rng.choice([0, 250]))
+                    hostdb[f"h{hid}.example"] = (mc, fd)
+        limit = int(rng.choice([1, 3, 17, 1000]))
+        a = select_partition(df, cfg, limit=limit, gen_time_ms=CUR, hostdb=hostdb)
+        b = select_partition(df, cfg, limit=limit, gen_time_ms=CUR, hostdb=hostdb,
+                             _force_loop=True)
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True),
+            check_dtype=True,
+        ), f"trial {trial}"
