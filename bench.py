@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "sliding_window",
     "ngram_jaccard",
     "dup_spans",
+    "hll_distinct",
 ]
 
 

@@ -1,0 +1,138 @@
+"""Cardinality sketches — approximate COUNT DISTINCT at corpus scale.
+
+HyperLogLog (Flajolet et al. 2007) over a Ray Dataset: per-batch
+register partials (one row per (group, register) touched), ONE bucketed
+max exchange to merge, then a per-group fold to the estimate. The
+exchange volume is bounded by groups × m registers regardless of input
+rows — the whole point of the sketch at 10^10+ rows, where exact
+distinct would shuffle every value.
+
+Oracle-exactness design: every quantity the query emits is an INTEGER
+computed with integer-only arithmetic (register max-rho values; the raw
+HLL estimator as an exact HUGEINT floor division), so a DuckDB oracle
+reproduces it bit-for-bit — no float summation-order or libm-precision
+hazards. The bias-corrected estimate (linear counting below 2.5m) uses
+floats and is exposed separately for users (`corrected_estimate`),
+accuracy-tested rather than oracled.
+
+Hash = md5 first 8 bytes big-endian (`('0x' || substr(md5(v),1,16))
+::UBIGINT` on the SQL side). md5-per-value is the oracle-parity choice
+(same precedent as functions/signatures.py); swap `_md5_u64` for a
+faster 64-bit hash when oracle parity is not needed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+HLL_P = 10                      # 2^10 = 1024 registers
+HLL_M = 1 << HLL_P
+_SUFFIX_BITS = 64 - HLL_P       # 54
+_SUFFIX_MASK = np.uint64((1 << _SUFFIX_BITS) - 1)
+_RHO_CAP = _SUFFIX_BITS + 1     # empty suffix -> 55
+
+# alpha_m = 0.7213 / (1 + 1.079/m) as an exact rational A/B
+_ALPHA_NUM = 7213 * 1000 * HLL_M
+_ALPHA_DEN = 10000 * (1000 * HLL_M + 1079)
+# raw estimate = alpha * m^2 / sum(2^-rho) = _EST_NUM // (_ALPHA_DEN * sum_scaled)
+_EST_NUM = _ALPHA_NUM * HLL_M * HLL_M * (1 << 64)
+
+_POP_LUT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(a: np.ndarray) -> np.ndarray:
+    return _POP_LUT[a.view(np.uint8)].reshape(-1, 8).sum(axis=1).astype(np.int64)
+
+
+def _md5_u64(values) -> np.ndarray:
+    """First 8 md5 bytes, big-endian — matches the SQL hex-prefix cast."""
+    joined = b"".join(
+        hashlib.md5((v if isinstance(v, str) else "" if v is None else str(v))
+                    .encode("utf-8")).digest()[:8]
+        for v in values
+    )
+    if not joined:
+        return np.array([], dtype=np.uint64)
+    return np.frombuffer(joined, dtype=">u8").astype(np.uint64)
+
+
+def _rho(h: np.ndarray) -> np.ndarray:
+    """1 + leading-zero count of the (64-p)-bit suffix, capped at 55.
+
+    Exact integer path: smear the suffix down, popcount = bit length,
+    rho = 55 - bit_length (zero suffix -> 55). No float log2.
+    """
+    w = h & _SUFFIX_MASK
+    y = w.copy()
+    for s in (1, 2, 4, 8, 16, 32):
+        y |= y >> np.uint64(s)
+    return (_RHO_CAP - _popcount64(y)).astype(np.int64)
+
+
+def _raw_estimate(rhos: np.ndarray) -> int:
+    """Exact integer raw HLL estimator over the present registers."""
+    present = len(rhos)
+    sum_scaled = sum(1 << (64 - int(r)) for r in rhos) + (HLL_M - present) * (1 << 64)
+    return _EST_NUM // (_ALPHA_DEN * sum_scaled)
+
+
+def corrected_estimate(rhos: np.ndarray) -> float:
+    """Bias-corrected estimate (linear counting below 2.5m) — the value
+    a user wants; floats, so accuracy-tested rather than SQL-oracled."""
+    raw = float(_raw_estimate(rhos))
+    zeros = HLL_M - len(rhos) + int((np.asarray(rhos) == 0).sum())
+    if raw <= 2.5 * HLL_M and zeros > 0:
+        return HLL_M * float(np.log(HLL_M / zeros))
+    return raw
+
+
+def hll_registers(ds, group_col: str, value_col: str, n_buckets: int = 64):
+    """Dataset -> merged HLL registers: one row per (group, idx) with
+    the max rho observed. Exchange rows ≤ batches × groups × m, merged
+    rows ≤ groups × m."""
+    from .agg import bucketed_group_apply
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = _md5_u64(df[value_col])
+        part = pd.DataFrame({
+            group_col: df[group_col].to_numpy(),
+            "idx": (h >> np.uint64(_SUFFIX_BITS)).astype(np.int64),
+            "rho": _rho(h),
+        })
+        return part.groupby([group_col, "idx"], sort=False, as_index=False)["rho"].max()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return bucketed_group_apply(
+        partials,
+        [group_col, "idx"],
+        lambda g: g.groupby([group_col, "idx"], sort=False, as_index=False)["rho"].max(),
+        n_buckets=n_buckets,
+    )
+
+
+def hll_distinct(ds, group_col: str, value_col: str, n_buckets: int = 64):
+    """Approximate distinct ``value_col`` per ``group_col``.
+
+    Returns (group, hll_raw_est, n_registers_set) — all integers, exactly
+    reproducible in SQL. ~1.04/sqrt(m) ≈ 3.3% relative error at
+    cardinalities ≳ 3m; use `corrected_estimate` over `hll_registers`
+    output when small-range accuracy matters.
+    """
+    from .agg import bucketed_group_apply
+
+    regs = hll_registers(ds, group_col, value_col, n_buckets=n_buckets)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for grp, gg in g.groupby(group_col, sort=False):
+            rows.append({
+                group_col: grp,
+                "hll_raw_est": np.int64(_raw_estimate(gg["rho"].to_numpy())),
+                "n_registers_set": np.int64(len(gg)),
+            })
+        return pd.DataFrame(rows, columns=[group_col, "hll_raw_est", "n_registers_set"])
+
+    return bucketed_group_apply(regs, group_col, fold, n_buckets=min(n_buckets, 16))

@@ -815,6 +815,53 @@ FROM ver WHERE inter * 1.0 / uni >= 0.8 ORDER BY a, b
 """
 
 
+def q_hll_distinct(sf_dir: str):
+    """HyperLogLog distinct-text-per-lang sketch (Flajolet et al. 2007).
+    Integer-only estimator (exact HUGEINT floor division), so the SQL
+    oracle reproduces it bit-for-bit — registers, raw estimate and all."""
+    from ..ops.sketch import hll_distinct
+
+    out = hll_distinct(
+        _read(sf_dir, "documents", columns=["lang", "text"],
+              min_block_bytes=_EXCHANGE_BLOCK_BYTES),
+        "lang", "text",
+    ).to_pandas()
+    out = out[["lang", "hll_raw_est", "n_registers_set"]]
+    for c in ("hll_raw_est", "n_registers_set"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def _hll_distinct_sql() -> str:
+    from ..ops.sketch import _ALPHA_DEN, _EST_NUM
+
+    return f"""
+WITH v AS (
+  SELECT lang, ('0x' || substr(md5(coalesce(text, '')), 1, 16))::UBIGINT AS h
+  FROM documents
+),
+s0 AS (SELECT lang, (h >> 54)::BIGINT AS idx, h & 18014398509481983 AS w FROM v),
+s1 AS (SELECT lang, idx, w | (w >> 1) AS w FROM s0),
+s2 AS (SELECT lang, idx, w | (w >> 2) AS w FROM s1),
+s3 AS (SELECT lang, idx, w | (w >> 4) AS w FROM s2),
+s4 AS (SELECT lang, idx, w | (w >> 8) AS w FROM s3),
+s5 AS (SELECT lang, idx, w | (w >> 16) AS w FROM s4),
+s6 AS (SELECT lang, idx, w | (w >> 32) AS w FROM s5),
+regs AS (SELECT lang, idx, MAX(55 - bit_count(w)) AS rho FROM s6 GROUP BY lang, idx),
+agg AS (
+  SELECT lang, COUNT(*) AS present,
+         SUM(((1::UBIGINT << (64 - rho)))::HUGEINT) AS sum_present
+  FROM regs GROUP BY lang
+)
+SELECT lang,
+       CAST({_EST_NUM}::HUGEINT // ({_ALPHA_DEN}::HUGEINT *
+            (sum_present + (1024 - present)::HUGEINT * 18446744073709551616::HUGEINT))
+            AS BIGINT) AS hll_raw_est,
+       CAST(present AS BIGINT) AS n_registers_set
+FROM agg ORDER BY lang
+"""
+
+
 def q_dup_spans(sf_dir: str):
     """Cross-document duplicate 8-gram span counts — the detection half
     of exact substring dedup (Lee et al. 2021). One (doc_id, span)
@@ -2116,6 +2163,7 @@ def build_queries() -> dict:
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_idjoin": q_ngram_jaccard_idjoin,
         "dup_spans": q_dup_spans,
+        "hll_distinct": q_hll_distinct,
         "simhash": q_simhash,
         "text_quality": q_text_quality,
         "fingerprint": q_fingerprint,
@@ -2190,6 +2238,7 @@ def build_oracle_sql() -> dict:
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "ngram_jaccard_idjoin": _NGRAM_JACCARD_SQL,
         "dup_spans": _DUP_SPANS_SQL,
+        "hll_distinct": _hll_distinct_sql(),
         "simhash": _SIMHASH_SQL,
         "langid": _langid_sql(),
         "subcollection": _SUBCOLL_SQL,

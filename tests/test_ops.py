@@ -702,3 +702,35 @@ def test_dup_span_counts(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(hashed, expect.astype(np.int64))
+
+
+def test_hll_distinct_accuracy_and_merge(ray_session):
+    """HLL sketch: estimate within theoretical error at real cardinality,
+    register merge across batches exact, small-range correction lands."""
+    import ray.data
+    from coherencebot_ray.ops import sketch as sk
+
+    rng = np.random.RandomState(3)
+    # group A: 30k distinct values (raw-estimator regime at m=1024),
+    # group B: 200 distinct repeated 15x (small-range / correction regime)
+    a_vals = [f"value-{i}" for i in range(30_000)]
+    b_vals = [f"dup-{i % 200}" for i in range(3_000)]
+    df = pd.DataFrame({
+        "grp": ["A"] * len(a_vals) + ["B"] * len(b_vals),
+        "v": a_vals + b_vals,
+    }).sample(frac=1.0, random_state=rng).reset_index(drop=True)
+
+    ds = ray.data.from_pandas(df).repartition(8)  # force cross-batch merge
+    out = sk.hll_distinct(ds, "grp", "v").to_pandas().set_index("grp")
+    est_a = out.loc["A", "hll_raw_est"]
+    assert abs(est_a - 30_000) / 30_000 < 0.12  # ~3 sigma at m=1024
+
+    regs = sk.hll_registers(ds, "grp", "v").to_pandas()
+    rb = regs[regs["grp"] == "B"]["rho"].to_numpy()
+    corr = sk.corrected_estimate(rb)
+    assert abs(corr - 200) / 200 < 0.12
+
+    # single-batch registers == multi-batch registers (merge is exact)
+    regs1 = sk.hll_registers(ray.data.from_pandas(df), "grp", "v").to_pandas()
+    key = lambda r: r.sort_values(["grp", "idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(regs), key(regs1))
