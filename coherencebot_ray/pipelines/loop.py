@@ -47,7 +47,26 @@ def crawl_loop(
 
     cfg = cfg or CrawlConfig()
     d = CrawlDriver(workdir, cfg, protocol=protocol)
-    now = start_time_ms if start_time_ms is not None else int(time.time() * 1000)
+
+    # resume-exact time base: the FIRST run persists its start time and
+    # interval; a resumed run (same workdir) reuses them, and every
+    # round's timestamp is keyed off the store's generation index — so
+    # an interrupted-and-resumed crawl computes byte-identical
+    # fetch_time/gen_time to the uninterrupted one (the reference's
+    # segment names are wall-clock stamps and are NOT resume-exact;
+    # tested in tests/test_loop.py::test_kill_resume_exact).
+    meta_path = os.path.join(workdir, "_CRAWL_META.json")
+    if start_time_ms is None and os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        now = int(meta["start_time_ms"])
+        round_interval_ms = int(meta.get("round_interval_ms", round_interval_ms))
+    else:
+        now = start_time_ms if start_time_ms is not None else int(time.time() * 1000)
+        os.makedirs(workdir, exist_ok=True)
+        with open(meta_path, "w") as fh:
+            json.dump({"start_time_ms": now,
+                       "round_interval_ms": round_interval_ms}, fh)
 
     if d.store.latest_gen() is None:
         lines = list(seeds or [])
@@ -85,6 +104,25 @@ def _append_round_counters(seg_dir: str, counters: dict) -> None:
         pass  # metrics-only artifact; never fail the loop over it
 
 
+def _rounds_completed(store) -> int:
+    """Crawl rounds committed in this store: manifests whose counters
+    carry ``generated`` (written only by run_round's final commit —
+    inject / dedup-mark / gen-writeback commits carry other keys).
+    The manifest rename is atomic, so this survives a kill at any point."""
+    latest = store.latest_gen()
+    if latest is None:
+        return 0
+    n = 0
+    for g in range(latest + 1):
+        try:
+            man = store.manifest(g)
+        except (FileNotFoundError, OSError, ValueError):
+            continue
+        if "generated" in (man.get("counters") or {}):
+            n += 1
+    return n
+
+
 def _loop_rounds(
     d, cfg, rounds, now, round_interval_ms, use_feed, hostdb_every,
     sitemaps_every, sitemap_host_slices, sitemap_hosts_cap, warc_out,
@@ -95,16 +133,26 @@ def _loop_rounds(
 
     from ..stages import jobs, tools
 
+    # round index base = crawl rounds already completed in this workdir
+    # (manifests committed by run_round carry a "generated" counter;
+    # dedup-mark / inject / writeback generations do not). The manifest
+    # rename is the atomic commit, so this is crash-consistent — equal
+    # to 0 on a fresh run and to the resume point after a kill, making
+    # timestamps (now + ridx*interval) and every cadence line up exactly
+    # with the uninterrupted execution.
+    base = _rounds_completed(d.store)
+
     results = []
     for r in range(rounds):
         if os.path.exists(os.path.join(workdir, ".STOP")):
             break
-        cur = now + r * round_interval_ms
+        ridx = base + r
+        cur = now + ridx * round_interval_ms
 
-        if use_feed and r > 0:
+        if use_feed and ridx > 0:
             d.inject(tools.feed_inject_lines(tools.FakeCollectionsFeed()), cur)
 
-        if hostdb_every and r % hostdb_every == 0:
+        if hostdb_every and ridx % hostdb_every == 0:
             gen = d.store.latest_gen()
             # per-host generate overrides (Generator.java:415-453 analogue):
             # demote hosts with many gone pages. Prune to override-worthy
@@ -123,7 +171,7 @@ def _loop_rounds(
                 for h, g in zip(bad["host"], bad["gone"])
             } or None
 
-        if sitemaps_every and r % sitemaps_every == 0:
+        if sitemaps_every and ridx % sitemaps_every == 0:
             # robots-declared sitemap discovery over the frontier's hosts
             # (SitemapProcessor round). The host list NEVER lands on the
             # driver (host cardinality is ~1e8 at web scale): per-batch
@@ -132,7 +180,7 @@ def _loop_rounds(
             # the host space (rotating across rounds), with a hard cap.
             # (columns= pushdown on gen=/part= paths trips a Ray parquet
             # reader bug; project per batch instead)
-            slice_id = (r // sitemaps_every) % sitemap_host_slices
+            slice_id = (ridx // sitemaps_every) % sitemap_host_slices
 
             def pick_hosts(df, _sid=slice_id, _n=sitemap_host_slices):
                 h = df[["host"]].drop_duplicates()
@@ -160,14 +208,14 @@ def _loop_rounds(
         if gc_keep_gens > 0:
             metrics["gc"] = d.store.gc(keep_gens=gc_keep_gens)
 
-        if invertlinks_every and r % invertlinks_every == 0:
+        if invertlinks_every and ridx % invertlinks_every == 0:
             ol = tools.read_segment(d.seg_dir(gen), "outlinks")
             if ol.count():
                 linkdb = jobs.invertlinks(ol, cfg)
                 linkdb.write_parquet(os.path.join(workdir, "linkdb", f"gen={gen:06d}"))
                 metrics["linkdb_rows"] = "written"
 
-        if dedup_every and r % dedup_every == 0:
+        if dedup_every and ridx % dedup_every == 0:
             # J9: decide losers over the (signature-pruned) frontier,
             # then COMMIT the marks as a new generation via the
             # per-touched-partition merge-back — the frontier never
@@ -178,7 +226,7 @@ def _loop_rounds(
             res = d.apply_dedup_marks(dups)
             metrics["duplicates_marked"] = res["duplicates_marked"]
 
-        if doc_dedup_every and r % doc_dedup_every == 0:
+        if doc_dedup_every and ridx % doc_dedup_every == 0:
             # document-level near-dup keep-one over ALL segments so far
             # (minhash -> components -> losers): the training-data
             # analogue of J9's URL dedup. Losers materialize once (the
@@ -207,7 +255,7 @@ def _loop_rounds(
             _append_round_counters(
                 d.seg_dir(gen), {"doc_dups_marked": n_doc_dups})
 
-        if index_every and r % index_every == 0:
+        if index_every and ridx % index_every == 0:
             docs = tools.read_segment(d.seg_dir(gen), "docs")
             if docs.count():
                 # -addBinaryContent: ride the segment content part

@@ -44,6 +44,9 @@ def main() -> int:
     ap.add_argument("--media-pct", type=int, default=0,
                     help="share of fetches returning interleaved media (gif/wav) payloads")
     ap.add_argument("--num-cpus", type=int, default=32)
+    ap.add_argument("--start-time-ms", type=int, default=None,
+                    help="fixed crawl time base for reproducible drives; "
+                         "resumed runs reuse the workdir's persisted base")
     args = ap.parse_args()
 
     import ray
@@ -108,6 +111,7 @@ def main() -> int:
         protocol=protocol,
         seeds=seeds,
         rounds=args.rounds,
+        start_time_ms=args.start_time_ms,
         use_feed=args.feed,
         hostdb_every=args.hostdb_every,
         dedup_every=args.dedup_every,

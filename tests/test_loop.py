@@ -191,3 +191,46 @@ def test_loop_index_with_binary_content(tmp_path, ray_session):
     assert "binaryContent" in t.schema.names
     b64s = [v for v in t.column("binaryContent").to_pylist() if v]
     assert b64s and base64.b64decode(b64s[0])  # decodable payloads
+
+
+def _frontier_digest(workdir):
+    """Order-insensitive hash of the latest-generation frontier rows."""
+    import hashlib
+
+    import pandas as pd
+
+    from coherencebot_ray.config import CrawlConfig
+    from coherencebot_ray.pipelines.crawl import CrawlDriver
+
+    d = CrawlDriver(workdir, CFG)
+    gen = d.store.latest_gen()
+    df = d.store.read_table(gen).to_pandas()
+    df = df.sort_values("url").reset_index(drop=True)
+    payload = df.to_csv(index=False).encode()
+    return gen, len(df), hashlib.md5(payload).hexdigest()
+
+
+def test_resume_exact_timestamps_and_cadence(tmp_path, ray_session):
+    """A crawl interrupted after round 1 and resumed in a fresh
+    crawl_loop call (new driver, time base reloaded from
+    _CRAWL_META.json) must produce a byte-identical frontier to the
+    uninterrupted 3-round run — including round timestamps and the
+    dedup cadence, which commits EXTRA generations that must not shift
+    the round index."""
+    wa, wb = str(tmp_path / "a"), str(tmp_path / "b")
+    interval = 40 * 86400 * 1000
+
+    res_a = crawl_loop(wa, CFG, seeds=SEEDS, rounds=3, start_time_ms=T0,
+                       round_interval_ms=interval, dedup_every=2)
+
+    crawl_loop(wb, CFG, seeds=SEEDS, rounds=1, start_time_ms=T0,
+               round_interval_ms=interval, dedup_every=2)
+    # resume: NO start_time_ms — must come from the persisted meta
+    res_b = crawl_loop(wb, CFG, rounds=2, round_interval_ms=999,
+                       dedup_every=2)
+
+    gen_a, n_a, dig_a = _frontier_digest(wa)
+    gen_b, n_b, dig_b = _frontier_digest(wb)
+    assert (gen_a, n_a, dig_a) == (gen_b, n_b, dig_b)
+    # the resumed rounds carried the original timestamps forward
+    assert [m["gen"] for m in res_a[1:]] == [m["gen"] for m in res_b]
