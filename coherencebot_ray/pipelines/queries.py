@@ -2020,6 +2020,99 @@ FROM x GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_asof_join(sf_dir: str):
+    """Backward as-of join: each click event matched to the latest
+    same-user view at-or-before its timestamp (ops/join.py — tagged
+    union, one bucketed exchange by user hash, vectorized in-bucket
+    sort-merge). Inner semantics like DuckDB ASOF JOIN."""
+    from ..ops.join import asof_join
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    ev = _read(sf_dir, "events", columns=cols, min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+
+    def clicks(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["event_type"] == "click"]
+        return pd.DataFrame({"user_id": d["user_id"].to_numpy(),
+                             "ts": d["ts"].to_numpy(),
+                             "click_id": d["event_id"].to_numpy()})
+
+    def views(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["event_type"] == "view"]
+        cents = np.floor(d["value"].to_numpy(dtype=np.float64) * 100.0 + 0.5).astype(np.int64)
+        return pd.DataFrame({"user_id": d["user_id"].to_numpy(),
+                             "ts": d["ts"].to_numpy(),
+                             "view_id": d["event_id"].to_numpy(),
+                             "view_value_cents": cents})
+
+    probe = ev.map_batches(clicks, batch_format="pandas")
+    build = ev.map_batches(views, batch_format="pandas")
+    out = asof_join(
+        probe, build,
+        probe_payload={"click_id": "int64"},
+        build_payload={"view_id": "int64", "view_value_cents": "int64"},
+    ).to_pandas()
+    out = out.drop(columns=["ts_us"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("click_id").reset_index(drop=True)
+
+
+_ASOF_SQL = """
+SELECT a.user_id AS user_id,
+       a.event_id AS click_id,
+       b.event_id AS view_id,
+       CAST(FLOOR(b.value * 100 + 0.5) AS BIGINT) AS view_value_cents,
+       epoch_us(a.ts) - epoch_us(b.ts) AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') b
+  ON a.user_id = b.user_id AND a.ts >= b.ts
+ORDER BY click_id
+"""
+
+
+def q_range_join(sf_dir: str):
+    """Interval range join: every (error, click) pair of the same user
+    with the click in the 24h window before the error (ops/join.py —
+    pair emission fully vectorized from per-probe [lo,hi) slices)."""
+    from ..ops.join import range_join_pairs
+
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    ev = _read(sf_dir, "events", columns=cols, min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+
+    def side(etype: str, out_id: str):
+        def proj(df: pd.DataFrame) -> pd.DataFrame:
+            d = df[df["event_type"] == etype]
+            return pd.DataFrame({"user_id": d["user_id"].to_numpy(),
+                                 "ts": d["ts"].to_numpy(),
+                                 out_id: d["event_id"].to_numpy()})
+        return proj
+
+    probe = ev.map_batches(side("error", "error_id"), batch_format="pandas")
+    build = ev.map_batches(side("click", "click_id"), batch_format="pandas")
+    out = range_join_pairs(
+        probe, build, window_s=86400,
+        probe_payload={"error_id": "int64"},
+        build_payload={"click_id": "int64"},
+    ).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["error_id", "click_id"]).reset_index(drop=True)
+
+
+_RANGE_JOIN_SQL = """
+SELECT a.user_id AS user_id,
+       a.event_id AS error_id,
+       b.event_id AS click_id,
+       epoch_us(a.ts) - epoch_us(b.ts) AS lag_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts - INTERVAL 86400 SECOND
+ AND b.ts < a.ts
+WHERE a.event_type = 'error' AND b.event_type = 'click'
+ORDER BY error_id, click_id
+"""
+
+
 def q_nodedumper(sf_dir: str):
     """WebGraph NodeDumper top-50 nodes by inlink degree over the
     order->part edge graph (scoring/webgraph/NodeDumper.java)."""
@@ -2178,6 +2271,8 @@ def build_queries() -> dict:
         "window_tumbling": q_window_tumbling,
         "sliding_window": q_sliding_window,
         "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "linkrank": q_linkrank,
         "media_features": q_media_features,
         "q1_agg": q_q1_agg,
@@ -2229,6 +2324,8 @@ def build_oracle_sql() -> dict:
         "window_tumbling": _TUMBLING_SQL,
         "sliding_window": _SLIDING_SQL,
         "sessionize": _SESSION_SQL,
+        "asof_join": _ASOF_SQL,
+        "range_join": _RANGE_JOIN_SQL,
         "linkrank": _LINKRANK_SQL,
         "media_features": _MEDIA_SQL,
         "q1_agg": _Q1_SQL,
