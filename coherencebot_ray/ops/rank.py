@@ -1,0 +1,108 @@
+"""BM25 ranking over a documents table — the classic text-retrieval
+scorer as a two-pass Ray Data pipeline.
+
+Pass 1 projects each doc to integer stats (doc length in tokens, per
+query-term tf) — a ~1% projection of the input that is materialized
+once so the corpus text is read exactly once; corpus-level stats
+(N, Σdl, per-term df) come from per-block partial sums folded on the
+driver (one row per block, bounded). Pass 2 scores the projection
+against the broadcast idf table and keeps a per-block partial top-k, so
+the driver merges at most k × blocks rows.
+
+Determinism across engines (the DuckDB oracle mirror): token = one
+``[a-z0-9]+`` run of lower(text); dl/tf/df/N are exact integers, so
+avgdl = Σdl/N is the same IEEE double everywhere; the score expression
+is written with one fixed operation order on both sides and compared in
+integer micro-units (floor(x*1e6 + 0.5)).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+TOKEN_RE = r"[a-z0-9]+"
+
+
+def _doc_stats(df: pd.DataFrame, terms: list[str], text_col: str) -> pd.DataFrame:
+    toks = df[text_col].fillna("").str.lower().str.findall(TOKEN_RE)
+    out = {
+        "doc_id": df["doc_id"].to_numpy(),
+        "dl": toks.str.len().to_numpy(dtype=np.int64),
+    }
+    ex = toks.explode()
+    idx = ex.index.to_numpy()
+    vals = ex.to_numpy()
+    n = len(df)
+    pos = np.arange(n)
+    remap = pd.Series(pos, index=df.index)
+    row = remap.reindex(idx).to_numpy() if len(idx) else np.array([], dtype=np.int64)
+    for j, t in enumerate(terms):
+        tf = np.zeros(n, dtype=np.int64)
+        if len(vals):
+            hit = vals == t
+            np.add.at(tf, row[hit].astype(np.int64), 1)
+        out[f"tf{j}"] = tf
+    return pd.DataFrame(out)
+
+
+def bm25_topk(
+    docs_ds,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+):
+    """Top-k docs by BM25 (positive Lucene idf variant) for a bag of
+    query terms. Returns a pandas DataFrame (doc_id, score_micro) —
+    bounded at k rows, so a driver-side result is the contract.
+    Ties sort by (score_micro desc, doc_id asc)."""
+    terms = list(terms)
+    proj = docs_ds.map_batches(
+        lambda df: _doc_stats(df, terms, text_col), batch_format="pandas"
+    ).materialize()  # ~1% of input: read the corpus text once, score from ints
+
+    tf_cols = [f"tf{j}" for j in range(len(terms))]
+
+    def partial_stats(df: pd.DataFrame) -> pd.DataFrame:
+        row = {"n_docs": np.int64(len(df)), "dl_sum": df["dl"].to_numpy().sum()}
+        for c in tf_cols:
+            row[f"df_{c}"] = np.int64((df[c].to_numpy() > 0).sum())
+        return pd.DataFrame([row])
+
+    stats = proj.map_batches(partial_stats, batch_format="pandas").to_pandas().sum()
+    n = int(stats["n_docs"])
+    if n == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "score_micro": pd.Series(dtype="int64")})
+    avgdl = float(stats["dl_sum"]) / float(n)  # exact ints -> same double
+    idf = np.array(
+        [
+            math.log((n - float(stats[f"df_{c}"]) + 0.5) / (float(stats[f"df_{c}"]) + 0.5) + 1.0)
+            for c in tf_cols
+        ],
+        dtype=np.float64,
+    )
+
+    def score_topk(df: pd.DataFrame) -> pd.DataFrame:
+        dl = df["dl"].to_numpy(dtype=np.float64)
+        norm = k1 * (1.0 - b + b * (dl / avgdl))
+        s = np.zeros(len(df), dtype=np.float64)
+        for j in range(len(terms)):  # fixed-order sum, mirrored in SQL
+            tf = df[tf_cols[j]].to_numpy(dtype=np.float64)
+            s = s + idf[j] * (tf * (k1 + 1.0)) / (tf + norm)
+        micro = np.floor(s * 1e6 + 0.5).astype(np.int64)
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "score_micro": micro})
+        return out.sort_values(
+            ["score_micro", "doc_id"], ascending=[False, True]
+        ).head(k)
+
+    cand = proj.map_batches(score_topk, batch_format="pandas").to_pandas()
+    return (
+        cand.sort_values(["score_micro", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )

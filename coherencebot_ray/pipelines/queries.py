@@ -2113,6 +2113,122 @@ ORDER BY error_id, click_id
 """
 
 
+_BM25_TERMS = ["hash", "join", "vector", "scan"]
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 top-20 for a fixed query bag (ops/rank.py): one corpus text
+    pass -> integer (dl, tf) projection, partial-summed corpus stats,
+    broadcast idf, per-block partial top-k."""
+    from ..ops.rank import bm25_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    out = bm25_topk(ds, _BM25_TERMS, k=20)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["score_micro"] = out["score_micro"].astype(np.int64)
+    return out
+
+
+def _bm25_sql() -> str:
+    # expression order mirrors ops/rank.py exactly (integer dl/tf/df/N,
+    # fixed-order double arithmetic, micro-unit rounding)
+    tf_defs = ",\n         ".join(
+        f"len(list_filter(ts, x -> x = '{t}'))::BIGINT AS tf{j}"
+        for j, t in enumerate(_BM25_TERMS)
+    )
+    df_defs = ",\n         ".join(
+        f"sum(CASE WHEN tf{j} > 0 THEN 1 ELSE 0 END)::BIGINT AS df{j}"
+        for j in range(len(_BM25_TERMS))
+    )
+    terms = "\n      + ".join(
+        f"ln((CAST(n AS DOUBLE) - CAST(df{j} AS DOUBLE) + 0.5) / (CAST(df{j} AS DOUBLE) + 0.5) + 1.0)"
+        f" * (CAST(tf{j} AS DOUBLE) * (1.2 + 1.0))"
+        f" / (CAST(tf{j} AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(dls AS DOUBLE) / CAST(n AS DOUBLE)))))"
+        for j in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS ts
+  FROM documents
+), base AS (
+  SELECT doc_id, len(ts)::BIGINT AS dl,
+         {tf_defs}
+  FROM tok
+), st AS (
+  SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS dls,
+         {df_defs}
+  FROM base
+), sc AS (
+  SELECT doc_id,
+      {terms} AS score
+  FROM base, st
+)
+SELECT doc_id, CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) AS score_micro
+FROM sc ORDER BY score_micro DESC, doc_id LIMIT 20
+"""
+
+
+def q_kmeans(sf_dir: str):
+    """k-means (k=8, 2 Lloyd iterations, deterministic lowest-id seed)
+    over the embeddings table (ops/cluster.py): per-iteration streaming
+    partial (count, dim-sum) fold, centroids broadcast, docs never
+    shuffled. Output: final cluster assignment per vector."""
+    from ..ops.cluster import kmeans_assign
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    out = kmeans_assign(ds, k=8, iters=2).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    """Lloyd unrolled in SQL: assign (argmin list_distance, cid
+    tie-break) -> per-dim avg regroup, repeated ``iters`` times, then
+    the final assignment — matching ops/cluster.kmeans_assign."""
+
+    def assign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_distance(e.embedding::DOUBLE[], c.cent), c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN {cents} c
+  ) WHERE rn = 1
+)"""
+
+    def update(name: str, assigned: str) -> str:
+        return f"""{name} AS (
+  SELECT cid, list(m ORDER BY i) AS cent
+  FROM (
+    SELECT cid, i, avg(v) AS m FROM (
+      SELECT {assigned}.cid AS cid,
+             generate_subscripts(e.embedding, 1) AS i,
+             unnest(e.embedding::DOUBLE[]) AS v
+      FROM {assigned} JOIN embeddings e USING (vec_id)
+    ) GROUP BY cid, i
+  ) GROUP BY cid
+)"""
+
+    ctes = [
+        f"c0 AS (\n  SELECT vec_id AS cid, embedding::DOUBLE[] AS cent"
+        f" FROM embeddings WHERE vec_id < {k}\n)"
+    ]
+    for it in range(iters):
+        ctes.append(assign(f"a{it}", f"c{it}"))
+        ctes.append(update(f"c{it + 1}", f"a{it}"))
+    ctes.append(assign("afin", f"c{iters}"))
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        "SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM afin ORDER BY vec_id"
+    )
+
+
 def q_nodedumper(sf_dir: str):
     """WebGraph NodeDumper top-50 nodes by inlink degree over the
     order->part edge graph (scoring/webgraph/NodeDumper.java)."""
@@ -2273,6 +2389,8 @@ def build_queries() -> dict:
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "bm25_topk": q_bm25_topk,
+        "kmeans": q_kmeans,
         "linkrank": q_linkrank,
         "media_features": q_media_features,
         "q1_agg": q_q1_agg,
@@ -2326,6 +2444,8 @@ def build_oracle_sql() -> dict:
         "sessionize": _SESSION_SQL,
         "asof_join": _ASOF_SQL,
         "range_join": _RANGE_JOIN_SQL,
+        "bm25_topk": _bm25_sql(),
+        "kmeans": _kmeans_sql(k=8, iters=2),
         "linkrank": _LINKRANK_SQL,
         "media_features": _MEDIA_SQL,
         "q1_agg": _Q1_SQL,
