@@ -38,6 +38,24 @@ def hash_sample(ds, rate_pct: int, id_col: str = "doc_id"):
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def hash_split(ds, id_col: str = "doc_id", train_pct: int = 80, val_pct: int = 10):
+    """Deterministic train/val/test split by id hash: adds a ``split``
+    column (bucket < train_pct -> 'train', < train_pct+val_pct -> 'val',
+    else 'test'). Pure map — no shuffle, stable under repartitioning and
+    appends (a doc's split never changes when the corpus grows), which
+    is the property that matters for decontamination bookkeeping.
+    Proportions hold per stratum automatically (uniform hash is
+    independent of any grouping column)."""
+    hi_val = train_pct + val_pct
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        b = _md5_bucket(df[id_col].to_numpy(np.int64))
+        split = np.where(b < train_pct, "train", np.where(b < hi_val, "val", "test"))
+        return df.assign(split=split)
+
+    return ds.map_batches(tag, batch_format="pandas")
+
+
 def stratified_topk(ds, key_col: str, k: int, order_col: str,
                     n_buckets: int = 64, descending: bool = True):
     """At most ``k`` rows per key, ranked by ``order_col`` (ties broken

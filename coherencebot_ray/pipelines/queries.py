@@ -2113,6 +2113,68 @@ ORDER BY error_id, click_id
 """
 
 
+def q_inverted_index(sf_dir: str):
+    """Inverted index over documents (ops/index_text.py): map-side
+    distinct (term, doc) explode + one bucketed groupby(term) -> per
+    term df + ascending posting list as a comma-joined string."""
+    from ..ops.index_text import build_inverted_index
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    out = build_inverted_index(ds).to_pandas()
+    out["df"] = out["df"].astype(np.int64)
+    return out.sort_values("term").reset_index(drop=True)
+
+
+_INVERTED_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS term
+  FROM documents
+)
+SELECT term, count(*)::BIGINT AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM pairs GROUP BY term ORDER BY term
+"""
+
+
+def q_dataset_split(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test split by doc-id hash
+    (ops/sample.hash_split — pure map, append-stable), summarized per
+    (lang, split) stratum to show proportions hold per stratum."""
+    from ..ops.agg import bucketed_sum
+    from ..ops.sample import hash_split
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    tagged = hash_split(ds, train_pct=80, val_pct=10)
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lang": df["lang"].to_numpy(),
+                             "split": df["split"].to_numpy(),
+                             "n_docs": np.ones(len(df), dtype=np.int64)})
+
+    out = bucketed_sum(tagged.map_batches(pre, batch_format="pandas"),
+                       ["lang", "split"], ["n_docs"]).to_pandas()
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out.sort_values(["lang", "split"]).reset_index(drop=True)
+
+
+_DATASET_SPLIT_SQL = """
+WITH tagged AS (
+  SELECT lang,
+         CASE
+           WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 80 THEN 'train'
+           WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 90 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM documents
+)
+SELECT lang, split, count(*)::BIGINT AS n_docs
+FROM tagged GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 _BM25_TERMS = ["hash", "join", "vector", "scan"]
 
 
@@ -2391,6 +2453,8 @@ def build_queries() -> dict:
         "range_join": q_range_join,
         "bm25_topk": q_bm25_topk,
         "kmeans": q_kmeans,
+        "inverted_index": q_inverted_index,
+        "dataset_split": q_dataset_split,
         "linkrank": q_linkrank,
         "media_features": q_media_features,
         "q1_agg": q_q1_agg,
@@ -2446,6 +2510,8 @@ def build_oracle_sql() -> dict:
         "range_join": _RANGE_JOIN_SQL,
         "bm25_topk": _bm25_sql(),
         "kmeans": _kmeans_sql(k=8, iters=2),
+        "inverted_index": _INVERTED_SQL,
+        "dataset_split": _DATASET_SPLIT_SQL,
         "linkrank": _LINKRANK_SQL,
         "media_features": _MEDIA_SQL,
         "q1_agg": _Q1_SQL,
