@@ -69,6 +69,12 @@ BENCH_QUERIES = [
     "ngram_jaccard",
     "dup_spans",
     "hll_distinct",
+    # round-5 additions: temporal joins, retrieval, clustering
+    "asof_join",
+    "range_join",
+    "bm25_topk",
+    "kmeans",
+    "inverted_index",
 ]
 
 
