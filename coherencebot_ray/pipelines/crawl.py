@@ -961,6 +961,28 @@ class CrawlDriver:
         )
         os.makedirs(os.path.join(workdir, "segments"), exist_ok=True)
         self._workers: list | None = None  # persistent round-worker pool
+        self._pool_borrowed = False  # borrowed pools are not killed here
+
+    def adopt_pool(self, other: "CrawlDriver") -> None:
+        """Borrow another driver's persistent round-worker pool instead
+        of cold-starting one (actor creation + per-actor imports land in
+        the first round otherwise). The pool is only adopted when its
+        size matches this driver's sizing rule — a mismatch falls back
+        to a fresh pool. Robots/parser caches carry over, which is the
+        same semantics as two successive rounds in one driver; the
+        borrowed pool is left alive on close() (the lender owns it)."""
+        theirs = other._workers
+        if not theirs:
+            return
+        import ray
+
+        n = min(
+            self.cfg.num_partitions,
+            max(1, int(ray.cluster_resources().get("CPU", 1)) // max(1, self.cfg.task_num_cpus)),
+        )
+        if len(theirs) == n:
+            self._workers = theirs
+            self._pool_borrowed = True
 
     # ------------------------------------------------------------------
     def _round_workers(self) -> list:
@@ -991,7 +1013,7 @@ class CrawlDriver:
         actors are non-detached, so dropping the handles (driver GC)
         terminates them too — but long-lived processes that create many
         drivers should release the pool as soon as the crawl ends."""
-        if self._workers:
+        if self._workers and not self._pool_borrowed:
             try:
                 import ray
 
@@ -1001,6 +1023,7 @@ class CrawlDriver:
             except Exception:
                 pass  # pool dies with its handles either way
         self._workers = None
+        self._pool_borrowed = False
 
     # ------------------------------------------------------------------
     def seg_dir(self, gen: int) -> str:

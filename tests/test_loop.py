@@ -234,3 +234,38 @@ def test_resume_exact_timestamps_and_cadence(tmp_path, ray_session):
     assert (gen_a, n_a, dig_a) == (gen_b, n_b, dig_b)
     # the resumed rounds carried the original timestamps forward
     assert [m["gen"] for m in res_a[1:]] == [m["gen"] for m in res_b]
+
+
+def test_adopt_pool_shares_and_survives_borrower_close(tmp_path, ray_session):
+    """adopt_pool: the borrower reuses the lender's warmed actor pool
+    (same handles), its rounds stay byte-deterministic, and close() on
+    the borrower leaves the lender's actors alive."""
+    import pyarrow.parquet as pq
+
+    from coherencebot_ray.pipelines.crawl import CrawlDriver
+    from coherencebot_ray.sources.synth import EPOCH, synth_frontier
+
+    a = CrawlDriver(str(tmp_path / "a"), CFG)
+    a.bootstrap(synth_frontier(2000, 32, CFG))
+    a.run_round(EPOCH)
+    pool = a._round_workers()
+
+    def run_b(dirname, adopt):
+        b = CrawlDriver(str(tmp_path / dirname), CFG)
+        if adopt:
+            b.adopt_pool(a)
+            assert b._workers is pool
+        b.bootstrap(synth_frontier(3000, 48, CFG))
+        b.run_round(EPOCH)
+        t = pq.read_table(
+            os.path.join(b.seg_dir(1), "fetch_out"), columns=["url", "status"]
+        ).to_pandas().sort_values("url").reset_index(drop=True)
+        b.close()
+        return t
+
+    borrowed = run_b("b1", adopt=True)
+    # lender's pool survived the borrower's close()
+    assert a._workers is pool
+    fresh = run_b("b2", adopt=False)
+    assert borrowed.equals(fresh)  # warm robots/parser state changes nothing
+    a.close()
