@@ -136,3 +136,70 @@ def hll_distinct(ds, group_col: str, value_col: str, n_buckets: int = 64):
         return pd.DataFrame(rows, columns=[group_col, "hll_raw_est", "n_registers_set"])
 
     return bucketed_group_apply(regs, group_col, fold, n_buckets=min(n_buckets, 16))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — approximate frequency estimation (Cormode &
+# Muthukrishnan 2005). Mergeable by cell-wise sum, so the distributed
+# layout is: per-batch partial cells (at most depth x width rows per
+# batch, regardless of batch size), one bucketed sum exchange over
+# (row, bucket), then point estimates = min over rows of the queried
+# cells. Everything is integer arithmetic; the hash is the md5 idiom
+# (row ':' value, first 8 hex chars), so a DuckDB oracle reproduces the
+# sketch — and its estimates — bit-for-bit.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+
+def _cms_bucket(row: int, values) -> np.ndarray:
+    return np.fromiter(
+        (int(hashlib.md5(f"{row}:{v}".encode()).hexdigest()[:8], 16) % CMS_WIDTH
+         for v in values),
+        dtype=np.int64, count=len(values),
+    )
+
+
+def cms_cells(ds, value_counts_fn, n_buckets: int = 16,
+              depth: int = CMS_DEPTH, width: int = CMS_WIDTH):
+    """Build the Count-Min counter table over a Dataset.
+
+    ``value_counts_fn(df) -> DataFrame(value, cnt)`` extracts the
+    weighted items of one batch (e.g. token occurrence counts). Returns
+    a Dataset of (row, bucket, cnt) cells — at most depth x width rows
+    total after the merge. Per-batch md5 cost is bounded by DISTINCT
+    values per batch x depth, not by row count."""
+    from .agg import bucketed_sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = value_counts_fn(df)
+        vals = vc["value"].to_numpy()
+        cnts = vc["cnt"].to_numpy(dtype=np.int64)
+        frames = []
+        for r in range(depth):
+            b = _cms_bucket(r, vals)
+            cell = pd.DataFrame({"row": r, "bucket": b, "cnt": cnts})
+            frames.append(cell.groupby(["row", "bucket"], as_index=False)["cnt"].sum())
+        return pd.concat(frames, ignore_index=True)
+
+    cells = ds.map_batches(partial, batch_format="pandas")
+    return bucketed_sum(cells, ["row", "bucket"], ["cnt"], n_buckets=n_buckets)
+
+
+def cms_estimate(cells_df: pd.DataFrame, queries: list[str],
+                 depth: int = CMS_DEPTH) -> pd.DataFrame:
+    """Point-estimate each queried value from a (row, bucket, cnt)
+    cell table: min over rows of the value's cell (0 when the cell is
+    empty). Classic CMS guarantee: est >= true, est <= true + eps*N."""
+    lut = {(int(r), int(b)): int(c)
+           for r, b, c in cells_df[["row", "bucket", "cnt"]].itertuples(index=False)}
+    ests = []
+    for q in queries:
+        cand = []
+        for r in range(depth):
+            b = int(_cms_bucket(r, [q])[0])
+            cand.append(lut.get((r, b), 0))
+        ests.append(min(cand))
+    return pd.DataFrame({"term": list(queries),
+                         "est_cnt": np.array(ests, dtype=np.int64)})

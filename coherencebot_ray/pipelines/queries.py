@@ -2175,6 +2175,55 @@ FROM tagged GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+_CMS_TERMS = ["batch", "column", "customer", "filter", "hash", "join", "row", "scan"]
+
+
+def q_countmin(sf_dir: str):
+    """Count-Min sketch frequency estimates for a fixed term set
+    (ops/sketch.py): per-batch partial cells (<= depth x width rows),
+    one bucketed sum exchange, integer-exact min-over-rows estimates —
+    the mergeable-sketch shape that never moves tokens."""
+    from ..ops.rank import TOKEN_RE
+    from ..ops.sketch import cms_cells, cms_estimate
+
+    ds = _read(sf_dir, "documents", columns=["text"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+
+    def vc(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].fillna("").str.lower().str.findall(TOKEN_RE).explode().dropna()
+        c = ex.value_counts()
+        return pd.DataFrame({"value": c.index.to_numpy(), "cnt": c.to_numpy()})
+
+    cells = cms_cells(ds, vc).to_pandas()
+    out = cms_estimate(cells, _CMS_TERMS)
+    out["est_cnt"] = out["est_cnt"].astype(np.int64)
+    return out.sort_values("term").reset_index(drop=True)
+
+
+def _countmin_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(_CMS_TERMS))
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS v
+  FROM documents
+), rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+cells AS (
+  SELECT r.r AS r,
+         CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || t.v), 1, 8)) AS UBIGINT) % 64 AS b,
+         count(*)::BIGINT AS c
+  FROM toks t CROSS JOIN rows_ r
+  GROUP BY 1, 2
+), q AS (SELECT unnest([{terms}]) AS term)
+SELECT q.term AS term, CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est_cnt
+FROM q CROSS JOIN rows_ r
+LEFT JOIN cells c
+  ON c.r = r.r
+ AND c.b = CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || q.term), 1, 8)) AS UBIGINT) % 64
+GROUP BY q.term
+ORDER BY term
+"""
+
+
 _BM25_TERMS = ["hash", "join", "vector", "scan"]
 
 
@@ -2455,6 +2504,7 @@ def build_queries() -> dict:
         "kmeans": q_kmeans,
         "inverted_index": q_inverted_index,
         "dataset_split": q_dataset_split,
+        "countmin_freq": q_countmin,
         "linkrank": q_linkrank,
         "media_features": q_media_features,
         "q1_agg": q_q1_agg,
@@ -2512,6 +2562,7 @@ def build_oracle_sql() -> dict:
         "kmeans": _kmeans_sql(k=8, iters=2),
         "inverted_index": _INVERTED_SQL,
         "dataset_split": _DATASET_SPLIT_SQL,
+        "countmin_freq": _countmin_sql(),
         "linkrank": _LINKRANK_SQL,
         "media_features": _MEDIA_SQL,
         "q1_agg": _Q1_SQL,

@@ -734,3 +734,37 @@ def test_hll_distinct_accuracy_and_merge(ray_session):
     regs1 = sk.hll_registers(ray.data.from_pandas(df), "grp", "v").to_pandas()
     key = lambda r: r.sort_values(["grp", "idx"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(key(regs), key(regs1))
+
+
+def test_countmin_sketch(ray_session):
+    """CMS: estimates are exact for our counts when no collision, always
+    >= truth, and merge correctly across batches."""
+    import ray.data as rd
+
+    from coherencebot_ray.ops.sketch import cms_cells, cms_estimate
+
+    rng = np.random.default_rng(3)
+    words = [f"w{i}" for i in range(40)]
+    freqs = {w: int(rng.integers(1, 50)) for w in words}
+    rows = []
+    for w, f in freqs.items():
+        rows.extend({"text": w} for _ in range(f))
+    rng.shuffle(rows)
+    df = pd.DataFrame(rows)
+    ds = rd.from_pandas([d for d in np.array_split(df, 5) if len(d)])
+
+    def vc(b):
+        c = b["text"].value_counts()
+        return pd.DataFrame({"value": c.index.to_numpy(), "cnt": c.to_numpy()})
+
+    cells = cms_cells(ds, vc).to_pandas()
+    est = cms_estimate(cells, words).set_index("term")["est_cnt"]
+    for w, f in freqs.items():
+        assert est[w] >= f  # CMS never underestimates
+    # cells hold the full mass once per row
+    per_row = cells.groupby("row")["cnt"].sum()
+    assert (per_row == len(df)).all()
+    # absent term estimates 0 unless a bucket collides (allow either,
+    # but it must still be <= the heaviest colliding mass)
+    ghost = cms_estimate(cells, ["neverseen"])["est_cnt"][0]
+    assert 0 <= ghost <= per_row.iloc[0]
