@@ -75,6 +75,9 @@ BENCH_QUERIES = [
     "bm25_topk",
     "kmeans",
     "inverted_index",
+    "countmin_freq",
+    "bloom_membership",
+    "gopher_repetition",
 ]
 
 

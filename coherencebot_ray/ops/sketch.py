@@ -203,3 +203,77 @@ def cms_estimate(cells_df: pd.DataFrame, queries: list[str],
         ests.append(min(cand))
     return pd.DataFrame({"term": list(queries),
                          "est_cnt": np.array(ests, dtype=np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — mergeable set-membership sketch (Bloom 1970). Completes
+# the mergeable-sketch trio (HLL = distinct count, CMS = frequency,
+# Bloom = membership). Distributed build: per-batch DISTINCT values ->
+# k md5 bit positions -> per-batch unique bits, ONE bucketed exchange
+# over the bit index (volume bounded by batches x m, final table <= m
+# rows), then the filter is a sorted int array small enough to
+# ray.put-broadcast. Probe is a zero-shuffle scan: every batch tests
+# all k bits against the broadcast array. Same md5 idiom as CMS
+# (salt ':' value, first 8 hex chars), so a DuckDB oracle rebuilds the
+# exact same bit set and the exact same hit flags.
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 2048
+BLOOM_K = 3
+
+
+def _bloom_positions(values, k: int = BLOOM_K, m: int = BLOOM_M) -> np.ndarray:
+    """(len(values), k) int64 bit positions, md5('{i}:{v}') % m per salt."""
+    if len(values) == 0:
+        return np.empty((0, k), dtype=np.int64)
+    cols = [
+        np.fromiter(
+            (int(hashlib.md5(f"{i}:{v}".encode()).hexdigest()[:8], 16) % m
+             for v in values),
+            dtype=np.int64, count=len(values),
+        )
+        for i in range(k)
+    ]
+    return np.stack(cols, axis=1)
+
+
+def bloom_build(ds, value_col: str, k: int = BLOOM_K, m: int = BLOOM_M,
+                n_buckets: int = 4) -> np.ndarray:
+    """Build a Bloom filter over the distinct values of one column.
+
+    Returns the sorted array of set bit indices (<= m int64s — the
+    broadcastable representation). md5 cost per batch is bounded by
+    DISTINCT values per batch x k."""
+    from .agg import bucketed_sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vals = pd.unique(df[value_col].dropna())
+        bits = np.unique(_bloom_positions(vals, k=k, m=m))
+        return pd.DataFrame({"bit": bits.astype(np.int64),
+                             "one": np.ones(len(bits), dtype=np.int64)})
+
+    cells = ds.map_batches(partial, batch_format="pandas")
+    merged = bucketed_sum(cells, ["bit"], ["one"], n_buckets=n_buckets).to_pandas()
+    return np.sort(merged["bit"].to_numpy(dtype=np.int64))
+
+
+def bloom_probe(ds, value_col: str, bits: np.ndarray,
+                k: int = BLOOM_K, m: int = BLOOM_M):
+    """Zero-shuffle membership probe: hit iff ALL k bit positions are in
+    the broadcast filter. Returns a Dataset of (value_col, bloom_hit)
+    with bloom_hit an int64 0/1 flag. No false negatives; false-positive
+    rate ~ (1 - e^{-kn/m})^k."""
+    import ray
+
+    mask = np.zeros(m, dtype=bool)
+    mask[bits] = True
+    mask_ref = ray.put(mask)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        msk = ray.get(mask_ref)
+        vals = df[value_col].to_numpy()
+        pos = _bloom_positions(vals, k=k, m=m)
+        hit = msk[pos].all(axis=1).astype(np.int64)
+        return pd.DataFrame({value_col: vals, "bloom_hit": hit})
+
+    return ds.map_batches(probe, batch_format="pandas")

@@ -206,3 +206,104 @@ def rolling_hashes(texts: pd.Series, window: int = 8, base: int = 257, mod: int 
         return out
 
     return texts.fillna("").map(_one)
+
+
+def gopher_repetition(df: pd.DataFrame, text_col: str = "text",
+                      max_dup_line_ppm: int = 300_000,
+                      max_dup_line_char_ppm: int = 200_000,
+                      max_top_bigram_ppm: int = 200_000) -> pd.DataFrame:
+    """Gopher repetition signals (Rae et al. 2021 §A1.1), integer-exact.
+
+    Per doc:
+      n_lines            non-empty '\\n' lines
+      dup_line_ppm       floor((n_lines - distinct_lines) * 1e6 / n_lines)
+      dup_line_char_ppm  chars in lines occurring >1 time (all occurrences)
+                         over total line chars, ppm
+      dup_bigram_ppm     char mass of word-bigrams occurring >1 time over
+                         total bigram char mass, ppm (proxy for the
+                         paper's duplicate-n-gram char fraction: we count
+                         every occurrence rather than de-overlapping)
+      top_bigram_ppm     max over bigrams of cnt*charlen, over total token
+                         chars, ppm (tie-free: maximises repeated char
+                         mass instead of the paper's most-frequent rule)
+      keep               1 iff all three thresholds hold
+
+    All ratios are floor-divided ppm on int64, so a DuckDB oracle hashes
+    bit-for-bit. Pure per-doc map — embarrassingly parallel, zero shuffle."""
+    texts = df[text_col].fillna("")
+    n = len(df)
+    pos = pd.RangeIndex(n)
+    texts = texts.reset_index(drop=True)
+
+    def _ppm(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(num), dtype=np.int64)
+        nz = den > 0
+        out[nz] = (num[nz] * 1_000_000) // den[nz]
+        return out
+
+    # --- line signals -----------------------------------------------------
+    lf = texts.str.split("\n").explode().dropna()
+    lf = lf[lf.str.len() > 0]
+    if len(lf):
+        lt = pd.DataFrame({"i": lf.index.to_numpy(), "line": lf.to_numpy(),
+                           "ln": lf.str.len().to_numpy(dtype=np.int64)})
+        lg = lt.groupby(["i", "line"], sort=False).agg(
+            cnt=("ln", "size"), ln=("ln", "first")).reset_index()
+        lg["mass"] = lg["cnt"].to_numpy(dtype=np.int64) * lg["ln"].to_numpy()
+        per = lg.groupby("i", sort=False).agg(
+            n_lines=("cnt", "sum"), n_distinct=("cnt", "size"),
+            tot_chars=("mass", "sum"))
+        dup = lg[lg["cnt"] > 1].groupby("i", sort=False)["mass"].sum()
+        per["dup_chars"] = dup.reindex(per.index, fill_value=0)
+        per = per.reindex(pos, fill_value=0)
+    else:
+        per = pd.DataFrame({"n_lines": 0, "n_distinct": 0,
+                            "tot_chars": 0, "dup_chars": 0}, index=pos)
+    n_lines = per["n_lines"].to_numpy(dtype=np.int64)
+    dup_line_ppm = _ppm(n_lines - per["n_distinct"].to_numpy(dtype=np.int64), n_lines)
+    dup_line_char_ppm = _ppm(per["dup_chars"].to_numpy(dtype=np.int64),
+                             per["tot_chars"].to_numpy(dtype=np.int64))
+
+    # --- word-bigram signals ----------------------------------------------
+    ex = texts.str.lower().str.findall(r"[a-z0-9]+").explode().dropna()
+    if len(ex):
+        tt = pd.DataFrame({"i": ex.index.to_numpy(), "tok": ex.to_numpy()})
+        tok_chars = tt.assign(tl=tt["tok"].str.len().astype(np.int64)) \
+                      .groupby("i", sort=False)["tl"].sum() \
+                      .reindex(pos, fill_value=0).to_numpy(dtype=np.int64)
+        tt["nxt"] = tt.groupby("i", sort=False)["tok"].shift(-1)
+        bi = tt.dropna(subset=["nxt"])
+    else:
+        tok_chars = np.zeros(n, dtype=np.int64)
+        bi = pd.DataFrame(columns=["i", "tok", "nxt"])
+    if len(bi):
+        bl = (bi["tok"].str.len() + bi["nxt"].str.len()).to_numpy(dtype=np.int64)
+        bt = pd.DataFrame({"i": bi["i"].to_numpy(),
+                           "bg": (bi["tok"] + " " + bi["nxt"]).to_numpy(),
+                           "bl": bl})
+        bg = bt.groupby(["i", "bg"], sort=False).agg(
+            cnt=("bl", "size"), bl=("bl", "first")).reset_index()
+        bg["mass"] = bg["cnt"].to_numpy(dtype=np.int64) * bg["bl"].to_numpy()
+        bper = bg.groupby("i", sort=False).agg(
+            tot_mass=("mass", "sum"), top_rep=("mass", "max"))
+        bdup = bg[bg["cnt"] > 1].groupby("i", sort=False)["mass"].sum()
+        bper["dup_mass"] = bdup.reindex(bper.index, fill_value=0)
+        bper = bper.reindex(pos, fill_value=0)
+    else:
+        bper = pd.DataFrame({"tot_mass": 0, "top_rep": 0, "dup_mass": 0}, index=pos)
+    dup_bigram_ppm = _ppm(bper["dup_mass"].to_numpy(dtype=np.int64),
+                          bper["tot_mass"].to_numpy(dtype=np.int64))
+    top_bigram_ppm = _ppm(bper["top_rep"].to_numpy(dtype=np.int64), tok_chars)
+
+    keep = ((dup_line_ppm <= max_dup_line_ppm)
+            & (dup_line_char_ppm <= max_dup_line_char_ppm)
+            & (top_bigram_ppm <= max_top_bigram_ppm))
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].to_numpy(),
+        "n_lines": n_lines,
+        "dup_line_ppm": dup_line_ppm,
+        "dup_line_char_ppm": dup_line_char_ppm,
+        "dup_bigram_ppm": dup_bigram_ppm,
+        "top_bigram_ppm": top_bigram_ppm,
+        "keep": keep.astype(np.int64),
+    })

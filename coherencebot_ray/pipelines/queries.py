@@ -1288,6 +1288,88 @@ FROM m ORDER BY doc_id
 """
 
 
+def q_gopher_repetition(sf_dir: str):
+    """Gopher repetition signals (Rae et al. 2021 §A1.1) over documents:
+    duplicate-line / duplicate-line-char / duplicate-bigram-char /
+    top-bigram-char fractions as floor-ppm integers (ops/text.py).
+    Pure per-doc map, zero shuffle; oracle recomputes in DuckDB list +
+    window SQL."""
+    from ..ops.text import gopher_repetition
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    out = ds.map_batches(
+        lambda df: gopher_repetition(df.reset_index(drop=True)),
+        batch_format="pandas",
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_GOPHER_REP_SQL = """
+WITH lines AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(coalesce(text, ''), '\n'),
+                            x -> len(x) > 0)) AS line
+  FROM documents
+), lg AS (
+  SELECT doc_id, line, len(line)::BIGINT AS ln, count(*)::BIGINT AS cnt
+  FROM lines GROUP BY 1, 2
+), lstats AS (
+  SELECT doc_id,
+         sum(cnt)::BIGINT AS n_lines,
+         count(*)::BIGINT AS n_distinct,
+         sum(ln * cnt)::BIGINT AS tot_chars,
+         sum(CASE WHEN cnt > 1 THEN ln * cnt ELSE 0 END)::BIGINT AS dup_chars
+  FROM lg GROUP BY 1
+), toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS ts
+  FROM documents
+), tstats AS (
+  SELECT doc_id,
+         coalesce(list_sum(list_transform(ts, x -> len(x))), 0)::BIGINT AS tok_chars
+  FROM toks
+), bi AS (
+  SELECT doc_id,
+         ts[i] || ' ' || ts[i+1] AS bg,
+         (len(ts[i]) + len(ts[i+1]))::BIGINT AS bl
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+), bg AS (
+  SELECT doc_id, bg, bl, count(*)::BIGINT AS cnt FROM bi GROUP BY 1, 2, 3
+), bstats AS (
+  SELECT doc_id,
+         sum(cnt * bl)::BIGINT AS tot_mass,
+         max(cnt * bl)::BIGINT AS top_rep,
+         sum(CASE WHEN cnt > 1 THEN cnt * bl ELSE 0 END)::BIGINT AS dup_mass
+  FROM bg GROUP BY 1
+), m AS (
+  SELECT d.doc_id,
+         coalesce(l.n_lines, 0) AS n_lines,
+         CASE WHEN coalesce(l.n_lines, 0) > 0
+              THEN ((l.n_lines - l.n_distinct) * 1000000) // l.n_lines
+              ELSE 0 END AS dup_line_ppm,
+         CASE WHEN coalesce(l.tot_chars, 0) > 0
+              THEN (l.dup_chars * 1000000) // l.tot_chars ELSE 0 END AS dup_line_char_ppm,
+         CASE WHEN coalesce(b.tot_mass, 0) > 0
+              THEN (b.dup_mass * 1000000) // b.tot_mass ELSE 0 END AS dup_bigram_ppm,
+         CASE WHEN coalesce(t.tok_chars, 0) > 0
+              THEN (coalesce(b.top_rep, 0) * 1000000) // t.tok_chars ELSE 0 END AS top_bigram_ppm
+  FROM documents d
+  LEFT JOIN lstats l USING (doc_id)
+  LEFT JOIN tstats t USING (doc_id)
+  LEFT JOIN bstats b USING (doc_id)
+)
+SELECT doc_id, n_lines::BIGINT AS n_lines,
+       dup_line_ppm::BIGINT AS dup_line_ppm,
+       dup_line_char_ppm::BIGINT AS dup_line_char_ppm,
+       dup_bigram_ppm::BIGINT AS dup_bigram_ppm,
+       top_bigram_ppm::BIGINT AS top_bigram_ppm,
+       CASE WHEN dup_line_ppm <= 300000 AND dup_line_char_ppm <= 200000
+             AND top_bigram_ppm <= 200000 THEN 1 ELSE 0 END::BIGINT AS keep
+FROM m ORDER BY doc_id
+"""
+
+
 def q_c4_filters(sf_dir: str):
     """C4 page-level cleaning flags (Raffel et al. 2020 §2.2) over
     documents; integer flags, exact SQL mirror."""
@@ -2224,6 +2306,46 @@ ORDER BY term
 """
 
 
+def q_bloom_membership(sf_dir: str):
+    """Bloom-filter membership (ops/sketch.py): build the filter over
+    DISTINCT orders.o_custkey (per-batch distinct bits, one bucketed
+    exchange bounded by m=2048 rows), broadcast the bit array, then a
+    zero-shuffle probe scan over customer flags which custkeys MAY have
+    orders. No false negatives; the oracle rebuilds the identical bit
+    set from the md5 idiom, so even the false positives match exactly."""
+    from ..ops.sketch import bloom_build, bloom_probe
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"],
+                   min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    bits = bloom_build(orders, "o_custkey")
+    cust = _read(sf_dir, "customer", columns=["c_custkey"],
+                 min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    out = bloom_probe(cust, "c_custkey", bits).to_pandas()
+    out["c_custkey"] = out["c_custkey"].astype(np.int64)
+    out["bloom_hit"] = out["bloom_hit"].astype(np.int64)
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+_BLOOM_SQL = """
+WITH ks AS (SELECT unnest([0, 1, 2]) AS i),
+vals AS (SELECT DISTINCT o_custkey AS v FROM orders),
+bits AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5(CAST(k.i AS VARCHAR) || ':' || CAST(v.v AS VARCHAR)), 1, 8)) AS UBIGINT) % 2048 AS bit
+  FROM vals v CROSS JOIN ks k
+), probe AS (
+  SELECT c.c_custkey, k.i,
+         CAST(('0x' || substr(md5(CAST(k.i AS VARCHAR) || ':' || CAST(c.c_custkey AS VARCHAR)), 1, 8)) AS UBIGINT) % 2048 AS bit
+  FROM customer c CROSS JOIN ks k
+)
+SELECT p.c_custkey AS c_custkey,
+       CAST(CASE WHEN count(b.bit) = 3 THEN 1 ELSE 0 END AS BIGINT) AS bloom_hit
+FROM probe p LEFT JOIN bits b ON b.bit = p.bit
+GROUP BY p.c_custkey
+ORDER BY c_custkey
+"""
+
+
 _BM25_TERMS = ["hash", "join", "vector", "scan"]
 
 
@@ -2505,6 +2627,7 @@ def build_queries() -> dict:
         "inverted_index": q_inverted_index,
         "dataset_split": q_dataset_split,
         "countmin_freq": q_countmin,
+        "bloom_membership": q_bloom_membership,
         "linkrank": q_linkrank,
         "media_features": q_media_features,
         "q1_agg": q_q1_agg,
@@ -2512,6 +2635,7 @@ def build_queries() -> dict:
         "crawl_round": q_crawl_round,
         "subcollection": q_subcollection,
         "gopher_quality": q_gopher_quality,
+        "gopher_repetition": q_gopher_repetition,
         "hash_sample": q_hash_sample,
         "stratified_topk": q_stratified_topk,
         "pack_tokens": q_pack_tokens,
@@ -2563,6 +2687,7 @@ def build_oracle_sql() -> dict:
         "inverted_index": _INVERTED_SQL,
         "dataset_split": _DATASET_SPLIT_SQL,
         "countmin_freq": _countmin_sql(),
+        "bloom_membership": _BLOOM_SQL,
         "linkrank": _LINKRANK_SQL,
         "media_features": _MEDIA_SQL,
         "q1_agg": _Q1_SQL,
@@ -2577,6 +2702,7 @@ def build_oracle_sql() -> dict:
         "langid": _langid_sql(),
         "subcollection": _SUBCOLL_SQL,
         "gopher_quality": _GOPHER_SQL,
+        "gopher_repetition": _GOPHER_REP_SQL,
         "hash_sample": _HASH_SAMPLE_SQL,
         "stratified_topk": _STRATIFIED_SQL,
         "pack_tokens": _PACK_SQL,

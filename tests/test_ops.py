@@ -768,3 +768,35 @@ def test_countmin_sketch(ray_session):
     # but it must still be <= the heaviest colliding mass)
     ghost = cms_estimate(cells, ["neverseen"])["est_cnt"][0]
     assert 0 <= ghost <= per_row.iloc[0]
+
+
+def test_bloom_filter(ray_session):
+    """Bloom: no false negatives ever; build is batch-order invariant;
+    probe flags match a single-process reference filter."""
+    import ray.data as rd
+
+    from coherencebot_ray.ops.sketch import (
+        BLOOM_K, BLOOM_M, _bloom_positions, bloom_build, bloom_probe)
+
+    rng = np.random.default_rng(7)
+    members = rng.choice(100_000, size=400, replace=False).astype(np.int64)
+    df = pd.DataFrame({"v": np.repeat(members, 3)})  # dups across batches
+    ds = rd.from_pandas([d for d in np.array_split(df.sample(frac=1, random_state=1), 6) if len(d)])
+
+    bits = bloom_build(ds, "v")
+    # reference: single-pass bit set
+    ref_bits = np.unique(_bloom_positions(members))
+    assert np.array_equal(bits, np.sort(ref_bits))
+
+    probe_vals = np.concatenate([members[:50], rng.choice(100_000, size=200).astype(np.int64) + 100_000])
+    pds = rd.from_pandas(pd.DataFrame({"v": probe_vals}))
+    out = bloom_probe(pds, "v", bits).to_pandas().set_index("v")["bloom_hit"]
+    # every member hits (no false negatives)
+    assert (out.loc[members[:50]] == 1).all()
+    # non-members (disjoint range) mostly miss; any hit is a legal FP
+    mask = np.zeros(BLOOM_M, dtype=bool)
+    mask[bits] = True
+    expect = mask[_bloom_positions(probe_vals)].all(axis=1).astype(np.int64)
+    assert np.array_equal(out.to_numpy(), expect) or np.array_equal(
+        out.sort_index().to_numpy(),
+        pd.Series(expect, index=probe_vals).sort_index().to_numpy())

@@ -1,0 +1,40 @@
+
+
+def test_gopher_repetition_vs_naive():
+    """Vectorized repetition signals match a per-row naive reference."""
+    import re
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    from coherencebot_ray.ops.text import gopher_repetition
+
+    docs = [
+        "a b c\na b c\nunique line",          # duplicate lines
+        "spam spam spam spam ham",              # hot bigram
+        "",                                     # empty
+        "single line only",
+        "x\n\nx\n  \nx",                       # dup short lines + blanks kept (non-empty)
+        "The quick brown fox jumps over the lazy dog. " * 3,
+    ]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    out = gopher_repetition(df).set_index("doc_id")
+
+    for i, t in enumerate(docs):
+        lines = [l for l in t.split("\n") if len(l) > 0]
+        lc = Counter(lines)
+        n_lines = len(lines)
+        tot = sum(len(l) for l in lines)
+        dupc = sum(len(l) * c for l, c in lc.items() if c > 1)
+        assert out.loc[i, "n_lines"] == n_lines
+        assert out.loc[i, "dup_line_ppm"] == ((n_lines - len(lc)) * 10**6 // n_lines if n_lines else 0)
+        assert out.loc[i, "dup_line_char_ppm"] == (dupc * 10**6 // tot if tot else 0)
+        toks = re.findall(r"[a-z0-9]+", t.lower())
+        tok_chars = sum(len(x) for x in toks)
+        bgs = Counter((toks[j], toks[j + 1]) for j in range(len(toks) - 1))
+        tot_mass = sum(c * (len(a) + len(b)) for (a, b), c in bgs.items())
+        dup_mass = sum(c * (len(a) + len(b)) for (a, b), c in bgs.items() if c > 1)
+        top = max((c * (len(a) + len(b)) for (a, b), c in bgs.items()), default=0)
+        assert out.loc[i, "dup_bigram_ppm"] == (dup_mass * 10**6 // tot_mass if tot_mass else 0)
+        assert out.loc[i, "top_bigram_ppm"] == (top * 10**6 // tok_chars if tok_chars else 0)
