@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "countmin_freq",
     "bloom_membership",
     "gopher_repetition",
+    "pii_redact",
 ]
 
 

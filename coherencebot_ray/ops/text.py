@@ -307,3 +307,35 @@ def gopher_repetition(df: pd.DataFrame, text_col: str = "text",
         "top_bigram_ppm": top_bigram_ppm,
         "keep": keep.astype(np.int64),
     })
+
+
+# PII redaction (training-data cleaning stage). Patterns are kept to
+# the RE2-compatible subset (no lookaround, no backrefs) and to shapes
+# where leftmost-greedy semantics agree between Python `re` and
+# DuckDB's RE2, so the oracle reproduces the redacted text
+# byte-for-byte (checked via md5 in the query).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{7,15}\b|\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_redact(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Redact emails / IPv4s / phone numbers, vectorized (pandas str
+    kernels run the compiled regex in C per column, no Python row loop).
+    Replacement order is fixed (email, ipv4, phone) — an email is
+    redacted before its host-like tail could half-match the IP rule.
+
+    Columns: doc_id, n_email, n_ipv4, n_phone (pre-redaction match
+    counts) and redacted_md5 (hex md5 of the redacted text — the strong
+    equality signal for the SQL oracle)."""
+    texts = df[text_col].fillna("")
+    out = {"doc_id": df["doc_id"].to_numpy()}
+    red = texts
+    for name, pat, repl in PII_PATTERNS:
+        out[f"n_{name}"] = red.str.count(pat).to_numpy(dtype=np.int64)
+        red = red.str.replace(pat, repl, regex=True)
+    out["redacted_md5"] = red.map(
+        lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()).to_numpy()
+    return pd.DataFrame(out)

@@ -2306,6 +2306,46 @@ ORDER BY term
 """
 
 
+def q_pii_redact(sf_dir: str):
+    """PII redaction (ops/text.pii_redact): emails / IPv4s / phones
+    replaced by typed placeholders, vectorized regex kernels, zero
+    shuffle. The oracle re-runs the same RE2-compatible patterns in
+    DuckDB and compares match counts AND the md5 of the redacted text —
+    byte-exact replacement parity."""
+    from ..ops.text import pii_redact
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    out = ds.map_batches(
+        lambda df: pii_redact(df.reset_index(drop=True)),
+        batch_format="pandas",
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_PII_SQL = r"""
+WITH s0 AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+  FROM s0
+), s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ipv4,
+         regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+         len(regexp_extract_all(t, '\+\d{7,15}\b|\b\d{3}[-.]\d{3}[-.]\d{4}\b'))::BIGINT AS n_phone,
+         regexp_replace(t, '\+\d{7,15}\b|\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS t
+  FROM s2
+)
+SELECT doc_id, n_email, n_ipv4, n_phone, md5(t) AS redacted_md5
+FROM s3 ORDER BY doc_id
+"""
+
+
 def q_bloom_membership(sf_dir: str):
     """Bloom-filter membership (ops/sketch.py): build the filter over
     DISTINCT orders.o_custkey (per-batch distinct bits, one bucketed
@@ -2636,6 +2676,7 @@ def build_queries() -> dict:
         "subcollection": q_subcollection,
         "gopher_quality": q_gopher_quality,
         "gopher_repetition": q_gopher_repetition,
+        "pii_redact": q_pii_redact,
         "hash_sample": q_hash_sample,
         "stratified_topk": q_stratified_topk,
         "pack_tokens": q_pack_tokens,
@@ -2703,6 +2744,7 @@ def build_oracle_sql() -> dict:
         "subcollection": _SUBCOLL_SQL,
         "gopher_quality": _GOPHER_SQL,
         "gopher_repetition": _GOPHER_REP_SQL,
+        "pii_redact": _PII_SQL,
         "hash_sample": _HASH_SAMPLE_SQL,
         "stratified_topk": _STRATIFIED_SQL,
         "pack_tokens": _PACK_SQL,

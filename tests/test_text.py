@@ -38,3 +38,30 @@ def test_gopher_repetition_vs_naive():
         top = max((c * (len(a) + len(b)) for (a, b), c in bgs.items()), default=0)
         assert out.loc[i, "dup_bigram_ppm"] == (dup_mass * 10**6 // tot_mass if tot_mass else 0)
         assert out.loc[i, "top_bigram_ppm"] == (top * 10**6 // tok_chars if tok_chars else 0)
+
+
+def test_pii_redact():
+    import hashlib
+
+    import pandas as pd
+
+    from coherencebot_ray.ops.text import pii_redact
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "mail me at jane.doe+spam@example.co.uk or bob@x.io today",
+            "server at 10.0.0.1 and 192.168.255.3, call +4915112345678",
+            "call 555-123-4567 or 555.123.4567; not 12.34 nor a@b",
+            None,
+        ],
+    })
+    out = pii_redact(df).set_index("doc_id")
+    assert out.loc[0, "n_email"] == 2 and out.loc[0, "n_ipv4"] == 0
+    assert out.loc[1, "n_ipv4"] == 2 and out.loc[1, "n_phone"] == 1
+    assert out.loc[2, "n_phone"] == 2 and out.loc[2, "n_email"] == 0
+    assert out.loc[3, "n_email"] == 0
+    red0 = "mail me at <EMAIL> or <EMAIL> today"
+    assert out.loc[0, "redacted_md5"] == hashlib.md5(red0.encode()).hexdigest()
+    red1 = "server at <IP> and <IP>, call <PHONE>"
+    assert out.loc[1, "redacted_md5"] == hashlib.md5(red1.encode()).hexdigest()
