@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "bloom_membership",
     "gopher_repetition",
     "pii_redact",
+    "tfidf_topk",
 ]
 
 

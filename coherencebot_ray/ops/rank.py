@@ -106,3 +106,69 @@ def bm25_topk(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def tfidf_topk_terms(docs_ds, n_docs: int, k: int = 3,
+                     text_col: str = "text", n_buckets: int = 32):
+    """Per-document top-k keywords by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1) — keyword extraction as a two-exchange
+    pipeline that never re-reads the corpus:
+
+      1. ONE scan projects each batch to (doc_id, term, tf) rows PLUS
+         tagged per-batch df partials (doc_id = -1, tf = docs-in-batch
+         containing the term; exact because a doc lives in one batch).
+      2. Exchange on hash(term): fold df partials, inner-join tf rows
+         to their term's global df — a tagged-union co-group, not a
+         sort-merge join.
+      3. Exchange on hash(doc_id): score and keep k rows per doc
+         (score_micro desc, term asc — micro-unit floats, same fixed
+         operation order as the DuckDB oracle).
+
+    Exchange volume is bounded by the (doc,term) projection, never the
+    text. ``n_docs`` is the corpus doc count (parquet metadata — don't
+    scan for it). Returns a Dataset (doc_id, term, tf, df, score_micro).
+    """
+    from .agg import bucketed_group_apply
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        toks = df[text_col].fillna("").str.lower().str.findall(TOKEN_RE)
+        ex = toks.explode().dropna()
+        if not len(ex):
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "term": pd.Series(dtype=object),
+                                 "tf": pd.Series(dtype=np.int64)})
+        t = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy()[ex.index.to_numpy()],
+            "term": ex.to_numpy(),
+        })
+        tf = t.groupby(["doc_id", "term"], sort=False).size().reset_index(name="tf")
+        dfp = tf.groupby("term", sort=False).size().reset_index(name="tf")
+        dfp["doc_id"] = np.int64(-1)
+        tf["tf"] = tf["tf"].astype(np.int64)
+        dfp["tf"] = dfp["tf"].astype(np.int64)
+        return pd.concat([tf, dfp[["doc_id", "term", "tf"]]], ignore_index=True)
+
+    proj = docs_ds.map_batches(project, batch_format="pandas")
+
+    def join_df(g: pd.DataFrame) -> pd.DataFrame:
+        tag = g["doc_id"].to_numpy() == -1
+        dfreq = g[tag].groupby("term", sort=False)["tf"].sum().rename("df")
+        rows = g[~tag]
+        return rows.merge(dfreq, left_on="term", right_index=True, how="inner")
+
+    joined = bucketed_group_apply(proj, "term", join_df, n_buckets=n_buckets)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        dfv = g["df"].to_numpy(dtype=np.float64)
+        idf = np.log((n_docs + 1.0) / (dfv + 1.0)) + 1.0
+        s = g["tf"].to_numpy(dtype=np.float64) * idf
+        g = g.assign(score_micro=np.floor(s * 1e6 + 0.5).astype(np.int64))
+        g = g.sort_values(["doc_id", "score_micro", "term"],
+                          ascending=[True, False, True])
+        top = g.groupby("doc_id", sort=False).head(k)
+        top = top.copy()
+        top["df"] = top["df"].astype(np.int64)
+        return top[["doc_id", "term", "tf", "df", "score_micro"]]
+
+    return bucketed_group_apply(joined, "doc_id", topk, n_buckets=n_buckets)

@@ -2306,6 +2306,49 @@ ORDER BY term
 """
 
 
+def q_tfidf_topk(sf_dir: str):
+    """Per-doc top-3 TF-IDF keywords (ops/rank.tfidf_topk_terms): one
+    corpus scan, tagged-union df join on hash(term), per-doc top-k on
+    hash(doc_id). Oracle: the same smoothed idf and micro-unit score in
+    window SQL."""
+    import pyarrow.parquet as pq
+
+    from ..ops.rank import tfidf_topk_terms
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    out = tfidf_topk_terms(ds, n_docs=n_docs, k=3).to_pandas()
+    out["tf"] = out["tf"].astype(np.int64)
+    out["df"] = out["df"].astype(np.int64)
+    return out.sort_values(["doc_id", "score_micro", "term"],
+                           ascending=[True, False, True]).reset_index(drop=True)
+
+
+_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY 1
+), n AS (SELECT count(*)::BIGINT AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         CAST(floor(t.tf * (ln((n.n + 1)::DOUBLE / (d.df + 1)::DOUBLE) + 1.0) * 1000000 + 0.5) AS BIGINT) AS score_micro
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score_micro DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score_micro
+FROM r WHERE rn <= 3 ORDER BY doc_id, score_micro DESC, term
+"""
+
+
 def q_pii_redact(sf_dir: str):
     """PII redaction (ops/text.pii_redact): emails / IPv4s / phones
     replaced by typed placeholders, vectorized regex kernels, zero
@@ -2677,6 +2720,7 @@ def build_queries() -> dict:
         "gopher_quality": q_gopher_quality,
         "gopher_repetition": q_gopher_repetition,
         "pii_redact": q_pii_redact,
+        "tfidf_topk": q_tfidf_topk,
         "hash_sample": q_hash_sample,
         "stratified_topk": q_stratified_topk,
         "pack_tokens": q_pack_tokens,
@@ -2745,6 +2789,7 @@ def build_oracle_sql() -> dict:
         "gopher_quality": _GOPHER_SQL,
         "gopher_repetition": _GOPHER_REP_SQL,
         "pii_redact": _PII_SQL,
+        "tfidf_topk": _TFIDF_SQL,
         "hash_sample": _HASH_SAMPLE_SQL,
         "stratified_topk": _STRATIFIED_SQL,
         "pack_tokens": _PACK_SQL,

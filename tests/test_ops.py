@@ -800,3 +800,49 @@ def test_bloom_filter(ray_session):
     assert np.array_equal(out.to_numpy(), expect) or np.array_equal(
         out.sort_index().to_numpy(),
         pd.Series(expect, index=probe_vals).sort_index().to_numpy())
+
+
+def test_tfidf_topk_vs_naive(ray_session):
+    """Distributed TF-IDF top-k matches a single-process reference,
+    including df merging across batches and tie-breaks."""
+    import math
+    import re
+    from collections import Counter
+
+    import ray.data as rd
+
+    from coherencebot_ray.ops.rank import tfidf_topk_terms
+
+    rng = np.random.default_rng(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    docs = [" ".join(rng.choice(vocab, size=rng.integers(3, 30)))
+            for _ in range(60)] + ["", "alpha alpha alpha"]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    n_docs = len(df)
+    ds = rd.from_pandas([d for d in np.array_split(df, 7) if len(d)])
+
+    out = tfidf_topk_terms(ds, n_docs=n_docs, k=2).to_pandas()
+    out = out.sort_values(["doc_id", "score_micro", "term"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+
+    # naive reference
+    tok = {i: re.findall(r"[a-z0-9]+", t.lower()) for i, t in zip(df["doc_id"], df["text"])}
+    dfreq = Counter()
+    for i, ts in tok.items():
+        dfreq.update(set(ts))
+    rows = []
+    for i, ts in tok.items():
+        tf = Counter(ts)
+        scored = []
+        for term, f in tf.items():
+            idf = math.log((n_docs + 1.0) / (dfreq[term] + 1.0)) + 1.0
+            scored.append((math.floor(f * idf * 1e6 + 0.5), term, f, dfreq[term]))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        for s, term, f, d in scored[:2]:
+            rows.append({"doc_id": i, "term": term, "tf": f, "df": d, "score_micro": s})
+    ref = pd.DataFrame(rows).sort_values(
+        ["doc_id", "score_micro", "term"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out.astype({"tf": "int64", "df": "int64", "score_micro": "int64"}),
+        ref.astype({"tf": "int64", "df": "int64", "score_micro": "int64"}))
