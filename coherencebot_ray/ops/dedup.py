@@ -679,22 +679,61 @@ def simhash_pairs(docs_ds, max_hamming: int = 3, text_col: str = "text"):
 # ---------------------------------------------------------------------------
 
 
+def _cc_single_task(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized min-label union over one in-memory symmetric edge
+    frame: numpy min-propagation with pointer jumping (O(E) per pass,
+    O(log n) passes). Runs inside a WORKER task (not the driver) when
+    the dup graph fits one task's memory."""
+    u = df["u"].to_numpy(np.int64)
+    v = df["v"].to_numpy(np.int64)
+    if len(u) == 0:
+        return pd.DataFrame({"id": np.array([], dtype=np.int64),
+                             "rep": np.array([], dtype=np.int64)})
+    ids, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    iu, iv = inv[: len(u)], inv[len(u):]
+    lab = np.arange(len(ids), dtype=np.int64)
+    while True:
+        prev = lab
+        m = np.minimum(lab[iu], lab[iv])
+        lab = lab.copy()
+        np.minimum.at(lab, iu, m)
+        np.minimum.at(lab, iv, m)
+        nxt = lab[lab]  # pointer jumping: compress chains to roots
+        while not np.array_equal(nxt, lab):
+            lab = nxt
+            nxt = lab[lab]
+        if np.array_equal(lab, prev):
+            break
+    # ids is sorted asc, so the min label index maps to the min id
+    return pd.DataFrame({"id": ids, "rep": ids[lab]})
+
+
 def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
-                         max_iters: int = 30, n_buckets: int = 64):
+                         max_iters: int = 30, n_buckets: int = 64,
+                         small_graph_edges: int = 4_000_000):
     """Distributed min-label connected components over a pair Dataset:
     the dedup-clustering step that turns pairwise near-dup hits
     (minhash / simhash / embedding) into KEEP-ONE groups. Returns a
     Dataset (id, rep) for every node that appears in a pair, rep = the
     component's minimum id.
 
-    Min-label propagation: each iteration hash-joins the current labels
-    onto the symmetric edge set (one tagged-union bucketed co-group, the
-    indexer-join machinery) and folds per-node minima (one bucketed
-    min). Iterations needed = component diameter — near-dup clusters
-    are shallow (pairs come from a shared bucket), so a handful of
-    rounds converges; the per-iteration label-sum (a monotonically
-    decreasing integer) gives an exact distributed convergence check
-    with no driver-side labels.
+    Two-tier execution (the edge set is materialized either way):
+
+    - **small graph** (≤ ``small_graph_edges`` symmetric edges, ~100 MB
+      at the 4M default): one worker TASK runs a vectorized numpy
+      min-propagation + pointer-jumping union over the whole edge
+      frame. Near-dup graphs are normally ≪ corpus (only the dup hits
+      appear), so at any scale this is the common path — and it costs
+      one task instead of O(diameter) shuffle rounds.
+    - **large graph**: min-label propagation — each iteration
+      hash-joins the current labels onto the symmetric edge set (one
+      tagged-union bucketed co-group, the indexer-join machinery) and
+      folds per-node minima (one bucketed min). Iterations needed =
+      component diameter — near-dup clusters are shallow (pairs come
+      from a shared bucket), so a handful of rounds converges; the
+      per-iteration label-sum (a monotonically decreasing integer)
+      gives an exact distributed convergence check with no driver-side
+      labels. Pass ``small_graph_edges=0`` to force this path.
     """
     from .agg import bucketed_group_apply
 
@@ -761,6 +800,9 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
         .repartition(n_buckets)
         .materialize()
     )
+    if tagged_edges.count() <= small_graph_edges:
+        return tagged_edges.repartition(1).map_batches(
+            _cc_single_task, batch_format="pandas", batch_size=None)
     labels = bucketed_group_apply(
         tagged_edges.map_batches(init_labels, batch_format="pandas"), "u",
         lambda g: g.drop_duplicates("u"), n_buckets=n_buckets,

@@ -517,13 +517,22 @@ def test_connected_components_clusters(ray_session):
         "a": [7, 3, 9, 20, 21, 20, 40],
         "b": [3, 9, 12, 21, 22, 22, 41],
     })
+    expect = {7: 3, 3: 3, 9: 3, 12: 3,
+              20: 20, 21: 20, 22: 20,
+              40: 40, 41: 40}
+    # small-graph fast path (single-task numpy union)
     out = (
         connected_components(rd.from_pandas(pairs), n_buckets=4)
         .to_pandas().set_index("id")["rep"].to_dict()
     )
-    assert out == {7: 3, 3: 3, 9: 3, 12: 3,
-                   20: 20, 21: 20, 22: 20,
-                   40: 40, 41: 40}
+    assert out == expect
+    # large-graph iterative path forced via small_graph_edges=0
+    out_loop = (
+        connected_components(rd.from_pandas(pairs), n_buckets=4,
+                             small_graph_edges=0)
+        .to_pandas().set_index("id")["rep"].to_dict()
+    )
+    assert out_loop == expect
 
 
 def test_pack_by_token_budget_prefix_sum(ray_session):
