@@ -34,16 +34,16 @@ def _assign(X: np.ndarray, cents: np.ndarray) -> np.ndarray:
     return np.argmin(d2, axis=1)
 
 
-def kmeans_assign(
+def _fit_centroids(
     embeddings_ds,
-    k: int = 8,
-    iters: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
 ):
-    """Run ``iters`` Lloyd updates from the deterministic seed (vectors
-    with the k smallest ids) and return a Dataset (id_col, cluster) —
-    the assignment under the final centroids."""
+    """Run ``iters`` streaming Lloyd updates from the deterministic seed
+    (vectors with the k smallest ids); return (centroids, cluster_ids).
+    Shared by :func:`kmeans_assign` and :func:`semdedup`."""
     seed = (
         embeddings_ds.filter(expr=f"{id_col} < {k}")
         .to_pandas()
@@ -81,7 +81,20 @@ def kmeans_assign(
         cents = agg[dims].to_numpy(dtype=np.float64) / cnts[:, None]
         cids = cids[keep]
 
-    c_fin, ids_fin = cents, cids
+    return cents, cids
+
+
+def kmeans_assign(
+    embeddings_ds,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Run ``iters`` Lloyd updates from the deterministic seed (vectors
+    with the k smallest ids) and return a Dataset (id_col, cluster) —
+    the assignment under the final centroids."""
+    c_fin, ids_fin = _fit_centroids(embeddings_ds, k, iters, id_col, vec_col)
 
     def assign_final(df: pd.DataFrame) -> pd.DataFrame:
         X = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
@@ -91,3 +104,82 @@ def kmeans_assign(
         )
 
     return embeddings_ds.map_batches(assign_final, batch_format="pandas")
+
+
+def semdedup(
+    embeddings_ds,
+    k: int = 8,
+    iters: int = 2,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int = 16,
+    chunk_rows: int = 4096,
+):
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means the embedding
+    space, then run exact cosine near-dup detection only WITHIN each
+    cluster — clustering turns the corpus-quadratic all-pairs scan into
+    k independent (N/k)^2 problems. Within a cluster, pairs with
+    cosine >= ``tau`` form components; the minimum-id member of each
+    component is kept (deterministic stand-in for the paper's
+    keep-farthest-from-centroid, which is tie-unstable under float
+    summation). Returns a Dataset (id_col, cluster, kept) covering every
+    input vector, kept in {0, 1}.
+
+    Scale shape (100 TB): centroids fit in a broadcast closure; the one
+    exchange moves each embedding ONCE to its cluster's bucket (SemDeDup
+    partitions the embedding store by cluster the same way); per-bucket
+    work is chunked matmuls (``chunk_rows`` bounds the similarity-matrix
+    slab). The premise — and the paper's — is that k grows with N so a
+    cluster fits one task; a mega-cluster needs a larger k upstream.
+    """
+    from .agg import bucketed_group_apply
+    from .dedup import _cc_single_task
+
+    cents, cids = _fit_centroids(embeddings_ds, k, iters, id_col, vec_col)
+
+    def assign_with_vec(df: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
+        a = _assign(X, cents)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "cluster": cids[a].astype(np.int64),
+            vec_col: df[vec_col].to_numpy(),
+        })
+
+    assigned = embeddings_ds.map_batches(assign_with_vec, batch_format="pandas")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for cl, gg in g.groupby("cluster", sort=False):
+            gg = gg.sort_values(id_col, kind="stable")
+            ids = gg[id_col].to_numpy(dtype=np.int64)
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in gg[vec_col]])
+            nrm = np.linalg.norm(M, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            Mn = M / nrm
+            us, vs = [], []
+            for i0 in range(0, len(ids), chunk_rows):
+                S = Mn[i0:i0 + chunk_rows] @ Mn.T
+                ii, jj = np.nonzero(S >= tau)
+                gi = ii + i0
+                m = gi < jj  # upper triangle in GLOBAL cluster indices
+                us.append(ids[gi[m]])
+                vs.append(ids[jj[m]])
+            u = np.concatenate(us) if us else np.array([], dtype=np.int64)
+            v = np.concatenate(vs) if vs else np.array([], dtype=np.int64)
+            kept = np.ones(len(ids), dtype=np.int64)
+            if len(u):
+                comp = _cc_single_task(pd.DataFrame({"u": u, "v": v}))
+                losers = comp.loc[comp["id"] != comp["rep"], "id"].to_numpy()
+                kept[np.isin(ids, losers)] = 0
+            outs.append(pd.DataFrame(
+                {id_col: ids, "cluster": np.int64(cl), "kept": kept}))
+        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+            {id_col: pd.Series(dtype="int64"),
+             "cluster": pd.Series(dtype="int64"),
+             "kept": pd.Series(dtype="int64")})
+
+    return bucketed_group_apply(assigned, "cluster", per_bucket,
+                                n_buckets=n_buckets)

@@ -2500,10 +2500,12 @@ def q_kmeans(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
-def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
-    """Lloyd unrolled in SQL: assign (argmin list_distance, cid
-    tie-break) -> per-dim avg regroup, repeated ``iters`` times, then
-    the final assignment — matching ops/cluster.kmeans_assign."""
+def _kmeans_ctes(k: int = 8, iters: int = 2) -> str:
+    """The WITH-body of Lloyd unrolled in SQL (ends at CTE ``afin``,
+    the final (vec_id, cid) assignment): assign (argmin list_distance,
+    cid tie-break) -> per-dim avg regroup, repeated ``iters`` times —
+    matching ops/cluster._fit_centroids + the final assignment map.
+    Shared by the ``kmeans`` and ``semdedup`` oracles."""
 
     def assign(name: str, cents: str) -> str:
         return f"""{name} AS (
@@ -2538,11 +2540,57 @@ def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
         ctes.append(assign(f"a{it}", f"c{it}"))
         ctes.append(update(f"c{it + 1}", f"a{it}"))
     ctes.append(assign("afin", f"c{iters}"))
-    body = ",\n".join(ctes)
+    return ",\n".join(ctes)
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
     return (
-        f"WITH {body}\n"
+        f"WITH {_kmeans_ctes(k, iters)}\n"
         "SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM afin ORDER BY vec_id"
     )
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup over the embeddings table (ops/cluster.semdedup):
+    k-means (k=8, 2 Lloyd iters, deterministic seed) then within-cluster
+    exact cosine near-dup components (tau=0.45), min-id kept. Output one
+    row per vector: (vec_id, cluster, kept)."""
+    from ..ops.cluster import semdedup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    out = semdedup(ds, k=8, iters=2, tau=0.45, n_buckets=8).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def _semdedup_sql(k: int = 8, iters: int = 2, tau: float = 0.45) -> str:
+    """kmeans CTEs -> within-cluster cosine pairs -> recursive transitive
+    closure -> min-id representative; kept = not a non-representative
+    member of any component."""
+    return f"""
+WITH RECURSIVE {_kmeans_ctes(k, iters)},
+p AS (
+  SELECT fa.vec_id AS a, fb.vec_id AS b
+  FROM afin fa JOIN afin fb ON fa.cid = fb.cid AND fa.vec_id < fb.vec_id
+  JOIN embeddings ea ON ea.vec_id = fa.vec_id
+  JOIN embeddings eb ON eb.vec_id = fb.vec_id
+  WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= {tau}
+),
+sym AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+rep AS (SELECT u AS vid, least(u, min(v)) AS rep FROM reach GROUP BY u)
+SELECT f.vec_id, CAST(f.cid AS BIGINT) AS cluster,
+       CAST(CASE WHEN r.rep IS NULL OR r.rep = f.vec_id THEN 1 ELSE 0 END
+            AS BIGINT) AS kept
+FROM afin f LEFT JOIN rep r ON r.vid = f.vec_id
+ORDER BY f.vec_id
+"""
 
 
 def q_nodedumper(sf_dir: str):
@@ -2707,6 +2755,7 @@ def build_queries() -> dict:
         "range_join": q_range_join,
         "bm25_topk": q_bm25_topk,
         "kmeans": q_kmeans,
+        "semdedup": q_semdedup,
         "inverted_index": q_inverted_index,
         "dataset_split": q_dataset_split,
         "countmin_freq": q_countmin,
@@ -2769,6 +2818,7 @@ def build_oracle_sql() -> dict:
         "range_join": _RANGE_JOIN_SQL,
         "bm25_topk": _bm25_sql(),
         "kmeans": _kmeans_sql(k=8, iters=2),
+        "semdedup": _semdedup_sql(k=8, iters=2, tau=0.45),
         "inverted_index": _INVERTED_SQL,
         "dataset_split": _DATASET_SPLIT_SQL,
         "countmin_freq": _countmin_sql(),

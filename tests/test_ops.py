@@ -504,6 +504,29 @@ def test_bpe_token_count():
     assert token_count(s).tolist() == [4, 0, 2]
 
 
+def test_semdedup_within_cluster_keep_min(ray_session):
+    """SemDeDup: two separated k-means clusters; exact-direction twins
+    inside a cluster collapse to the min id, cross-cluster and
+    below-threshold cosines survive."""
+    import ray.data as rd
+
+    from coherencebot_ray.ops.cluster import semdedup
+
+    emb = pd.DataFrame({
+        "vec_id": [0, 1, 2, 3, 4],
+        "embedding": [[10.0, 0.0], [0.0, 10.0], [11.0, 0.0],
+                      [0.0, 11.0], [7.0, 7.5]],
+    })
+    out = (
+        semdedup(rd.from_pandas(emb), k=2, iters=1, tau=0.99, n_buckets=4)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert out["vec_id"].tolist() == [0, 1, 2, 3, 4]
+    assert out["cluster"].tolist() == [0, 1, 0, 1, 1]
+    # 2 dups 0 (cos=1), 3 dups 1 (cos=1); 4 is ~0.73 to its cluster-mates
+    assert out["kept"].tolist() == [1, 1, 0, 0, 1]
+
+
 def test_connected_components_clusters(ray_session):
     """Distributed min-label components over near-dup pairs: a 4-chain,
     a triangle and a 2-pair resolve to their min-id representative; the
