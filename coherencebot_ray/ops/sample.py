@@ -56,6 +56,41 @@ def hash_split(ds, id_col: str = "doc_id", train_pct: int = 80, val_pct: int = 1
     return ds.map_batches(tag, batch_format="pandas")
 
 
+def weighted_sample_topk(ds, k: int = 100, id_col: str = "doc_id",
+                         text_col: str = "text") -> pd.DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006):
+    each row draws u ~ U(0,1] from its id hash and scores
+    key = ln(u)/w — order-equivalent to u^(1/w) — so the global top-k
+    keys are an exact weighted sample without replacement. Weight
+    w = char length + 1 (longer docs proportionally likelier), the
+    usual token-mass proxy when sampling a training subset.
+
+    Deterministic and SQL-checkable: u = first-8-md5-bytes(str(id)) as
+    a double over 2^64 (the oracle computes the identical double; ln is
+    IEEE double both sides). Distributed shape: a pure map computes
+    keys, each block folds to its LOCAL top-k, and the driver merges
+    blocks x k candidate rows — no shuffle, driver memory bounded by
+    block count. Ties at the k boundary break on id asc."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        w = df[text_col].fillna("").str.len().to_numpy(np.int64) + 1
+        h = np.fromiter(
+            (int(hashlib.md5(str(int(i)).encode()).hexdigest()[:16], 16)
+             for i in ids),
+            dtype=np.uint64, count=len(ids),
+        )
+        u = np.maximum(h, np.uint64(1)).astype(np.float64) / 2.0 ** 64
+        out = pd.DataFrame({id_col: ids, "w": w, "__key": np.log(u) / w})
+        return out.sort_values(["__key", id_col], ascending=[False, True],
+                               kind="stable").head(k)
+
+    cand = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = cand.sort_values(["__key", id_col], ascending=[False, True],
+                           kind="stable").head(k)
+    return out.drop(columns="__key").reset_index(drop=True)
+
+
 def stratified_topk(ds, key_col: str, k: int, order_col: str,
                     n_buckets: int = 64, descending: bool = True):
     """At most ``k`` rows per key, ranked by ``order_col`` (ties broken

@@ -1219,6 +1219,33 @@ ORDER BY doc_id
 """
 
 
+def q_weighted_sample(sf_dir: str):
+    """Efraimidis–Spirakis weighted sampling without replacement over
+    documents (w = char length + 1, u = md5-of-id uniform, key =
+    ln(u)/w, global top-100 keys). ops/sample.weighted_sample_topk."""
+    from ..ops.sample import weighted_sample_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    out = weighted_sample_topk(ds, k=100)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["w"] = out["w"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_WEIGHTED_SAMPLE_SQL = """
+WITH s AS (
+  SELECT doc_id, length(coalesce(text, '')) + 1 AS w,
+         ln(greatest(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT), 1)
+            / 18446744073709551616.0)
+           / (length(coalesce(text, '')) + 1) AS key
+  FROM documents
+),
+topk AS (SELECT doc_id, w FROM s ORDER BY key DESC, doc_id ASC LIMIT 100)
+SELECT doc_id, CAST(w AS BIGINT) AS w FROM topk ORDER BY doc_id
+"""
+
+
 def q_stratified_topk(sf_dir: str):
     """Per-host quota: at most 3 docs per derived host, highest derived
     score first (tie-broken by score only — scores are distinct by
@@ -2771,6 +2798,7 @@ def build_queries() -> dict:
         "pii_redact": q_pii_redact,
         "tfidf_topk": q_tfidf_topk,
         "hash_sample": q_hash_sample,
+        "weighted_sample": q_weighted_sample,
         "stratified_topk": q_stratified_topk,
         "pack_tokens": q_pack_tokens,
         "token_counts": q_token_counts,
@@ -2841,6 +2869,7 @@ def build_oracle_sql() -> dict:
         "pii_redact": _PII_SQL,
         "tfidf_topk": _TFIDF_SQL,
         "hash_sample": _HASH_SAMPLE_SQL,
+        "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "stratified_topk": _STRATIFIED_SQL,
         "pack_tokens": _PACK_SQL,
         "token_counts": _token_counts_sql(),

@@ -504,6 +504,35 @@ def test_bpe_token_count():
     assert token_count(s).tolist() == [4, 0, 2]
 
 
+def test_weighted_sample_topk_matches_sequential(ray_session):
+    """E-S weighted top-k over many blocks equals the sequential
+    computation (block-local partial top-k never drops a winner)."""
+    import hashlib
+    import math
+
+    import ray.data as rd
+
+    from coherencebot_ray.ops.sample import weighted_sample_topk
+
+    n = 200
+    docs = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": ["x" * (1 + (i * 37) % 500) for i in range(n)],
+    })
+    expect = []
+    for i, t in zip(docs["doc_id"], docs["text"]):
+        w = len(t) + 1
+        h = int(hashlib.md5(str(int(i)).encode()).hexdigest()[:16], 16)
+        u = max(h, 1) / 2.0 ** 64
+        expect.append((math.log(u) / w, int(i), w))
+    expect.sort(key=lambda r: (-r[0], r[1]))
+    want = sorted((i, w) for _, i, w in expect[:25])
+
+    ds = rd.from_pandas(docs).repartition(16)
+    out = weighted_sample_topk(ds, k=25).sort_values("doc_id")
+    assert list(zip(out["doc_id"], out["w"])) == want
+
+
 def test_semdedup_within_cluster_keep_min(ray_session):
     """SemDeDup: two separated k-means clusters; exact-direction twins
     inside a cluster collapse to the min id, cross-cluster and
