@@ -80,6 +80,10 @@ BENCH_QUERIES = [
     "gopher_repetition",
     "pii_redact",
     "tfidf_topk",
+    "semdedup",
+    "weighted_sample",
+    "interleaved_pack",
+    "media_dedup",
 ]
 
 

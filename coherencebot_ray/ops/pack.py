@@ -26,30 +26,20 @@ import numpy as np
 import pandas as pd
 
 
-def pack_by_token_budget(
-    docs_ds,
+def pack_counts(
+    tok,
     budget: int,
     id_col: str = "doc_id",
-    text_col: str = "text",
     range_size: int = 65536,
     n_buckets: int = 64,
 ):
-    """Returns a Dataset (id_col, tokens, shard). Tokens = whitespace
-    runs (ops.text.token_count)."""
+    """The generic prefix-sum packer over a pre-costed Dataset: ``tok``
+    must carry (id_col, tokens, rng = id // range_size); any EXTRA
+    columns ride through pass 2 unchanged (pass 1 reads only
+    rng/tokens). Returns (extras..., id_col, tokens, shard). Shared by
+    :func:`pack_by_token_budget` (text corpora) and
+    ``ops.interleaved.interleaved_pack`` (text+media span docs)."""
     from ..ops.agg import bucketed_group_apply
-    from ..ops.text import token_count
-
-    def counts(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df[id_col].to_numpy(np.int64)
-        return pd.DataFrame(
-            {
-                id_col: ids,
-                "tokens": token_count(df[text_col]).astype(np.int64),
-                "rng": ids // range_size,
-            }
-        )
-
-    tok = docs_ds.map_batches(counts, batch_format="pandas")
 
     # pass 1: per-range sums -> driver-held prefix offsets (bounded)
     from ..ops.agg import bucketed_sum
@@ -73,26 +63,50 @@ def pack_by_token_budget(
 
     def assign(g: pd.DataFrame) -> pd.DataFrame:
         off = ray.get(offsets_ref)
+        extras = [c for c in g.columns if c not in (id_col, "tokens", "rng")]
         outs = []
         for rng_id, sub in g.groupby("rng", sort=False):
             sub = sub.sort_values(id_col, kind="stable")
             t = sub["tokens"].to_numpy(np.int64)
             start = int(off[int(rng_id)]) + np.cumsum(t) - t
-            outs.append(
-                pd.DataFrame(
-                    {
-                        id_col: sub[id_col].to_numpy(np.int64),
-                        "tokens": t,
-                        "shard": (start // budget).astype(np.int64),
-                    }
-                )
-            )
+            out = sub[extras].reset_index(drop=True)
+            out[id_col] = sub[id_col].to_numpy(np.int64)
+            out["tokens"] = t
+            out["shard"] = (start // budget).astype(np.int64)
+            outs.append(out)
         if not outs:
-            return pd.DataFrame(
-                {id_col: pd.Series(dtype="int64"),
-                 "tokens": pd.Series(dtype="int64"),
-                 "shard": pd.Series(dtype="int64")}
-            )
+            base = g[extras].iloc[0:0].copy()
+            base[id_col] = pd.Series(dtype="int64")
+            base["tokens"] = pd.Series(dtype="int64")
+            base["shard"] = pd.Series(dtype="int64")
+            return base
         return pd.concat(outs, ignore_index=True)
 
     return bucketed_group_apply(tok, "rng", assign, n_buckets=n_buckets)
+
+
+def pack_by_token_budget(
+    docs_ds,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    range_size: int = 65536,
+    n_buckets: int = 64,
+):
+    """Returns a Dataset (id_col, tokens, shard). Tokens = whitespace
+    runs (ops.text.token_count)."""
+    from ..ops.text import token_count
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "tokens": token_count(df[text_col]).astype(np.int64),
+                "rng": ids // range_size,
+            }
+        )
+
+    tok = docs_ds.map_batches(counts, batch_format="pandas")
+    return pack_counts(tok, budget, id_col=id_col,
+                       range_size=range_size, n_buckets=n_buckets)

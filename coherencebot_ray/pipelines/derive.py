@@ -129,6 +129,77 @@ def derived_frontier_ds(
     ).map_batches(build, batch_format="pandas")
 
 
+# ---------------------------------------------------------------------------
+# Interleaved span-table derivation (input_hint shape): REAL Arrow
+# list<struct<kind,text,media_ref,offset>> spans built from doc_id with
+# pure integer arithmetic a SQL oracle mirrors (SPANS_SQL below):
+#   n_spans          3 + doc_id % 5
+#   kind(i)          media iff (doc_id + i) % 3 == 0 else text
+#   text tokens      10 + (doc_id*7 + i) % 40    ('w ' repeated)
+#   media_ref        'm' || (doc_id*131 + i*17) % 1009
+# ---------------------------------------------------------------------------
+
+SPANS_SQL = """
+  SELECT d.doc_id, CAST(t.i AS BIGINT) AS i
+  FROM documents d, unnest(generate_series(0, 3 + d.doc_id % 5 - 1)) AS t(i)
+"""
+SPAN_IS_MEDIA_SQL = "(doc_id + i) % 3 = 0"
+SPAN_TOKENS_SQL = "10 + (doc_id * 7 + i) % 40"
+SPAN_REF_SQL = "'m' || ((doc_id * 131 + i * 17) % 1009)"
+
+
+def derived_spans_ds(sf_dir: str):
+    """Distributed interleaved-corpus derivation: map_batches over
+    ``documents.parquet`` (doc_id only leaves storage) building the
+    (doc_id, spans) Arrow table per batch — text spans carry real
+    'w w ...' payloads whose whitespace-token count equals the
+    arithmetic rule, media spans carry the derived ref."""
+    import math
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..model import SPAN_TYPE
+
+    def build(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = 3 + (d % 5)
+        bounds = np.r_[0, np.cumsum(n)].astype(np.int64)
+        doc_rep = np.repeat(d, n)
+        i = np.arange(bounds[-1], dtype=np.int64) - np.repeat(bounds[:-1], n)
+        is_media = (doc_rep + i) % 3 == 0
+        ktok = 10 + (doc_rep * 7 + i) % 40
+        txt = (
+            pd.Series(np.where(is_media, "", "w "), dtype=object)
+            .str.repeat(pd.Series(np.where(is_media, 0, ktok)))
+            .str.rstrip()
+            .to_numpy(dtype=object)
+        )
+        refn = pd.Series((doc_rep * 131 + i * 17) % 1009).astype(str)
+        ref = np.where(is_media, ("m" + refn).to_numpy(dtype=object), "")
+        kind = np.where(is_media, "media", "text")
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array(kind, pa.string()),
+                pa.array(txt, pa.string()),
+                pa.array(ref, pa.string()),
+                pa.array(i.astype(np.int32), pa.int32()),
+            ],
+            fields=[SPAN_TYPE.field(j) for j in range(SPAN_TYPE.num_fields)],
+        )
+        spans = pa.ListArray.from_arrays(
+            pa.array(bounds.astype(np.int32), pa.int32()), struct
+        )
+        return pa.table({"doc_id": pa.array(d, pa.int64()), "spans": spans})
+
+    path = f"{sf_dir}/documents.parquet"
+    n_blocks = max(1, math.ceil(os.path.getsize(path) / (4 << 20)))
+    return rd.read_parquet(
+        path, columns=["doc_id"], override_num_blocks=n_blocks
+    ).map_batches(build, batch_format="pyarrow")
+
+
 def read_doc_ids(sf_dir: str) -> np.ndarray:
     import pyarrow.parquet as pq
 

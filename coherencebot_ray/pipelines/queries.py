@@ -1200,6 +1200,65 @@ FROM t ORDER BY doc_id
 """
 
 
+def q_interleaved_pack(sf_dir: str):
+    """Multimodal token-budget packing over the INTERLEAVED span table
+    (input_hint shape, derived: DV.derived_spans_ds): text spans cost
+    whitespace tokens, each media span a flat 256 vision tokens; shards
+    via the distributed prefix sum (ops/interleaved.interleaved_pack).
+    Zero-copy Arrow list handling end to end."""
+    from ..ops.interleaved import interleaved_pack
+
+    out = interleaved_pack(DV.derived_spans_ds(sf_dir), budget=8192,
+                           media_token_cost=256, range_size=128).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_INTERLEAVED_PACK_SQL = f"""
+WITH sp AS ({DV.SPANS_SQL}),
+c AS (
+  SELECT doc_id,
+         SUM(CASE WHEN {DV.SPAN_IS_MEDIA_SQL} THEN 0
+                  ELSE {DV.SPAN_TOKENS_SQL} END) AS text_tokens,
+         SUM(CASE WHEN {DV.SPAN_IS_MEDIA_SQL} THEN 1 ELSE 0 END) AS media_spans
+  FROM sp GROUP BY doc_id
+),
+c2 AS (SELECT doc_id, text_tokens, media_spans,
+              text_tokens + 256 * media_spans AS cost FROM c)
+SELECT CAST(text_tokens AS BIGINT) AS text_tokens,
+       CAST(media_spans AS BIGINT) AS media_spans,
+       doc_id,
+       CAST(cost AS BIGINT) AS tokens,
+       CAST((SUM(cost) OVER (ORDER BY doc_id) - cost) // 8192 AS BIGINT) AS shard
+FROM c2 ORDER BY doc_id
+"""
+
+
+def q_media_dedup(sf_dir: str):
+    """Cross-document media-ref dedup over the interleaved span table:
+    refs shared by >= 2 docs with the min-id canonical owner (fetch /
+    decode each asset once). ops/interleaved.media_ref_groups."""
+    from ..ops.interleaved import media_ref_groups
+
+    out = media_ref_groups(DV.derived_spans_ds(sf_dir), min_docs=2).to_pandas()
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["canonical"] = out["canonical"].astype(np.int64)
+    return out.sort_values("media_ref").reset_index(drop=True)
+
+
+_MEDIA_DEDUP_SQL = f"""
+WITH sp AS ({DV.SPANS_SQL}),
+m AS (
+  SELECT DISTINCT doc_id, {DV.SPAN_REF_SQL} AS media_ref
+  FROM sp WHERE {DV.SPAN_IS_MEDIA_SQL}
+)
+SELECT media_ref, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical
+FROM m GROUP BY media_ref HAVING COUNT(*) >= 2 ORDER BY media_ref
+"""
+
+
 def q_hash_sample(sf_dir: str):
     """Deterministic ~20% corpus sample by doc_id md5 bucket (curation
     sampling; no RNG, stable under repartitioning)."""
@@ -2801,6 +2860,8 @@ def build_queries() -> dict:
         "weighted_sample": q_weighted_sample,
         "stratified_topk": q_stratified_topk,
         "pack_tokens": q_pack_tokens,
+        "interleaved_pack": q_interleaved_pack,
+        "media_dedup": q_media_dedup,
         "token_counts": q_token_counts,
         "vocab_topk": q_vocab_topk,
         "decontaminate": q_decontaminate,
@@ -2872,6 +2933,8 @@ def build_oracle_sql() -> dict:
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "stratified_topk": _STRATIFIED_SQL,
         "pack_tokens": _PACK_SQL,
+        "interleaved_pack": _INTERLEAVED_PACK_SQL,
+        "media_dedup": _MEDIA_DEDUP_SQL,
         "token_counts": _token_counts_sql(),
         "vocab_topk": _VOCAB_SQL,
         "decontaminate": _DECONTAMINATE_SQL,

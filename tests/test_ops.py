@@ -504,6 +504,52 @@ def test_bpe_token_count():
     assert token_count(s).tolist() == [4, 0, 2]
 
 
+def test_interleaved_costs_pack_and_media_groups(ray_session):
+    """Zero-copy span ops over a hand-built list<struct> table: token
+    accounting (media = flat 256), prefix-sum shards, and cross-doc
+    media-ref groups (same ref twice in one doc counts once)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from coherencebot_ray.model import SPAN_TYPE
+    from coherencebot_ray.ops.interleaved import (
+        interleaved_costs, interleaved_pack, media_ref_groups)
+
+    def mk(doc_id, spans):
+        return {"doc_id": doc_id, "spans": [
+            {"kind": k, "text": t, "media_ref": r, "offset": j}
+            for j, (k, t, r) in enumerate(spans)]}
+
+    rows = [
+        mk(1, [("text", "a b c", ""), ("media", "", "img1"),
+               ("text", "d e", "")]),
+        mk(2, [("media", "", "img1"), ("media", "", "img2")]),
+        mk(3, [("text", "x", "")]),
+        mk(4, [("media", "", "img2"), ("media", "", "img2")]),
+    ]
+    schema = pa.schema([("doc_id", pa.int64()),
+                        ("spans", pa.list_(SPAN_TYPE))])
+    ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=schema))
+
+    c = interleaved_costs(ds).to_pandas().sort_values("doc_id")
+    assert c["text_tokens"].tolist() == [5, 0, 1, 0]
+    assert c["media_spans"].tolist() == [1, 2, 0, 2]
+    assert c["cost"].tolist() == [261, 512, 1, 512]
+
+    ds2 = rd.from_arrow(pa.Table.from_pylist(rows, schema=schema))
+    p = (interleaved_pack(ds2, budget=300, range_size=2)
+         .to_pandas().sort_values("doc_id"))
+    # starts: 0, 261, 773, 774 -> // 300 = 0, 0, 2, 2
+    assert p["shard"].tolist() == [0, 0, 2, 2]
+
+    ds3 = rd.from_arrow(pa.Table.from_pylist(rows, schema=schema))
+    m = (media_ref_groups(ds3).to_pandas()
+         .sort_values("media_ref").reset_index(drop=True))
+    assert m["media_ref"].tolist() == ["img1", "img2"]
+    assert m["n_docs"].tolist() == [2, 2]
+    assert m["canonical"].tolist() == [1, 2]
+
+
 def test_weighted_sample_topk_matches_sequential(ray_session):
     """E-S weighted top-k over many blocks equals the sequential
     computation (block-local partial top-k never drops a winner)."""
