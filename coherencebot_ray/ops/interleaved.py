@@ -128,5 +128,8 @@ def media_ref_groups(docs_ds, min_docs: int = 2, id_col: str = "doc_id",
         agg["canonical"] = agg["canonical"].astype(np.int64)
         return agg[agg["n_docs"] >= min_docs]
 
-    return bucketed_group_apply(rows, "media_ref", per_bucket,
-                                n_buckets=n_buckets)
+    return bucketed_group_apply(
+        rows, "media_ref", per_bucket, n_buckets=n_buckets,
+        empty_schema=pa.schema([("media_ref", pa.string()),
+                                ("n_docs", pa.int64()),
+                                ("canonical", pa.int64())]))
