@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "weighted_sample",
     "interleaved_pack",
     "media_dedup",
+    "containment_join",
 ]
 
 

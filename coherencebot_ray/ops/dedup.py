@@ -342,16 +342,22 @@ def minhash_lsh_pairs(
     return verify_pairs_idjoin(docs_ds, cands, threshold, text_col)
 
 
-def verify_pairs_idjoin(docs_ds, cands, threshold: float, text_col: str = "text"):
-    """Exact-Jaccard verify of candidate (a, b) pairs by hash-joining each
-    half back to the docs table (the large-document layout shared by
-    minhash_lsh_pairs and ngram_jaccard_pairs): two bucketed exchanges,
-    each moving the corpus text ONCE plus pair-cardinality rows."""
+def verify_pairs_idjoin(docs_ds, cands, threshold: float, text_col: str = "text",
+                        metric=None, metric_col: str = "jaccard"):
+    """Exact set-similarity verify of candidate (a, b) pairs by
+    hash-joining each half back to the docs table (the large-document
+    layout shared by minhash_lsh_pairs, ngram_jaccard_pairs and
+    containment_pairs): two bucketed exchanges, each moving the corpus
+    text ONCE plus pair-cardinality rows. ``metric(set_a, set_b) ->
+    float`` defaults to Jaccard; ``metric_col`` names the output
+    column (asymmetric metrics like containment keep (a, b) order)."""
+    if metric is None:
+        metric = _jaccard_sets
 
     def _empty_pairs() -> pd.DataFrame:
         return pd.DataFrame(
             {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
-             "jaccard": pd.Series(dtype="float64")}
+             metric_col: pd.Series(dtype="float64")}
         )
 
     from .agg import bucketed_group_apply
@@ -413,7 +419,7 @@ def verify_pairs_idjoin(docs_ds, cands, threshold: float, text_col: str = "text"
         if len(p) == 0:
             return _empty_pairs()
         texts = dict(zip(d["key"], d["txt"]))
-        out = {"a": [], "b": [], "jaccard": []}
+        out = {"a": [], "b": [], metric_col: []}
         sh_cache: dict = {}
 
         def sh(doc_id, txt):
@@ -424,17 +430,17 @@ def verify_pairs_idjoin(docs_ds, cands, threshold: float, text_col: str = "text"
             return s
 
         for pa, pb, ta in zip(p["other"], p["key"], p["txt_a"]):
-            j = _jaccard_sets(sh(pa, ta), sh(pb, texts.get(pb)))
+            j = metric(sh(pa, ta), sh(pb, texts.get(pb)))
             if j >= threshold:
                 out["a"].append(int(pa))
                 out["b"].append(int(pb))
-                out["jaccard"].append(round(j, 6))
+                out[metric_col].append(round(j, 6))
         if not out["a"]:
             return _empty_pairs()
         return pd.DataFrame(
             {"a": pd.Series(out["a"], dtype="int64"),
              "b": pd.Series(out["b"], dtype="int64"),
-             "jaccard": pd.Series(out["jaccard"], dtype="float64")}
+             metric_col: pd.Series(out[metric_col], dtype="float64")}
         )
 
     docs_kv = docs_ds.map_batches(doc_side(1), batch_format="pandas")
@@ -593,6 +599,114 @@ def ngram_jaccard_pairs(
     return bucketed_group_apply(
         verified, ["a", "b"], lambda g: g.drop_duplicates(subset=["a", "b"])
     )
+
+
+def containment_pairs(docs_ds, threshold: float = 0.8,
+                      text_col: str = "text", n_buckets: int = 64):
+    """EXACT n-gram containment join: DIRECTED pairs (a, b), a != b,
+    with C(a,b) = |S(a) ∩ S(b)| / |S(a)| >= ``threshold`` (S = distinct
+    3-token shingles) — documents mostly CONTAINED in another one
+    (boilerplate inclusion, quote pages, near-supersets), the asymmetric
+    complement of :func:`ngram_jaccard_pairs`. Note C >= J always, so
+    every Jaccard hit appears here in both directions plus the
+    asymmetric extras Jaccard misses.
+
+    Asymmetric prefix filter (SSJoin adapted to containment): if
+    C(a,b) >= t then a shares >= ceil(t*|a|) shingles with b, so a's
+    (|a| - ceil(t*|a|) + 1)-prefix under the ascending shingle-hash
+    order must intersect b's FULL set (all shared shingles cannot fit
+    in the shorter suffix). One bucketed exchange on the shingle hash
+    carries a's prefix rows plus b's full rows — ids and sizes only
+    (O(tokens), the dup_spans shape; text never rides). Candidates =
+    (prefix-role x full-role) per hash, size-filtered
+    (min(|a|,|b|) >= t*|a|), then verified exactly through the id-join
+    layout (:func:`verify_pairs_idjoin` with the containment metric).
+
+    Scale note: a degenerate hot shingle (present in a large corpus
+    fraction) makes its hash group quadratic — at real corpus scale put
+    a document-frequency stoplist in front (same caveat as the Jaccard
+    join's ``max_bucket``); drops are the caller's to log.
+    """
+    import math
+
+    from .agg import bucketed_group_apply
+
+    def rows(df: pd.DataFrame) -> pd.DataFrame:
+        out_h, out_doc, out_sz, out_role = [], [], [], []
+        for doc_id, text in zip(df["doc_id"], df[text_col]):
+            text = text if isinstance(text, str) else ""
+            h = np.unique(_shingle_hashes(text))
+            sz = int(h.size)
+            if sz == 0:
+                continue
+            plen = sz - int(math.ceil(threshold * sz - 1e-9)) + 1
+            out_h.append(h[:plen])
+            out_doc.append(np.full(plen, int(doc_id), dtype=np.int64))
+            out_sz.append(np.full(plen, sz, dtype=np.int64))
+            out_role.append(np.zeros(plen, dtype=np.int8))  # contained
+            out_h.append(h)
+            out_doc.append(np.full(sz, int(doc_id), dtype=np.int64))
+            out_sz.append(np.full(sz, sz, dtype=np.int64))
+            out_role.append(np.ones(sz, dtype=np.int8))  # container
+        if not out_h:
+            return pd.DataFrame({"h": pd.Series(dtype="int64"),
+                                 "doc_id": pd.Series(dtype="int64"),
+                                 "sz": pd.Series(dtype="int64"),
+                                 "role": pd.Series(dtype="int8")})
+        return pd.DataFrame({"h": np.concatenate(out_h).view(np.int64),
+                             "doc_id": np.concatenate(out_doc),
+                             "sz": np.concatenate(out_sz),
+                             "role": np.concatenate(out_role)})
+
+    def cand_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64")})
+        if len(b) == 0:
+            return empty
+        h = b["h"].to_numpy()
+        role = b["role"].to_numpy()
+        did = b["doc_id"].to_numpy(dtype=np.int64)
+        sz = b["sz"].to_numpy(dtype=np.int64)
+        order = np.lexsort((did, role, h))
+        h, role, did, sz = h[order], role[order], did[order], sz[order]
+        new = np.empty(len(h), dtype=bool)
+        new[0] = True
+        new[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(h)]
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            k = s + int(np.searchsorted(role[s:e], 1))
+            na, nb = k - s, e - k
+            if na == 0 or nb == 0:
+                continue
+            A = np.repeat(did[s:k], nb)
+            As = np.repeat(sz[s:k], nb)
+            B = np.tile(did[k:e], na)
+            Bs = np.tile(sz[k:e], na)
+            m = (A != B) & (np.minimum(As, Bs) >= threshold * As - 1e-9)
+            out_a.append(A[m])
+            out_b.append(B[m])
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        bb = np.concatenate(out_b)
+        # bucket-local dedup before the exchange (a doc pair can share
+        # many shingles in one bucket)
+        packed = np.unique(np.stack([a, bb], axis=1), axis=0)
+        return pd.DataFrame({"a": packed[:, 0], "b": packed[:, 1]})
+
+    pre_ds = docs_ds.map_batches(rows, batch_format="pandas")
+    cands = bucketed_group_apply(pre_ds, "h", cand_bucket,
+                                 n_buckets=n_buckets)
+    cands = bucketed_group_apply(
+        cands, ["a", "b"], lambda g: g.drop_duplicates(subset=["a", "b"]))
+
+    def containment(sa: set, sb: set) -> float:
+        return len(sa & sb) / len(sa) if sa else 0.0
+
+    return verify_pairs_idjoin(docs_ds, cands, threshold, text_col,
+                               metric=containment, metric_col="containment")
 
 
 def simhash_pairs(docs_ds, max_hamming: int = 3, text_col: str = "text"):

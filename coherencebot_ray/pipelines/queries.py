@@ -795,6 +795,45 @@ def q_ngram_jaccard_idjoin(sf_dir: str):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def q_containment(sf_dir: str):
+    """Exact directed n-gram containment join (C(a,b) = |A∩B|/|A| >=
+    0.8) via the asymmetric prefix filter; id-join verify layout
+    (ops/dedup.containment_pairs)."""
+    from ..ops.dedup import containment_pairs
+
+    out = containment_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"],
+              min_block_bytes=_EXCHANGE_BLOCK_BYTES),
+        threshold=0.8,
+    ).to_pandas()
+    out["containment_ppm"] = np.floor(
+        out["containment"].astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    out = out[["a", "b", "containment_ppm"]]
+    for c in ("a", "b"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+_CONTAINMENT_SQL = """
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents),
+sh_long AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+  FROM toks, unnest(range(1, greatest(len(ts) - 2, 0) + 1)) AS u(i)
+  WHERE len(ts) >= 3
+),
+sh_short AS (SELECT doc_id, array_to_string(ts, ' ') AS s FROM toks WHERE len(ts) BETWEEN 1 AND 2),
+sh AS (SELECT DISTINCT doc_id, s FROM (SELECT * FROM sh_long UNION ALL SELECT * FROM sh_short)),
+shl AS (SELECT doc_id, list(s) AS ss FROM sh GROUP BY doc_id),
+ver AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         len(list_intersect(x.ss, y.ss)) AS inter, len(x.ss) AS asz
+  FROM shl x JOIN shl y ON x.doc_id != y.doc_id
+)
+SELECT a, b, CAST(FLOOR(inter * 1.0 / asz * 1000000 + 0.5) AS BIGINT) AS containment_ppm
+FROM ver WHERE inter * 1.0 / asz >= 0.8 ORDER BY a, b
+"""
+
+
 _NGRAM_JACCARD_SQL = """
 WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents),
 sh_long AS (
@@ -2819,6 +2858,7 @@ def build_queries() -> dict:
         "dedup_norm_docs": q_dedup_norm_docs,
         "minhash_lsh": q_minhash_lsh,
         "minhash_lsh_idjoin": q_minhash_lsh_idjoin,
+        "containment_join": q_containment,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_idjoin": q_ngram_jaccard_idjoin,
         "dup_spans": q_dup_spans,
@@ -2918,6 +2958,7 @@ def build_oracle_sql() -> dict:
         "q3_join": _Q3_SQL,
         "minhash_lsh": _minhash_sql(),
         "minhash_lsh_idjoin": _minhash_sql(),
+        "containment_join": _CONTAINMENT_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "ngram_jaccard_idjoin": _NGRAM_JACCARD_SQL,
         "dup_spans": _DUP_SPANS_SQL,

@@ -504,6 +504,36 @@ def test_bpe_token_count():
     assert token_count(s).tolist() == [4, 0, 2]
 
 
+def test_containment_pairs_asymmetric(ray_session):
+    """Directed containment: a short doc fully inside a long one hits
+    (short -> long) but NOT the reverse (low C(long, short)), a pair of
+    near-identical docs hits both directions, unrelated docs none."""
+    import ray.data as rd
+
+    from coherencebot_ray.ops.dedup import containment_pairs
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            " ".join(f"tok{i}" for i in range(10)),      # 1: prefix of 2
+            base,                                         # 2: superset
+            base,                                         # 3: exact twin of 2
+            " ".join(f"other{i}" for i in range(30)),     # 4: unrelated
+            "",                                           # 5: empty
+        ],
+    })
+    out = (
+        containment_pairs(rd.from_pandas(docs), threshold=0.9)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    got = set(zip(out["a"], out["b"]))
+    # doc1 has 8 shingles, all in doc2/doc3 -> C=1.0 directed
+    assert got == {(1, 2), (1, 3), (2, 3), (3, 2)}
+    assert (out.loc[(out["a"] == 1) & (out["b"] == 2),
+                    "containment"] == 1.0).all()
+
+
 def test_interleaved_costs_pack_and_media_groups(ray_session):
     """Zero-copy span ops over a hand-built list<struct> table: token
     accounting (media = flat 256), prefix-sum shards, and cross-doc
