@@ -95,28 +95,33 @@ def interleaved_pack(docs_ds, budget: int, media_token_cost: int = 256,
 
 
 def media_ref_groups(docs_ds, min_docs: int = 2, id_col: str = "doc_id",
-                     spans_col: str = "spans", n_buckets: int = 32):
+                     spans_col: str = "spans", n_buckets: int = 32,
+                     id_arrow_type: "pa.DataType | None" = None):
     """Cross-document media dedup: media refs appearing in >=
     ``min_docs`` distinct documents, with the min-id canonical owner —
     the "fetch/decode each asset once" planning step of an interleaved
     pipeline (and the media analogue of URL dedup J9). One map explodes
     (media_ref, doc) pairs — bytes moved are refs, never payloads —
     then one bucketed groupby on the ref. Returns
-    (media_ref, n_docs, canonical)."""
+    (media_ref, n_docs, canonical). Ids may be int64 (derived tables)
+    or strings (segment docs); ``id_arrow_type`` types the empty-result
+    schema, default int64."""
     from .agg import bucketed_group_apply
+
+    id_t = id_arrow_type if id_arrow_type is not None else pa.int64()
+    id_np = "object" if pa.types.is_string(id_t) else "int64"
 
     def explode(t: pa.Table) -> pd.DataFrame:
         parent, flat = _explode_spans(t, id_col, spans_col)
         if not len(parent):
             return pd.DataFrame({"media_ref": pd.Series(dtype="object"),
-                                 id_col: pd.Series(dtype="int64")})
+                                 id_col: pd.Series(dtype=id_np)})
         kind = np.asarray(flat.field("kind").to_numpy(zero_copy_only=False))
         ref = np.asarray(flat.field("media_ref").to_numpy(zero_copy_only=False))
         ids = t.column(id_col).to_numpy(zero_copy_only=False)[parent]
-        m = kind == "media"
+        m = (kind == "media") & (ref != "") & (~pd.isna(ref))
         return pd.DataFrame({"media_ref": ref[m],
-                             id_col: ids[m].astype(np.int64)}
-                            ).drop_duplicates()
+                             id_col: ids[m]}).drop_duplicates()
 
     rows = docs_ds.map_batches(explode, batch_format="pyarrow")
 
@@ -125,11 +130,10 @@ def media_ref_groups(docs_ds, min_docs: int = 2, id_col: str = "doc_id",
         agg = (g.groupby("media_ref", sort=False)[id_col]
                .agg(n_docs="size", canonical="min").reset_index())
         agg["n_docs"] = agg["n_docs"].astype(np.int64)
-        agg["canonical"] = agg["canonical"].astype(np.int64)
         return agg[agg["n_docs"] >= min_docs]
 
     return bucketed_group_apply(
         rows, "media_ref", per_bucket, n_buckets=n_buckets,
         empty_schema=pa.schema([("media_ref", pa.string()),
                                 ("n_docs", pa.int64()),
-                                ("canonical", pa.int64())]))
+                                ("canonical", id_t)]))

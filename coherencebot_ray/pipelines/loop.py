@@ -31,6 +31,7 @@ def crawl_loop(
     hostdb_every: int = 0,
     dedup_every: int = 0,
     doc_dedup_every: int = 0,
+    media_dedup_every: int = 0,
     invertlinks_every: int = 0,
     index_every: int = 0,
     sitemaps_every: int = 0,
@@ -84,6 +85,7 @@ def crawl_loop(
             sitemaps_every, sitemap_host_slices, sitemap_hosts_cap, warc_out,
             gc_keep_gens, invertlinks_every, dedup_every, index_every,
             workdir, hostdb_overrides, doc_dedup_every,
+            media_dedup_every,
         )
     finally:
         d.close()  # release the persistent round-worker pool
@@ -128,6 +130,7 @@ def _loop_rounds(
     sitemaps_every, sitemap_host_slices, sitemap_hosts_cap, warc_out,
     gc_keep_gens, invertlinks_every, dedup_every, index_every,
     workdir, hostdb_overrides, doc_dedup_every=0,
+    media_dedup_every=0,
 ) -> list[dict]:
     import ray.data as rd  # noqa: F401 (kept: parity with crawl_loop imports)
 
@@ -254,6 +257,41 @@ def _loop_rounds(
             metrics["doc_dups_marked"] = n_doc_dups
             _append_round_counters(
                 d.seg_dir(gen), {"doc_dups_marked": n_doc_dups})
+
+        if media_dedup_every and ridx % media_dedup_every == 0:
+            # interleaved-media dedup plan: media refs shared by >= 2
+            # parsed docs across ALL segments so far, with the min-id
+            # canonical owner — the media-fetch stage reads the plan
+            # and fetches/decodes each asset ONCE (the media analogue
+            # of J9's URL dedup; refs move, payloads never do).
+            import glob as _glob
+
+            import pyarrow as _pa
+            import ray.data as _rd
+
+            from ..ops.interleaved import media_ref_groups
+
+            doc_files = sorted(_glob.glob(os.path.join(
+                workdir, "segments", "gen=*", "docs", "part-*", "*.parquet")))
+            n_dup_refs = fetches_saved = 0
+            if doc_files:
+                docs = _rd.read_parquet(doc_files, partitioning=None)
+                plan = media_ref_groups(
+                    docs, min_docs=2, id_arrow_type=_pa.string()
+                ).materialize()
+                n_dup_refs = plan.count()
+                if n_dup_refs:
+                    plan.write_parquet(os.path.join(
+                        workdir, "media_plan", f"gen={gen:06d}"))
+                    fetches_saved = int(plan.map_batches(
+                        lambda df: pd.DataFrame(
+                            {"s": [int((df["n_docs"] - 1).sum())]}),
+                        batch_format="pandas").to_pandas()["s"].sum())
+            metrics["media_dup_refs"] = n_dup_refs
+            metrics["media_fetches_saved"] = fetches_saved
+            _append_round_counters(
+                d.seg_dir(gen), {"media_dup_refs": n_dup_refs,
+                                 "media_fetches_saved": fetches_saved})
 
         if index_every and ridx % index_every == 0:
             docs = tools.read_segment(d.seg_dir(gen), "docs")

@@ -35,6 +35,8 @@ def main() -> int:
     ap.add_argument("--dedup-every", type=int, default=0)
     ap.add_argument("--doc-dedup-every", type=int, default=0,
                     help="document-level near-dup keep-one (minhash→components→mark losers) every N rounds")
+    ap.add_argument("--media-dedup-every", type=int, default=0,
+                    help="interleaved media-ref dedup plan (fetch each asset once) every N rounds")
     ap.add_argument("--invertlinks-every", type=int, default=0)
     ap.add_argument("--index-every", type=int, default=0)
     ap.add_argument("--add-binary-content", action="store_true",
@@ -116,6 +118,7 @@ def main() -> int:
         hostdb_every=args.hostdb_every,
         dedup_every=args.dedup_every,
         doc_dedup_every=args.doc_dedup_every,
+        media_dedup_every=args.media_dedup_every,
         invertlinks_every=args.invertlinks_every,
         index_every=args.index_every,
         sitemaps_every=args.sitemaps_every,

@@ -71,6 +71,41 @@ def test_doc_dedup_cadence_marks_losers(tmp_path, ray_session):
     assert rj["counters"]["doc_dups_marked"] == 4
 
 
+def test_media_dedup_cadence_writes_plan(tmp_path, ray_session):
+    """--media-dedup-every: media refs shared across parsed docs land in
+    a resumable media_plan parquet with the min-id canonical owner, and
+    the counters reach the round metrics and _ROUND.json."""
+    import glob
+    import json
+
+    import pandas as pd
+
+    from coherencebot_ray.sources.fake_protocol import FakeProtocol, FakeResponse
+
+    class ImgProtocol(FakeProtocol):
+        def fetch(self, url):
+            if "/start" in url:
+                body = (b"<html><body><img src='http://cdn.example/shared.png'>"
+                        b"<p>page text</p></body></html>")
+                return FakeResponse("success", body, "text/html")
+            return super().fetch(url)
+
+    wd = str(tmp_path / "wmedia")
+    res = crawl_loop(wd, CFG, seeds=SEEDS, rounds=1, start_time_ms=T0,
+                     media_dedup_every=1, protocol=ImgProtocol())
+    # every seed page embeds the same asset -> one dup ref group
+    assert res[0]["media_dup_refs"] == 1
+    assert res[0]["media_fetches_saved"] == len(SEEDS) - 1
+    files = glob.glob(os.path.join(wd, "media_plan", "gen=*", "*.parquet"))
+    assert files
+    plan = pd.concat([pd.read_parquet(f) for f in files])
+    assert plan["media_ref"].tolist() == ["http://cdn.example/shared.png"]
+    assert plan["n_docs"].tolist() == [len(SEEDS)]
+    with open(os.path.join(wd, "segments", "gen=000001", "_ROUND.json")) as fh:
+        rj = json.load(fh)
+    assert rj["counters"]["media_dup_refs"] == 1
+
+
 def test_dedup_cadence_commits_marks(tmp_path, ray_session):
     """--dedup-every: J9's StatusUpdateReducer now COMMITS a new
     frontier generation (per-touched-partition merge-back), so the
