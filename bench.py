@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "interleaved_pack",
     "media_dedup",
     "containment_join",
+    "char_entropy",
 ]
 
 

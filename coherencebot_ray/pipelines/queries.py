@@ -974,6 +974,46 @@ ORDER BY a, b
 """
 
 
+def q_char_entropy(sf_dir: str):
+    """Char-distribution quality signal (ops/text.char_entropy): per-doc
+    Shannon entropy in the integer-exact layout (ent_num = sum of
+    count x per-distinct-count-rounded ln), pure map, zero shuffle."""
+    from ..ops.text import char_entropy
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        out = char_entropy(df)
+        out.insert(0, "doc_id", df["doc_id"].to_numpy(np.int64))
+        return out[["doc_id", "n_chars", "distinct_chars", "ent_num"]]
+
+    out = ds.map_batches(per_batch, batch_format="pandas").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_CHAR_ENTROPY_SQL = """
+WITH ch AS (
+  SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '.')) AS c
+  FROM documents
+),
+cnt AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY doc_id, c),
+agg AS (
+  SELECT doc_id,
+         SUM(n * CAST(FLOOR(ln(n) * 1000000 + 0.5) AS BIGINT)) AS ent_num,
+         COUNT(*) AS distinct_chars, SUM(n) AS n_chars
+  FROM cnt GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_chars, 0) AS BIGINT) AS n_chars,
+       CAST(coalesce(a.distinct_chars, 0) AS BIGINT) AS distinct_chars,
+       CAST(coalesce(a.ent_num, 0) AS BIGINT) AS ent_num
+FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+"""
+
+
 def q_text_quality(sf_dir: str):
     """Quality metrics per doc (vectorized; SQL-mirrorable definitions)."""
     from ..ops.text import text_quality
@@ -2864,6 +2904,7 @@ def build_queries() -> dict:
         "dup_spans": q_dup_spans,
         "hll_distinct": q_hll_distinct,
         "simhash": q_simhash,
+        "char_entropy": q_char_entropy,
         "text_quality": q_text_quality,
         "fingerprint": q_fingerprint,
         "langid": q_langid,
@@ -2933,6 +2974,7 @@ def build_oracle_sql() -> dict:
         "indexer_join": _INDEXER_SQL,
         "dedup_exact_docs": _DEDUP_DOCS_SQL,
         "dedup_norm_docs": _DEDUP_NORM_SQL,
+        "char_entropy": _CHAR_ENTROPY_SQL,
         "text_quality": _QUALITY_SQL,
         "fingerprint": _FINGERPRINT_SQL,
         "knn_cosine": _KNN_SQL,

@@ -504,6 +504,28 @@ def test_bpe_token_count():
     assert token_count(s).tolist() == [4, 0, 2]
 
 
+def test_char_entropy_matches_naive():
+    """Vectorized char-histogram entropy equals the per-doc Counter
+    computation (including empty docs and the integer ent_num layout)."""
+    import math
+    from collections import Counter
+
+    from coherencebot_ray.ops.text import char_entropy
+
+    texts = ["aab", "", "zzzz", "abcd", "héllo héllo"]
+    out = char_entropy(pd.DataFrame({"text": texts}))
+    for i, t in enumerate(texts):
+        c = Counter(t)
+        ent_num = sum(n * int(math.floor(math.log(n) * 1e6 + 0.5))
+                      for n in c.values())
+        assert out.loc[i, "n_chars"] == len(t)
+        assert out.loc[i, "distinct_chars"] == len(c)
+        assert out.loc[i, "ent_num"] == ent_num
+        if len(t):
+            want = math.log(len(t)) - ent_num / (len(t) * 1e6)
+            assert abs(out.loc[i, "entropy"] - want) < 1e-12
+
+
 def test_containment_pairs_asymmetric(ray_session):
     """Directed containment: a short doc fully inside a long one hits
     (short -> long) but NOT the reverse (low C(long, short)), a pair of
