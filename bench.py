@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "media_dedup",
     "containment_join",
     "char_entropy",
+    "token_kl",
 ]
 
 

@@ -126,3 +126,96 @@ def grouped_int_quantiles(ds, value_pre, ps=(0.25, 0.5, 0.9, 0.99),
     hist = int_value_histogram(ds, value_pre, group_col=group_col,
                                n_buckets=n_buckets)
     return quantiles_from_histogram(hist, tuple(ps), group_col=group_col)
+
+
+def _partial_group_token_counts(df: pd.DataFrame, group_col: str,
+                                lowercase: bool) -> pd.DataFrame:
+    texts = df["text"].fillna("")
+    if lowercase:
+        texts = texts.str.lower()
+    tok = texts.str.findall(TOKEN_RE)
+    n = tok.str.len().to_numpy(dtype=np.int64)
+    if n.sum() == 0:
+        return pd.DataFrame({group_col: pd.Series(dtype="object"),
+                             "token": pd.Series(dtype="object"),
+                             "cnt": pd.Series(dtype="int64")})
+    g = np.repeat(df[group_col].to_numpy(dtype=object), n)
+    t = tok.explode().dropna().to_numpy(dtype=object)
+    vc = (pd.DataFrame({group_col: g, "token": t})
+          .groupby([group_col, "token"], sort=False).size()
+          .reset_index(name="cnt"))
+    vc["cnt"] = vc["cnt"].astype(np.int64)
+    return vc
+
+
+def _L(x: np.ndarray) -> np.ndarray:
+    """round(ln(x) * 1e6) as int64 — the per-value rounding that makes
+    every cross-term sum integer and order-independent (values <=
+    ln(2^63)*1e6 ~ 4.4e7, so a 1-ulp libm disagreement between numpy
+    and the SQL engine cannot move the rounded int)."""
+    return np.floor(np.log(x.astype(np.float64)) * 1e6 + 0.5).astype(np.int64)
+
+
+def token_kl_drift(docs_ds, group_col: str = "source",
+                   lowercase: bool = True, n_buckets: int = 32):
+    """KL(P_g || P_corpus) per corpus slice ``g`` — the distribution-
+    drift monitor of a training-data pipeline (does this source / crawl
+    batch look like the corpus it joins?). Every token of a slice is in
+    the corpus by construction, so the divergence is finite with no
+    smoothing.
+
+    Integer-exact layout: with L(x) = round(ln(x) * 1e6),
+
+      kl_num(g) = sum_t  n_gt * (L(n_gt) - L(N_g) - L(n_t) + L(N))
+
+    — all integer arithmetic after the per-value rounding, so the SQL
+    oracle reproduces it bit-for-bit regardless of summation order.
+    KL(g) = kl_num(g) / (N_g * 1e6) nats (``kl`` float column for
+    users; oracle-gated queries project the ints).
+
+    Scale shape: per-batch partial (group, token, cnt) -> ONE
+    token-hash exchange (all slices' counts for a token co-locate, so
+    the global n_t is exact in-bucket) -> per-(bucket, group) integer
+    partial sums -> a tiny grouped fold. Slice totals N_g are a first
+    pass of per-batch partials folded on the driver (|groups| x blocks
+    rows) and broadcast in the closure. Returns a pandas DataFrame
+    (group_col, n_tokens, kl_num, kl) — |groups| rows."""
+    from .text import token_count
+
+    def totals_partial(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("")
+        return pd.DataFrame({group_col: df[group_col].to_numpy(dtype=object),
+                             "n": token_count(texts)}) \
+            .groupby(group_col, sort=False)["n"].sum().reset_index()
+
+    totals = (docs_ds.map_batches(totals_partial, batch_format="pandas")
+              .to_pandas().groupby(group_col, sort=True)["n"].sum())
+    n_g = {g: int(v) for g, v in totals.items()}
+    n_total = int(totals.sum())
+    l_ng = {g: int(np.floor(np.log(v) * 1e6 + 0.5)) for g, v in n_g.items() if v}
+    l_n = int(np.floor(np.log(n_total) * 1e6 + 0.5)) if n_total else 0
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({group_col: pd.Series(dtype="object"),
+                                 "kl_part": pd.Series(dtype="int64")})
+        gt = (b.groupby(["token", group_col], sort=False)["cnt"].sum()
+              .reset_index())
+        n_t = gt.groupby("token", sort=False)["cnt"].transform("sum").to_numpy(np.int64)
+        n_gt = gt["cnt"].to_numpy(np.int64)
+        lg = gt[group_col].map(l_ng).to_numpy(np.int64)
+        term = n_gt * (_L(n_gt) - lg - _L(n_t) + l_n)
+        out = pd.DataFrame({group_col: gt[group_col], "kl_part": term})
+        return (out.groupby(group_col, sort=False)["kl_part"].sum()
+                .reset_index())
+
+    parts = bucketed_group_apply(
+        docs_ds, "token", per_bucket, n_buckets=n_buckets,
+        pre=lambda df: _partial_group_token_counts(df, group_col, lowercase),
+    ).to_pandas()
+    agg = parts.groupby(group_col, sort=True)["kl_part"].sum().reset_index()
+    agg = agg.rename(columns={"kl_part": "kl_num"})
+    agg["n_tokens"] = agg[group_col].map(n_g).astype(np.int64)
+    agg["kl_num"] = agg["kl_num"].astype(np.int64)
+    agg["kl"] = agg["kl_num"] / (agg["n_tokens"] * 1e6)
+    return agg[[group_col, "n_tokens", "kl_num", "kl"]]

@@ -1212,6 +1212,45 @@ LIMIT 20
 """
 
 
+def q_token_kl(sf_dir: str):
+    """Per-source token-distribution drift KL(P_source || P_corpus)
+    (ops/vocab.token_kl_drift): integer-exact kl_num layout, one
+    token-hash exchange."""
+    from ..ops.vocab import token_kl_drift
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    out = token_kl_drift(ds, group_col="source")
+    out = out[["source", "n_tokens", "kl_num"]].copy()
+    out["n_tokens"] = out["n_tokens"].astype(np.int64)
+    out["kl_num"] = out["kl_num"].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+_TOKEN_KL_SQL = r"""
+WITH tok AS (
+  SELECT source, unnest(regexp_extract_all(lower(coalesce(text, '')), '\S+')) AS t
+  FROM documents
+),
+gt AS (SELECT source, t, COUNT(*) AS n_gt FROM tok GROUP BY source, t),
+tt AS (SELECT t, SUM(n_gt) AS n_t FROM gt GROUP BY t),
+gs AS (SELECT source, SUM(n_gt) AS n_g FROM gt GROUP BY source),
+tot AS (SELECT SUM(n_gt) AS n FROM gt),
+terms AS (
+  SELECT g.source,
+         g.n_gt * (CAST(FLOOR(ln(g.n_gt) * 1000000 + 0.5) AS BIGINT)
+                 - CAST(FLOOR(ln(s.n_g) * 1000000 + 0.5) AS BIGINT)
+                 - CAST(FLOOR(ln(t.n_t) * 1000000 + 0.5) AS BIGINT)
+                 + CAST(FLOOR(ln(tot.n) * 1000000 + 0.5) AS BIGINT)) AS term
+  FROM gt g JOIN tt t USING (t) JOIN gs s USING (source) CROSS JOIN tot
+)
+SELECT s.source, CAST(s.n_g AS BIGINT) AS n_tokens,
+       CAST(SUM(term) AS BIGINT) AS kl_num
+FROM terms JOIN gs s USING (source)
+GROUP BY s.source, s.n_g ORDER BY s.source
+"""
+
+
 def q_token_quantiles(sf_dir: str):
     """Exact per-language PERCENTILE_DISC of whitespace token counts
     via the distributed value-histogram (ops/vocab.grouped_int_
@@ -2946,6 +2985,7 @@ def build_queries() -> dict:
         "token_counts": q_token_counts,
         "vocab_topk": q_vocab_topk,
         "decontaminate": q_decontaminate,
+        "token_kl": q_token_kl,
         "token_quantiles": q_token_quantiles,
         "c4_filters": q_c4_filters,
         "crawlcomplete": q_crawlcomplete,
@@ -3021,6 +3061,7 @@ def build_oracle_sql() -> dict:
         "token_counts": _token_counts_sql(),
         "vocab_topk": _VOCAB_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
+        "token_kl": _TOKEN_KL_SQL,
         "token_quantiles": _TOKEN_QUANTILES_SQL,
         "c4_filters": _C4_SQL,
         "knn_ivf": _KNN_IVF_SQL,

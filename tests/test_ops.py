@@ -504,6 +504,42 @@ def test_bpe_token_count():
     assert token_count(s).tolist() == [4, 0, 2]
 
 
+def test_token_kl_drift_matches_naive(ray_session):
+    """Integer-layout KL(slice || corpus) equals the naive per-token
+    computation; an identical-distribution slice scores ~0 and a skewed
+    slice scores higher."""
+    import math
+    from collections import Counter
+
+    import ray.data as rd
+
+    from coherencebot_ray.ops.vocab import token_kl_drift
+
+    docs = pd.DataFrame({
+        "source": ["a"] * 4 + ["b"] * 4,
+        "text": ["x y", "x z", "x y", "x z",     # a: x4 y2 z2
+                 "x x", "x x", "x x", "q q"],    # b: x6 q2 (skewed)
+    })
+    out = token_kl_drift(rd.from_pandas(docs).repartition(3),
+                         group_col="source").set_index("source")
+
+    L = lambda x: int(math.floor(math.log(x) * 1e6 + 0.5))
+    corpus = Counter()
+    slices = {}
+    for g, sub in docs.groupby("source"):
+        c = Counter(" ".join(sub["text"]).split())
+        slices[g] = c
+        corpus.update(c)
+    n_tot = sum(corpus.values())
+    for g, c in slices.items():
+        n_g = sum(c.values())
+        want = sum(n * (L(n) - L(n_g) - L(corpus[t]) + L(n_tot))
+                   for t, n in c.items())
+        assert out.loc[g, "kl_num"] == want
+        assert out.loc[g, "n_tokens"] == n_g
+    assert out.loc["b", "kl"] > out.loc["a", "kl"] > 0
+
+
 def test_char_entropy_matches_naive():
     """Vectorized char-histogram entropy equals the per-doc Counter
     computation (including empty docs and the integer ent_num layout)."""
