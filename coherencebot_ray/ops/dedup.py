@@ -308,7 +308,7 @@ def minhash_lsh_pairs(
                 if j >= threshold:
                     out["a"].append(int(pa))
                     out["b"].append(int(pb))
-                    out["jaccard"].append(round(j, 6))
+                    out["jaccard"].append(j)
             if not out["a"]:
                 return _empty_pairs()
             return pd.DataFrame(
@@ -434,7 +434,7 @@ def verify_pairs_idjoin(docs_ds, cands, threshold: float, text_col: str = "text"
             if j >= threshold:
                 out["a"].append(int(pa))
                 out["b"].append(int(pb))
-                out[metric_col].append(round(j, 6))
+                out[metric_col].append(j)
         if not out["a"]:
             return _empty_pairs()
         return pd.DataFrame(
@@ -586,7 +586,7 @@ def ngram_jaccard_pairs(
             if j >= threshold:
                 out["a"].append(int(pa))
                 out["b"].append(int(pb))
-                out["jaccard"].append(round(j, 6))
+                out["jaccard"].append(j)
         if not out["a"]:
             return _empty_pairs()
         return pd.DataFrame(

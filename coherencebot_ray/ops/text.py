@@ -341,6 +341,16 @@ def pii_redact(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+def _L(x: np.ndarray) -> np.ndarray:
+    """round(ln(x) * 1e6) as int64 — the shared per-value rounding that
+    makes every cross-term sum integer and order-independent (values <=
+    ln(2^63)*1e6 ~ 4.4e7, so a 1-ulp libm disagreement between numpy
+    and the SQL engine cannot move the rounded int). Used by
+    char_entropy and ops.vocab.token_kl_drift; the oracles bake the
+    same FLOOR(ln(x)*1e6 + 0.5) rule."""
+    return np.floor(np.log(x.astype(np.float64)) * 1e6 + 0.5).astype(np.int64)
+
+
 def char_entropy(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """Character-distribution quality signal: per-doc char histogram ->
     Shannon entropy. Gibberish/binary-ish pages sit at the high end,
@@ -368,8 +378,12 @@ def char_entropy(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     key = (doc_idx << 32) | codes.astype(np.int64)
     uniq, counts = np.unique(key, return_counts=True)
     owner = (uniq >> 32).astype(np.int64)
-    term = np.floor(np.log(counts) * 1e6 + 0.5).astype(np.int64) * counts
-    ent_num = np.bincount(owner, weights=term, minlength=len(s)).astype(np.int64)
+    term = _L(counts) * counts
+    # int64 add.at, NOT bincount(weights=...): bincount sums float64 and
+    # would round ent_num above 2^53 (huge single docs), breaking the
+    # integer-exact oracle layout
+    ent_num = np.zeros(len(s), dtype=np.int64)
+    np.add.at(ent_num, owner, term)
     distinct = np.bincount(owner, minlength=len(s)).astype(np.int64)
     with np.errstate(divide="ignore", invalid="ignore"):
         entropy = np.where(

@@ -27,6 +27,7 @@ import numpy as np
 import pandas as pd
 
 from .agg import bucketed_group_apply
+from .text import _L
 
 TOKEN_RE = r"\S+"
 
@@ -128,6 +129,16 @@ def grouped_int_quantiles(ds, value_pre, ps=(0.25, 0.5, 0.9, 0.99),
     return quantiles_from_histogram(hist, tuple(ps), group_col=group_col)
 
 
+_NULL_GROUP = "\x00null"  # internal sentinel: pandas groupby drops NaN
+# keys (dropna default) while SQL GROUP BY keeps NULL as a group; rows
+# with a null group are folded under this sentinel and reported as None.
+
+
+def _group_values(df: pd.DataFrame, group_col: str) -> np.ndarray:
+    g = df[group_col]
+    return g.where(g.notna(), _NULL_GROUP).to_numpy(dtype=object)
+
+
 def _partial_group_token_counts(df: pd.DataFrame, group_col: str,
                                 lowercase: bool) -> pd.DataFrame:
     texts = df["text"].fillna("")
@@ -139,21 +150,13 @@ def _partial_group_token_counts(df: pd.DataFrame, group_col: str,
         return pd.DataFrame({group_col: pd.Series(dtype="object"),
                              "token": pd.Series(dtype="object"),
                              "cnt": pd.Series(dtype="int64")})
-    g = np.repeat(df[group_col].to_numpy(dtype=object), n)
+    g = np.repeat(_group_values(df, group_col), n)
     t = tok.explode().dropna().to_numpy(dtype=object)
     vc = (pd.DataFrame({group_col: g, "token": t})
           .groupby([group_col, "token"], sort=False).size()
           .reset_index(name="cnt"))
     vc["cnt"] = vc["cnt"].astype(np.int64)
     return vc
-
-
-def _L(x: np.ndarray) -> np.ndarray:
-    """round(ln(x) * 1e6) as int64 — the per-value rounding that makes
-    every cross-term sum integer and order-independent (values <=
-    ln(2^63)*1e6 ~ 4.4e7, so a 1-ulp libm disagreement between numpy
-    and the SQL engine cannot move the rounded int)."""
-    return np.floor(np.log(x.astype(np.float64)) * 1e6 + 0.5).astype(np.int64)
 
 
 def token_kl_drift(docs_ds, group_col: str = "source",
@@ -184,7 +187,7 @@ def token_kl_drift(docs_ds, group_col: str = "source",
 
     def totals_partial(df: pd.DataFrame) -> pd.DataFrame:
         texts = df["text"].fillna("")
-        return pd.DataFrame({group_col: df[group_col].to_numpy(dtype=object),
+        return pd.DataFrame({group_col: _group_values(df, group_col),
                              "n": token_count(texts)}) \
             .groupby(group_col, sort=False)["n"].sum().reset_index()
 
@@ -192,8 +195,8 @@ def token_kl_drift(docs_ds, group_col: str = "source",
               .to_pandas().groupby(group_col, sort=True)["n"].sum())
     n_g = {g: int(v) for g, v in totals.items()}
     n_total = int(totals.sum())
-    l_ng = {g: int(np.floor(np.log(v) * 1e6 + 0.5)) for g, v in n_g.items() if v}
-    l_n = int(np.floor(np.log(n_total) * 1e6 + 0.5)) if n_total else 0
+    l_ng = {g: int(_L(np.array([v]))[0]) for g, v in n_g.items() if v}
+    l_n = int(_L(np.array([n_total]))[0]) if n_total else 0
 
     def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:
@@ -218,4 +221,5 @@ def token_kl_drift(docs_ds, group_col: str = "source",
     agg["n_tokens"] = agg[group_col].map(n_g).astype(np.int64)
     agg["kl_num"] = agg["kl_num"].astype(np.int64)
     agg["kl"] = agg["kl_num"] / (agg["n_tokens"] * 1e6)
+    agg[group_col] = agg[group_col].where(agg[group_col] != _NULL_GROUP, None)
     return agg[[group_col, "n_tokens", "kl_num", "kl"]]

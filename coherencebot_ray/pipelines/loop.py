@@ -125,6 +125,21 @@ def _rounds_completed(store) -> int:
     return n
 
 
+def _all_segment_docs(workdir: str):
+    """Lazy Dataset over every parsed docs part across ALL segment
+    generations so far (None when no docs exist yet) — shared by the
+    doc-dedup and media-dedup cadences."""
+    import glob
+
+    import ray.data as rd
+
+    doc_files = sorted(glob.glob(os.path.join(
+        workdir, "segments", "gen=*", "docs", "part-*", "*.parquet")))
+    if not doc_files:
+        return None
+    return rd.read_parquet(doc_files, partitioning=None)
+
+
 def _loop_rounds(
     d, cfg, rounds, now, round_interval_ms, use_feed, hostdb_every,
     sitemaps_every, sitemap_host_slices, sitemap_hosts_cap, warc_out,
@@ -236,15 +251,9 @@ def _loop_rounds(
             # loser set, not the corpus), land as a resumable parquet
             # artifact, and get marked DB_DUPLICATE in the frontier for
             # the counter — visible in _ROUND.json like J9's marks.
-            import glob as _glob
-
-            import ray.data as _rd
-
-            doc_files = sorted(_glob.glob(os.path.join(
-                workdir, "segments", "gen=*", "docs", "part-*", "*.parquet")))
+            docs = _all_segment_docs(workdir)
             n_doc_dups = 0
-            if doc_files:
-                docs = _rd.read_parquet(doc_files, partitioning=None)
+            if docs is not None:
                 losers = jobs.doc_neardup_losers(docs).materialize()
                 n_doc_dups = losers.count()
                 if n_doc_dups:
@@ -264,18 +273,13 @@ def _loop_rounds(
             # canonical owner — the media-fetch stage reads the plan
             # and fetches/decodes each asset ONCE (the media analogue
             # of J9's URL dedup; refs move, payloads never do).
-            import glob as _glob
-
             import pyarrow as _pa
-            import ray.data as _rd
 
             from ..ops.interleaved import media_ref_groups
 
-            doc_files = sorted(_glob.glob(os.path.join(
-                workdir, "segments", "gen=*", "docs", "part-*", "*.parquet")))
+            docs = _all_segment_docs(workdir)
             n_dup_refs = fetches_saved = 0
-            if doc_files:
-                docs = _rd.read_parquet(doc_files, partitioning=None)
+            if docs is not None:
                 plan = media_ref_groups(
                     docs, min_docs=2, id_arrow_type=_pa.string()
                 ).materialize()

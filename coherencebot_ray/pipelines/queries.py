@@ -55,6 +55,17 @@ def _read(sf_dir: str, table: str, columns=None, min_block_bytes: int | None = N
 _EXCHANGE_BLOCK_BYTES = 4 << 20
 
 
+def _typed_empty(out: pd.DataFrame, cols: dict) -> pd.DataFrame:
+    """Ray drops block schemas on some fully-empty pipelines (union /
+    map_groups chains), so Dataset.to_pandas() can return a COLUMN-LESS
+    empty frame; rebuild the typed empty so downstream projections
+    don't KeyError. ``cols`` maps column -> pandas dtype string."""
+    if len(out) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+    return out
+
+
+
 def _cents(x: np.ndarray) -> np.ndarray:
     return np.floor(x * 100.0 + 0.5).astype(np.int64)
 
@@ -688,6 +699,7 @@ def q_minhash_lsh(sf_dir: str):
     from ..ops.dedup import minhash_lsh_pairs
 
     out = minhash_lsh_pairs(_read(sf_dir, "documents", columns=["doc_id", "text"], min_block_bytes=_EXCHANGE_BLOCK_BYTES)).to_pandas()
+    out = _typed_empty(out, {"a": "int64", "b": "int64", "jaccard": "float64"})
     out["jaccard_ppm"] = np.floor(out["jaccard"].astype(np.float64) * 1e6 + 0.5).astype(np.int64)
     out = out[["a", "b", "jaccard_ppm"]]
     for c in ("a", "b"):
@@ -706,6 +718,7 @@ def q_minhash_lsh_idjoin(sf_dir: str):
     out = minhash_lsh_pairs(
         _read(sf_dir, "documents", columns=["doc_id", "text"], min_block_bytes=_EXCHANGE_BLOCK_BYTES), with_text=False
     ).to_pandas()
+    out = _typed_empty(out, {"a": "int64", "b": "int64", "jaccard": "float64"})
     out["jaccard_ppm"] = np.floor(out["jaccard"].astype(np.float64) * 1e6 + 0.5).astype(np.int64)
     out = out[["a", "b", "jaccard_ppm"]]
     for c in ("a", "b"):
@@ -769,6 +782,7 @@ def q_ngram_jaccard(sf_dir: str):
     out = ngram_jaccard_pairs(
         _read(sf_dir, "documents", columns=["doc_id", "text"], min_block_bytes=_EXCHANGE_BLOCK_BYTES)
     ).to_pandas()
+    out = _typed_empty(out, {"a": "int64", "b": "int64", "jaccard": "float64"})
     out["jaccard_ppm"] = np.floor(out["jaccard"].astype(np.float64) * 1e6 + 0.5).astype(np.int64)
     out = out[["a", "b", "jaccard_ppm"]]
     for c in ("a", "b"):
@@ -788,6 +802,7 @@ def q_ngram_jaccard_idjoin(sf_dir: str):
         _read(sf_dir, "documents", columns=["doc_id", "text"], min_block_bytes=_EXCHANGE_BLOCK_BYTES),
         with_text=False,
     ).to_pandas()
+    out = _typed_empty(out, {"a": "int64", "b": "int64", "jaccard": "float64"})
     out["jaccard_ppm"] = np.floor(out["jaccard"].astype(np.float64) * 1e6 + 0.5).astype(np.int64)
     out = out[["a", "b", "jaccard_ppm"]]
     for c in ("a", "b"):
@@ -806,6 +821,8 @@ def q_containment(sf_dir: str):
               min_block_bytes=_EXCHANGE_BLOCK_BYTES),
         threshold=0.8,
     ).to_pandas()
+    out = _typed_empty(out, {"a": "int64", "b": "int64",
+                             "containment": "float64"})
     out["containment_ppm"] = np.floor(
         out["containment"].astype(np.float64) * 1e6 + 0.5).astype(np.int64)
     out = out[["a", "b", "containment_ppm"]]
@@ -945,6 +962,7 @@ def q_simhash(sf_dir: str):
     from ..ops.dedup import simhash_pairs
 
     out = simhash_pairs(_read(sf_dir, "documents", columns=["doc_id", "text"], min_block_bytes=_EXCHANGE_BLOCK_BYTES)).to_pandas()
+    out = _typed_empty(out, {"a": "int64", "b": "int64", "hamming": "int64"})
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["a", "b"]).reset_index(drop=True)
@@ -996,7 +1014,7 @@ def q_char_entropy(sf_dir: str):
 
 _CHAR_ENTROPY_SQL = """
 WITH ch AS (
-  SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '.')) AS c
+  SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '[\s\S]')) AS c
   FROM documents
 ),
 cnt AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY doc_id, c),
@@ -1676,7 +1694,8 @@ def q_embedding_neardup(sf_dir: str):
     from ..ops.knn import embedding_neardup_pairs
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"], min_block_bytes=_EXCHANGE_BLOCK_BYTES)
-    out = embedding_neardup_pairs(ds, threshold=0.45).to_pandas()[["a", "b"]]
+    out = _typed_empty(embedding_neardup_pairs(ds, threshold=0.45).to_pandas(),
+                       {"a": "int64", "b": "int64"})[["a", "b"]]
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["a", "b"]).reset_index(drop=True)
@@ -1692,7 +1711,9 @@ def q_embedding_neardup_lsh(sf_dir: str):
     from ..ops.knn import embedding_neardup_lsh
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"], min_block_bytes=_EXCHANGE_BLOCK_BYTES)
-    out = embedding_neardup_lsh(ds, threshold=0.45, n_tables=24, n_bits=6).to_pandas()[["a", "b"]]
+    out = _typed_empty(
+        embedding_neardup_lsh(ds, threshold=0.45, n_tables=24, n_bits=6).to_pandas(),
+        {"a": "int64", "b": "int64"})[["a", "b"]]
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["a", "b"]).reset_index(drop=True)

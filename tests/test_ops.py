@@ -196,7 +196,7 @@ def test_ngram_jaccard_exact_vs_bruteforce(ray_session):
                 continue
             jac = dd.jaccard(texts[i], texts[j])
             if jac >= thresh:
-                brute[(i, j)] = round(jac, 6)
+                brute[(i, j)] = jac  # raw double: op emits the unrounded ratio
 
     for with_text in (True, False):
         out = dd.ngram_jaccard_pairs(ds, threshold=thresh, with_text=with_text).to_pandas()
@@ -516,19 +516,22 @@ def test_token_kl_drift_matches_naive(ray_session):
     from coherencebot_ray.ops.vocab import token_kl_drift
 
     docs = pd.DataFrame({
-        "source": ["a"] * 4 + ["b"] * 4,
+        "source": ["a"] * 4 + ["b"] * 4 + [None],
         "text": ["x y", "x z", "x y", "x z",     # a: x4 y2 z2
-                 "x x", "x x", "x x", "q q"],    # b: x6 q2 (skewed)
+                 "x x", "x x", "x x", "q q",     # b: x6 q2 (skewed)
+                 "x r"],                          # null source: kept as a
+                                                  # group (SQL NULL parity)
     })
     out = token_kl_drift(rd.from_pandas(docs).repartition(3),
                          group_col="source").set_index("source")
+    assert None in out.index  # null slice reported, not dropped
 
     L = lambda x: int(math.floor(math.log(x) * 1e6 + 0.5))
     corpus = Counter()
     slices = {}
-    for g, sub in docs.groupby("source"):
+    for g, sub in docs.groupby("source", dropna=False):
         c = Counter(" ".join(sub["text"]).split())
-        slices[g] = c
+        slices[None if pd.isna(g) else g] = c
         corpus.update(c)
     n_tot = sum(corpus.values())
     for g, c in slices.items():
