@@ -104,3 +104,35 @@ def stratified_topk(ds, key_col: str, k: int, order_col: str,
         return g.groupby(key_col, sort=False).head(k)
 
     return bucketed_group_apply(ds, key_col, head, n_buckets=n_buckets)
+
+
+def curriculum_bins(ds, value_pre, ps=(0.25, 0.5, 0.75),
+                    n_buckets: int = 32):
+    """Curriculum binning: tag every document with its quantile bin of
+    an integer difficulty/quality metric (token count, char length,
+    quality score) — the easy-to-hard bucketing pass of curriculum
+    training / quality-tiered sampling.
+
+    Two passes, neither shuffles document rows: (1) the exact
+    distributed value-histogram -> PERCENTILE_DISC cut points
+    (ops.vocab machinery; the exchange moves (value, cnt) histograms
+    bounded by the value domain, never rows), (2) a broadcast-cutpoint
+    map tags bin = number of cut points strictly below the metric
+    (values equal to a cut stay in the lower bin, PERCENTILE_DISC
+    parity). ``value_pre(batch) -> DataFrame`` must return the id
+    column(s) plus an int64 ``value`` column. Returns a Dataset of
+    value_pre's columns plus ``bin``."""
+    from .vocab import int_value_histogram, quantiles_from_histogram
+
+    hist = int_value_histogram(ds, value_pre, n_buckets=n_buckets)
+    q = quantiles_from_histogram(hist, tuple(ps))
+    cuts = np.sort(q["value"].to_numpy(np.int64))
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        v = value_pre(df)
+        out = v.copy()
+        out["bin"] = np.searchsorted(
+            cuts, v["value"].to_numpy(np.int64), side="left").astype(np.int64)
+        return out
+
+    return ds.map_batches(tag, batch_format="pandas")

@@ -2254,8 +2254,9 @@ SELECT doc_id FROM documents WHERE length(text) >= 300 ORDER BY doc_id
 
 def q_linkrank(sf_dir: str):
     """WebGraph/LinkRank analogue (scoring/webgraph/LinkRank): 2 power
-    iterations over the order->part edge graph, rank rounded to 4 dp
-    (sum-order float drift ~1e-12 must stay below the rounding grain)."""
+    iterations over the order->part edge graph, rank quantized to 4 dp
+    with an epsilon-shifted floor (exact-rational .5 ties otherwise flip
+    on summation order — observed once at sf0.1)."""
     from ..stages.tools import linkrank
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"], min_block_bytes=_EXCHANGE_BLOCK_BYTES)
@@ -2272,7 +2273,12 @@ def q_linkrank(sf_dir: str):
     # n_shards pinned: the shard count sets float accumulation order, and
     # this query's hash must be identical across cluster/parallelism sizes
     out = linkrank(edges, iterations=2, n_shards=8).to_pandas()
-    out["rank_e4"] = np.floor(out["rank"].astype(np.float64) * 1e4 + 0.5).astype(np.int64)
+    # epsilon-shifted quantizer (both sides): rank values are sums of
+    # 1/outdeg rationals that can land EXACTLY on a .5 e4-boundary, where
+    # summation-order drift (~1e-14) decides the side arbitrarily; the
+    # 1e-9 shift moves the boundary off every such rational point
+    out["rank_e4"] = np.floor(
+        out["rank"].astype(np.float64) * 1e4 + 0.5 + 1e-9).astype(np.int64)
     return out[["url", "rank_e4"]].sort_values("url").reset_index(drop=True)
 
 
@@ -2299,7 +2305,7 @@ r2 AS (
   LEFT JOIN r1 ON r1.url = e.src
   GROUP BY n.url
 )
-SELECT url, CAST(FLOOR(r * 10000 + 0.5) AS BIGINT) AS rank_e4 FROM r2 ORDER BY url
+SELECT url, CAST(FLOOR(r * 10000 + 0.5 + 0.000000001) AS BIGINT) AS rank_e4 FROM r2 ORDER BY url
 """
 
 

@@ -540,8 +540,11 @@ class _RankShard:
         return len(r)
 
     def result(self) -> pd.DataFrame:
+        # raw doubles: a 9-dp rounding here once CREATED exact .5 ties at
+        # the caller's e4 quantization grain (ranks are nice rationals —
+        # sums of 1/outdeg), flipping one row vs the SQL oracle at sf0.1
         return pd.DataFrame(
-            {"url": self.ranks.index.to_numpy(), "rank": np.round(self.ranks.to_numpy(), 9)}
+            {"url": self.ranks.index.to_numpy(), "rank": self.ranks.to_numpy()}
         )
 
 
@@ -562,7 +565,8 @@ def linkrank(edges_ds, iterations: int = 3, damping: float = 0.85, n_shards: int
     plus one local fold. Driver memory is O(n_shards) refs — no
     node-cardinality driver state. Multigraph semantics: duplicate
     (src, dst) rows each contribute (scoring/webgraph/LinkRank.java
-    analogue). Returns Dataset (url, rank) rounded to 9 dp.
+    analogue). Returns Dataset (url, rank) — raw doubles; quantization
+    is the caller's (see q_linkrank's epsilon-shifted floor).
     """
     import ray
     import ray.data as rd
