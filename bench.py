@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "containment_join",
     "char_entropy",
     "token_kl",
+    "curriculum_bins",
 ]
 
 

@@ -1230,6 +1230,48 @@ LIMIT 20
 """
 
 
+def q_curriculum_bins(sf_dir: str):
+    """Curriculum quantile binning (ops/sample.curriculum_bins): each
+    doc tagged with its quartile bin of whitespace token count — exact
+    PERCENTILE_DISC cut points from the distributed value histogram,
+    then a broadcast-cutpoint map. Values equal to a cut stay in the
+    lower bin."""
+    from ..ops.sample import curriculum_bins
+    from ..ops.text import token_count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+
+    def value_pre(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "value": token_count(df["text"].fillna(""))})
+
+    out = curriculum_bins(ds, value_pre, ps=(0.25, 0.5, 0.75)).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_CURRICULUM_SQL = r"""
+WITH m AS (
+  SELECT doc_id,
+         len(regexp_extract_all(coalesce(text, ''), '\S+'))::BIGINT AS value
+  FROM documents
+),
+c AS (
+  SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS c1,
+         percentile_disc(0.50) WITHIN GROUP (ORDER BY value) AS c2,
+         percentile_disc(0.75) WITHIN GROUP (ORDER BY value) AS c3
+  FROM m
+)
+SELECT doc_id, value,
+       CAST((CASE WHEN value > c1 THEN 1 ELSE 0 END)
+          + (CASE WHEN value > c2 THEN 1 ELSE 0 END)
+          + (CASE WHEN value > c3 THEN 1 ELSE 0 END) AS BIGINT) AS bin
+FROM m CROSS JOIN c ORDER BY doc_id
+"""
+
+
 def q_token_kl(sf_dir: str):
     """Per-source token-distribution drift KL(P_source || P_corpus)
     (ops/vocab.token_kl_drift): integer-exact kl_num layout, one
@@ -3012,6 +3054,7 @@ def build_queries() -> dict:
         "token_counts": q_token_counts,
         "vocab_topk": q_vocab_topk,
         "decontaminate": q_decontaminate,
+        "curriculum_bins": q_curriculum_bins,
         "token_kl": q_token_kl,
         "token_quantiles": q_token_quantiles,
         "c4_filters": q_c4_filters,
@@ -3088,6 +3131,7 @@ def build_oracle_sql() -> dict:
         "token_counts": _token_counts_sql(),
         "vocab_topk": _VOCAB_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
+        "curriculum_bins": _CURRICULUM_SQL,
         "token_kl": _TOKEN_KL_SQL,
         "token_quantiles": _TOKEN_QUANTILES_SQL,
         "c4_filters": _C4_SQL,

@@ -504,6 +504,26 @@ def test_bpe_token_count():
     assert token_count(s).tolist() == [4, 0, 2]
 
 
+def test_curriculum_bins_quartiles(ray_session):
+    """Quantile binning: PERCENTILE_DISC cut points over the exact
+    value histogram; values EQUAL to a cut stay in the lower bin."""
+    import ray.data as rd
+
+    from coherencebot_ray.ops.sample import curriculum_bins
+
+    # values 1..8: cuts = percentile_disc(.25/.5/.75) = 2, 4, 6
+    df = pd.DataFrame({"doc_id": np.arange(8, dtype=np.int64),
+                       "value": np.arange(1, 9, dtype=np.int64)})
+
+    def value_pre(d):
+        return d[["doc_id", "value"]]
+
+    out = (curriculum_bins(rd.from_pandas(df).repartition(3), value_pre)
+           .to_pandas().sort_values("doc_id"))
+    # 1,2 -> bin0 ; 3,4 -> bin1 ; 5,6 -> bin2 ; 7,8 -> bin3
+    assert out["bin"].tolist() == [0, 0, 1, 1, 2, 2, 3, 3]
+
+
 def test_token_kl_drift_matches_naive(ray_session):
     """Integer-layout KL(slice || corpus) equals the naive per-token
     computation; an identical-distribution slice scores ~0 and a skewed
