@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "char_entropy",
     "token_kl",
     "curriculum_bins",
+    "pack_shuffled",
 ]
 
 

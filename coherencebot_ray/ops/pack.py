@@ -32,13 +32,18 @@ def pack_counts(
     id_col: str = "doc_id",
     range_size: int = 65536,
     n_buckets: int = 64,
+    sort_cols: "list[str] | None" = None,
 ):
     """The generic prefix-sum packer over a pre-costed Dataset: ``tok``
     must carry (id_col, tokens, rng = id // range_size); any EXTRA
     columns ride through pass 2 unchanged (pass 1 reads only
     rng/tokens). Returns (extras..., id_col, tokens, shard). Shared by
     :func:`pack_by_token_budget` (text corpora) and
-    ``ops.interleaved.interleaved_pack`` (text+media span docs)."""
+    ``ops.interleaved.interleaved_pack`` (text+media span docs).
+    ``sort_cols`` overrides the global packing order (default: id) —
+    MUST be consistent with how ``rng`` partitions that order (every
+    row of range k orders before every row of range k+1), e.g. a hash
+    key with rng = key >> 48 (see :func:`pack_shuffled`)."""
     from ..ops.agg import bucketed_group_apply
 
     # pass 1: per-range sums -> driver-held prefix offsets (bounded)
@@ -64,9 +69,10 @@ def pack_counts(
     def assign(g: pd.DataFrame) -> pd.DataFrame:
         off = ray.get(offsets_ref)
         extras = [c for c in g.columns if c not in (id_col, "tokens", "rng")]
+        order_cols = sort_cols or [id_col]
         outs = []
         for rng_id, sub in g.groupby("rng", sort=False):
-            sub = sub.sort_values(id_col, kind="stable")
+            sub = sub.sort_values(order_cols, kind="stable")
             t = sub["tokens"].to_numpy(np.int64)
             start = int(off[int(rng_id)]) + np.cumsum(t) - t
             out = sub[extras].reset_index(drop=True)
@@ -110,3 +116,47 @@ def pack_by_token_budget(
     tok = docs_ds.map_batches(counts, batch_format="pandas")
     return pack_counts(tok, budget, id_col=id_col,
                        range_size=range_size, n_buckets=n_buckets)
+
+
+def pack_shuffled(
+    docs_ds,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    range_shift: int = 48,
+):
+    """Deterministic global shuffle + token-budget packing: documents
+    are ordered by the md5 hash of their id — the standard "shuffle the
+    corpus before sharding" step of training-data prep, with no
+    ``random_shuffle`` all-to-all and no RNG state (reruns and the SQL
+    oracle agree exactly) — and packed into ~``budget``-token shards
+    along that order by the same distributed prefix sum. The shuffle is
+    free: the hash key partitions into ranges (key >> 48, 65536 uniform
+    ranges) exactly like doc-id ranges do, so the exchange shape is
+    identical to :func:`pack_by_token_budget`. Ties on the 64-bit key
+    (birthday-bounded) break on id. ``range_shift`` sizes the range
+    count (2^(64-shift)): 48 -> 65536 ranges, the 10^10-doc setting;
+    small corpora should pass a larger shift so ranges don't go
+    singleton (the per-range fold pays per-group overhead). Returns
+    (id_col, tokens, shard)."""
+    from .sketch import _md5_u64
+    from .text import token_count
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        key = _md5_u64(ids)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "tokens": token_count(df[text_col]).astype(np.int64),
+                "__key": key,
+                "rng": (key >> np.uint64(range_shift)).astype(np.int64),
+            }
+        )
+
+    tok = docs_ds.map_batches(counts, batch_format="pandas")
+    packed = pack_counts(tok, budget, id_col=id_col, n_buckets=n_buckets,
+                         sort_cols=["__key", id_col])
+    return packed.map_batches(
+        lambda df: df[[id_col, "tokens", "shard"]], batch_format="pandas")

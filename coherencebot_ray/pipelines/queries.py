@@ -1378,6 +1378,35 @@ FROM t ORDER BY doc_id
 """
 
 
+def q_pack_shuffled(sf_dir: str):
+    """Deterministic hash-shuffled token packing (ops/pack.pack_shuffled):
+    docs ordered by md5(doc_id) — shuffle-before-sharding with no RNG
+    and no random_shuffle all-to-all — then budget-packed by the same
+    distributed prefix sum (ranges = key >> 48)."""
+    from ..ops.pack import pack_shuffled
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    # 256 ranges at harness scale (the 48-bit default is the 10^10 tier)
+    out = pack_shuffled(ds, budget=4096, range_shift=56).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_PACK_SHUFFLED_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(coalesce(text, ''), '\S+'))::BIGINT AS tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) AS key
+  FROM documents
+)
+SELECT doc_id, tokens,
+       ((sum(tokens) OVER (ORDER BY key, doc_id) - tokens) // 4096)::BIGINT AS shard
+FROM t ORDER BY doc_id
+"""
+
+
 def q_interleaved_pack(sf_dir: str):
     """Multimodal token-budget packing over the INTERLEAVED span table
     (input_hint shape, derived: DV.derived_spans_ds): text spans cost
@@ -3049,6 +3078,7 @@ def build_queries() -> dict:
         "weighted_sample": q_weighted_sample,
         "stratified_topk": q_stratified_topk,
         "pack_tokens": q_pack_tokens,
+        "pack_shuffled": q_pack_shuffled,
         "interleaved_pack": q_interleaved_pack,
         "media_dedup": q_media_dedup,
         "token_counts": q_token_counts,
@@ -3126,6 +3156,7 @@ def build_oracle_sql() -> dict:
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "stratified_topk": _STRATIFIED_SQL,
         "pack_tokens": _PACK_SQL,
+        "pack_shuffled": _PACK_SHUFFLED_SQL,
         "interleaved_pack": _INTERLEAVED_PACK_SQL,
         "media_dedup": _MEDIA_DEDUP_SQL,
         "token_counts": _token_counts_sql(),

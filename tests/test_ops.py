@@ -504,6 +504,39 @@ def test_bpe_token_count():
     assert token_count(s).tolist() == [4, 0, 2]
 
 
+def test_pack_shuffled_matches_sequential(ray_session):
+    """Hash-shuffled packing equals the sequential cumsum over docs
+    sorted by (md5(id), id), and differs from id-order packing."""
+    import hashlib
+
+    import ray.data as rd
+
+    from coherencebot_ray.ops.pack import pack_shuffled
+
+    n = 64
+    docs = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": [" ".join(["w"] * (1 + (i * 13) % 37)) for i in range(n)],
+    })
+    budget = 50
+    rows = []
+    for i, t in zip(docs["doc_id"], docs["text"]):
+        key = int(hashlib.md5(str(int(i)).encode()).hexdigest()[:16], 16)
+        rows.append((key, int(i), len(t.split())))
+    rows.sort()
+    run = 0
+    want = {}
+    for _, i, tok in rows:
+        want[i] = run // budget
+        run += tok
+    out = (pack_shuffled(rd.from_pandas(docs).repartition(8), budget=budget,
+                         range_shift=58)
+           .to_pandas().sort_values("doc_id"))
+    assert dict(zip(out["doc_id"], out["shard"])) == want
+    # the shuffle actually reorders: shard sequence is not monotone in id
+    assert not (np.diff(out["shard"].to_numpy()) >= 0).all()
+
+
 def test_curriculum_bins_quartiles(ray_session):
     """Quantile binning: PERCENTILE_DISC cut points over the exact
     value histogram; values EQUAL to a cut stay in the lower bin."""
