@@ -659,6 +659,9 @@ def containment_pairs(docs_ds, threshold: float = 0.8,
                              "role": np.concatenate(out_role)})
 
     def cand_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        """Fully vectorized (prefix-role x full-role) expansion per hash
+        group — no Python loop over groups (a bucket holds 10^5+ mostly
+        barren shingle-hash groups; loop overhead dominated the wall)."""
         empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
                               "b": pd.Series(dtype="int64")})
         if len(b) == 0:
@@ -673,27 +676,41 @@ def containment_pairs(docs_ds, threshold: float = 0.8,
         new[0] = True
         new[1:] = h[1:] != h[:-1]
         starts = np.flatnonzero(new)
-        ends = np.r_[starts[1:], len(h)]
-        out_a, out_b = [], []
-        for s, e in zip(starts, ends):
-            k = s + int(np.searchsorted(role[s:e], 1))
-            na, nb = k - s, e - k
-            if na == 0 or nb == 0:
-                continue
-            A = np.repeat(did[s:k], nb)
-            As = np.repeat(sz[s:k], nb)
-            B = np.tile(did[k:e], na)
-            Bs = np.tile(sz[k:e], na)
-            m = (A != B) & (np.minimum(As, Bs) >= threshold * As - 1e-9)
-            out_a.append(A[m])
-            out_b.append(B[m])
-        if not out_a:
+        sizes = np.diff(np.r_[starts, len(h)])
+        # per-group role split: rows are (role asc) within a group, so
+        # group i has na_i = count of role-0 rows, first B row at
+        # starts_i + na_i
+        cnt0 = np.add.reduceat((role == 0).astype(np.int64), starts)
+        na, nb = cnt0, sizes - cnt0
+        live = (na > 0) & (nb > 0)
+        if not live.any():
             return empty
-        a = np.concatenate(out_a)
-        bb = np.concatenate(out_b)
+        gs = starts[live]
+        gna = na[live]
+        gnb = nb[live]
+        # A-row positions of live groups: concatenated aranges
+        a_tot = int(gna.sum())
+        a_pos = (np.arange(a_tot)
+                 - np.repeat(np.cumsum(gna) - gna, gna)
+                 + np.repeat(gs, gna))
+        # each A row expands to its group's full B slice
+        nb_per_a = np.repeat(gnb, gna)
+        b_base = np.repeat(gs + gna, gna)  # B slice start per A row
+        tot = int(nb_per_a.sum())
+        if tot == 0:
+            return empty
+        within = (np.arange(tot)
+                  - np.repeat(np.cumsum(nb_per_a) - nb_per_a, nb_per_a))
+        b_pos = np.repeat(b_base, nb_per_a) + within
+        a_pos_x = np.repeat(a_pos, nb_per_a)
+        A, As = did[a_pos_x], sz[a_pos_x]
+        B, Bs = did[b_pos], sz[b_pos]
+        m = (A != B) & (np.minimum(As, Bs) >= threshold * As - 1e-9)
+        if not m.any():
+            return empty
         # bucket-local dedup before the exchange (a doc pair can share
         # many shingles in one bucket)
-        packed = np.unique(np.stack([a, bb], axis=1), axis=0)
+        packed = np.unique(np.stack([A[m], B[m]], axis=1), axis=0)
         return pd.DataFrame({"a": packed[:, 0], "b": packed[:, 1]})
 
     pre_ds = docs_ds.map_batches(rows, batch_format="pandas")
