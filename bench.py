@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "token_kl",
     "curriculum_bins",
     "pack_shuffled",
+    "llm_corpus",
 ]
 
 

@@ -1407,6 +1407,105 @@ FROM t ORDER BY doc_id
 """
 
 
+def q_llm_corpus(sf_dir: str):
+    """The composed end-to-end curation pipeline (ops/corpus.py):
+    langid -> Gopher quality -> decontamination -> exact-dedup
+    keep-first -> token-budget packing, in ONE streaming flow over the
+    documents table — the text is read once, everything after the flag
+    pass moves (doc_id, tokens, sig) rows only. Oracle: the five
+    stages' verified SQL composed as CTEs."""
+    from ..ops.corpus import curate_corpus
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    out = curate_corpus(ds, lang="en", gram_n=8, budget=4096,
+                        range_size=128).to_pandas()
+    if not len(out):
+        out = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                            "tokens": pd.Series(dtype="int64"),
+                            "shard": pd.Series(dtype="int64")})
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _llm_corpus_sql() -> str:
+    """Composed oracle: the langid pick, Gopher keep, 8-gram
+    decontamination, md5 keep-first and prefix-sum packing CTEs — each
+    the same SQL its standalone query verifies against."""
+    from ..ops.text import _LANG_PROFILES
+
+    score_cols = ",\n    ".join(
+        f"len(list_intersect(ts, [{', '.join(repr(w) for w in sorted(stops))}])) AS {lang}"
+        for lang, stops in _LANG_PROFILES.items()
+    )
+    langs = list(_LANG_PROFILES)
+    g = "greatest(" + ", ".join(langs) + ")"
+    case = f"CASE WHEN {g} = 0 THEN 'und' " + " ".join(
+        f"WHEN {l} = {g} THEN '{l}'" for l in langs[:-1]
+    ) + f" ELSE '{langs[-1]}' END"
+    return rf"""
+WITH ltoks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+')[1:200] AS ts FROM documents
+),
+sc AS (SELECT doc_id, {score_cols} FROM ltoks),
+pick AS (SELECT doc_id, {case} AS lang_pred FROM sc),
+w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     x -> len(x) > 0) AS words
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(words) AS wc,
+         coalesce(list_sum(list_transform(words, x -> len(x))), 0)::BIGINT AS chars_total,
+         len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+         len(list_filter(words, x -> lower(x) IN
+             ('the','be','to','of','and','that','have','with'))) AS stop_hits
+  FROM w
+),
+q AS (
+  SELECT doc_id FROM m
+  WHERE wc >= 50 AND wc <= 100000
+    AND chars_total >= 3 * wc AND chars_total <= 10 * wc
+    AND alpha_words * 5 > wc * 4 AND stop_hits >= 2
+),
+tok AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\S+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i.i:i.i+7], ' ') AS g
+  FROM tok, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) i
+  WHERE len(t) >= 8
+),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 37 = 0),
+cont AS (
+  SELECT DISTINCT gr.doc_id FROM grams gr JOIN ev ON gr.g = ev.g
+  WHERE gr.doc_id % 37 <> 0
+),
+elig AS (
+  SELECT d.doc_id,
+         len(regexp_extract_all(coalesce(d.text, ''), '\S+'))::BIGINT AS tokens,
+         md5(coalesce(d.text, '')) AS sig
+  FROM documents d
+  JOIN pick USING (doc_id)
+  JOIN q USING (doc_id)
+  WHERE pick.lang_pred = 'en' AND d.doc_id % 37 <> 0
+    AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+),
+winners AS (
+  SELECT doc_id, tokens FROM (
+    SELECT doc_id, tokens, min(doc_id) OVER (PARTITION BY sig) AS keeper
+    FROM elig
+  ) WHERE doc_id = keeper
+)
+SELECT doc_id, tokens,
+       ((sum(tokens) OVER (ORDER BY doc_id) - tokens) // 4096)::BIGINT AS shard
+FROM winners ORDER BY doc_id
+"""
+
+
 def q_interleaved_pack(sf_dir: str):
     """Multimodal token-budget packing over the INTERLEAVED span table
     (input_hint shape, derived: DV.derived_spans_ds): text spans cost
@@ -3079,6 +3178,7 @@ def build_queries() -> dict:
         "stratified_topk": q_stratified_topk,
         "pack_tokens": q_pack_tokens,
         "pack_shuffled": q_pack_shuffled,
+        "llm_corpus": q_llm_corpus,
         "interleaved_pack": q_interleaved_pack,
         "media_dedup": q_media_dedup,
         "token_counts": q_token_counts,
@@ -3157,6 +3257,7 @@ def build_oracle_sql() -> dict:
         "stratified_topk": _STRATIFIED_SQL,
         "pack_tokens": _PACK_SQL,
         "pack_shuffled": _PACK_SHUFFLED_SQL,
+        "llm_corpus": _llm_corpus_sql(),
         "interleaved_pack": _INTERLEAVED_PACK_SQL,
         "media_dedup": _MEDIA_DEDUP_SQL,
         "token_counts": _token_counts_sql(),

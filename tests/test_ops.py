@@ -1097,3 +1097,38 @@ def test_tfidf_topk_vs_naive(ray_session):
     pd.testing.assert_frame_equal(
         out.astype({"tf": "int64", "df": "int64", "score_micro": "int64"}),
         ref.astype({"tf": "int64", "df": "int64", "score_micro": "int64"}))
+
+
+def test_curate_corpus_composed_semantics(ray_session):
+    """The composed curation pipeline (ops/corpus.curate_corpus) applies
+    every stage: eval-slice exclusion, langid, Gopher quality,
+    8-gram decontamination vs the eval slice, exact-dedup keep-first,
+    and prefix-sum shard packing over the survivors."""
+    import ray.data as rd
+
+    from coherencebot_ray.ops.corpus import curate_corpus
+
+    en_base = "the cat and the dog have been with us to show that all of " * 5
+    eval_text = "zebra quokka lemur walrus otter badger ferret stoat mink vole"
+    docs = {
+        0: eval_text,                       # eval slice (0 % 37 == 0)
+        1: en_base + "uniqueone",           # survivor
+        2: en_base + "uniquetwo",           # survivor
+        3: en_base + "uniqueone",           # exact dup of 1 -> dropped
+        4: en_base + "zebra quokka lemur walrus otter badger ferret stoat",
+        #  ^ shares an 8-gram with the eval doc -> contaminated
+        5: "le chat et la tortue est dans les jardins un une des",  # fr
+        6: "short text",                    # Gopher fail (wc < 50)
+        7: en_base + "uniqueseven",         # survivor
+    }
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    ds = rd.from_pandas([d for d in np.array_split(df, 3) if len(d)])
+
+    out = (curate_corpus(ds, lang="en", gram_n=8, budget=100,
+                         range_size=4, n_buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    assert out["doc_id"].tolist() == [1, 2, 7]
+    assert out["tokens"].tolist() == [71, 71, 71]
+    # start offsets 0, 71, 142 -> // 100 = 0, 0, 1
+    assert out["shard"].tolist() == [0, 0, 1]
