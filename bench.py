@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "curriculum_bins",
     "pack_shuffled",
     "llm_corpus",
+    "line_dedup",
 ]
 
 

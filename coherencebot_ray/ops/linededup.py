@@ -1,0 +1,133 @@
+"""Global line-level deduplication (the C4 cross-document span rule,
+Raffel et al. 2020 §2.2: "we removed any duplicated spans", applied
+here at line granularity like CCNet's paragraph dedup): every
+occurrence of a non-empty line AFTER its global first occurrence —
+ordered by (doc_id, line_idx) — is removed from its document.
+
+Scale shape, two exchanges:
+
+1. **ids-only winner fold** — the flag pass emits
+   (sig = md5(line), doc_id, line_idx) for non-empty lines ONLY (~40
+   bytes/line; the line text never enters this exchange); a bucketed
+   fold on sig keeps the global minimum (doc_id, line_idx) per sig and
+   emits the REST as drop marks. Duplicate-free corpora move marks
+   proportional to the duplication rate, not the corpus.
+2. **doc-side co-group** — docs (tagged 0, with text) union the drop
+   marks (tagged 1) through one bucketed exchange on doc_id; per
+   bucket the texts split, marked idxs drop (vectorized anti-join on
+   (doc_id, idx)) and lines reassemble by boundary scan. Text moves
+   exactly once.
+
+Empty lines never dedup (they are structure, not content) and ride
+through reassembly untouched.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+
+def line_dedup(docs_ds, text_col: str = "text", n_buckets: int = 64):
+    """Returns a Dataset of (doc_id, text_clean, n_dropped): the corpus
+    with every later occurrence of a duplicated non-empty line removed;
+    n_dropped = lines removed from that document."""
+    from .agg import bucketed_group_apply
+
+    def explode_sigs(df: pd.DataFrame) -> pd.DataFrame:
+        """(sig, doc_id, line_idx) for non-empty lines."""
+        texts = df[text_col].fillna("")
+        lines = texts.str.split("\n")
+        counts = lines.str.len().to_numpy(np.int64)
+        ids = np.repeat(df["doc_id"].to_numpy(np.int64), counts)
+        idx = np.concatenate([np.arange(c, dtype=np.int64) for c in counts]) \
+            if counts.sum() else np.empty(0, dtype=np.int64)
+        flat = np.concatenate([np.asarray(v, dtype=object) for v in lines]) \
+            if counts.sum() else np.empty(0, dtype=object)
+        keep = np.fromiter((len(s) > 0 for s in flat), dtype=bool, count=len(flat))
+        flat, ids, idx = flat[keep], ids[keep], idx[keep]
+        return pd.DataFrame({
+            "sig": [hashlib.md5(s.encode()).hexdigest() for s in flat],
+            "doc_id": ids,
+            "line_idx": idx,
+        })
+
+    def drop_marks(b: pd.DataFrame) -> pd.DataFrame:
+        """All but the global first (doc_id, line_idx) per sig."""
+        if not len(b):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "line_idx": pd.Series(dtype="int64")})
+        b = b.sort_values(["sig", "doc_id", "line_idx"], kind="stable")
+        sig_v = b["sig"].to_numpy()
+        dup = np.r_[False, sig_v[1:] == sig_v[:-1]]
+        d = b[dup]
+        return pd.DataFrame({"doc_id": d["doc_id"].to_numpy(np.int64),
+                             "line_idx": d["line_idx"].to_numpy(np.int64)})
+
+    marks = bucketed_group_apply(
+        docs_ds.map_batches(explode_sigs, batch_format="pandas"),
+        "sig", drop_marks, n_buckets=n_buckets,
+    )
+
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "payload": df[text_col].fillna("").to_numpy(object),
+                             "line_idx": np.int64(-1), "t": np.int8(0)})
+
+    def tag_marks(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "payload": None,
+                             "line_idx": df["line_idx"].to_numpy(np.int64),
+                             "t": np.int8(1)})
+
+    tagged = docs_ds.map_batches(tag_docs, batch_format="pandas").union(
+        marks.map_batches(tag_marks, batch_format="pandas"))
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["t"] == 0]
+        if not len(docs):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "text_clean": pd.Series(dtype="object"),
+                                 "n_dropped": pd.Series(dtype="int64")})
+        mk = g[g["t"] == 1]
+        lines = docs["payload"].astype(object).str.split("\n")
+        counts = lines.str.len().to_numpy(np.int64)
+        doc_ids = docs["doc_id"].to_numpy(np.int64)
+        ids = np.repeat(doc_ids, counts)
+        idx = np.concatenate([np.arange(c, dtype=np.int64) for c in counts]) \
+            if counts.sum() else np.empty(0, dtype=np.int64)
+        flat = np.concatenate([np.asarray(v, dtype=object) for v in lines]) \
+            if counts.sum() else np.empty(0, dtype=object)
+        # vectorized anti-join on (doc_id, line_idx): mark keys are
+        # unique, so a sorted searchsorted-membership test suffices
+        if len(idx) and int(idx.max()) >= (1 << 20):
+            raise ValueError("line_dedup: >2^20 lines in one document")
+        key = ids << np.int64(20) | idx  # line_idx < 2^20 per doc tier
+        mkey = np.sort(mk["doc_id"].to_numpy(np.int64) << np.int64(20)
+                       | mk["line_idx"].to_numpy(np.int64))
+        if len(mkey):
+            pos = np.searchsorted(mkey, key)
+            hit = (pos < len(mkey)) & (mkey[np.minimum(pos, len(mkey) - 1)] == key)
+        else:
+            hit = np.zeros(len(key), dtype=bool)
+        kept, kept_ids = flat[~hit], ids[~hit]
+        # boundary-scan reassembly in original order (ids are grouped
+        # because the explode preserved doc order)
+        bnd = np.r_[0, np.flatnonzero(kept_ids[1:] != kept_ids[:-1]) + 1,
+                    len(kept_ids)] if len(kept_ids) else np.array([0])
+        texts_by_id = {
+            int(kept_ids[s]): "\n".join(kept[s:e])
+            for s, e in zip(bnd[:-1], bnd[1:])
+        }
+        dropped = pd.Series(ids[hit]).value_counts()
+        return pd.DataFrame({
+            "doc_id": doc_ids,
+            "text_clean": [texts_by_id.get(int(i), "") for i in doc_ids],
+            "n_dropped": dropped.reindex(doc_ids, fill_value=0)
+                                .to_numpy(np.int64),
+        })
+
+    return bucketed_group_apply(tagged, "doc_id", rebuild,
+                                n_buckets=n_buckets)

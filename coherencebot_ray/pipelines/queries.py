@@ -1407,6 +1407,47 @@ FROM t ORDER BY doc_id
 """
 
 
+def q_line_dedup(sf_dir: str):
+    """Global line-level dedup (C4 cross-document span rule at line
+    granularity, ops/linededup.py): later occurrences of a duplicated
+    non-empty line — global order (doc_id, line_idx) — are removed.
+    Two exchanges: ids-only winner fold on the line hash, then one
+    doc_id co-group where text moves exactly once."""
+    from ..ops.linededup import line_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    out = line_dedup(ds, n_buckets=32).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_dropped"] = out["n_dropped"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_LINE_DEDUP_SQL = r"""
+WITH arr AS (
+  SELECT doc_id, regexp_split_to_array(coalesce(text, ''), '\n') AS a
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, i.i AS idx, a[i.i] AS line
+  FROM arr, LATERAL (SELECT unnest(range(1, len(a) + 1)) AS i) i
+),
+ranked AS (
+  SELECT doc_id, idx, line,
+         CASE WHEN len(line) = 0 THEN 1
+              WHEN row_number() OVER (PARTITION BY line
+                                      ORDER BY doc_id, idx) = 1 THEN 1
+              ELSE 0 END AS keep
+  FROM lines
+)
+SELECT doc_id,
+       coalesce(string_agg(line, chr(10) ORDER BY idx)
+                FILTER (WHERE keep = 1), '') AS text_clean,
+       (count(*) FILTER (WHERE keep = 0))::BIGINT AS n_dropped
+FROM ranked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_llm_corpus(sf_dir: str):
     """The composed end-to-end curation pipeline (ops/corpus.py):
     langid -> Gopher quality -> decontamination -> exact-dedup
@@ -3179,6 +3220,7 @@ def build_queries() -> dict:
         "pack_tokens": q_pack_tokens,
         "pack_shuffled": q_pack_shuffled,
         "llm_corpus": q_llm_corpus,
+        "line_dedup": q_line_dedup,
         "interleaved_pack": q_interleaved_pack,
         "media_dedup": q_media_dedup,
         "token_counts": q_token_counts,
@@ -3258,6 +3300,7 @@ def build_oracle_sql() -> dict:
         "pack_tokens": _PACK_SQL,
         "pack_shuffled": _PACK_SHUFFLED_SQL,
         "llm_corpus": _llm_corpus_sql(),
+        "line_dedup": _LINE_DEDUP_SQL,
         "interleaved_pack": _INTERLEAVED_PACK_SQL,
         "media_dedup": _MEDIA_DEDUP_SQL,
         "token_counts": _token_counts_sql(),

@@ -1132,3 +1132,26 @@ def test_curate_corpus_composed_semantics(ray_session):
     assert out["tokens"].tolist() == [71, 71, 71]
     # start offsets 0, 71, 142 -> // 100 = 0, 0, 1
     assert out["shard"].tolist() == [0, 0, 1]
+
+
+def test_line_dedup_global_first_wins(ray_session):
+    """C4-style global line dedup: first occurrence by (doc_id,
+    line_idx) survives, later copies drop (cross-doc AND in-doc),
+    empty lines never dedup, fully-deduped docs stay as rows."""
+    import ray.data as rd
+
+    from coherencebot_ray.ops.linededup import line_dedup
+
+    docs = pd.DataFrame({"doc_id": [0, 1, 2, 3, 4], "text": [
+        "alpha\nbeta\ngamma",
+        "beta\ndelta\n\nepsilon",    # beta lost to doc 0; empty kept
+        "alpha\nalpha\nzeta",        # cross-doc and in-doc dup
+        "",                          # single empty line -> unchanged
+        "gamma\nbeta",               # every line a later dup
+    ]})
+    ds = rd.from_pandas([d for d in np.array_split(docs, 2) if len(d)])
+    out = (line_dedup(ds, n_buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["text_clean"].tolist() == [
+        "alpha\nbeta\ngamma", "delta\n\nepsilon", "zeta", "", ""]
+    assert out["n_dropped"].tolist() == [0, 1, 2, 0, 2]
