@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "pack_shuffled",
     "llm_corpus",
     "line_dedup",
+    "chunk_docs",
 ]
 
 

@@ -160,3 +160,53 @@ def pack_shuffled(
                          sort_cols=["__key", id_col])
     return packed.map_batches(
         lambda df: df[[id_col, "tokens", "shard"]], batch_format="pandas")
+
+
+def chunk_docs(
+    docs_ds,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Split each document into ~``budget``-token training chunks on
+    LINE boundaries (the long-document preprocessing step before
+    sequence packing: context windows must not cut mid-line). A line's
+    chunk is decided by its START offset within the document —
+    ``(doc-local running total - line tokens) // budget`` — the same
+    prefix rule as :func:`pack_counts`, but doc-local, so this is a
+    pure per-batch vectorized map with ZERO shuffle (each doc's lines
+    live in its own row).
+
+    Returns (id_col, chunk, n_lines, tokens) — one row per non-empty
+    chunk; empty docs yield one all-empty chunk 0 row."""
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[text_col].fillna("")
+        lines = texts.str.split("\n")
+        counts = lines.str.len().to_numpy(np.int64)
+        ids = np.repeat(df[id_col].to_numpy(np.int64), counts)
+        total = int(counts.sum())
+        if not total:
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype="int64"),
+                 "chunk": pd.Series(dtype="int64"),
+                 "n_lines": pd.Series(dtype="int64"),
+                 "tokens": pd.Series(dtype="int64")})
+        flat = pd.Series(np.concatenate(
+            [np.asarray(v, dtype=object) for v in lines]))
+        tok = flat.str.count(r"\S+").to_numpy(np.int64)
+        # doc-local prefix sum: global cumsum minus the value carried
+        # in from the previous doc (vectorized boundary reset)
+        csum = np.cumsum(tok)
+        starts = np.r_[0, np.cumsum(counts)[:-1]]
+        carry = np.repeat(csum[starts] - tok[starts], counts)
+        chunk = (csum - tok - carry) // budget
+        out = pd.DataFrame({id_col: ids, "chunk": chunk, "tokens": tok})
+        g = out.groupby([id_col, "chunk"], sort=False)
+        agg = g.agg(n_lines=("tokens", "size"), tokens=("tokens", "sum"))
+        agg = agg.reset_index()
+        for c in agg.columns:
+            agg[c] = agg[c].astype(np.int64)
+        return agg[[id_col, "chunk", "n_lines", "tokens"]]
+
+    return docs_ds.map_batches(per_batch, batch_format="pandas")

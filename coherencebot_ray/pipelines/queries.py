@@ -1407,6 +1407,47 @@ FROM t ORDER BY doc_id
 """
 
 
+def q_chunk_docs(sf_dir: str):
+    """Line-boundary document chunking (ops/pack.chunk_docs): each doc
+    splits into ~512-token context chunks, a line's chunk decided by
+    its doc-local START offset (prefix rule). Pure vectorized per-batch
+    map, zero shuffle."""
+    from ..ops.pack import chunk_docs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    out = chunk_docs(ds, budget=512).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["doc_id", "chunk"]).reset_index(drop=True)
+
+
+_CHUNK_DOCS_SQL = r"""
+WITH arr AS (
+  SELECT doc_id, regexp_split_to_array(coalesce(text, ''), '\n') AS a
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, i.i AS idx, a[i.i] AS line
+  FROM arr, LATERAL (SELECT unnest(range(1, len(a) + 1)) AS i) i
+),
+t AS (
+  SELECT doc_id, idx,
+         len(regexp_extract_all(line, '\S+'))::BIGINT AS tok
+  FROM lines
+),
+c AS (
+  SELECT doc_id, tok,
+         ((sum(tok) OVER (PARTITION BY doc_id ORDER BY idx) - tok)
+          // 512)::BIGINT AS chunk
+  FROM t
+)
+SELECT doc_id, chunk, count(*)::BIGINT AS n_lines,
+       sum(tok)::BIGINT AS tokens
+FROM c GROUP BY doc_id, chunk ORDER BY doc_id, chunk
+"""
+
+
 def q_line_dedup(sf_dir: str):
     """Global line-level dedup (C4 cross-document span rule at line
     granularity, ops/linededup.py): later occurrences of a duplicated
@@ -3221,6 +3262,7 @@ def build_queries() -> dict:
         "pack_shuffled": q_pack_shuffled,
         "llm_corpus": q_llm_corpus,
         "line_dedup": q_line_dedup,
+        "chunk_docs": q_chunk_docs,
         "interleaved_pack": q_interleaved_pack,
         "media_dedup": q_media_dedup,
         "token_counts": q_token_counts,
@@ -3301,6 +3343,7 @@ def build_oracle_sql() -> dict:
         "pack_shuffled": _PACK_SHUFFLED_SQL,
         "llm_corpus": _llm_corpus_sql(),
         "line_dedup": _LINE_DEDUP_SQL,
+        "chunk_docs": _CHUNK_DOCS_SQL,
         "interleaved_pack": _INTERLEAVED_PACK_SQL,
         "media_dedup": _MEDIA_DEDUP_SQL,
         "token_counts": _token_counts_sql(),

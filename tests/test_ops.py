@@ -1155,3 +1155,24 @@ def test_line_dedup_global_first_wins(ray_session):
     assert out["text_clean"].tolist() == [
         "alpha\nbeta\ngamma", "delta\n\nepsilon", "zeta", "", ""]
     assert out["n_dropped"].tolist() == [0, 1, 2, 0, 2]
+
+
+def test_chunk_docs_line_boundaries(ray_session):
+    """Doc-local line-boundary chunking: chunk = start offset // budget
+    (a line straddling the boundary stays in its start chunk); empty
+    docs yield one zero-token chunk row."""
+    import ray.data as rd
+
+    from coherencebot_ray.ops.pack import chunk_docs
+
+    docs = pd.DataFrame({"doc_id": [7, 8],
+                         "text": ["a b c\nd e\nf g h i\nj", ""]})
+    out = (chunk_docs(rd.from_pandas(docs), budget=5)
+           .to_pandas().sort_values(["doc_id", "chunk"])
+           .reset_index(drop=True))
+    # doc 7 line tokens 3,2,4,1 -> starts 0,3,5,9 -> chunks 0,0,1,1
+    assert out.to_dict("records") == [
+        {"doc_id": 7, "chunk": 0, "n_lines": 2, "tokens": 5},
+        {"doc_id": 7, "chunk": 1, "n_lines": 2, "tokens": 5},
+        {"doc_id": 8, "chunk": 0, "n_lines": 1, "tokens": 0},
+    ]
