@@ -335,10 +335,8 @@ def minhash_lsh_pairs(
 
     band_ds = docs_ds.map_batches(bands_ids, batch_format="pandas")
     cands = bucketed_group_apply(band_ds, ["band_id", "band_hash"], cand_bucket)
-    # distinct (a, b) BEFORE the text joins so each pair is verified once
-    cands = bucketed_group_apply(
-        cands, ["a", "b"], lambda g: g.drop_duplicates(subset=["a", "b"])
-    )
+    # distinct (a, b) happens inside verify's first bucket (free: all
+    # copies of a pair share `a`) — no separate dedup exchange
     return verify_pairs_idjoin(docs_ds, cands, threshold, text_col)
 
 
@@ -348,9 +346,12 @@ def verify_pairs_idjoin(docs_ds, cands, threshold: float, text_col: str = "text"
     hash-joining each half back to the docs table (the large-document
     layout shared by minhash_lsh_pairs, ngram_jaccard_pairs and
     containment_pairs): two bucketed exchanges, each moving the corpus
-    text ONCE plus pair-cardinality rows. ``metric(set_a, set_b) ->
-    float`` defaults to Jaccard; ``metric_col`` names the output
-    column (asymmetric metrics like containment keep (a, b) order)."""
+    text ONCE plus pair-cardinality rows. Candidate (a, b) dedup is
+    performed INSIDE the first bucket (all copies of a pair share
+    ``a``), so callers pass raw possibly-duplicated candidates and pay
+    no dedup exchange. ``metric(set_a, set_b) -> float`` defaults to
+    Jaccard; ``metric_col`` names the output column (asymmetric
+    metrics like containment keep (a, b) order)."""
     if metric is None:
         metric = _jaccard_sets
 
@@ -396,6 +397,10 @@ def verify_pairs_idjoin(docs_ds, cands, threshold: float, text_col: str = "text"
                 {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
                  "txt_a": pd.Series(dtype="object")}
             )
+        # candidate (a, b) dedup folds in HERE for free: every copy of a
+        # pair shares its `a`, so this bucket holds them all — callers
+        # must NOT spend a separate exchange on drop_duplicates
+        p = p.drop_duplicates(subset=["key", "other"])
         texts = dict(zip(d["key"], d["txt"]))
         return pd.DataFrame(
             {"a": p["key"].to_numpy(dtype=np.int64),
@@ -560,9 +565,7 @@ def ngram_jaccard_pairs(
             )
 
         cands = bucketed_group_apply(pre_ds, "h", cand_bucket)
-        cands = bucketed_group_apply(
-            cands, ["a", "b"], lambda g: g.drop_duplicates(subset=["a", "b"])
-        )
+        # pair dedup folds into verify's a-side bucket (no exchange)
         return verify_pairs_idjoin(docs_ds, cands, threshold, text_col)
 
     def pairs_bucket(b: pd.DataFrame) -> pd.DataFrame:
@@ -716,8 +719,7 @@ def containment_pairs(docs_ds, threshold: float = 0.8,
     pre_ds = docs_ds.map_batches(rows, batch_format="pandas")
     cands = bucketed_group_apply(pre_ds, "h", cand_bucket,
                                  n_buckets=n_buckets)
-    cands = bucketed_group_apply(
-        cands, ["a", "b"], lambda g: g.drop_duplicates(subset=["a", "b"]))
+    # pair dedup folds into verify's a-side bucket (no exchange)
 
     def containment(sa: set, sb: set) -> float:
         return len(sa & sb) / len(sa) if sa else 0.0
