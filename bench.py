@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "llm_corpus",
     "line_dedup",
     "chunk_docs",
+    "mixture_sample",
 ]
 
 

@@ -136,3 +136,37 @@ def curriculum_bins(ds, value_pre, ps=(0.25, 0.5, 0.75),
         return out
 
     return ds.map_batches(tag, batch_format="pandas")
+
+
+def mixture_sample(ds, rates_pct: dict, default_pct: int = 100,
+                   id_col: str = "doc_id", group_col: str = "source"):
+    """Data-mixture sampling: resample each source group to its mixture
+    weight, expressed in percent — 300 = every doc 3x (upsampling /
+    multiple epochs), 150 = every doc once plus a deterministic
+    hash-chosen half again, 20 = keep ~20%, 0 = drop the source.
+    copies = rate // 100 + (id-hash bucket < rate % 100).
+
+    Pure vectorized map, ZERO shuffle, stable under repartitioning and
+    corpus growth (a doc's copy count never changes when other docs
+    appear — the property that keeps mixtures reproducible across
+    incremental crawls). Emits (id_col, group_col, copy) with copy in
+    [0, copies); np.repeat expansion, no Python loop."""
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        src = df[group_col].astype(object).to_numpy()
+        rate = np.fromiter((rates_pct.get(s, default_pct) for s in src),
+                           dtype=np.int64, count=len(src))
+        copies = rate // 100 + (_md5_bucket(ids) < rate % 100)
+        out_ids = np.repeat(ids, copies)
+        out_src = np.repeat(src, copies)
+        total = int(copies.sum())
+        if total:
+            cum = np.cumsum(copies)
+            copy = np.arange(total) - np.repeat(cum - copies, copies)
+        else:
+            copy = np.empty(0, dtype=np.int64)
+        return pd.DataFrame({id_col: out_ids, group_col: out_src,
+                             "copy": copy.astype(np.int64)})
+
+    return ds.map_batches(expand, batch_format="pandas")

@@ -1407,6 +1407,42 @@ FROM t ORDER BY doc_id
 """
 
 
+def q_mixture_sample(sf_dir: str):
+    """Data-mixture resampling (ops/sample.mixture_sample): src0 at
+    250% (2-3 epochs), src1 at 150%, src2 dropped, everything else at
+    50% — deterministic id-hash copies, zero shuffle."""
+    from ..ops.sample import mixture_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    out = mixture_sample(ds, {"src0": 250, "src1": 150, "src2": 0},
+                         default_pct=50).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["copy"] = out["copy"].astype(np.int64)
+    return out.sort_values(["doc_id", "copy"]).reset_index(drop=True)
+
+
+_MIXTURE_SQL = """
+WITH b AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+           % 100 AS bkt,
+         CASE source WHEN 'src0' THEN 250 WHEN 'src1' THEN 150
+                     WHEN 'src2' THEN 0 ELSE 50 END AS rate
+  FROM documents
+),
+n AS (
+  SELECT doc_id, source,
+         (rate // 100
+          + CASE WHEN bkt < rate % 100 THEN 1 ELSE 0 END)::BIGINT AS copies
+  FROM b
+)
+SELECT doc_id, source, c.c::BIGINT AS copy
+FROM n, LATERAL (SELECT unnest(range(0, copies)) AS c) c
+ORDER BY doc_id, copy
+"""
+
+
 def q_chunk_docs(sf_dir: str):
     """Line-boundary document chunking (ops/pack.chunk_docs): each doc
     splits into ~512-token context chunks, a line's chunk decided by
@@ -3263,6 +3299,7 @@ def build_queries() -> dict:
         "llm_corpus": q_llm_corpus,
         "line_dedup": q_line_dedup,
         "chunk_docs": q_chunk_docs,
+        "mixture_sample": q_mixture_sample,
         "interleaved_pack": q_interleaved_pack,
         "media_dedup": q_media_dedup,
         "token_counts": q_token_counts,
@@ -3344,6 +3381,7 @@ def build_oracle_sql() -> dict:
         "llm_corpus": _llm_corpus_sql(),
         "line_dedup": _LINE_DEDUP_SQL,
         "chunk_docs": _CHUNK_DOCS_SQL,
+        "mixture_sample": _MIXTURE_SQL,
         "interleaved_pack": _INTERLEAVED_PACK_SQL,
         "media_dedup": _MEDIA_DEDUP_SQL,
         "token_counts": _token_counts_sql(),

@@ -1176,3 +1176,28 @@ def test_chunk_docs_line_boundaries(ray_session):
         {"doc_id": 7, "chunk": 1, "n_lines": 2, "tokens": 5},
         {"doc_id": 8, "chunk": 0, "n_lines": 1, "tokens": 0},
     ]
+
+
+def test_mixture_sample_rates(ray_session):
+    """Mixture resampling: rate//100 guaranteed copies plus a
+    deterministic hash-chosen extra for the remainder; 0 drops the
+    source; copies are stable under repartitioning."""
+    import ray.data as rd
+
+    from coherencebot_ray.ops.sample import _md5_bucket, mixture_sample
+
+    df = pd.DataFrame({"doc_id": range(20),
+                       "source": ["a"] * 10 + ["b"] * 5 + ["c"] * 5})
+    rates = {"a": 250, "b": 0}
+    out = (mixture_sample(rd.from_pandas([p for p in np.array_split(df, 3)]),
+                          rates, default_pct=100)
+           .to_pandas().sort_values(["doc_id", "copy"]).reset_index(drop=True))
+    assert not (out["source"] == "b").any()
+    c_rows = out[out["source"] == "c"]
+    assert c_rows["doc_id"].tolist() == list(range(15, 20))  # 100% = 1 copy
+    a_counts = out[out["source"] == "a"].groupby("doc_id")["copy"].count()
+    expect = 2 + (_md5_bucket(np.arange(10)) < 50)
+    assert a_counts.reindex(range(10), fill_value=0).tolist() == expect.tolist()
+    # copy indices are 0..n-1 per doc
+    assert (out.groupby("doc_id")["copy"].max() + 1
+            == out.groupby("doc_id")["copy"].count()).all()
