@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "line_dedup",
     "chunk_docs",
     "mixture_sample",
+    "bigram_nll",
 ]
 
 

@@ -1407,6 +1407,68 @@ FROM t ORDER BY doc_id
 """
 
 
+def q_bigram_nll(sf_dir: str):
+    """CCNet-style LM perplexity filter (ops/lm.bigram_nll): add-one
+    bigram model trained on the deterministic 20% id-hash sample,
+    min_count=2 pruning, integer-exact L(x)=round(ln x * 1e6) terms;
+    every doc scored by a zero-shuffle broadcast-merge map."""
+    from ..ops.lm import bigram_nll
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    out = bigram_nll(ds, sample_pct=20, min_count=2).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_BIGRAM_NLL_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\S+') AS t
+  FROM documents
+),
+samp AS (
+  SELECT doc_id, t FROM tok
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        % 100 < 20
+),
+uni AS (
+  SELECT w, count(*)::BIGINT AS cu
+  FROM (SELECT unnest(t) AS w FROM samp) GROUP BY w
+),
+v AS (SELECT count(*)::BIGINT AS v FROM uni),
+bi AS (
+  SELECT w1, w2, count(*)::BIGINT AS cb FROM (
+    SELECT t[i.i] AS w1, t[i.i+1] AS w2
+    FROM samp, LATERAL (SELECT unnest(range(1, len(t))) AS i) i
+    WHERE len(t) >= 2
+  ) GROUP BY w1, w2 HAVING count(*) >= 2
+),
+pos AS (
+  SELECT doc_id, t[i.i] AS w1, t[i.i+1] AS w2
+  FROM tok, LATERAL (SELECT unnest(range(1, len(t))) AS i) i
+  WHERE len(t) >= 2
+),
+terms AS (
+  SELECT p.doc_id,
+         (FLOOR(ln(coalesce(u.cu, 0) + v.v) * 1e6 + 0.5)::BIGINT
+          - FLOOR(ln(coalesce(b.cb, 0) + 1) * 1e6 + 0.5)::BIGINT) AS nt
+  FROM pos p CROSS JOIN v
+  LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+  LEFT JOIN uni u ON p.w1 = u.w
+),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(nt)::BIGINT AS nll_micro
+  FROM terms GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(per.nll_micro, 0)::BIGINT AS nll_micro
+FROM documents d LEFT JOIN per USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_mixture_sample(sf_dir: str):
     """Data-mixture resampling (ops/sample.mixture_sample): src0 at
     250% (2-3 epochs), src1 at 150%, src2 dropped, everything else at
@@ -3300,6 +3362,7 @@ def build_queries() -> dict:
         "line_dedup": q_line_dedup,
         "chunk_docs": q_chunk_docs,
         "mixture_sample": q_mixture_sample,
+        "bigram_nll": q_bigram_nll,
         "interleaved_pack": q_interleaved_pack,
         "media_dedup": q_media_dedup,
         "token_counts": q_token_counts,
@@ -3382,6 +3445,7 @@ def build_oracle_sql() -> dict:
         "line_dedup": _LINE_DEDUP_SQL,
         "chunk_docs": _CHUNK_DOCS_SQL,
         "mixture_sample": _MIXTURE_SQL,
+        "bigram_nll": _BIGRAM_NLL_SQL,
         "interleaved_pack": _INTERLEAVED_PACK_SQL,
         "media_dedup": _MEDIA_DEDUP_SQL,
         "token_counts": _token_counts_sql(),

@@ -1201,3 +1201,37 @@ def test_mixture_sample_rates(ray_session):
     # copy indices are 0..n-1 per doc
     assert (out.groupby("doc_id")["copy"].max() + 1
             == out.groupby("doc_id")["copy"].count()).all()
+
+
+def test_bigram_nll_brute_force(ray_session):
+    """Integer-exact add-one bigram NLL vs a naive reference (train on
+    all docs, keep all bigrams): term = L(cb+1) - L(cu+V), docs with
+    <2 tokens score 0."""
+    import math
+    from collections import Counter
+
+    import ray.data as rd
+
+    from coherencebot_ray.ops.lm import bigram_nll
+
+    texts = ["the cat sat on the mat",
+             "the cat ran",
+             "a dog sat on the mat",
+             "x"]
+    df = pd.DataFrame({"doc_id": range(4), "text": texts})
+    out = (bigram_nll(rd.from_pandas([p for p in np.array_split(df, 2)]),
+                      sample_pct=100, min_count=1, n_buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    toks = [t.split() for t in texts]
+    uni = Counter(w for t in toks for w in t)
+    bi = Counter((t[i], t[i + 1]) for t in toks for i in range(len(t) - 1))
+    V = len(uni)
+    L = lambda x: math.floor(math.log(x) * 1e6 + 0.5)
+    exp = []
+    for t in toks:
+        pairs = [(t[i], t[i + 1]) for i in range(len(t) - 1)]
+        exp.append((len(pairs),
+                    sum(L(uni[a] + V) - L(bi[(a, b)] + 1) for a, b in pairs)))
+    assert list(zip(out["n_bigrams"], out["nll_micro"])) == exp
+    assert out.loc[3, "n_bigrams"] == 0 and out.loc[3, "nll_micro"] == 0
