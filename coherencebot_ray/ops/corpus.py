@@ -63,7 +63,7 @@ def curate_corpus(
     import ray
 
     from .agg import bucketed_group_apply
-    from .decontaminate import eval_gram_set
+    from .decontaminate import contains_gram, eval_gram_set
     from .pack import pack_counts
     from .text import gopher_quality, langid
 
@@ -95,13 +95,9 @@ def curate_corpus(
             )
         texts = sub["text"].fillna("")
         gset = ray.get(gset_ref)
-        clean = np.ones(len(sub), dtype=bool)
-        for i, t in enumerate(texts):
-            toks = t.lower().split()
-            for j in range(len(toks) - gram_n + 1):
-                if " ".join(toks[j:j + gram_n]) in gset:
-                    clean[i] = False
-                    break
+        clean = np.fromiter(
+            (not contains_gram(t, gset, gram_n) for t in texts),
+            dtype=bool, count=len(sub))
         sub = sub[clean]
         texts = texts[clean]
         return pd.DataFrame(

@@ -38,7 +38,19 @@ def eval_gram_set(eval_ds, n: int = 13, text_col: str = "text") -> set:
         return pd.DataFrame({"g": sorted(out)})
 
     parts = eval_ds.map_batches(grams, batch_format="pandas").to_pandas()
-    return set(parts["g"])
+    # all-empty Ray datasets round-trip to a ZERO-COLUMN frame
+    return set(parts["g"]) if "g" in parts.columns else set()
+
+
+def contains_gram(text, gset: set, n: int) -> bool:
+    """True iff ``text`` shares an n-gram with ``gset`` (early exit) —
+    the single scan implementation shared by :func:`decontaminate` and
+    the composed pipeline (ops.corpus.curate_corpus)."""
+    toks = (text or "").lower().split()
+    for j in range(len(toks) - n + 1):
+        if " ".join(toks[j:j + n]) in gset:
+            return True
+    return False
 
 
 def decontaminate(train_ds, eval_ds, n: int = 13, id_col: str = "doc_id",
@@ -51,13 +63,9 @@ def decontaminate(train_ds, eval_ds, n: int = 13, id_col: str = "doc_id",
 
     def scan(df: pd.DataFrame) -> pd.DataFrame:
         gset = ray.get(gset_ref)
-        flags = np.zeros(len(df), dtype=np.int64)
-        for i, t in enumerate(df[text_col]):
-            toks = (t or "").lower().split()
-            for j in range(len(toks) - n + 1):
-                if " ".join(toks[j:j + n]) in gset:
-                    flags[i] = 1
-                    break
+        flags = np.fromiter(
+            (contains_gram(t, gset, n) for t in df[text_col]),
+            dtype=np.int64, count=len(df))
         return pd.DataFrame({id_col: df[id_col].to_numpy(), "contaminated": flags})
 
     return train_ds.map_batches(scan, batch_format="pandas")

@@ -100,18 +100,15 @@ def line_dedup(docs_ds, text_col: str = "text", n_buckets: int = 64):
             if counts.sum() else np.empty(0, dtype=np.int64)
         flat = np.concatenate([np.asarray(v, dtype=object) for v in lines]) \
             if counts.sum() else np.empty(0, dtype=object)
-        # vectorized anti-join on (doc_id, line_idx): mark keys are
-        # unique, so a sorted searchsorted-membership test suffices
-        if len(idx) and int(idx.max()) >= (1 << 20):
-            raise ValueError("line_dedup: >2^20 lines in one document")
-        key = ids << np.int64(20) | idx  # line_idx < 2^20 per doc tier
-        mkey = np.sort(mk["doc_id"].to_numpy(np.int64) << np.int64(20)
-                       | mk["line_idx"].to_numpy(np.int64))
-        if len(mkey):
-            pos = np.searchsorted(mkey, key)
-            hit = (pos < len(mkey)) & (mkey[np.minimum(pos, len(mkey) - 1)] == key)
+        # vectorized 2-column anti-join on (doc_id, line_idx) — no
+        # packed-key width limit on lines-per-doc
+        if len(mk):
+            hit = pd.MultiIndex.from_arrays([ids, idx]).isin(
+                pd.MultiIndex.from_arrays(
+                    [mk["doc_id"].to_numpy(np.int64),
+                     mk["line_idx"].to_numpy(np.int64)]))
         else:
-            hit = np.zeros(len(key), dtype=bool)
+            hit = np.zeros(len(ids), dtype=bool)
         kept, kept_ids = flat[~hit], ids[~hit]
         # boundary-scan reassembly in original order (ids are grouped
         # because the explode preserved doc order)

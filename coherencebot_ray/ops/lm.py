@@ -83,11 +83,25 @@ def bigram_nll(docs_ds, sample_pct: int = 20, min_count: int = 2,
         return pd.DataFrame({"w1": w1, "w2": w2,
                              "c": np.ones(len(w1), dtype=np.int64)})
 
-    uni = bucketed_sum(samp.map_batches(uni_rows, batch_format="pandas"),
-                       "w", ["c"], n_buckets=n_buckets).to_pandas()
-    bi = bucketed_sum(samp.map_batches(bi_rows, batch_format="pandas"),
-                      ["w1", "w2"], ["c"], n_buckets=n_buckets).to_pandas()
-    bi = bi[bi["c"] >= min_count].reset_index(drop=True)
+    def _typed(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+        # all-empty Ray datasets round-trip to a ZERO-COLUMN frame
+        if not all(c in df.columns for c in cols):
+            return pd.DataFrame({c: pd.Series(dtype="object" if c[0] == "w"
+                                              else "int64") for c in cols})
+        return df
+
+    uni = _typed(
+        bucketed_sum(samp.map_batches(uni_rows, batch_format="pandas"),
+                     "w", ["c"], n_buckets=n_buckets).to_pandas(),
+        ["w", "c"])
+    # prune BEFORE collecting so the driver holds only the bounded
+    # model, never the full distinct-bigram table of the sample
+    bi = _typed(
+        bucketed_sum(samp.map_batches(bi_rows, batch_format="pandas"),
+                     ["w1", "w2"], ["c"], n_buckets=n_buckets)
+        .map_batches(lambda df: df[df["c"] >= min_count],
+                     batch_format="pandas").to_pandas(),
+        ["w1", "w2", "c"]).reset_index(drop=True)
     vocab_v = len(uni)
 
     # L() applied once on the driver (model-sized, not corpus-sized)

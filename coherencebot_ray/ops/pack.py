@@ -177,8 +177,10 @@ def chunk_docs(
     pure per-batch vectorized map with ZERO shuffle (each doc's lines
     live in its own row).
 
-    Returns (id_col, chunk, n_lines, tokens) — one row per non-empty
-    chunk; empty docs yield one all-empty chunk 0 row."""
+    Returns (id_col, chunk, n_lines, tokens) — one row per chunk that
+    holds at least one LINE (a chunk of only zero-token lines — e.g. a
+    trailing empty line starting exactly on a budget boundary — is a
+    row with tokens=0); empty docs yield one all-empty chunk 0 row."""
 
     def per_batch(df: pd.DataFrame) -> pd.DataFrame:
         texts = df[text_col].fillna("")

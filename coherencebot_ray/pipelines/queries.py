@@ -1416,7 +1416,9 @@ def q_bigram_nll(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
                min_block_bytes=_EXCHANGE_BLOCK_BYTES)
-    out = bigram_nll(ds, sample_pct=20, min_count=2).to_pandas()
+    out = _typed_empty(bigram_nll(ds, sample_pct=20, min_count=2).to_pandas(),
+                       {"doc_id": "int64", "n_bigrams": "int64",
+                        "nll_micro": "int64"})
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -1477,8 +1479,10 @@ def q_mixture_sample(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "source"],
                min_block_bytes=_EXCHANGE_BLOCK_BYTES)
-    out = mixture_sample(ds, {"src0": 250, "src1": 150, "src2": 0},
-                         default_pct=50).to_pandas()
+    out = _typed_empty(
+        mixture_sample(ds, {"src0": 250, "src1": 150, "src2": 0},
+                       default_pct=50).to_pandas(),
+        {"doc_id": "int64", "source": "object", "copy": "int64"})
     out["doc_id"] = out["doc_id"].astype(np.int64)
     out["copy"] = out["copy"].astype(np.int64)
     return out.sort_values(["doc_id", "copy"]).reset_index(drop=True)
@@ -1514,7 +1518,9 @@ def q_chunk_docs(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
                min_block_bytes=_EXCHANGE_BLOCK_BYTES)
-    out = chunk_docs(ds, budget=512).to_pandas()
+    out = _typed_empty(chunk_docs(ds, budget=512).to_pandas(),
+                       {"doc_id": "int64", "chunk": "int64",
+                        "n_lines": "int64", "tokens": "int64"})
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["doc_id", "chunk"]).reset_index(drop=True)
@@ -1556,7 +1562,9 @@ def q_line_dedup(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
                min_block_bytes=_EXCHANGE_BLOCK_BYTES)
-    out = line_dedup(ds, n_buckets=32).to_pandas()
+    out = _typed_empty(line_dedup(ds, n_buckets=32).to_pandas(),
+                       {"doc_id": "int64", "text_clean": "object",
+                        "n_dropped": "int64"})
     out["doc_id"] = out["doc_id"].astype(np.int64)
     out["n_dropped"] = out["n_dropped"].astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)

@@ -1235,3 +1235,39 @@ def test_bigram_nll_brute_force(ray_session):
                     sum(L(uni[a] + V) - L(bi[(a, b)] + 1) for a, b in pairs)))
     assert list(zip(out["n_bigrams"], out["nll_micro"])) == exp
     assert out.loc[3, "n_bigrams"] == 0 and out.loc[3, "nll_micro"] == 0
+
+
+def test_curation_ops_degenerate_inputs(ray_session):
+    """Review-found edge cases stay fixed: an empty LM model (no bigram
+    survives sampling/pruning), an eval slice with no full n-gram, and
+    a document with more lines than the old packed-key width."""
+    import ray.data as rd
+
+    from coherencebot_ray.ops.corpus import curate_corpus
+    from coherencebot_ray.ops.linededup import line_dedup
+    from coherencebot_ray.ops.lm import bigram_nll
+
+    # every doc is 1 token -> zero bigrams anywhere -> all-zero scores
+    out = bigram_nll(
+        rd.from_pandas(pd.DataFrame({"doc_id": range(4),
+                                     "text": ["x", "y", "z", "w"]})),
+        sample_pct=100, n_buckets=2).to_pandas()
+    assert out["n_bigrams"].tolist() == [0, 0, 0, 0]
+    assert out["nll_micro"].tolist() == [0, 0, 0, 0]
+
+    # eval doc shorter than gram_n -> empty gram set, nothing flagged
+    en = "the cat and the dog have been with us to show that all of " * 5
+    out = curate_corpus(
+        rd.from_pandas(pd.DataFrame({"doc_id": [0, 1],
+                                     "text": ["tiny eval", en + "uno"]})),
+        lang="en", gram_n=8, budget=100, range_size=4, n_buckets=4
+    ).to_pandas()
+    assert out["doc_id"].tolist() == [1]
+
+    # > 2^20 lines in one doc: capless (doc_id, line_idx) anti-join
+    n = (1 << 20) + 64
+    big = "\n".join(f"l{i % 3}" for i in range(n))
+    out = line_dedup(
+        rd.from_pandas(pd.DataFrame({"doc_id": [5], "text": [big]})),
+        n_buckets=2).to_pandas()
+    assert int(out["n_dropped"][0]) == n - 3
