@@ -394,3 +394,56 @@ def char_entropy(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
         "ent_num": ent_num,
         "entropy": entropy,
     })
+
+
+# Hashed-linear-classifier constants: feature dim (hashing-trick bucket
+# count), a Knuth multiplicative-hash weight derivation, and the weight
+# range. Weights are integers so the per-doc sum is order-independent
+# and the DuckDB oracle reproduces it exactly.
+HASHED_DIM = 1 << 20
+_KNUTH = 2654435761
+_WRANGE = 2001  # weights in [-1000, 1000]
+
+
+def hashed_classifier(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """fastText-architecture quality classifier over hashed bag-of-words
+    features (the model-based quality gate of the GPT-3/CCNet curation
+    stacks: hash each token into one of HASHED_DIM buckets, score =
+    sum of per-bucket weights, label = sign).
+
+    Weights here are DERIVED deterministically from the bucket id via a
+    Knuth multiplicative hash — a stand-in for trained weights that
+    keeps the op oracle-able; a real deployment broadcasts the trained
+    weight vector once with ``ray.put`` and each actor indexes it, the
+    data path (token hash -> bucket -> weight -> per-doc integer sum)
+    is identical. Zero-shuffle: one map over documents.
+
+    Per batch: tokens explode once; md5 is computed per UNIQUE token
+    (the Zipf head makes uniques a small fraction of occurrences) and
+    mapped back; the per-doc sum is one vectorized groupby.
+
+    Columns: score (int64 sum of weights), n_tokens, label (1 iff
+    score >= 0). Empty/null docs score 0 -> label 1."""
+    texts = df[text_col].fillna("").str.lower()
+    tok = texts.str.findall(r"\S+")
+    n = tok.str.len().to_numpy(dtype=np.int64)
+    score = np.zeros(len(df), dtype=np.int64)
+    if int(n.sum()) > 0:
+        flat = tok.explode().dropna()
+        uniq = pd.unique(flat.to_numpy(dtype=object))
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8],
+                            "big") for t in uniq),
+            dtype=np.uint64, count=len(uniq))
+        bucket = h % np.uint64(HASHED_DIM)
+        w = ((bucket * np.uint64(_KNUTH)) % np.uint64(1 << 32)
+             % np.uint64(_WRANGE)).astype(np.int64) - (_WRANGE // 2)
+        wmap = pd.Series(w, index=uniq)
+        weights = flat.map(wmap).to_numpy(dtype=np.int64)
+        owner = np.repeat(np.arange(len(df), dtype=np.int64), n)
+        np.add.at(score, owner, weights)
+    return pd.DataFrame({
+        "score": score,
+        "n_tokens": n,
+        "label": (score >= 0).astype(np.int64),
+    })

@@ -66,6 +66,60 @@ def vocab_topk(docs_ds, k: int = 200, n_buckets: int = 32,
     return out
 
 
+def _partial_pair_counts(df: pd.DataFrame, lowercase: bool) -> pd.DataFrame:
+    """Per-batch adjacent-token-pair counts. Pairs never cross document
+    boundaries: with per-doc token counts n, the flattened token array's
+    doc-last positions (cumsum(n)-1) are masked out of the left side.
+    A pair is keyed as ``left + ' ' + right`` — tokens are ``\\S+`` runs
+    so the space separator is unambiguous."""
+    texts = df["text"].fillna("")
+    if lowercase:
+        texts = texts.str.lower()
+    tok = texts.str.findall(TOKEN_RE)
+    n = tok.str.len().to_numpy(dtype=np.int64)
+    empty = pd.DataFrame({"pair": pd.Series(dtype="object"),
+                          "cnt": pd.Series(dtype="int64")})
+    if int(n.sum()) < 2:
+        return empty
+    flat = tok.explode().dropna().to_numpy(dtype=object)
+    is_last = np.zeros(len(flat), dtype=bool)
+    is_last[np.cumsum(n[n > 0]) - 1] = True
+    left_ok = ~is_last[:-1]  # position i starts a pair iff not doc-last
+    if not left_ok.any():
+        return empty
+    pairs = (pd.Series(flat[:-1][left_ok]) + " "
+             + pd.Series(flat[1:][left_ok]))
+    vc = pairs.value_counts()
+    return pd.DataFrame({"pair": vc.index.to_numpy(dtype=object),
+                         "cnt": vc.to_numpy(dtype=np.int64)})
+
+
+def pair_topk(docs_ds, k: int = 200, n_buckets: int = 32,
+              lowercase: bool = True) -> pd.DataFrame:
+    """Top-k adjacent token pairs by count — the merge-candidate
+    statistic of a BPE tokenizer-training pass (count all adjacent
+    symbol pairs, take the most frequent). Same scale shape as
+    ``vocab_topk``: per-batch partial pair counts -> ONE pair-hash
+    bucket exchange -> per-bucket top-k -> k x n_buckets driver merge
+    (each pair lives in exactly one bucket, so the global top-k is a
+    subset of the per-bucket winners). Tie-break cnt desc, pair asc."""
+
+    def bucket_fn(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("pair", sort=False)["cnt"].sum().reset_index()
+        s = s.sort_values(["cnt", "pair"], ascending=[False, True],
+                          kind="stable").head(k)
+        return s
+
+    parts = bucketed_group_apply(
+        docs_ds, "pair", bucket_fn, n_buckets=n_buckets,
+        pre=lambda df: _partial_pair_counts(df, lowercase),
+    ).to_pandas()  # <= k * n_buckets rows
+    out = parts.sort_values(["cnt", "pair"], ascending=[False, True],
+                            kind="stable").head(k).reset_index(drop=True)
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out
+
+
 def int_value_histogram(ds, value_pre, group_col: str | None = None,
                         n_buckets: int = 32) -> pd.DataFrame:
     """Distributed (group, value) -> count histogram. ``value_pre`` maps

@@ -1230,6 +1230,83 @@ LIMIT 20
 """
 
 
+def q_bpe_pairs(sf_dir: str):
+    """BPE merge-candidate statistics: global top-20 adjacent lowercased
+    token pairs by count (ops/vocab.pair_topk — the pair-counting pass
+    of a BPE tokenizer-training iteration; partial pair counts, one
+    pair-hash exchange, per-bucket top-k, k x buckets driver merge).
+    Pairs never cross document boundaries."""
+    from ..ops.vocab import pair_topk
+
+    ds = _read(sf_dir, "documents", columns=["text"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    return pair_topk(ds, k=20, n_buckets=32).reset_index(drop=True)
+
+
+_BPE_PAIRS_SQL = r"""
+WITH tok AS (
+  SELECT regexp_extract_all(lower(coalesce(text, '')), '\S+') AS t
+  FROM documents
+),
+pairs AS (
+  SELECT t[i.i] || ' ' || t[i.i + 1] AS pair
+  FROM tok, LATERAL (SELECT unnest(range(1, len(t))) AS i) i
+  WHERE len(t) >= 2
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM pairs
+GROUP BY pair
+ORDER BY cnt DESC, pair ASC
+LIMIT 20
+"""
+
+
+def q_hashed_quality(sf_dir: str):
+    """fastText-architecture hashed-bag-of-words quality classifier
+    (ops/text.hashed_classifier): token -> md5 -> 2^20 feature bucket ->
+    integer weight, per-doc sum + sign label. Zero-shuffle scan; the
+    weight vector stands in for a trained model (broadcast via ray.put
+    in a real deployment)."""
+    from ..ops.text import hashed_classifier
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        out = hashed_classifier(df)
+        out.insert(0, "doc_id", df["doc_id"].to_numpy(np.int64))
+        return out
+
+    res = ds.map_batches(score, batch_format="pandas").to_pandas()
+    for c in res.columns:
+        res[c] = res[c].astype(np.int64)
+    return res.sort_values("doc_id").reset_index(drop=True)
+
+
+_HASHED_QUALITY_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '\S+')) AS t
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         CAST((((CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT) % 1048576)
+                * 2654435761) % 4294967296 % 2001) AS BIGINT) - 1000 AS wt
+  FROM tok
+)
+SELECT d.doc_id,
+       CAST(coalesce(sum(w.wt), 0) AS BIGINT) AS score,
+       CAST(len(regexp_extract_all(lower(coalesce(d.text, '')), '\S+')) AS BIGINT)
+         AS n_tokens,
+       CAST(CASE WHEN coalesce(sum(w.wt), 0) >= 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS label
+FROM documents d LEFT JOIN w USING (doc_id)
+GROUP BY d.doc_id, d.text
+ORDER BY d.doc_id
+"""
+
+
 def q_curriculum_bins(sf_dir: str):
     """Curriculum quantile binning (ops/sample.curriculum_bins): each
     doc tagged with its quartile bin of whitespace token count — exact
@@ -3375,6 +3452,8 @@ def build_queries() -> dict:
         "media_dedup": q_media_dedup,
         "token_counts": q_token_counts,
         "vocab_topk": q_vocab_topk,
+        "bpe_pairs": q_bpe_pairs,
+        "hashed_quality": q_hashed_quality,
         "decontaminate": q_decontaminate,
         "curriculum_bins": q_curriculum_bins,
         "token_kl": q_token_kl,
@@ -3458,6 +3537,8 @@ def build_oracle_sql() -> dict:
         "media_dedup": _MEDIA_DEDUP_SQL,
         "token_counts": _token_counts_sql(),
         "vocab_topk": _VOCAB_SQL,
+        "bpe_pairs": _BPE_PAIRS_SQL,
+        "hashed_quality": _HASHED_QUALITY_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "curriculum_bins": _CURRICULUM_SQL,
         "token_kl": _TOKEN_KL_SQL,

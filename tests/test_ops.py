@@ -1271,3 +1271,46 @@ def test_curation_ops_degenerate_inputs(ray_session):
         rd.from_pandas(pd.DataFrame({"doc_id": [5], "text": [big]})),
         n_buckets=2).to_pandas()
     assert int(out["n_dropped"][0]) == n - 3
+
+
+def test_pair_topk_respects_doc_boundaries(ray_session):
+    """Adjacent-pair counts (BPE merge statistic): pairs never cross
+    document boundaries; global top-k exact across buckets with the
+    cnt-desc/pair-asc tie-break."""
+    import ray.data as rd
+
+    from coherencebot_ray.ops.vocab import pair_topk
+
+    docs = pd.DataFrame({
+        "text": ["a b a b a", "b A b", "", None, "c", "a b"],
+    })
+    # pairs: doc0 -> a b, b a, a b, b a; doc1 -> b a, a b; doc5 -> a b
+    # totals: 'a b' = 4, 'b a' = 3. No 'a b' pair crossing doc4->doc5
+    # ('c' then 'a') and none from the 1-token / empty docs.
+    out = pair_topk(rd.from_pandas(docs).repartition(3), k=5, n_buckets=4)
+    assert list(out["pair"]) == ["a b", "b a"]
+    assert list(out["cnt"]) == [4, 3]
+
+
+def test_hashed_classifier_matches_naive():
+    """Per-token md5 -> bucket -> Knuth weight sum, vs a per-row
+    reference computation; empty/null docs score 0 with label 1."""
+    import hashlib as _hl
+
+    from coherencebot_ray.ops.text import HASHED_DIM, hashed_classifier
+
+    docs = pd.DataFrame({
+        "text": ["The quick Brown fox", "over over over", "", None,
+                 "punct! 123 mixed-CASE tokens here"],
+    })
+    out = hashed_classifier(docs)
+
+    def wt(tok: str) -> int:
+        h = int.from_bytes(_hl.md5(tok.encode()).digest()[:8], "big")
+        return ((h % HASHED_DIM) * 2654435761) % (1 << 32) % 2001 - 1000
+
+    for i, t in enumerate(docs["text"]):
+        toks = (t or "").lower().split()
+        assert out["score"][i] == sum(wt(x) for x in toks)
+        assert out["n_tokens"][i] == len(toks)
+        assert out["label"][i] == (1 if out["score"][i] >= 0 else 0)
