@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "chunk_docs",
     "mixture_sample",
     "bigram_nll",
+    "bpe_pairs",
+    "hashed_quality",
 ]
 
 
