@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "bigram_nll",
     "bpe_pairs",
     "hashed_quality",
+    "span_dedup",
 ]
 
 

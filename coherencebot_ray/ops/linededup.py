@@ -128,3 +128,141 @@ def line_dedup(docs_ds, text_col: str = "text", n_buckets: int = 64):
 
     return bucketed_group_apply(tagged, "doc_id", rebuild,
                                 n_buckets=n_buckets)
+
+
+def span_dedup(docs_ds, k: int = 8, text_col: str = "text",
+               id_col: str = "doc_id", n_buckets: int = 64):
+    """Exact duplicate-SPAN removal — the transform half of Lee et al.
+    2021 ("Deduplicating Training Data Makes Language Models Better"):
+    every k-token span whose exact k-word string occurs anywhere in the
+    corpus EARLIER in (doc_id, pos) order marks its k tokens for
+    removal; a document's removed region is the UNION of its marked
+    windows (overlapping duplicate windows merge, as the paper's
+    maximal-substring removal does). The global first occurrence of
+    each span always survives. Output text is the kept tokens joined
+    by single spaces — token-stream normalization, appropriate for the
+    LM-training corpora this op targets. The paper cuts maximal
+    repeats >= 50 tokens from a suffix array; fixed-k window coverage
+    is the standard streaming approximation (same one as
+    ops/dedup.dup_span_counts, whose docstring records the 128-bit
+    hashed-exchange deployment layout).
+
+    Returns a Dataset of (doc_id, text_clean, n_removed).
+
+    Scale shape, two exchanges (the span-granular twin of line_dedup
+    above): (1) an ids-only winner fold — (span, doc_id, pos) rows
+    exchange once on span-hash (O(tokens) rows, like every shingle op);
+    all occurrences of a span co-locate, so the global minimum
+    (doc_id, pos) is exact in-bucket and only LOSER occurrences leave
+    as (doc_id, pos) marks (volume ~ duplication rate, not corpus);
+    (2) a doc_id co-group where text moves exactly once and coverage
+    resolves vectorized (difference-array over global token offsets,
+    cumsum > 0 = covered; no per-token Python)."""
+    from .agg import bucketed_group_apply
+
+    def explode_spans(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        words = [str(t).split() if t is not None else []
+                 for t in df[text_col]]
+        lens = np.fromiter((len(w) for w in words), np.int64,
+                           count=len(words))
+        nspans = np.maximum(lens - k + 1, 0)
+        total = int(nspans.sum())
+        if total == 0:
+            return pd.DataFrame({"span": pd.Series(dtype="object"),
+                                 id_col: pd.Series(dtype="int64"),
+                                 "pos": pd.Series(dtype="int64")})
+        flat = np.empty(int(lens.sum()), dtype=object)
+        o = 0
+        for w in words:
+            flat[o:o + len(w)] = w
+            o += len(w)
+        starts = np.cumsum(lens) - lens
+        pos = np.arange(total) - np.repeat(np.cumsum(nspans) - nspans, nspans)
+        idx = np.repeat(starts, nspans) + pos
+        # object-array adds run str concat in a C loop (k-1 passes)
+        acc = flat[idx]
+        for j in range(1, k):
+            acc = np.add(np.add(acc, " "), flat[idx + j])
+        return pd.DataFrame({"span": acc,
+                             id_col: np.repeat(ids, nspans),
+                             "pos": pos.astype(np.int64)})
+
+    def loser_marks(b: pd.DataFrame) -> pd.DataFrame:
+        """All but the global first (doc_id, pos) per span string."""
+        if not len(b):
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "pos": pd.Series(dtype="int64")})
+        b = b.sort_values(["span", id_col, "pos"], kind="stable")
+        sv = b["span"].to_numpy()
+        dup = np.r_[False, sv[1:] == sv[:-1]]
+        d = b[dup]
+        return pd.DataFrame({id_col: d[id_col].to_numpy(np.int64),
+                             "pos": d["pos"].to_numpy(np.int64)})
+
+    marks = bucketed_group_apply(
+        docs_ds.map_batches(explode_spans, batch_format="pandas"),
+        "span", loser_marks, n_buckets=n_buckets,
+    )
+
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: df[id_col].to_numpy(np.int64),
+                             "payload": df[text_col].to_numpy(object),
+                             "pos": np.int64(-1), "t": np.int8(0)})
+
+    def tag_marks(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: df[id_col].to_numpy(np.int64),
+                             "payload": None,
+                             "pos": df["pos"].to_numpy(np.int64),
+                             "t": np.int8(1)})
+
+    tagged = docs_ds.map_batches(tag_docs, batch_format="pandas").union(
+        marks.map_batches(tag_marks, batch_format="pandas"))
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["t"] == 0]
+        if not len(docs):
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "text_clean": pd.Series(dtype="object"),
+                                 "n_removed": pd.Series(dtype="int64")})
+        mk = g[g["t"] == 1]
+        words = [str(x).split() if x is not None else []
+                 for x in docs["payload"]]
+        lens = np.fromiter((len(w) for w in words), np.int64,
+                           count=len(words))
+        doc_ids = docs[id_col].to_numpy(np.int64)
+        total = int(lens.sum())
+        flat = np.empty(total, dtype=object)
+        o = 0
+        for w in words:
+            flat[o:o + len(w)] = w
+            o += len(w)
+        starts = np.cumsum(lens) - lens
+        # coverage union via difference array over global token offsets;
+        # every mark window [pos, pos+k) is in-doc by construction
+        diff = np.zeros(total + 1, dtype=np.int64)
+        if len(mk):
+            doc_start = pd.Series(starts, index=doc_ids)
+            m0 = (doc_start.reindex(mk[id_col].to_numpy(np.int64))
+                  .to_numpy(np.int64) + mk["pos"].to_numpy(np.int64))
+            np.add.at(diff, m0, 1)
+            np.add.at(diff, m0 + k, -1)
+        covered = np.cumsum(diff[:total]) > 0
+        ids_flat = np.repeat(doc_ids, lens)
+        kept, kept_ids = flat[~covered], ids_flat[~covered]
+        bnd = np.r_[0, np.flatnonzero(kept_ids[1:] != kept_ids[:-1]) + 1,
+                    len(kept_ids)] if len(kept_ids) else np.array([0])
+        texts_by_id = {
+            int(kept_ids[s]): " ".join(kept[s:e])
+            for s, e in zip(bnd[:-1], bnd[1:])
+        }
+        removed = pd.Series(ids_flat[covered]).value_counts()
+        return pd.DataFrame({
+            id_col: doc_ids,
+            "text_clean": [texts_by_id.get(int(i), "") for i in doc_ids],
+            "n_removed": removed.reindex(doc_ids, fill_value=0)
+                                .to_numpy(np.int64),
+        })
+
+    return bucketed_group_apply(tagged, id_col, rebuild,
+                                n_buckets=n_buckets)

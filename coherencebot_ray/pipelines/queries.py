@@ -1629,6 +1629,67 @@ FROM c GROUP BY doc_id, chunk ORDER BY doc_id, chunk
 """
 
 
+def q_span_dedup(sf_dir: str):
+    """Exact duplicate-span removal (Lee et al. 2021 transform,
+    ops/linededup.span_dedup): every 8-token span occurring earlier in
+    (doc_id, pos) order anywhere in the corpus marks its window; a
+    doc's removed region is the union of marked windows; output text =
+    kept tokens joined by single spaces. Two exchanges: ids-only
+    winner fold on the span string, then one doc_id co-group."""
+    from ..ops.linededup import span_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    out = _typed_empty(span_dedup(ds, k=8, n_buckets=32).to_pandas(),
+                       {"doc_id": "int64", "text_clean": "object",
+                        "n_removed": "int64"})
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_removed"] = out["n_removed"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SPAN_DEDUP_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i.i - 1 AS p, array_to_string(t[i.i:i.i + 7], ' ') AS g
+  FROM tok, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) i
+  WHERE len(t) >= 8
+),
+marks AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id, p,
+           row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+    FROM grams
+  ) WHERE rn > 1
+),
+toks AS (
+  SELECT doc_id, i.i - 1 AS pos, t[i.i] AS tk
+  FROM tok, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) i
+),
+kept AS (
+  SELECT s.doc_id, s.pos, s.tk
+  FROM toks s
+  WHERE NOT EXISTS (SELECT 1 FROM marks m
+                    WHERE m.doc_id = s.doc_id
+                      AND m.p <= s.pos AND s.pos < m.p + 8)
+),
+agg AS (
+  SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS text_clean,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.text_clean, '') AS text_clean,
+       CAST(len(regexp_extract_all(coalesce(d.text, ''), '\S+'))
+            - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_line_dedup(sf_dir: str):
     """Global line-level dedup (C4 cross-document span rule at line
     granularity, ops/linededup.py): later occurrences of a duplicated
@@ -3445,6 +3506,7 @@ def build_queries() -> dict:
         "pack_shuffled": q_pack_shuffled,
         "llm_corpus": q_llm_corpus,
         "line_dedup": q_line_dedup,
+        "span_dedup": q_span_dedup,
         "chunk_docs": q_chunk_docs,
         "mixture_sample": q_mixture_sample,
         "bigram_nll": q_bigram_nll,
@@ -3530,6 +3592,7 @@ def build_oracle_sql() -> dict:
         "pack_shuffled": _PACK_SHUFFLED_SQL,
         "llm_corpus": _llm_corpus_sql(),
         "line_dedup": _LINE_DEDUP_SQL,
+        "span_dedup": _SPAN_DEDUP_SQL,
         "chunk_docs": _CHUNK_DOCS_SQL,
         "mixture_sample": _MIXTURE_SQL,
         "bigram_nll": _BIGRAM_NLL_SQL,

@@ -1314,3 +1314,41 @@ def test_hashed_classifier_matches_naive():
         assert out["score"][i] == sum(wt(x) for x in toks)
         assert out["n_tokens"][i] == len(toks)
         assert out["label"][i] == (1 if out["score"][i] >= 0 else 0)
+
+
+def test_span_dedup_union_and_first_survival(ray_session):
+    """Duplicate k-span removal: global first occurrence survives,
+    later windows remove with coverage UNION (overlapping duplicate
+    windows merge), same-doc internal repeats drop, and the output is
+    space-joined kept tokens."""
+    import ray.data as rd
+
+    from coherencebot_ray.ops.linededup import span_dedup
+
+    # k=3. doc0 holds the firsts. doc1 repeats "a b c" twice with an
+    # overlap-adjacent "b c d" (union covers positions 2..6 of doc1).
+    # doc2 repeats its own span internally (first in-doc occurrence
+    # survives). doc3 is clean. doc4 empty.
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": ["a b c d e",
+                 "x y a b c a b c d z",
+                 "p q r s p q r",
+                 "m n o",
+                 None],
+    })
+    out = (span_dedup(rd.from_pandas(docs).repartition(2), k=3,
+                      n_buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # doc0: all spans are global firsts -> untouched (space-joined)
+    assert out["text_clean"][0] == "a b c d e"
+    assert out["n_removed"][0] == 0
+    # doc1: marks at pos 2 ("a b c"), 5 ("a b c"), 6 ("b c d") ->
+    # covered union = [2,5) + [5,8) + [6,9) = positions 2..8
+    assert out["text_clean"][1] == "x y z"
+    assert out["n_removed"][1] == 7
+    # doc2: "p q r" repeats at pos 4 (first at pos 0 in the same doc)
+    assert out["text_clean"][2] == "p q r s"
+    assert out["n_removed"][2] == 3
+    assert out["text_clean"][3] == "m n o"
+    assert out["text_clean"][4] == "" and out["n_removed"][4] == 0
