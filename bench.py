@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "bpe_pairs",
     "hashed_quality",
     "span_dedup",
+    "dsir_weights",
 ]
 
 

@@ -135,3 +135,113 @@ def bigram_nll(docs_ds, sample_pct: int = 20, min_count: int = 2,
                              "nll_micro": agg["sum"].to_numpy(np.int64)})
 
     return docs_ds.map_batches(score, batch_format="pandas")
+
+
+# DSIR feature-space constants: hashed n-gram dimension (the paper uses
+# 10k buckets; 1024 keeps the broadcast trivially small at equal test
+# coverage) shared between the op and its SQL oracle.
+DSIR_DIM = 1024
+
+
+def dsir_weights(docs_ds, target_mod: int = 37, dim: int = DSIR_DIM,
+                 id_col: str = "doc_id", text_col: str = "text"):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", public): hash each
+    document's unigrams+bigrams into ``dim`` buckets, fit add-one
+    bucket multinomials over a TARGET slice (here the deterministic
+    doc_id % target_mod == 0 slice, the same eval-slice convention as
+    ``decontaminate``) and over the RAW rest, and weight every raw doc
+    by its log importance ratio  log w(x) = sum_f n_f(x) *
+    (log p_target(f) - log p_raw(f)).  High-weight docs look like the
+    target distribution; resampling on these weights (see
+    ops/sample.weighted_sample) is the paper's selection step.
+
+    Integer-exact layout (token_kl / bigram_nll convention), with
+    L(x) = round(ln(x) * 1e6):
+
+      logw_micro(doc) = sum_b n_b * (L(t_b + 1) - L(r_b + 1))
+                        + n(doc) * (L(R + dim) - L(T + dim))
+
+    — integer after per-value rounding, order-independent, oracle
+    bit-for-bit. Returns (id_col, n_features, logw_micro) for every
+    RAW document (the DSIR candidate pool); n_features = unigrams +
+    bigrams.
+
+    Scale shape: the feature space is ``dim`` buckets, so the count
+    pass needs NO exchange at all — each batch partial-combines to at
+    most ``dim`` (bucket, target_cnt, raw_cnt) rows and the driver
+    folds blocks x dim rows into one dim-row table (bounded,
+    corpus-size-independent), broadcast in the scoring closure
+    (ray.put for a real deployment's larger dim). Scoring is a second
+    zero-shuffle vectorized map. md5 runs per UNIQUE feature string
+    per batch (Zipf head)."""
+
+    def _features(df: pd.DataFrame):
+        """(owner_ids, feature_strings) = unigrams + in-doc bigrams."""
+        texts = df[text_col].fillna("").str.lower()
+        toks = texts.str.findall(r"\S+")
+        counts = toks.str.len().to_numpy(np.int64)
+        ids_all = np.repeat(df[id_col].to_numpy(np.int64), counts)
+        if not int(counts.sum()):
+            e = np.empty(0, dtype=object)
+            return np.empty(0, dtype=np.int64), e
+        flat = np.concatenate([np.asarray(v, dtype=object) for v in toks])
+        same = ids_all[:-1] == ids_all[1:]
+        bi = np.add(np.add(flat[:-1][same], " "), flat[1:][same])
+        return (np.concatenate([ids_all, ids_all[:-1][same]]),
+                np.concatenate([flat, bi]))
+
+    def _buckets(feats: np.ndarray) -> np.ndarray:
+        import hashlib
+
+        uniq, inv = np.unique(feats, return_inverse=True)
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(f.encode("utf-8")).digest()[:8],
+                            "big") % dim for f in uniq),
+            dtype=np.int64, count=len(uniq))
+        return h[inv]
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids, feats = _features(df)
+        if not len(ids):
+            return pd.DataFrame({"b": pd.Series(dtype="int64"),
+                                 "t": pd.Series(dtype="int64"),
+                                 "r": pd.Series(dtype="int64")})
+        b = _buckets(feats)
+        is_t = ids % target_mod == 0
+        t = np.bincount(b[is_t], minlength=dim)
+        r = np.bincount(b[~is_t], minlength=dim)
+        nz = (t > 0) | (r > 0)
+        return pd.DataFrame({"b": np.flatnonzero(nz).astype(np.int64),
+                             "t": t[nz].astype(np.int64),
+                             "r": r[nz].astype(np.int64)})
+
+    parts = (docs_ds.map_batches(count_partial, batch_format="pandas")
+             .to_pandas())  # <= blocks x dim rows
+    folded = parts.groupby("b", sort=False)[["t", "r"]].sum()
+    t_b = np.zeros(dim, dtype=np.int64)
+    r_b = np.zeros(dim, dtype=np.int64)
+    t_b[folded.index.to_numpy(np.int64)] = folded["t"].to_numpy(np.int64)
+    r_b[folded.index.to_numpy(np.int64)] = folded["r"].to_numpy(np.int64)
+    term = _L(t_b + 1) - _L(r_b + 1)                       # per-bucket int
+    shift = int(_L(np.array([int(r_b.sum()) + dim]))[0]
+                - _L(np.array([int(t_b.sum()) + dim]))[0])  # per-feature int
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        raw = df[df[id_col].to_numpy(np.int64) % target_mod != 0]
+        out_ids = raw[id_col].to_numpy(np.int64)
+        n_feat = np.zeros(len(raw), dtype=np.int64)
+        logw = np.zeros(len(raw), dtype=np.int64)
+        ids, feats = _features(raw)
+        if len(ids):
+            b = _buckets(feats)
+            pos = pd.Series(np.arange(len(raw), dtype=np.int64),
+                            index=out_ids)
+            owner = pos.reindex(ids).to_numpy(np.int64)
+            np.add.at(n_feat, owner, 1)
+            np.add.at(logw, owner, term[b])
+        logw += n_feat * shift
+        return pd.DataFrame({id_col: out_ids, "n_features": n_feat,
+                             "logw_micro": logw})
+
+    return docs_ds.map_batches(score, batch_format="pandas")

@@ -1307,6 +1307,76 @@ ORDER BY d.doc_id
 """
 
 
+def q_dsir(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023, ops/lm.dsir_weights):
+    hashed unigram+bigram bucket multinomials over the target slice
+    (doc_id % 37 == 0, the decontaminate eval-slice convention) vs the
+    raw rest; every raw doc weighted by its integer-exact log
+    importance ratio. Exchange-free count pass (dim=1024 bucket
+    partials fold on the driver) + zero-shuffle scoring scan."""
+    from ..ops.lm import dsir_weights
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    out = dsir_weights(ds).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_DSIR_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\S+') AS t
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, unnest(t) AS f FROM tok
+  UNION ALL
+  SELECT doc_id, t[i.i] || ' ' || t[i.i + 1] AS f
+  FROM tok, LATERAL (SELECT unnest(range(1, len(t))) AS i) i
+  WHERE len(t) >= 2
+),
+fb AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(f), 1, 16)) AS UBIGINT) % 1024
+              AS BIGINT) AS b
+  FROM feats
+),
+cnt AS (
+  SELECT b,
+         SUM(CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END) AS t_b,
+         SUM(CASE WHEN doc_id % 37 <> 0 THEN 1 ELSE 0 END) AS r_b
+  FROM fb GROUP BY b
+),
+tot AS (
+  SELECT CAST(FLOOR(ln(coalesce(SUM(r_b), 0) + 1024) * 1000000 + 0.5) AS BIGINT)
+       - CAST(FLOOR(ln(coalesce(SUM(t_b), 0) + 1024) * 1000000 + 0.5) AS BIGINT)
+         AS shift
+  FROM cnt
+),
+term AS (
+  SELECT b,
+         CAST(FLOOR(ln(t_b + 1) * 1000000 + 0.5) AS BIGINT)
+       - CAST(FLOOR(ln(r_b + 1) * 1000000 + 0.5) AS BIGINT) AS dterm
+  FROM cnt
+),
+docf AS (
+  SELECT fb.doc_id, count(*) AS n, SUM(term.dterm) AS s
+  FROM fb JOIN term USING (b)
+  WHERE fb.doc_id % 37 <> 0
+  GROUP BY fb.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(df.n, 0) AS BIGINT) AS n_features,
+       CAST(coalesce(df.s, 0)
+            + coalesce(df.n, 0) * (SELECT shift FROM tot) AS BIGINT)
+         AS logw_micro
+FROM documents d LEFT JOIN docf df ON d.doc_id = df.doc_id
+WHERE d.doc_id % 37 <> 0
+ORDER BY d.doc_id
+"""
+
+
 def q_curriculum_bins(sf_dir: str):
     """Curriculum quantile binning (ops/sample.curriculum_bins): each
     doc tagged with its quartile bin of whitespace token count — exact
@@ -3516,6 +3586,7 @@ def build_queries() -> dict:
         "vocab_topk": q_vocab_topk,
         "bpe_pairs": q_bpe_pairs,
         "hashed_quality": q_hashed_quality,
+        "dsir_weights": q_dsir,
         "decontaminate": q_decontaminate,
         "curriculum_bins": q_curriculum_bins,
         "token_kl": q_token_kl,
@@ -3602,6 +3673,7 @@ def build_oracle_sql() -> dict:
         "vocab_topk": _VOCAB_SQL,
         "bpe_pairs": _BPE_PAIRS_SQL,
         "hashed_quality": _HASHED_QUALITY_SQL,
+        "dsir_weights": _DSIR_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "curriculum_bins": _CURRICULUM_SQL,
         "token_kl": _TOKEN_KL_SQL,

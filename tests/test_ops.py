@@ -1352,3 +1352,51 @@ def test_span_dedup_union_and_first_survival(ray_session):
     assert out["n_removed"][2] == 3
     assert out["text_clean"][3] == "m n o"
     assert out["text_clean"][4] == "" and out["n_removed"][4] == 0
+
+
+def test_dsir_weights_match_naive(ray_session):
+    """DSIR log importance ratio vs a brute-force per-doc reference:
+    same md5 bucketing, same add-one integer-L terms; target docs
+    excluded from the output."""
+    import hashlib as _hl
+    import math
+
+    import ray.data as rd
+
+    from coherencebot_ray.ops.lm import DSIR_DIM, dsir_weights
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 37, 75, 5],
+        "text": ["the target like text", "the raw like text",
+                 "completely different words here", None,
+                 "the target like text", ""],
+    })
+    out = (dsir_weights(rd.from_pandas(docs).repartition(3))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out["doc_id"]) == [1, 2, 5, 75]  # 0 and 37 are target
+
+    def feats(t):
+        toks = (t or "").lower().split()
+        return toks + [a + " " + b for a, b in zip(toks, toks[1:])]
+
+    def bucket(f):
+        return int.from_bytes(_hl.md5(f.encode()).digest()[:8], "big") % DSIR_DIM
+
+    def L(x):
+        return math.floor(math.log(x) * 1e6 + 0.5)
+
+    t_b, r_b = {}, {}
+    for _, row in docs.iterrows():
+        side = t_b if row["doc_id"] % 37 == 0 else r_b
+        for f in feats(row["text"]):
+            b = bucket(f)
+            side[b] = side.get(b, 0) + 1
+    shift = L(sum(r_b.values()) + DSIR_DIM) - L(sum(t_b.values()) + DSIR_DIM)
+    for _, row in out.iterrows():
+        fs = feats(docs.set_index("doc_id")["text"][row["doc_id"]])
+        want = sum(L(t_b.get(bucket(f), 0) + 1) - L(r_b.get(bucket(f), 0) + 1)
+                   for f in fs) + len(fs) * shift
+        assert row["logw_micro"] == want and row["n_features"] == len(fs)
+    # the target-like raw doc must outscore the dissimilar one
+    s = out.set_index("doc_id")["logw_micro"]
+    assert s[75] > s[2]
