@@ -1400,3 +1400,47 @@ def test_dsir_weights_match_naive(ray_session):
     # the target-like raw doc must outscore the dissimilar one
     s = out.set_index("doc_id")["logw_micro"]
     assert s[75] > s[2]
+
+
+def test_resumable_map_shards(ray_session, tmp_path):
+    """Kill-and-resume semantics: a failing first run commits only the
+    shards that succeeded; the re-run processes ONLY the missing ones;
+    the combined output equals a clean full run."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from coherencebot_ray.ops.shards import (read_shards,
+                                             resumable_map_shards)
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    files = []
+    for k in range(4):
+        p = str(ind / f"shard-{k}.parquet")
+        pq.write_table(pa.table({
+            "doc_id": list(range(k * 10, k * 10 + 10)),
+            "text": [f"doc {i} text" for i in range(k * 10, k * 10 + 10)],
+        }), p)
+        files.append(p)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "n_tokens": df["text"].str.count(r"\S+")})
+
+    def flaky(df: pd.DataFrame) -> pd.DataFrame:
+        if int(df["doc_id"].iloc[0]) // 10 in (1, 3):
+            raise RuntimeError("injected shard failure")
+        return score(df)
+
+    out = str(tmp_path / "out")
+    try:
+        resumable_map_shards(files, out, flaky, concurrency=1)
+    except Exception:
+        pass  # the failing shards abort the first run
+    first = resumable_map_shards(files, out, score, concurrency=1)
+    assert first["skipped"] == 2 and first["processed"] == 2
+    again = resumable_map_shards(files, out, score, concurrency=1)
+    assert again["skipped"] == 4 and again["processed"] == 0
+    got = read_shards(out).to_pandas().sort_values("doc_id")
+    assert list(got["doc_id"]) == list(range(40))
+    assert (got["n_tokens"] == 3).all()
