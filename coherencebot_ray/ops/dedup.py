@@ -962,6 +962,51 @@ def connected_components(pairs_ds, a_col: str = "a", b_col: str = "b",
     return labels.map_batches(finish, batch_format="pandas")
 
 
+
+def explode_spans(df: pd.DataFrame, k: int, text_col: str = "text",
+                  id_col: str = "doc_id", with_pos: bool = False,
+                  hash_spans: bool = False) -> pd.DataFrame:
+    """Shared k-gram span explode (used by dup_span_counts below and by
+    ops/linededup.span_dedup): one row per k-token window, columns
+    (id_col, span[, pos]). The span strings build in k-1 object-array
+    add passes (str concat in a C loop, no per-row Python bytecode);
+    ``hash_spans`` swaps the string for a packed 128-bit hash (the
+    100-TB exchange layout, see dup_span_counts); ``with_pos`` adds the
+    0-based in-doc window position (needed by removal, not by counts)."""
+    ids = df[id_col].to_numpy()
+    words_per_doc = [str(t).split() if t is not None else [] for t in df[text_col]]
+    lens = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64,
+                       count=len(words_per_doc))
+    nspans = np.maximum(lens - k + 1, 0)
+    total = int(nspans.sum())
+    if total == 0:
+        out = pd.DataFrame({id_col: np.array([], dtype=ids.dtype),
+                            "span": pd.Series(dtype="object")})
+        if with_pos:
+            out["pos"] = pd.Series(dtype="int64")
+        return out
+    flat = np.empty(int(lens.sum()), dtype=object)
+    o = 0
+    for w in words_per_doc:
+        flat[o:o + len(w)] = w
+        o += len(w)
+    starts = np.cumsum(lens) - lens
+    # flat start index of every span: starts[d] + 0..nspans[d]-1
+    pos = np.arange(total) - np.repeat(np.cumsum(nspans) - nspans, nspans)
+    idx = np.repeat(starts, nspans) + pos
+    acc = flat[idx]
+    for j in range(1, k):
+        acc = np.add(np.add(acc, " "), flat[idx + j])
+    if hash_spans:
+        h1 = pd.util.hash_array(acc, hash_key="0123456789123456")
+        h2 = pd.util.hash_array(acc, hash_key="6543210987654321")
+        acc = (h1.astype(object) << np.uint64(64)) | h2.astype(object)
+    out = pd.DataFrame({id_col: np.repeat(ids, nspans), "span": acc})
+    if with_pos:
+        out["pos"] = pos.astype(np.int64)
+    return out
+
+
 def dup_span_counts(docs_ds, k: int = 8, text_col: str = "text",
                     id_col: str = "doc_id", n_buckets: int = 64,
                     hash_spans: bool = False):
@@ -995,35 +1040,8 @@ def dup_span_counts(docs_ds, k: int = 8, text_col: str = "text",
     from .agg import bucketed_group_apply, bucketed_sum
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df[id_col].to_numpy()
-        words_per_doc = [str(t).split() if t is not None else [] for t in df[text_col]]
-        lens = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64,
-                           count=len(words_per_doc))
-        nspans = np.maximum(lens - k + 1, 0)
-        total = int(nspans.sum())
-        if total == 0:
-            return pd.DataFrame({id_col: np.array([], dtype=ids.dtype),
-                                 "span": pd.Series(dtype="object")})
-        flat = np.empty(int(lens.sum()), dtype=object)
-        pos = 0
-        for w in words_per_doc:
-            flat[pos:pos + len(w)] = w
-            pos += len(w)
-        starts = np.cumsum(lens) - lens
-        # flat start index of every span: starts[d] + 0..nspans[d]-1
-        idx = np.repeat(starts, nspans) + (
-            np.arange(total) - np.repeat(np.cumsum(nspans) - nspans, nspans)
-        )
-        # object-array adds run str.__add__ in a C loop (no per-row Python
-        # bytecode); k-1 passes build the exact ' '-joined span strings
-        acc = flat[idx]
-        for j in range(1, k):
-            acc = np.add(np.add(acc, " "), flat[idx + j])
-        if hash_spans:
-            h1 = pd.util.hash_array(acc, hash_key="0123456789123456")
-            h2 = pd.util.hash_array(acc, hash_key="6543210987654321")
-            acc = (h1.astype(object) << np.uint64(64)) | h2.astype(object)
-        return pd.DataFrame({id_col: np.repeat(ids, nspans), "span": acc})
+        return explode_spans(df, k, text_col=text_col, id_col=id_col,
+                             hash_spans=hash_spans)
 
     def mark_bucket(b: pd.DataFrame) -> pd.DataFrame:
         sizes = b.groupby("span", sort=False)["span"].transform("size").to_numpy()

@@ -160,33 +160,14 @@ def span_dedup(docs_ds, k: int = 8, text_col: str = "text",
     cumsum > 0 = covered; no per-token Python)."""
     from .agg import bucketed_group_apply
 
-    def explode_spans(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df[id_col].to_numpy(np.int64)
-        words = [str(t).split() if t is not None else []
-                 for t in df[text_col]]
-        lens = np.fromiter((len(w) for w in words), np.int64,
-                           count=len(words))
-        nspans = np.maximum(lens - k + 1, 0)
-        total = int(nspans.sum())
-        if total == 0:
-            return pd.DataFrame({"span": pd.Series(dtype="object"),
-                                 id_col: pd.Series(dtype="int64"),
-                                 "pos": pd.Series(dtype="int64")})
-        flat = np.empty(int(lens.sum()), dtype=object)
-        o = 0
-        for w in words:
-            flat[o:o + len(w)] = w
-            o += len(w)
-        starts = np.cumsum(lens) - lens
-        pos = np.arange(total) - np.repeat(np.cumsum(nspans) - nspans, nspans)
-        idx = np.repeat(starts, nspans) + pos
-        # object-array adds run str concat in a C loop (k-1 passes)
-        acc = flat[idx]
-        for j in range(1, k):
-            acc = np.add(np.add(acc, " "), flat[idx + j])
-        return pd.DataFrame({"span": acc,
-                             id_col: np.repeat(ids, nspans),
-                             "pos": pos.astype(np.int64)})
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        from .dedup import explode_spans
+
+        out = explode_spans(df, k, text_col=text_col, id_col=id_col,
+                            with_pos=True)
+        out[id_col] = out[id_col].astype(np.int64) if len(out) else \
+            out[id_col].astype("int64")
+        return out[["span", id_col, "pos"]]
 
     def loser_marks(b: pd.DataFrame) -> pd.DataFrame:
         """All but the global first (doc_id, pos) per span string."""
@@ -201,7 +182,7 @@ def span_dedup(docs_ds, k: int = 8, text_col: str = "text",
                              "pos": d["pos"].to_numpy(np.int64)})
 
     marks = bucketed_group_apply(
-        docs_ds.map_batches(explode_spans, batch_format="pandas"),
+        docs_ds.map_batches(explode, batch_format="pandas"),
         "span", loser_marks, n_buckets=n_buckets,
     )
 

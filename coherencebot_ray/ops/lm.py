@@ -218,11 +218,12 @@ def dsir_weights(docs_ds, target_mod: int = 37, dim: int = DSIR_DIM,
 
     parts = (docs_ds.map_batches(count_partial, batch_format="pandas")
              .to_pandas())  # <= blocks x dim rows
-    folded = parts.groupby("b", sort=False)[["t", "r"]].sum()
     t_b = np.zeros(dim, dtype=np.int64)
     r_b = np.zeros(dim, dtype=np.int64)
-    t_b[folded.index.to_numpy(np.int64)] = folded["t"].to_numpy(np.int64)
-    r_b[folded.index.to_numpy(np.int64)] = folded["r"].to_numpy(np.int64)
+    if "b" in parts.columns and len(parts):  # else: fully-empty corpus
+        folded = parts.groupby("b", sort=False)[["t", "r"]].sum()
+        t_b[folded.index.to_numpy(np.int64)] = folded["t"].to_numpy(np.int64)
+        r_b[folded.index.to_numpy(np.int64)] = folded["r"].to_numpy(np.int64)
     term = _L(t_b + 1) - _L(r_b + 1)                       # per-bucket int
     shift = int(_L(np.array([int(r_b.sum()) + dim]))[0]
                 - _L(np.array([int(t_b.sum()) + dim]))[0])  # per-feature int

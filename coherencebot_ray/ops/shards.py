@@ -36,7 +36,14 @@ import pandas as pd
 
 
 def _stem(path: str) -> str:
-    return os.path.splitext(os.path.basename(path))[0]
+    """Collision-free shard key: basename stem (human-readable) + a hash
+    of the ABSOLUTE path — two inputs named part-0.parquet in different
+    directories must not share an output dir / _DONE marker."""
+    import hashlib
+
+    base = os.path.splitext(os.path.basename(path))[0]
+    h = hashlib.md5(os.path.abspath(path).encode("utf-8")).hexdigest()[:10]
+    return f"{base}-{h}"
 
 
 def _marker(out_dir: str, path: str) -> str:

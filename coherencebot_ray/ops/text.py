@@ -313,11 +313,14 @@ def gopher_repetition(df: pd.DataFrame, text_col: str = "text",
 # the RE2-compatible subset (no lookaround, no backrefs) and to shapes
 # where leftmost-greedy semantics agree between Python `re` and
 # DuckDB's RE2, so the oracle reproduces the redacted text
-# byte-for-byte (checked via md5 in the query).
+# byte-for-byte (checked via md5 in the query). The (?a) flag pins
+# Python's \d / \b to ASCII — RE2's default — otherwise Unicode digits
+# (e.g. Arabic-Indic) and non-ASCII word chars adjacent to digit runs
+# diverge between the op and the oracle.
 PII_PATTERNS = (
-    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    ("phone", r"\+\d{7,15}\b|\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("email", r"(?a)[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"(?a)\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"(?a)\+\d{7,15}\b|\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
 )
 
 

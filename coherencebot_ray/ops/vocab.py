@@ -60,6 +60,10 @@ def vocab_topk(docs_ds, k: int = 200, n_buckets: int = 32,
         docs_ds, "token", bucket_fn, n_buckets=n_buckets,
         pre=lambda df: _partial_token_counts(df, lowercase),
     ).to_pandas()  # <= k * n_buckets rows
+    if "cnt" not in parts.columns:  # fully-empty corpus: Ray collapses
+        # an all-empty result to a zero-column frame
+        return pd.DataFrame({"token": pd.Series(dtype="object"),
+                             "cnt": pd.Series(dtype="int64")})
     out = parts.sort_values(["cnt", "token"], ascending=[False, True],
                             kind="stable").head(k).reset_index(drop=True)
     out["cnt"] = out["cnt"].astype(np.int64)
@@ -114,6 +118,9 @@ def pair_topk(docs_ds, k: int = 200, n_buckets: int = 32,
         docs_ds, "pair", bucket_fn, n_buckets=n_buckets,
         pre=lambda df: _partial_pair_counts(df, lowercase),
     ).to_pandas()  # <= k * n_buckets rows
+    if "cnt" not in parts.columns:  # fully-empty corpus (see vocab_topk)
+        return pd.DataFrame({"pair": pd.Series(dtype="object"),
+                             "cnt": pd.Series(dtype="int64")})
     out = parts.sort_values(["cnt", "pair"], ascending=[False, True],
                             kind="stable").head(k).reset_index(drop=True)
     out["cnt"] = out["cnt"].astype(np.int64)
@@ -245,8 +252,14 @@ def token_kl_drift(docs_ds, group_col: str = "source",
                              "n": token_count(texts)}) \
             .groupby(group_col, sort=False)["n"].sum().reset_index()
 
-    totals = (docs_ds.map_batches(totals_partial, batch_format="pandas")
-              .to_pandas().groupby(group_col, sort=True)["n"].sum())
+    totals_parts = (docs_ds.map_batches(totals_partial, batch_format="pandas")
+                    .to_pandas())
+    if "n" not in totals_parts.columns:  # fully-empty corpus
+        return pd.DataFrame({group_col: pd.Series(dtype="object"),
+                             "n_tokens": pd.Series(dtype="int64"),
+                             "kl_num": pd.Series(dtype="int64"),
+                             "kl": pd.Series(dtype="float64")})
+    totals = totals_parts.groupby(group_col, sort=True)["n"].sum()
     n_g = {g: int(v) for g, v in totals.items()}
     n_total = int(totals.sum())
     l_ng = {g: int(_L(np.array([v]))[0]) for g, v in n_g.items() if v}
@@ -270,6 +283,11 @@ def token_kl_drift(docs_ds, group_col: str = "source",
         docs_ds, "token", per_bucket, n_buckets=n_buckets,
         pre=lambda df: _partial_group_token_counts(df, group_col, lowercase),
     ).to_pandas()
+    if "kl_part" not in parts.columns:  # fully-empty corpus
+        return pd.DataFrame({group_col: pd.Series(dtype="object"),
+                             "n_tokens": pd.Series(dtype="int64"),
+                             "kl_num": pd.Series(dtype="int64"),
+                             "kl": pd.Series(dtype="float64")})
     agg = parts.groupby(group_col, sort=True)["kl_part"].sum().reset_index()
     agg = agg.rename(columns={"kl_part": "kl_num"})
     agg["n_tokens"] = agg[group_col].map(n_g).astype(np.int64)

@@ -1449,11 +1449,13 @@ terms AS (
                  - CAST(FLOOR(ln(s.n_g) * 1000000 + 0.5) AS BIGINT)
                  - CAST(FLOOR(ln(t.n_t) * 1000000 + 0.5) AS BIGINT)
                  + CAST(FLOOR(ln(tot.n) * 1000000 + 0.5) AS BIGINT)) AS term
-  FROM gt g JOIN tt t USING (t) JOIN gs s USING (source) CROSS JOIN tot
+  FROM gt g JOIN tt t USING (t)
+  JOIN gs s ON g.source IS NOT DISTINCT FROM s.source
+  CROSS JOIN tot
 )
 SELECT s.source, CAST(s.n_g AS BIGINT) AS n_tokens,
        CAST(SUM(term) AS BIGINT) AS kl_num
-FROM terms JOIN gs s USING (source)
+FROM terms tr JOIN gs s ON tr.source IS NOT DISTINCT FROM s.source
 GROUP BY s.source, s.n_g ORDER BY s.source
 """
 

@@ -65,3 +65,21 @@ def test_pii_redact():
     assert out.loc[0, "redacted_md5"] == hashlib.md5(red0.encode()).hexdigest()
     red1 = "server at <IP> and <IP>, call <PHONE>"
     assert out.loc[1, "redacted_md5"] == hashlib.md5(red1.encode()).hexdigest()
+
+
+def test_pii_redact_ascii_semantics_match_re2():
+    """The (?a) flag pins \\d / \\b to ASCII like DuckDB's RE2: Unicode
+    digits never match, and a non-ASCII letter before a digit run is a
+    boundary (it is not a word char under ASCII)."""
+    import pandas as pd
+
+    from coherencebot_ray.ops.text import pii_redact
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["call ١٢٣-٤٥٦-٧٨٩٠ now",
+                 "é123-456-7890"],
+    })
+    out = pii_redact(df).set_index("doc_id")
+    assert out.loc[0, "n_phone"] == 0  # Arabic-Indic digits: no match
+    assert out.loc[1, "n_phone"] == 1  # é is a boundary under ASCII \b
