@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "hashed_quality",
     "span_dedup",
     "dsir_weights",
+    "dsir_select",
 ]
 
 

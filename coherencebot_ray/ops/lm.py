@@ -246,3 +246,38 @@ def dsir_weights(docs_ds, target_mod: int = 37, dim: int = DSIR_DIM,
                              "logw_micro": logw})
 
     return docs_ds.map_batches(score, batch_format="pandas")
+
+
+def dsir_select(docs_ds, p: float = 0.75, target_mod: int = 37,
+                dim: int = DSIR_DIM, id_col: str = "doc_id",
+                text_col: str = "text"):
+    """DSIR selection step: keep every raw doc whose importance weight
+    is at or above the corpus-wide PERCENTILE_DISC(p) cutoff of
+    ``logw_micro`` (deterministic — no Gumbel noise; the paper's
+    resampling becomes a quantile threshold, ties keep). Returns a
+    Dataset of (id_col, logw_micro) for the selected docs.
+
+    Scale shape: dsir_weights' two zero-shuffle scans, then the exact
+    distributed value-histogram quantile (ops/vocab machinery: the
+    exchange moves (value, cnt) rows). logw values are near-distinct
+    per doc, so at 10^10 rows a deployment quantizes the histogram
+    key (logw_micro // 1000) to bound it and applies the same cutoff
+    rule on the quantized proxy; at oracle scale the exact histogram
+    is used so SQL percentile_disc reproduces the cutoff bit-for-bit."""
+    from .vocab import int_value_histogram, quantiles_from_histogram
+
+    weights = dsir_weights(docs_ds, target_mod=target_mod, dim=dim,
+                           id_col=id_col, text_col=text_col)
+
+    def value_pre(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"value": df["logw_micro"].to_numpy(np.int64)})
+
+    hist = int_value_histogram(weights, value_pre)
+    q = quantiles_from_histogram(hist, (p,))
+    cutoff = int(q["value"].iloc[0]) if len(q) else 0
+
+    def sel(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["logw_micro"].to_numpy(np.int64) >= cutoff]
+        return keep[[id_col, "logw_micro"]]
+
+    return weights.map_batches(sel, batch_format="pandas")

@@ -1377,6 +1377,33 @@ ORDER BY d.doc_id
 """
 
 
+def q_dsir_select(sf_dir: str):
+    """DSIR selection (ops/lm.dsir_select): raw docs at or above the
+    corpus-wide PERCENTILE_DISC(0.75) cutoff of the DSIR importance
+    weight — the paper's resampling as a deterministic quantile
+    threshold. Cutoff from the exact distributed value histogram."""
+    from ..ops.lm import dsir_select
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    out = dsir_select(ds, p=0.75).to_pandas()
+    out = _typed_empty(out, {"doc_id": "int64", "logw_micro": "int64"})
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_DSIR_SELECT_SQL = (
+    "WITH w AS (" + _DSIR_SQL + "),\n"
+    + """cut AS (
+  SELECT percentile_disc(0.75) WITHIN GROUP (ORDER BY logw_micro) AS c FROM w
+)
+SELECT doc_id, logw_micro FROM w, cut WHERE logw_micro >= cut.c
+ORDER BY doc_id
+""")
+
+
+
 def q_curriculum_bins(sf_dir: str):
     """Curriculum quantile binning (ops/sample.curriculum_bins): each
     doc tagged with its quartile bin of whitespace token count — exact
@@ -3589,6 +3616,7 @@ def build_queries() -> dict:
         "bpe_pairs": q_bpe_pairs,
         "hashed_quality": q_hashed_quality,
         "dsir_weights": q_dsir,
+        "dsir_select": q_dsir_select,
         "decontaminate": q_decontaminate,
         "curriculum_bins": q_curriculum_bins,
         "token_kl": q_token_kl,
@@ -3676,6 +3704,7 @@ def build_oracle_sql() -> dict:
         "bpe_pairs": _BPE_PAIRS_SQL,
         "hashed_quality": _HASHED_QUALITY_SQL,
         "dsir_weights": _DSIR_SQL,
+        "dsir_select": _DSIR_SELECT_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "curriculum_bins": _CURRICULUM_SQL,
         "token_kl": _TOKEN_KL_SQL,

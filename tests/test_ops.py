@@ -1444,3 +1444,26 @@ def test_resumable_map_shards(ray_session, tmp_path):
     got = read_shards(out).to_pandas().sort_values("doc_id")
     assert list(got["doc_id"]) == list(range(40))
     assert (got["n_tokens"] == 3).all()
+
+
+def test_dsir_select_quantile_cutoff(ray_session):
+    """Selection keeps exactly the docs at/above the PERCENTILE_DISC(p)
+    cutoff of their own weight distribution (ties keep)."""
+    import ray.data as rd
+
+    from coherencebot_ray.ops.lm import dsir_select, dsir_weights
+
+    docs = pd.DataFrame({
+        "doc_id": list(range(12)),
+        "text": [f"target text alpha w{i % 4}" for i in range(12)],
+    })
+    # doc 0 is target (0 % 37 == 0); 11 raw docs in 4 weight classes
+    w = (dsir_weights(rd.from_pandas(docs)).to_pandas()
+         .sort_values("doc_id"))
+    sel = (dsir_select(rd.from_pandas(docs), p=0.5).to_pandas()
+           .sort_values("doc_id"))
+    vals = np.sort(w["logw_micro"].to_numpy(np.int64))
+    import math
+    cutoff = vals[math.ceil(0.5 * len(vals)) - 1]  # PERCENTILE_DISC
+    want = set(w[w["logw_micro"] >= cutoff]["doc_id"])
+    assert set(sel["doc_id"]) == want and len(want) >= len(vals) // 2
