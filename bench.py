@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "span_dedup",
     "dsir_weights",
     "dsir_select",
+    "distinct_ngrams",
+    "source_overlap",
 ]
 
 

@@ -1404,6 +1404,73 @@ ORDER BY doc_id
 
 
 
+def q_distinct_ngrams(sf_dir: str):
+    """Per-source trigram diversity (ops/datacard.distinct_ngrams):
+    distinct-n self-repetition metric — (source, n_grams, n_distinct,
+    distinct_ppm). One gram-hash exchange; per-bucket distinct counts
+    sum exactly (each gram lives in one bucket)."""
+    from ..ops.datacard import distinct_ngrams
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    out = distinct_ngrams(ds, n=3)
+    for c in ("n_grams", "n_distinct", "distinct_ppm"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+_DISTINCT_NGRAMS_SQL = r"""
+WITH tok AS (
+  SELECT source, regexp_extract_all(coalesce(text, ''), '\S+') AS t
+  FROM documents
+),
+g AS (
+  SELECT source, array_to_string(t[i.i:i.i + 2], ' ') AS g
+  FROM tok, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) i
+  WHERE len(t) >= 3
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+       CAST((1000000 * count(DISTINCT g)) // count(*) AS BIGINT) AS distinct_ppm
+FROM g GROUP BY source ORDER BY source
+"""
+
+
+def q_source_overlap(sf_dir: str):
+    """Cross-source 8-gram overlap matrix (ops/datacard.source_overlap):
+    distinct shared grams per unordered source pair — the corpus
+    contamination audit. One gram-hash exchange; per-gram source sets
+    resolve in-bucket; driver folds <= |sources|^2/2 rows."""
+    from ..ops.datacard import source_overlap
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    out = source_overlap(ds, n=8)
+    out["shared"] = out["shared"].astype(np.int64)
+    return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
+
+
+_SOURCE_OVERLAP_SQL = r"""
+WITH tok AS (
+  SELECT source, regexp_extract_all(coalesce(text, ''), '\S+') AS t
+  FROM documents
+),
+g AS (
+  SELECT source, array_to_string(t[i.i:i.i + 7], ' ') AS g
+  FROM tok, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) i
+  WHERE len(t) >= 8
+),
+sg AS (SELECT DISTINCT source, g FROM g)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(count(*) AS BIGINT) AS shared
+FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY src_a, src_b
+"""
+
+
+
 def q_curriculum_bins(sf_dir: str):
     """Curriculum quantile binning (ops/sample.curriculum_bins): each
     doc tagged with its quartile bin of whitespace token count — exact
@@ -3617,6 +3684,8 @@ def build_queries() -> dict:
         "hashed_quality": q_hashed_quality,
         "dsir_weights": q_dsir,
         "dsir_select": q_dsir_select,
+        "distinct_ngrams": q_distinct_ngrams,
+        "source_overlap": q_source_overlap,
         "decontaminate": q_decontaminate,
         "curriculum_bins": q_curriculum_bins,
         "token_kl": q_token_kl,
@@ -3705,6 +3774,8 @@ def build_oracle_sql() -> dict:
         "hashed_quality": _HASHED_QUALITY_SQL,
         "dsir_weights": _DSIR_SQL,
         "dsir_select": _DSIR_SELECT_SQL,
+        "distinct_ngrams": _DISTINCT_NGRAMS_SQL,
+        "source_overlap": _SOURCE_OVERLAP_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "curriculum_bins": _CURRICULUM_SQL,
         "token_kl": _TOKEN_KL_SQL,

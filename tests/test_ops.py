@@ -1467,3 +1467,30 @@ def test_dsir_select_quantile_cutoff(ray_session):
     cutoff = vals[math.ceil(0.5 * len(vals)) - 1]  # PERCENTILE_DISC
     want = set(w[w["logw_micro"] >= cutoff]["doc_id"])
     assert set(sel["doc_id"]) == want and len(want) >= len(vals) // 2
+
+
+def test_datacard_ops(ray_session):
+    """distinct-n diversity and cross-source overlap vs hand counts;
+    null-source rows group in diversity but never pair in overlap."""
+    import ray.data as rd
+
+    from coherencebot_ray.ops.datacard import distinct_ngrams, source_overlap
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "source": ["a", "a", "b", None],
+        "text": ["x y z x y z",     # trigrams: xyz yzx zxy xyz -> 4 grams 3 distinct
+                 "x y z",           # xyz -> 1 gram
+                 "p q r s t u v w x y z",  # shares no trigram with a? 'x y z' yes!
+                 "x y z"],
+    })
+    div = distinct_ngrams(rd.from_pandas(docs).repartition(2), n=3)
+    d = {r["source"]: (r["n_grams"], r["n_distinct"]) for _, r in div.iterrows()}
+    assert d["a"] == (5, 3)      # doc0: 4 grams {xyz,yzx,zxy}; doc1: xyz
+    assert d["b"] == (9, 9)
+    assert d[None] == (1, 1)
+    # overlap at n=3: sources a and b share exactly {x y z}; None never pairs
+    ov = source_overlap(rd.from_pandas(docs).repartition(2), n=3)
+    assert len(ov) == 1
+    assert ov.iloc[0]["src_a"] == "a" and ov.iloc[0]["src_b"] == "b"
+    assert ov.iloc[0]["shared"] == 1
