@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "dsir_select",
     "distinct_ngrams",
     "source_overlap",
+    "dedup_keep_best",
 ]
 
 

@@ -232,6 +232,42 @@ def exact_dedup(docs_ds, text_col: str = "text", normalize: bool = False):
     return bucketed_group_apply(sigs, "sig", winners_bucket)
 
 
+def exact_dedup_keep_best(docs_ds, text_col: str = "text",
+                          normalize: bool = True):
+    """Exact dedup, KEEP-BEST winner policy: within a (normalized)
+    signature group the surviving copy is the one with the LONGEST
+    original text (quality proxy — production dedup stacks keep the
+    best-formatted duplicate, not the first-seen; cf. keep-first
+    ``exact_dedup`` above), tie-break min doc_id. Returns (doc_id,
+    dup_of) loser rows. Same one-exchange shape as exact_dedup."""
+
+    def sig(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[text_col].fillna("")
+        n = texts.str.len().to_numpy(np.int64)
+        if normalize:
+            texts = texts.str.lower().str.replace(r"\s+", " ", regex=True)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "sig": texts.map(lambda s: hashlib.md5(s.encode()).hexdigest()),
+            "n": n,
+        })
+
+    def winners_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["sig", "n", "doc_id"],
+                          ascending=[True, False, True], kind="stable")
+        sig_v = b["sig"].to_numpy()
+        ids = b["doc_id"].to_numpy()
+        first = np.r_[True, sig_v[1:] != sig_v[:-1]]
+        group_start = np.maximum.accumulate(np.where(first, np.arange(len(ids)), 0))
+        dup = ~first
+        return pd.DataFrame({"doc_id": ids[dup], "dup_of": ids[group_start[dup]]})
+
+    from .agg import bucketed_group_apply
+
+    sigs = docs_ds.map_batches(sig, batch_format="pandas")
+    return bucketed_group_apply(sigs, "sig", winners_bucket)
+
+
 def minhash_lsh_pairs(
     docs_ds,
     threshold: float = 0.8,

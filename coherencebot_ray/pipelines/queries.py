@@ -1471,6 +1471,42 @@ ORDER BY src_a, src_b
 
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Normalized exact dedup with the KEEP-BEST winner policy
+    (ops/dedup.exact_dedup_keep_best): the longest original text
+    survives its signature group (tie: min doc_id) — production stacks
+    keep the best-formatted duplicate, not the first-seen."""
+    from ..ops.dedup import exact_dedup_keep_best
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    out = _typed_empty(exact_dedup_keep_best(ds).to_pandas(),
+                       {"doc_id": "int64", "dup_of": "int64"})
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_DEDUP_KEEP_BEST_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS sig,
+         len(coalesce(text, '')) AS n
+  FROM documents
+),
+r AS (
+  SELECT doc_id, sig,
+         first_value(doc_id) OVER (PARTITION BY sig ORDER BY n DESC, doc_id ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND UNBOUNDED FOLLOWING) AS dup_of,
+         row_number() OVER (PARTITION BY sig ORDER BY n DESC, doc_id ASC) AS rn
+  FROM s
+)
+SELECT doc_id, dup_of FROM r WHERE rn > 1 ORDER BY doc_id
+"""
+
+
+
 def q_curriculum_bins(sf_dir: str):
     """Curriculum quantile binning (ops/sample.curriculum_bins): each
     doc tagged with its quartile bin of whitespace token count — exact
@@ -3624,6 +3660,7 @@ def build_queries() -> dict:
         "indexer_join": q_indexer_join,
         "dedup_exact_docs": q_dedup_exact_docs,
         "dedup_norm_docs": q_dedup_norm_docs,
+        "dedup_keep_best": q_dedup_keep_best,
         "minhash_lsh": q_minhash_lsh,
         "minhash_lsh_idjoin": q_minhash_lsh_idjoin,
         "containment_join": q_containment,
@@ -3717,6 +3754,7 @@ def build_oracle_sql() -> dict:
         "indexer_join": _INDEXER_SQL,
         "dedup_exact_docs": _DEDUP_DOCS_SQL,
         "dedup_norm_docs": _DEDUP_NORM_SQL,
+        "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
         "char_entropy": _CHAR_ENTROPY_SQL,
         "text_quality": _QUALITY_SQL,
         "fingerprint": _FINGERPRINT_SQL,

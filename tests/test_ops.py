@@ -1494,3 +1494,25 @@ def test_datacard_ops(ray_session):
     assert len(ov) == 1
     assert ov.iloc[0]["src_a"] == "a" and ov.iloc[0]["src_b"] == "b"
     assert ov.iloc[0]["shared"] == 1
+
+
+def test_exact_dedup_keep_best_policy(ray_session):
+    """Keep-best keeps the LONGEST original (not the first-seen): doc 2
+    ('A  B', 4 chars) beats doc 1 ('a b', 3 chars) in the same
+    normalized group; keep-first would keep doc 1."""
+    import ray.data as rd
+
+    from coherencebot_ray.ops.dedup import exact_dedup, exact_dedup_keep_best
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b", "A  B", "unique", "a b"],
+    })
+    best = (exact_dedup_keep_best(rd.from_pandas(docs).repartition(2))
+            .to_pandas().sort_values("doc_id"))
+    assert list(best["doc_id"]) == [1, 4]
+    assert list(best["dup_of"]) == [2, 2]
+    first = (exact_dedup(rd.from_pandas(docs).repartition(2), normalize=True)
+             .to_pandas().sort_values("doc_id"))
+    assert list(first["doc_id"]) == [2, 4]
+    assert list(first["dup_of"]) == [1, 1]
