@@ -450,3 +450,61 @@ def hashed_classifier(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
         "n_tokens": n,
         "label": (score >= 0).astype(np.int64),
     })
+
+
+# Winnowing constants (Schleimer et al. 2003, "Winnowing: Local
+# Algorithms for Document Fingerprinting" — the MOSS selector): k-char
+# grams, window w, and the packed (fingerprint, position) key the
+# argmin tie rule rides on. fp is truncated to 40 bits so key =
+# fp * 2^20 + pos stays in int64 (pos < 2^20 chars; longer docs
+# window-select per 1M-char slab in a deployment) — the truncation is
+# shared with the SQL oracle bit-for-bit.
+WINNOW_K = 8
+WINNOW_W = 4
+_WINNOW_FP_BITS = 40
+_WINNOW_POS_BITS = 20
+
+
+def winnow_fingerprints(df: pd.DataFrame, k: int = WINNOW_K,
+                        w: int = WINNOW_W,
+                        text_col: str = "text") -> pd.DataFrame:
+    """Winnowing fingerprint selection per document: hash every k-char
+    gram (md5, 40-bit), then for every window of w consecutive grams
+    select the LEFTMOST-minimum fingerprint; the distinct selected set
+    is the document's fingerprint sketch (guaranteed to catch any
+    shared substring of length >= k + w - 1). Zero-shuffle per-doc map;
+    a 100-TB deployment swaps the per-position md5 for a vectorized
+    rolling 128-bit mix 1:1 (determinism is all the selection needs).
+
+    Columns: doc_id, n_kgrams, n_selected (distinct selected
+    positions' fingerprints), sel_sum (sum of distinct selected packed
+    keys mod 2^31 — the oracle's strong equality signal)."""
+    texts = df[text_col].fillna("").astype(str)
+    n_out = len(df)
+    n_kgrams = np.zeros(n_out, dtype=np.int64)
+    n_selected = np.zeros(n_out, dtype=np.int64)
+    sel_sum = np.zeros(n_out, dtype=np.int64)
+    fp_mod = 1 << _WINNOW_FP_BITS  # plain int: the md5 int is > 2^63,
+    # so a numpy modulus would coerce it lossily before reducing
+    for row, s in enumerate(texts):
+        m = len(s) - k + 1
+        if m <= 0:
+            continue
+        n_kgrams[row] = m
+        fps = np.fromiter(
+            (int.from_bytes(hashlib.md5(s[i:i + k].encode("utf-8")).digest()[:8],
+                            "big") % fp_mod for i in range(m)),
+            dtype=np.int64, count=m)
+        key = (fps << _WINNOW_POS_BITS) + np.arange(m, dtype=np.int64)
+        if m <= w:
+            sel = np.array([int(key.min())], dtype=np.int64)
+        else:
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            sel = np.unique(sliding_window_view(key, w).min(axis=1))
+        n_selected[row] = len(sel)
+        sel_sum[row] = int((sel % (1 << 31)).sum())
+    return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                         "n_kgrams": n_kgrams,
+                         "n_selected": n_selected,
+                         "sel_sum": sel_sum})

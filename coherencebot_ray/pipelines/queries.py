@@ -1507,6 +1507,57 @@ SELECT doc_id, dup_of FROM r WHERE rn > 1 ORDER BY doc_id
 
 
 
+def q_winnow(sf_dir: str):
+    """Winnowing fingerprint selection (Schleimer et al. 2003 / MOSS,
+    ops/text.winnow_fingerprints): per-window leftmost-min of 40-bit
+    k-gram hashes packed with position; per-doc distinct selected set.
+    Zero-shuffle per-doc map."""
+    from ..ops.text import winnow_fingerprints
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    out = ds.map_batches(winnow_fingerprints, batch_format="pandas").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_WINNOW_SQL = r"""
+WITH s AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+g AS (
+  SELECT doc_id, i.i - 1 AS pos,
+         CAST(CAST(('0x' || substr(md5(substr(t, i.i, 8)), 1, 16)) AS UBIGINT)
+              % 1099511627776 AS BIGINT) AS fp
+  FROM s, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) i
+  WHERE len(t) >= 8
+),
+k AS (SELECT doc_id, pos, fp * 1048576 + pos AS key FROM g),
+wmin AS (
+  SELECT doc_id, pos,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
+         count(*) OVER (PARTITION BY doc_id) AS m
+  FROM k
+),
+sel AS (
+  SELECT DISTINCT doc_id, mk AS key FROM wmin
+  WHERE (m > 4 AND pos <= m - 4) OR (m <= 4 AND pos = 0)
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_selected,
+         SUM(key % 2147483648) AS sel_sum
+  FROM sel GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(greatest(len(coalesce(d.text, '')) - 7, 0) AS BIGINT) AS n_kgrams,
+       CAST(coalesce(a.n_selected, 0) AS BIGINT) AS n_selected,
+       CAST(coalesce(a.sel_sum, 0) AS BIGINT) AS sel_sum
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+
 def q_curriculum_bins(sf_dir: str):
     """Curriculum quantile binning (ops/sample.curriculum_bins): each
     doc tagged with its quartile bin of whitespace token count — exact
@@ -3672,6 +3723,7 @@ def build_queries() -> dict:
         "char_entropy": q_char_entropy,
         "text_quality": q_text_quality,
         "fingerprint": q_fingerprint,
+        "winnow": q_winnow,
         "langid": q_langid,
         "knn_cosine": q_knn_cosine,
         "knn_ivf": q_knn_ivf,
@@ -3758,6 +3810,7 @@ def build_oracle_sql() -> dict:
         "char_entropy": _CHAR_ENTROPY_SQL,
         "text_quality": _QUALITY_SQL,
         "fingerprint": _FINGERPRINT_SQL,
+        "winnow": _WINNOW_SQL,
         "knn_cosine": _KNN_SQL,
         "embedding_neardup": _NEARDUP_SQL,
         "embedding_neardup_lsh": _embedding_lsh_sql(),

@@ -83,3 +83,45 @@ def test_pii_redact_ascii_semantics_match_re2():
     out = pii_redact(df).set_index("doc_id")
     assert out.loc[0, "n_phone"] == 0  # Arabic-Indic digits: no match
     assert out.loc[1, "n_phone"] == 1  # é is a boundary under ASCII \b
+
+
+def test_winnow_fingerprints_guarantee():
+    """The winnowing guarantee: two docs sharing a substring of length
+    >= k + w - 1 share at least one selected fingerprint; and the
+    leftmost-min selection matches a brute-force reference."""
+    import hashlib
+    import pandas as pd
+
+    from coherencebot_ray.ops.text import (WINNOW_K, WINNOW_W,
+                                           winnow_fingerprints)
+
+    shared = "SHAREDSUBSTRING"  # len 15 >= 8 + 4 - 1
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["prefix " + shared + " tail one",
+                 "other start " + shared + " zz",
+                 "entirely unrelated content here"],
+    })
+    out = winnow_fingerprints(df)
+
+    def brute(s, k=WINNOW_K, w=WINNOW_W):
+        m = len(s) - k + 1
+        if m <= 0:
+            return set()
+        fps = [int.from_bytes(hashlib.md5(s[i:i + k].encode()).digest()[:8],
+                              "big") % (1 << 40) for i in range(m)]
+        keys = [(f << 20) + i for i, f in enumerate(fps)]
+        if m <= w:
+            return {min(keys)}
+        return {min(keys[j:j + w]) for j in range(m - w + 1)}
+
+    for i, t in enumerate(df["text"]):
+        ref = brute(t)
+        assert out["n_selected"][i] == len(ref)
+        assert out["sel_sum"][i] == sum(x % (1 << 31) for x in ref)
+    # the guarantee: fingerprint VALUES (fp part) of docs 0 and 1 overlap
+    fp0 = {x >> 20 for x in brute(df["text"][0])}
+    fp1 = {x >> 20 for x in brute(df["text"][1])}
+    fp2 = {x >> 20 for x in brute(df["text"][2])}
+    assert fp0 & fp1
+    assert not (fp0 & fp2)
