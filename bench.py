@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "distinct_ngrams",
     "source_overlap",
     "dedup_keep_best",
+    "winnow",
 ]
 
 
