@@ -65,6 +65,7 @@ def curate_corpus(
     from .agg import bucketed_group_apply
     from .decontaminate import contains_gram, eval_gram_set
     from .pack import pack_counts
+    from .text import TOKEN_PATTERN as _TOKP
     from .text import gopher_quality, langid
 
     def eval_slice(df: pd.DataFrame) -> pd.DataFrame:
@@ -103,7 +104,7 @@ def curate_corpus(
         return pd.DataFrame(
             {
                 "doc_id": sub["doc_id"].to_numpy(np.int64),
-                "tokens": texts.str.count(r"\S+").to_numpy(np.int64),
+                "tokens": texts.str.count(_TOKP).to_numpy(np.int64),
                 "sig": texts.map(
                     lambda s: hashlib.md5(s.encode()).hexdigest()
                 ).to_numpy(),

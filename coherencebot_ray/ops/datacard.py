@@ -17,8 +17,8 @@ import numpy as np
 import pandas as pd
 
 from .agg import bucketed_group_apply
-
-_NULL_SRC = "\x00null"  # SQL GROUP BY keeps NULL groups; pandas drops them
+from .vocab import _NULL_GROUP as _NULL_SRC  # shared null-group sentinel
+# (SQL GROUP BY keeps NULL groups; pandas groupby drops NaN keys)
 
 
 def _gram_rows(df: pd.DataFrame, n: int, text_col: str,
@@ -43,18 +43,25 @@ def distinct_ngrams(docs_ds, n: int = 3, text_col: str = "text",
     in exactly one bucket, so per-bucket distinct counts sum to the
     exact global distinct count."""
 
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        # per-batch partial combine (the agg.py hot-key guard): a gram
+        # repeated 10^8 times ships one (source, gram, cnt) row per
+        # batch, never one row per occurrence
+        g = _gram_rows(df, n, text_col, group_col)
+        out = (g.groupby([group_col, "gram"], sort=False).size()
+               .reset_index(name="c"))
+        out["c"] = out["c"].astype(np.int64)
+        return out
+
     def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        g = (b.groupby([group_col, "gram"], sort=False).size()
-             .reset_index(name="c"))
+        g = (b.groupby([group_col, "gram"], sort=False)["c"].sum()
+             .reset_index())
         agg = g.groupby(group_col, sort=False).agg(
             n_grams=("c", "sum"), n_distinct=("c", "size")).reset_index()
         return agg
 
     parts = bucketed_group_apply(
-        docs_ds.map_batches(
-            lambda df: _gram_rows(df, n, text_col, group_col),
-            batch_format="pandas"),
-        "gram", per_bucket, n_buckets=n_buckets,
+        docs_ds, "gram", per_bucket, n_buckets=n_buckets, pre=pre,
     ).to_pandas()
     if "n_grams" not in parts.columns:
         return pd.DataFrame({group_col: pd.Series(dtype="object"),
@@ -80,30 +87,30 @@ def source_overlap(docs_ds, n: int = 8, text_col: str = "text",
     counts; the driver folds <= |sources|^2/2 rows. Null-source rows
     never pair (SQL semantics: NULL fails every < comparison)."""
 
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        # idempotent per-batch distinct (the hot-key partial combine)
+        g = _gram_rows(df[df[group_col].notna()], n, text_col, group_col)
+        return g[[group_col, "gram"]].drop_duplicates()
+
     def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        sg = b[[group_col, "gram"]].drop_duplicates()
+        sg = b.drop_duplicates([group_col, "gram"])
         sizes = sg.groupby("gram", sort=False)[group_col].transform("size")
-        multi = sg[sizes > 1].sort_values(["gram", group_col], kind="stable")
+        multi = sg[sizes > 1]
         if not len(multi):
             return pd.DataFrame({"src_a": pd.Series(dtype="object"),
                                  "src_b": pd.Series(dtype="object"),
                                  "shared": pd.Series(dtype="int64")})
-        rows = []
-        for _, grp in multi.groupby("gram", sort=False):
-            ss = grp[group_col].tolist()
-            for i in range(len(ss)):
-                for j in range(i + 1, len(ss)):
-                    rows.append((ss[i], ss[j]))
-        part = pd.DataFrame(rows, columns=["src_a", "src_b"])
+        # vectorized pair expansion: self-merge on gram (C loop), keep
+        # src_a < src_b — no per-gram Python iteration
+        m = multi.merge(multi, on="gram", suffixes=("_a", "_b"))
+        m = m[m[group_col + "_a"] < m[group_col + "_b"]]
+        part = m.rename(columns={group_col + "_a": "src_a",
+                                 group_col + "_b": "src_b"})
         return (part.groupby(["src_a", "src_b"], sort=False).size()
                 .reset_index(name="shared"))
 
-    def gram_rows_nonnull(df: pd.DataFrame) -> pd.DataFrame:
-        return _gram_rows(df[df[group_col].notna()], n, text_col, group_col)
-
     parts = bucketed_group_apply(
-        docs_ds.map_batches(gram_rows_nonnull, batch_format="pandas"),
-        "gram", per_bucket, n_buckets=n_buckets,
+        docs_ds, "gram", per_bucket, n_buckets=n_buckets, pre=pre,
     ).to_pandas()
     if "shared" not in parts.columns:
         return pd.DataFrame({"src_a": pd.Series(dtype="object"),

@@ -21,7 +21,9 @@ import pandas as pd
 
 
 def _grams_of(text: str, n: int) -> list[str]:
-    toks = (text or "").lower().split()
+    from .text import ascii_tokens
+
+    toks = ascii_tokens((text or "").lower())
     if len(toks) < n:
         return []
     return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
@@ -46,7 +48,9 @@ def contains_gram(text, gset: set, n: int) -> bool:
     """True iff ``text`` shares an n-gram with ``gset`` (early exit) —
     the single scan implementation shared by :func:`decontaminate` and
     the composed pipeline (ops.corpus.curate_corpus)."""
-    toks = (text or "").lower().split()
+    from .text import ascii_tokens
+
+    toks = ascii_tokens((text or "").lower())
     for j in range(len(toks) - n + 1):
         if " ".join(toks[j:j + n]) in gset:
             return True

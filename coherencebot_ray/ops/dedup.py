@@ -20,7 +20,9 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _token_shingles(text: str, k: int = 3) -> set:
-    toks = text.split()
+    from .text import ascii_tokens
+
+    toks = ascii_tokens(text)
     if len(toks) < k:
         return {" ".join(toks)} if toks else set()
     return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
@@ -159,7 +161,9 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 
 def simhash64(text: str) -> np.uint64:
     """Charikar simhash over whitespace tokens with count weights."""
-    toks = text.split()
+    from .text import ascii_tokens
+
+    toks = ascii_tokens(text)
     if not toks:
         return np.uint64(0)
     counts: dict[str, int] = {}
@@ -195,30 +199,33 @@ def hamming64(a: int, b: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(docs_ds, text_col: str = "text", normalize: bool = False):
-    """Exact dedup by md5(text): returns (doc_id, dup_of) loser rows.
-
-    ``normalize=True`` collapses case and whitespace runs first
-    (md5(lower + single-space)), catching reformatted copies — the
-    standard first pass of a training-data dedup stack.
-
-    map_batches(hash) -> groupby(sig) -> winner = min(doc_id)."""
+def _exact_dedup_losers(docs_ds, text_col: str, normalize: bool,
+                        keep: str):
+    """Shared exact-dedup machinery: md5 signature map -> one sig-hash
+    exchange -> vectorized winner fold. ``keep`` picks the winner
+    policy: 'first' = min doc_id (the reference's DeduplicationJob
+    order), 'best' = longest ORIGINAL text, tie min doc_id (production
+    keep-best). Returns (doc_id, dup_of) loser rows."""
 
     def sig(df: pd.DataFrame) -> pd.DataFrame:
         texts = df[text_col].fillna("")
+        out = {"doc_id": df["doc_id"].to_numpy()}
+        if keep == "best":
+            out["n"] = texts.str.len().to_numpy(np.int64)
         if normalize:
             texts = texts.str.lower().str.replace(r"\s+", " ", regex=True)
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].to_numpy(),
-                "sig": texts.map(lambda s: hashlib.md5(s.encode()).hexdigest()),
-            }
-        )
+        out["sig"] = texts.map(
+            lambda s: hashlib.md5(s.encode()).hexdigest())
+        return pd.DataFrame(out)
+
+    sort_cols = (["sig", "n", "doc_id"] if keep == "best"
+                 else ["sig", "doc_id"])
+    ascending = [True, False, True] if keep == "best" else [True, True]
 
     def winners_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        # vectorized: sort by (sig, doc_id); every non-first row of a sig
-        # group is a duplicate of the group's min doc_id
-        b = b.sort_values(["sig", "doc_id"], kind="stable")
+        # vectorized: sort so each sig group's WINNER is its first row;
+        # every later row is a duplicate of that group-start doc_id
+        b = b.sort_values(sort_cols, ascending=ascending, kind="stable")
         sig_v = b["sig"].to_numpy()
         ids = b["doc_id"].to_numpy()
         first = np.r_[True, sig_v[1:] != sig_v[:-1]]
@@ -230,6 +237,16 @@ def exact_dedup(docs_ds, text_col: str = "text", normalize: bool = False):
 
     sigs = docs_ds.map_batches(sig, batch_format="pandas")
     return bucketed_group_apply(sigs, "sig", winners_bucket)
+
+
+def exact_dedup(docs_ds, text_col: str = "text", normalize: bool = False):
+    """Exact dedup by md5(text): returns (doc_id, dup_of) loser rows
+    with the KEEP-FIRST (min doc_id) winner policy.
+
+    ``normalize=True`` collapses case and whitespace runs first
+    (md5(lower + single-space)), catching reformatted copies — the
+    standard first pass of a training-data dedup stack."""
+    return _exact_dedup_losers(docs_ds, text_col, normalize, keep="first")
 
 
 def exact_dedup_keep_best(docs_ds, text_col: str = "text",
@@ -237,35 +254,10 @@ def exact_dedup_keep_best(docs_ds, text_col: str = "text",
     """Exact dedup, KEEP-BEST winner policy: within a (normalized)
     signature group the surviving copy is the one with the LONGEST
     original text (quality proxy — production dedup stacks keep the
-    best-formatted duplicate, not the first-seen; cf. keep-first
-    ``exact_dedup`` above), tie-break min doc_id. Returns (doc_id,
-    dup_of) loser rows. Same one-exchange shape as exact_dedup."""
+    best-formatted duplicate, not the first-seen), tie-break min
+    doc_id. Returns (doc_id, dup_of) loser rows."""
+    return _exact_dedup_losers(docs_ds, text_col, normalize, keep="best")
 
-    def sig(df: pd.DataFrame) -> pd.DataFrame:
-        texts = df[text_col].fillna("")
-        n = texts.str.len().to_numpy(np.int64)
-        if normalize:
-            texts = texts.str.lower().str.replace(r"\s+", " ", regex=True)
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy(),
-            "sig": texts.map(lambda s: hashlib.md5(s.encode()).hexdigest()),
-            "n": n,
-        })
-
-    def winners_bucket(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.sort_values(["sig", "n", "doc_id"],
-                          ascending=[True, False, True], kind="stable")
-        sig_v = b["sig"].to_numpy()
-        ids = b["doc_id"].to_numpy()
-        first = np.r_[True, sig_v[1:] != sig_v[:-1]]
-        group_start = np.maximum.accumulate(np.where(first, np.arange(len(ids)), 0))
-        dup = ~first
-        return pd.DataFrame({"doc_id": ids[dup], "dup_of": ids[group_start[dup]]})
-
-    from .agg import bucketed_group_apply
-
-    sigs = docs_ds.map_batches(sig, batch_format="pandas")
-    return bucketed_group_apply(sigs, "sig", winners_bucket)
 
 
 def minhash_lsh_pairs(
@@ -1009,8 +1001,10 @@ def explode_spans(df: pd.DataFrame, k: int, text_col: str = "text",
     ``hash_spans`` swaps the string for a packed 128-bit hash (the
     100-TB exchange layout, see dup_span_counts); ``with_pos`` adds the
     0-based in-doc window position (needed by removal, not by counts)."""
+    from .text import ascii_tokens
+
     ids = df[id_col].to_numpy()
-    words_per_doc = [str(t).split() if t is not None else [] for t in df[text_col]]
+    words_per_doc = [ascii_tokens(str(t)) if t is not None else [] for t in df[text_col]]
     lens = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64,
                        count=len(words_per_doc))
     nspans = np.maximum(lens - k + 1, 0)

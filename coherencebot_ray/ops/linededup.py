@@ -207,7 +207,9 @@ def span_dedup(docs_ds, k: int = 8, text_col: str = "text",
                                  "text_clean": pd.Series(dtype="object"),
                                  "n_removed": pd.Series(dtype="int64")})
         mk = g[g["t"] == 1]
-        words = [str(x).split() if x is not None else []
+        from .text import ascii_tokens
+
+        words = [ascii_tokens(str(x)) if x is not None else []
                  for x in docs["payload"]]
         lens = np.fromiter((len(w) for w in words), np.int64,
                            count=len(words))

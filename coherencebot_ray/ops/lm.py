@@ -37,12 +37,13 @@ import pandas as pd
 
 from .sample import _md5_bucket
 from .text import _L
+from .text import TOKEN_PATTERN as _TOKP
 
 
 def _explode_bigrams(df: pd.DataFrame, id_col: str, text_col: str):
     """(ids, w1, w2) arrays for every in-doc bigram, vectorized."""
     texts = df[text_col].fillna("").str.lower()
-    toks = texts.str.findall(r"\S+")
+    toks = texts.str.findall(_TOKP)
     counts = toks.str.len().to_numpy(np.int64)
     total = int(counts.sum())
     ids_all = np.repeat(df[id_col].to_numpy(np.int64), counts)
@@ -70,7 +71,7 @@ def bigram_nll(docs_ds, sample_pct: int = 20, min_count: int = 2,
 
     def uni_rows(df: pd.DataFrame) -> pd.DataFrame:
         texts = df[text_col].fillna("").str.lower()
-        toks = texts.str.findall(r"\S+")
+        toks = texts.str.findall(_TOKP)
         total = int(toks.str.len().sum())
         if not total:
             return pd.DataFrame({"w": pd.Series(dtype="object"),
@@ -179,7 +180,7 @@ def dsir_weights(docs_ds, target_mod: int = 37, dim: int = DSIR_DIM,
     def _features(df: pd.DataFrame):
         """(owner_ids, feature_strings) = unigrams + in-doc bigrams."""
         texts = df[text_col].fillna("").str.lower()
-        toks = texts.str.findall(r"\S+")
+        toks = texts.str.findall(_TOKP)
         counts = toks.str.len().to_numpy(np.int64)
         ids_all = np.repeat(df[id_col].to_numpy(np.int64), counts)
         if not int(counts.sum()):
@@ -266,8 +267,11 @@ def dsir_select(docs_ds, p: float = 0.75, target_mod: int = 37,
     is used so SQL percentile_disc reproduces the cutoff bit-for-bit."""
     from .vocab import int_value_histogram, quantiles_from_histogram
 
+    # materialize: the weights table is tiny ((id, int, int) per raw
+    # doc) and is consumed twice (histogram + select) — without this
+    # the full corpus text would be re-read and re-scored per pass
     weights = dsir_weights(docs_ds, target_mod=target_mod, dim=dim,
-                           id_col=id_col, text_col=text_col)
+                           id_col=id_col, text_col=text_col).materialize()
 
     def value_pre(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"value": df["logw_micro"].to_numpy(np.int64)})

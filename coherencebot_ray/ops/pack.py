@@ -25,6 +25,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from .text import TOKEN_PATTERN as _TOKP
+
 
 def pack_counts(
     tok,
@@ -196,7 +198,7 @@ def chunk_docs(
                  "tokens": pd.Series(dtype="int64")})
         flat = pd.Series(np.concatenate(
             [np.asarray(v, dtype=object) for v in lines]))
-        tok = flat.str.count(r"\S+").to_numpy(np.int64)
+        tok = flat.str.count(_TOKP).to_numpy(np.int64)
         # doc-local prefix sum: global cumsum minus the value carried
         # in from the previous doc (vectorized boundary reset)
         csum = np.cumsum(tok)

@@ -18,6 +18,25 @@ import pandas as pd
 
 _NON_ALNUM = re.compile(r"[^a-zA-Z0-9]")
 
+# RE2's \s is exactly [\t\n\f\r ] — narrower than Python's even under
+# re.ASCII (which adds \v) and than str.split() (Unicode + \v). These
+# explicit classes are the oracle-parity tokenizer pattern; every
+# tokenizing op routes through ascii_tokens() or TOKEN_PATTERN.
+TOKEN_PATTERN = r"[^ \t\n\f\r]+"
+WS_PATTERN = r"[ \t\n\f\r]+"
+_RE2_TOK = re.compile(TOKEN_PATTERN)
+
+
+def ascii_tokens(s: str) -> list[str]:
+    """Tokenize exactly like RE2's '\\S+' (the oracle semantics):
+    str.split() on the C fast path when it provably agrees (pure ASCII
+    with no vertical tab — the one ASCII char where the two disagree),
+    regex findall otherwise."""
+    if s.isascii() and "\x0b" not in s:
+        return s.split()
+    return _RE2_TOK.findall(s)
+
+
 # minimal per-language stopword profiles for the n-gram/stopword heuristic
 _LANG_PROFILES = {
     "en": {"the", "and", "of", "a", "to", "in", "is", "it", "that", "was"},
@@ -30,7 +49,7 @@ _LANG_PROFILES = {
 
 def token_count(texts: pd.Series) -> np.ndarray:
     """Whitespace token count: number of ``\\S+`` runs."""
-    return texts.str.count(r"\S+").fillna(0).to_numpy(dtype=np.int64)
+    return texts.str.count(TOKEN_PATTERN).fillna(0).to_numpy(dtype=np.int64)
 
 
 # GPT-2-style BPE pre-tokenizer (the public pattern from the GPT-2
@@ -106,9 +125,9 @@ def gopher_quality(df: pd.DataFrame, text_col: str = "text",
     (Gopher stopword occurrences), keep (0/1). Per-word predicates run
     on ONE exploded Series (two groupby-sums), not a Python loop."""
     texts = df[text_col].fillna("")
-    wc = texts.str.count(r"\S+").to_numpy(dtype=np.int64)
-    chars_total = texts.str.replace(r"\s+", "", regex=True).str.len().to_numpy(dtype=np.int64)
-    words = texts.str.split().explode().dropna()
+    wc = texts.str.count(TOKEN_PATTERN).to_numpy(dtype=np.int64)
+    chars_total = texts.str.replace(WS_PATTERN, "", regex=True).str.len().to_numpy(dtype=np.int64)
+    words = texts.str.findall(TOKEN_PATTERN).explode().dropna()
     if len(words):
         alpha = words.str.contains("[A-Za-z]", regex=True).groupby(level=0).sum()
         stops = words.str.lower().isin(GOPHER_STOPS).groupby(level=0).sum()
@@ -175,7 +194,7 @@ def langid(texts: pd.Series) -> pd.Series:
     profs = list(_LANG_PROFILES.items())
 
     def _one(s: str) -> str:
-        toks = set(s.lower().split()[:200])
+        toks = set(ascii_tokens(s.lower())[:200])
         best, best_n = "und", 0
         for lang, stops in profs:
             n = len(toks & stops)
@@ -191,7 +210,7 @@ def rolling_hashes(texts: pd.Series, window: int = 8, base: int = 257, mod: int 
     primitive); returns list of window hashes per doc."""
 
     def _one(s: str) -> list[int]:
-        toks = s.split()
+        toks = ascii_tokens(s)
         hs = [hash(t) & 0xFFFFFFFF for t in toks]
         if len(hs) < window:
             return [sum(hs) % mod] if hs else []
@@ -428,7 +447,7 @@ def hashed_classifier(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     Columns: score (int64 sum of weights), n_tokens, label (1 iff
     score >= 0). Empty/null docs score 0 -> label 1."""
     texts = df[text_col].fillna("").str.lower()
-    tok = texts.str.findall(r"\S+")
+    tok = texts.str.findall(TOKEN_PATTERN)
     n = tok.str.len().to_numpy(dtype=np.int64)
     score = np.zeros(len(df), dtype=np.int64)
     if int(n.sum()) > 0:

@@ -29,7 +29,7 @@ import pandas as pd
 from .agg import bucketed_group_apply
 from .text import _L
 
-TOKEN_RE = r"\S+"
+from .text import TOKEN_PATTERN as TOKEN_RE  # RE2-parity tokenizer class
 
 
 def _partial_token_counts(df: pd.DataFrame, lowercase: bool) -> pd.DataFrame:
