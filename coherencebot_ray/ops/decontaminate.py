@@ -57,6 +57,54 @@ def contains_gram(text, gset: set, n: int) -> bool:
     return False
 
 
+def count_gram_hits(text, gset: set, n: int) -> tuple[int, int]:
+    """(total gram windows, windows whose gram is in ``gset``) — the
+    full-scan sibling of :func:`contains_gram` (no early exit: every
+    window is tested so the hit count is exact)."""
+    from .text import ascii_tokens
+
+    toks = ascii_tokens((text or "").lower())
+    total = max(len(toks) - n + 1, 0)
+    hits = 0
+    for j in range(total):
+        if " ".join(toks[j:j + n]) in gset:
+            hits += 1
+    return total, hits
+
+
+def decontaminate_frac(train_ds, eval_ds, n: int = 13,
+                       id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document contamination FRACTION — how much of each training
+    doc overlaps the eval set, not just whether it does (the graded
+    variant used to set removal thresholds: docs above x% contaminated
+    are dropped, light-touch docs merely flagged).
+
+    Returns (id_col, n_grams, n_hits, frac_micro) where n_grams is the
+    doc's n-gram window count, n_hits the windows whose gram appears in
+    the eval side, and frac_micro = floor(n_hits * 1e6 / n_grams)
+    (0 when the doc has no windows) — integer-exact for the oracle.
+
+    Same scale shape as :func:`decontaminate`: broadcast eval-gram set,
+    one exchange-free vectorized scan of the training corpus."""
+    import ray
+
+    gset_ref = ray.put(eval_gram_set(eval_ds, n=n, text_col=text_col))
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        gset = ray.get(gset_ref)
+        k = len(df)
+        totals = np.zeros(k, dtype=np.int64)
+        hits = np.zeros(k, dtype=np.int64)
+        for i, t in enumerate(df[text_col]):
+            totals[i], hits[i] = count_gram_hits(t, gset, n)
+        frac = np.where(totals > 0, hits * 1_000_000 // np.maximum(totals, 1), 0)
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "n_grams": totals, "n_hits": hits,
+                             "frac_micro": frac.astype(np.int64)})
+
+    return train_ds.map_batches(scan, batch_format="pandas")
+
+
 def decontaminate(train_ds, eval_ds, n: int = 13, id_col: str = "doc_id",
                   text_col: str = "text"):
     """Returns a Dataset of (id_col, contaminated int 0/1) for every

@@ -1209,6 +1209,57 @@ ORDER BY d.doc_id
 """
 
 
+def q_decontaminate_frac(sf_dir: str):
+    """Graded decontamination: per-training-doc 8-gram overlap FRACTION
+    vs the eval slice (doc_id % 37 == 0) — n_grams windows, n_hits
+    matching windows, frac_micro = floor(hits*1e6/windows). Same
+    broadcast-set + exchange-free scan as `decontaminate`, but every
+    window is tested (no early exit) so thresholds can be tuned
+    (ops/decontaminate.decontaminate_frac)."""
+    from ..ops.decontaminate import decontaminate_frac
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+
+    def _slice(df: pd.DataFrame, is_eval: bool) -> pd.DataFrame:
+        m = (df["doc_id"].to_numpy() % 37 == 0)
+        return df[m if is_eval else ~m]
+
+    ev = ds.map_batches(lambda df: _slice(df, True), batch_format="pandas")
+    tr = ds.map_batches(lambda df: _slice(df, False), batch_format="pandas")
+    out = decontaminate_frac(tr, ev, n=8).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_DECONTAMINATE_FRAC_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\S+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i.i:i.i+7], ' ') AS g
+  FROM tok, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) i
+  WHERE len(t) >= 8
+),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 37 = 0),
+hits AS (
+  SELECT gr.doc_id, COUNT(*) AS h
+  FROM grams gr JOIN ev ON gr.g = ev.g
+  WHERE gr.doc_id % 37 <> 0
+  GROUP BY gr.doc_id
+)
+SELECT t.doc_id,
+       CAST(GREATEST(len(t.t) - 7, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN len(t.t) >= 8
+                 THEN COALESCE(h.h, 0) * 1000000 // (len(t.t) - 7)
+                 ELSE 0 END AS BIGINT) AS frac_micro
+FROM tok t LEFT JOIN hits h USING (doc_id)
+WHERE t.doc_id % 37 <> 0
+ORDER BY t.doc_id
+"""
+
+
 def q_vocab_topk(sf_dir: str):
     """Corpus vocabulary: global top-20 lowercased \\S+ tokens by
     frequency (ops/vocab.vocab_topk — partial counts, one token-hash
@@ -3776,6 +3827,7 @@ def build_queries() -> dict:
         "distinct_ngrams": q_distinct_ngrams,
         "source_overlap": q_source_overlap,
         "decontaminate": q_decontaminate,
+        "decontaminate_frac": q_decontaminate_frac,
         "curriculum_bins": q_curriculum_bins,
         "token_kl": q_token_kl,
         "token_quantiles": q_token_quantiles,
@@ -3868,6 +3920,7 @@ def build_oracle_sql() -> dict:
         "distinct_ngrams": _DISTINCT_NGRAMS_SQL,
         "source_overlap": _SOURCE_OVERLAP_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
+        "decontaminate_frac": _DECONTAMINATE_FRAC_SQL,
         "curriculum_bins": _CURRICULUM_SQL,
         "token_kl": _TOKEN_KL_SQL,
         "token_quantiles": _TOKEN_QUANTILES_SQL,

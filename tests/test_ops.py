@@ -899,6 +899,32 @@ def test_decontaminate(ray_session):
     assert out.loc[3, "contaminated"] == 0
 
 
+def test_decontaminate_frac(ray_session):
+    """Graded decontamination: hit counts are exact window counts, the
+    fraction is the floor micro-ratio, and short docs report 0/0/0."""
+    import ray.data as rd
+
+    from coherencebot_ray.ops.decontaminate import decontaminate_frac
+
+    ev = rd.from_pandas(pd.DataFrame({
+        "doc_id": [100],
+        "text": ["a b c d e f g h"]}))  # grams (n=3): 6 windows
+    tr = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            # 8 tokens -> 6 windows; 'a b c','b c d' hit (2/6)
+            "a b c d x y z w",
+            "q r s t u v w x",  # 6 windows, 0 hits
+            "a b",              # < n tokens -> 0 windows
+        ]}))
+    out = (decontaminate_frac(tr, ev, n=3).to_pandas()
+           .set_index("doc_id"))
+    assert out.loc[1, "n_grams"] == 6 and out.loc[1, "n_hits"] == 2
+    assert out.loc[1, "frac_micro"] == 2 * 1_000_000 // 6
+    assert out.loc[2, "n_hits"] == 0 and out.loc[2, "frac_micro"] == 0
+    assert (out.loc[3, ["n_grams", "n_hits", "frac_micro"]] == 0).all()
+
+
 def test_dup_span_counts(ray_session):
     """Cross-doc duplicate k-gram spans vs a brute-force reference."""
     import ray.data
