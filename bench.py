@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "source_overlap",
     "dedup_keep_best",
     "winnow",
+    "softdedup",
 ]
 
 

@@ -955,6 +955,46 @@ ORDER BY d.doc_id
 """
 
 
+def q_softdedup(sf_dir: str):
+    """SoftDeDup duplication-aware reweighting (ops/softdedup.py):
+    per-doc n-gram commonness sum + integer sampling weight, same
+    one-exchange shape as dup_spans (all occurrences of a gram land in
+    one bucket, so the global count is exact per bucket)."""
+    from ..ops.softdedup import softdedup_commonness
+
+    out = softdedup_commonness(
+        _read(sf_dir, "documents", columns=["doc_id", "text"],
+              min_block_bytes=_EXCHANGE_BLOCK_BYTES),
+        n=3,
+    ).to_pandas()
+    out = out[["doc_id", "n_grams", "commonness", "weight_micro"]]
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SOFTDEDUP_SQL = """
+WITH w AS (SELECT doc_id, regexp_extract_all(coalesce(text,''), '\\S+') AS ws FROM documents),
+spans AS (
+  SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS span
+  FROM w, UNNEST(range(1, len(ws) - 3 + 2)) AS t(i)
+),
+cnt AS (SELECT span, COUNT(*) AS c FROM spans GROUP BY span),
+per_doc AS (
+  SELECT spans.doc_id, COUNT(*) AS n_grams, SUM(cnt.c) AS commonness
+  FROM spans JOIN cnt USING (span) GROUP BY spans.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.commonness, 0) AS BIGINT) AS commonness,
+       CAST(CASE WHEN COALESCE(p.commonness, 0) > 0
+                 THEN (p.n_grams * 1000000) // p.commonness
+                 ELSE 0 END AS BIGINT) AS weight_micro
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_simhash(sf_dir: str):
     """SimHash near-dup pairs (hamming <= 3). The 4x16-bit band blocking
     is lossless for hamming <= 3 (pigeonhole), so the oracle is the
@@ -3769,6 +3809,7 @@ def build_queries() -> dict:
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_idjoin": q_ngram_jaccard_idjoin,
         "dup_spans": q_dup_spans,
+        "softdedup": q_softdedup,
         "hll_distinct": q_hll_distinct,
         "simhash": q_simhash,
         "char_entropy": q_char_entropy,
@@ -3890,6 +3931,7 @@ def build_oracle_sql() -> dict:
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "ngram_jaccard_idjoin": _NGRAM_JACCARD_SQL,
         "dup_spans": _DUP_SPANS_SQL,
+        "softdedup": _SOFTDEDUP_SQL,
         "hll_distinct": _hll_distinct_sql(),
         "simhash": _SIMHASH_SQL,
         "langid": _langid_sql(),

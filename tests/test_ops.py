@@ -981,6 +981,57 @@ def test_dup_span_counts(ray_session):
     pd.testing.assert_frame_equal(hashed, expect.astype(np.int64))
 
 
+def test_softdedup_commonness(ray_session):
+    """SoftDeDup reweighting vs a brute-force reference, both layouts."""
+    import ray.data
+
+    from coherencebot_ray.ops.softdedup import softdedup_commonness
+
+    n = 3
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [
+            "a b c d e",           # shares "a b c"/"b c d" with doc 1
+            "x a b c d y",
+            "one two",             # < n tokens -> zeros
+            "p q r p q r p q",     # self-repeated grams
+            "a b c d e",           # exact twin of doc 0
+        ],
+    })
+
+    def brute(df):
+        from collections import Counter
+        per_doc = []
+        for _, r in df.iterrows():
+            w = r["text"].split()
+            per_doc.append([" ".join(w[i:i + n])
+                            for i in range(max(len(w) - n + 1, 0))])
+        cnt = Counter(g for doc in per_doc for g in doc)
+        rows = []
+        for doc_id, grams in zip(df["doc_id"], per_doc):
+            cm = sum(cnt[g] for g in grams)
+            rows.append({"doc_id": doc_id, "n_grams": len(grams),
+                         "commonness": cm,
+                         "weight_micro": len(grams) * 1_000_000 // cm if cm else 0})
+        return pd.DataFrame(rows).astype(np.int64)
+
+    expect = brute(docs).sort_values("doc_id").reset_index(drop=True)
+    cols = ["doc_id", "n_grams", "commonness", "weight_micro"]
+    for hashed in (False, True):
+        got = (softdedup_commonness(ray.data.from_pandas(docs), n=n,
+                                    n_buckets=4, hash_spans=hashed)
+               .to_pandas()[cols].astype(np.int64)
+               .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, expect)
+    # twin docs down-weighted vs the all-unique doc
+    w = expect.set_index("doc_id")["weight_micro"]
+    assert w[0] == w[4] and w[0] < 1_000_000
+    # doc 1 shares grams but also has unique ones -> strictly between
+    assert w[0] < w[1] < 1_000_000
+    # zero-gram doc present with zeros
+    assert (expect.set_index("doc_id").loc[2] == 0).all()
+
+
 def test_hll_distinct_accuracy_and_merge(ray_session):
     """HLL sketch: estimate within theoretical error at real cardinality,
     register merge across batches exact, small-range correction lands."""
