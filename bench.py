@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "dedup_keep_best",
     "winnow",
     "softdedup",
+    "ngram_novelty",
 ]
 
 

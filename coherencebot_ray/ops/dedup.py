@@ -1094,3 +1094,70 @@ def dup_span_counts(docs_ds, k: int = 8, text_col: str = "text",
     partials = bucketed_group_apply(spans, "span", mark_bucket, n_buckets=n_buckets)
     base = docs_ds.map_batches(zero_rows, batch_format="pandas")
     return bucketed_sum(partials.union(base), id_col, ["n_spans", "n_dup"])
+
+
+def novel_span_counts(docs_ds, k: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id", n_buckets: int = 64,
+                      hash_spans: bool = False):
+    """Order-aware n-gram NOVELTY statistics: one row per document,
+    ``(doc_id, n_spans, n_novel)`` where a k-gram window is *novel* iff
+    it is the globally FIRST occurrence of that exact k-token string in
+    corpus order (doc_id asc, window position asc). The per-doc novelty
+    fraction n_novel/n_spans is the standard "novelty curve" used to
+    audit how much genuinely new text each shard of a training corpus
+    contributes (a corpus of near-copies has a novelty curve that decays
+    to ~0), and it is the order-aware complement of
+    :func:`dup_span_counts` (which counts a window as duplicated no
+    matter where its twin lives).
+
+    Scale shape: identical to dup_span_counts — ONE (doc_id, pos, span)
+    exchange bucketed by span hash; all occurrences of a span land in
+    one bucket, so the global first-occurrence rank is exact per bucket
+    with no second pass (an idxmin over the packed (doc_id, pos) key,
+    not a sort); per-doc partials leave each bucket and one small
+    bucketed per-doc sum folds them. ``hash_spans=True`` is the 128-bit
+    hashed exchange layout (see dup_span_counts).
+    """
+    from .agg import bucketed_group_apply, bucketed_sum
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        return explode_spans(df, k, text_col=text_col, id_col=id_col,
+                             with_pos=True, hash_spans=hash_spans)
+
+    def mark_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        # global first occurrence per span = min over the packed
+        # (doc_id, pos) order key; ids/pos are int64 and pos < 2^20 in
+        # any real document batch is NOT guaranteed, so compare
+        # lexicographically via two-pass idxmin: min doc_id per span,
+        # then min pos within that doc.
+        d = pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            "pos": b["pos"].to_numpy(),
+            "span": b["span"].to_numpy(),
+        })
+        g = d.groupby("span", sort=False)
+        min_doc = g[id_col].transform("min").to_numpy()
+        in_min_doc = d[id_col].to_numpy() == min_doc
+        # min pos restricted to rows of the span's minimal doc
+        pos_masked = np.where(in_min_doc, d["pos"].to_numpy(), np.iinfo(np.int64).max)
+        min_pos = (d.assign(_pm=pos_masked).groupby("span", sort=False)["_pm"]
+                   .transform("min").to_numpy())
+        novel = in_min_doc & (d["pos"].to_numpy() == min_pos)
+        part = pd.DataFrame({
+            id_col: d[id_col].to_numpy(),
+            "n_spans": np.ones(len(d), dtype=np.int64),
+            "n_novel": novel.astype(np.int64),
+        })
+        return part.groupby(id_col, sort=False, as_index=False).sum()
+
+    def zero_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "n_spans": np.zeros(len(df), dtype=np.int64),
+            "n_novel": np.zeros(len(df), dtype=np.int64),
+        })
+
+    spans = docs_ds.map_batches(explode, batch_format="pandas")
+    partials = bucketed_group_apply(spans, "span", mark_bucket, n_buckets=n_buckets)
+    base = docs_ds.map_batches(zero_rows, batch_format="pandas")
+    return bucketed_sum(partials.union(base), id_col, ["n_spans", "n_novel"])

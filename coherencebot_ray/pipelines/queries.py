@@ -955,6 +955,49 @@ ORDER BY d.doc_id
 """
 
 
+def q_ngram_novelty(sf_dir: str):
+    """Order-aware n-gram novelty curve (ops/dedup.novel_span_counts):
+    a window is novel iff it is the corpus-order-first occurrence of its
+    3-gram. One span-hash exchange; the first-occurrence rank is exact
+    per bucket (vectorized two-pass idxmin, no sort)."""
+    from ..ops.dedup import novel_span_counts
+
+    out = novel_span_counts(
+        _read(sf_dir, "documents", columns=["doc_id", "text"],
+              min_block_bytes=_EXCHANGE_BLOCK_BYTES),
+        k=3,
+    ).to_pandas()
+    out = out[["doc_id", "n_spans", "n_novel"]]
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_NGRAM_NOVELTY_SQL = """
+WITH w AS (SELECT doc_id, regexp_extract_all(coalesce(text,''), '\\S+') AS ws FROM documents),
+spans AS (
+  SELECT doc_id, t.i AS pos, array_to_string(ws[t.i:t.i+2], ' ') AS span
+  FROM w, UNNEST(range(1, len(ws) - 3 + 2)) AS t(i)
+),
+ranked AS (
+  SELECT doc_id,
+         CASE WHEN row_number() OVER (PARTITION BY span
+                                      ORDER BY doc_id, pos) = 1
+              THEN 1 ELSE 0 END AS novel
+  FROM spans
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_spans, SUM(novel) AS n_novel
+  FROM ranked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_softdedup(sf_dir: str):
     """SoftDeDup duplication-aware reweighting (ops/softdedup.py):
     per-doc n-gram commonness sum + integer sampling weight, same
@@ -3810,6 +3853,7 @@ def build_queries() -> dict:
         "ngram_jaccard_idjoin": q_ngram_jaccard_idjoin,
         "dup_spans": q_dup_spans,
         "softdedup": q_softdedup,
+        "ngram_novelty": q_ngram_novelty,
         "hll_distinct": q_hll_distinct,
         "simhash": q_simhash,
         "char_entropy": q_char_entropy,
@@ -3932,6 +3976,7 @@ def build_oracle_sql() -> dict:
         "ngram_jaccard_idjoin": _NGRAM_JACCARD_SQL,
         "dup_spans": _DUP_SPANS_SQL,
         "softdedup": _SOFTDEDUP_SQL,
+        "ngram_novelty": _NGRAM_NOVELTY_SQL,
         "hll_distinct": _hll_distinct_sql(),
         "simhash": _SIMHASH_SQL,
         "langid": _langid_sql(),

@@ -981,6 +981,52 @@ def test_dup_span_counts(ray_session):
     pd.testing.assert_frame_equal(hashed, expect.astype(np.int64))
 
 
+def test_novel_span_counts(ray_session):
+    """Order-aware novelty vs a brute-force corpus-order scan."""
+    import ray.data
+
+    k = 3
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [
+            "a b c d e",           # all novel (first doc)
+            "x a b c d y",         # "a b c"/"b c d" seen in doc 0
+            "one two",             # < k tokens -> zeros
+            "p q r p q r p q",     # self-repeats: later windows not novel
+            "a b c d e",           # exact twin -> nothing novel
+        ],
+    })
+
+    def brute(df):
+        seen, rows = set(), []
+        for _, r in df.sort_values("doc_id").iterrows():
+            w = r["text"].split()
+            n_spans = max(len(w) - k + 1, 0)
+            novel = 0
+            for i in range(n_spans):
+                g = " ".join(w[i:i + k])
+                if g not in seen:
+                    seen.add(g)
+                    novel += 1
+            rows.append({"doc_id": r["doc_id"], "n_spans": n_spans,
+                         "n_novel": novel})
+        return pd.DataFrame(rows).astype(np.int64)
+
+    expect = brute(docs).sort_values("doc_id").reset_index(drop=True)
+    cols = ["doc_id", "n_spans", "n_novel"]
+    for hashed in (False, True):
+        got = (dd.novel_span_counts(ray.data.from_pandas(docs), k=k,
+                                    n_buckets=4, hash_spans=hashed)
+               .to_pandas()[cols].astype(np.int64)
+               .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, expect)
+    e = expect.set_index("doc_id")
+    assert e.loc[0, "n_novel"] == 3          # all first occurrences
+    assert e.loc[1, "n_novel"] == 2          # only the x/y edges
+    assert e.loc[3, "n_novel"] == 3          # p q r / q r p / r p q once each
+    assert e.loc[4, "n_novel"] == 0          # exact twin
+
+
 def test_softdedup_commonness(ray_session):
     """SoftDeDup reweighting vs a brute-force reference, both layouts."""
     import ray.data
