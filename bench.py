@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "winnow",
     "softdedup",
     "ngram_novelty",
+    "pmi_topk",
 ]
 
 

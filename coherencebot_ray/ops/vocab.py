@@ -295,3 +295,160 @@ def token_kl_drift(docs_ds, group_col: str = "source",
     agg["kl"] = agg["kl_num"] / (agg["n_tokens"] * 1e6)
     agg[group_col] = agg[group_col].where(agg[group_col] != _NULL_GROUP, None)
     return agg[[group_col, "n_tokens", "kl_num", "kl"]]
+
+
+def pmi_topk(docs_ds, k: int = 20, min_count: int = 3, n_buckets: int = 32,
+             lowercase: bool = True) -> pd.DataFrame:
+    """Top-k adjacent-token collocations by pointwise mutual information
+    PMI(a,b) = ln(c_ab * W^2 / (T * c_a * c_b)) — the association-
+    normalized sibling of :func:`pair_topk` (raw counts): high-PMI pairs
+    are multi-word expressions / collocations, the standard statistic
+    for phrase-vocabulary induction over a pretraining corpus.
+
+    Scale shape: ONE corpus scan emits per-batch unigram AND pair
+    partials (exchange volume is bounded by batch vocabulary, never
+    tokens); two chained bucketed exchanges join the marginals without
+    any broadcast — (1) bucket by FIRST token: every (a,*) pair and
+    token a's unigram partials share a bucket, so the pair fold, the
+    min_count filter and the c_a attach are all bucket-local; (2)
+    re-key by SECOND token to attach c_b the same way. The corpus
+    totals W (tokens) and T (pairs) ride the exchanges as per-bucket
+    stats rows (each token/pair lives in exactly one bucket, so the
+    driver folds n_buckets partial sums — no extra pass). Per-bucket
+    top-k prunes on ln(c_ab)-ln(c_a)-ln(c_b), which orders identically
+    to PMI (the W/T term is a global constant), so only k x n_buckets
+    candidate rows ever reach the driver.
+
+    Returns (a, b, cnt, ca, cb, pmi_micro) with pmi_micro =
+    floor(PMI * 1e6 + 0.5), ranked pmi desc / a asc / b asc — the same
+    fixed float-operation order as the DuckDB oracle.
+    """
+    from .agg import bucketed_group_apply
+
+    _K_PAIR, _K_UNI, _K_STATS = 0, 1, 2
+    COLS = ["kind", "key", "a", "b", "cnt", "ca"]
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("")
+        if lowercase:
+            texts = texts.str.lower()
+        tok = texts.str.findall(TOKEN_RE)
+        n = tok.str.len().to_numpy(dtype=np.int64)
+        frames = []
+        if int(n.sum()) > 0:
+            flat = tok.explode().dropna().to_numpy(dtype=object)
+            uv = pd.Series(flat).value_counts()
+            frames.append(pd.DataFrame({
+                "kind": _K_UNI, "key": uv.index.to_numpy(dtype=object),
+                "a": uv.index.to_numpy(dtype=object), "b": "",
+                "cnt": uv.to_numpy(dtype=np.int64), "ca": np.int64(0)}))
+            is_last = np.zeros(len(flat), dtype=bool)
+            is_last[np.cumsum(n[n > 0]) - 1] = True
+            left_ok = ~is_last[:-1]
+            if left_ok.any():
+                pf = pd.DataFrame({"a": flat[:-1][left_ok],
+                                   "b": flat[1:][left_ok]})
+                pv = pf.groupby(["a", "b"], sort=False).size()
+                idx = pv.index
+                frames.append(pd.DataFrame({
+                    "kind": _K_PAIR,
+                    "key": idx.get_level_values(0).to_numpy(dtype=object),
+                    "a": idx.get_level_values(0).to_numpy(dtype=object),
+                    "b": idx.get_level_values(1).to_numpy(dtype=object),
+                    "cnt": pv.to_numpy(dtype=np.int64), "ca": np.int64(0)}))
+        if not frames:
+            return pd.DataFrame({"kind": pd.Series(dtype="int64"),
+                                 "key": pd.Series(dtype="object"),
+                                 "a": pd.Series(dtype="object"),
+                                 "b": pd.Series(dtype="object"),
+                                 "cnt": pd.Series(dtype="int64"),
+                                 "ca": pd.Series(dtype="int64")})
+        return pd.concat(frames, ignore_index=True)[COLS]
+
+    def bucket1(g: pd.DataFrame) -> pd.DataFrame:
+        uni = g[g["kind"] == _K_UNI]
+        U = uni.groupby("a", sort=False)["cnt"].sum()
+        pairs = g[g["kind"] == _K_PAIR]
+        out = []
+        w_b = np.int64(U.sum()) if len(U) else np.int64(0)
+        t_b = np.int64(0)
+        if len(pairs):
+            pc = pairs.groupby(["a", "b"], sort=False, as_index=False)["cnt"].sum()
+            t_b = np.int64(pc["cnt"].sum())
+            pc = pc[pc["cnt"] >= min_count]
+            if len(pc):
+                pc = pc.assign(kind=_K_PAIR, key=pc["b"],
+                               ca=pc["a"].map(U).astype(np.int64))
+                out.append(pc[COLS])
+        if len(U):
+            out.append(pd.DataFrame({
+                "kind": _K_UNI, "key": U.index.to_numpy(dtype=object),
+                "a": U.index.to_numpy(dtype=object), "b": "",
+                "cnt": U.to_numpy(dtype=np.int64), "ca": np.int64(0)}))
+        # stats row: cnt carries W_b, ca carries T_b; key "" is safe
+        # (tokens are \S+ runs, never empty)
+        out.append(pd.DataFrame({"kind": [_K_STATS], "key": [""],
+                                 "a": [""], "b": [""],
+                                 "cnt": [w_b], "ca": [t_b]}))
+        return pd.concat(out, ignore_index=True)
+
+    OUT_COLS = ["kind", "a", "b", "cnt", "ca", "cb"]
+
+    def bucket2(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        stats = g[g["kind"] == _K_STATS]
+        if len(stats):
+            out.append(pd.DataFrame({
+                "kind": [_K_STATS], "a": [""], "b": [""],
+                "cnt": [np.int64(stats["cnt"].sum())],
+                "ca": [np.int64(stats["ca"].sum())], "cb": [np.int64(0)]}))
+        pairs = g[g["kind"] == _K_PAIR]
+        if len(pairs):
+            uni = g[g["kind"] == _K_UNI]
+            U = uni.groupby("a", sort=False)["cnt"].sum()
+            pairs = pairs.assign(cb=pairs["b"].map(U).astype(np.int64))
+            s = (np.log(pairs["cnt"].to_numpy(dtype=np.float64))
+                 - np.log(pairs["ca"].to_numpy(dtype=np.float64))
+                 - np.log(pairs["cb"].to_numpy(dtype=np.float64)))
+            pairs = pairs.assign(_s=s).sort_values(
+                ["_s", "a", "b"], ascending=[False, True, True],
+                kind="stable").head(k)
+            out.append(pairs[OUT_COLS])
+        if not out:
+            return pd.DataFrame({c: pd.Series(dtype="int64" if c in
+                                 ("kind", "cnt", "ca", "cb") else "object")
+                                 for c in OUT_COLS})
+        return pd.concat(out, ignore_index=True)[OUT_COLS]
+
+    stage1 = bucketed_group_apply(docs_ds, "key", bucket1,
+                                  n_buckets=n_buckets, pre=pre)
+    res = bucketed_group_apply(stage1, "key", bucket2,
+                               n_buckets=n_buckets).to_pandas()
+    empty = pd.DataFrame({"a": pd.Series(dtype="object"),
+                          "b": pd.Series(dtype="object"),
+                          "cnt": pd.Series(dtype="int64"),
+                          "ca": pd.Series(dtype="int64"),
+                          "cb": pd.Series(dtype="int64"),
+                          "pmi_micro": pd.Series(dtype="int64")})
+    if "kind" not in res.columns or not len(res):
+        return empty
+    stats = res[res["kind"] == _K_STATS]
+    W = int(stats["cnt"].sum())
+    T = int(stats["ca"].sum())
+    cand = res[res["kind"] == _K_PAIR]
+    if not len(cand) or T == 0:
+        return empty
+    # the exact float-operation order of the oracle:
+    # (((ln(cnt) + 2.0*ln(W)) - ln(T)) - ln(ca)) - ln(cb)
+    pmi = ((((np.log(cand["cnt"].to_numpy(dtype=np.float64)) +
+              2.0 * np.log(np.float64(W))) - np.log(np.float64(T)))
+            - np.log(cand["ca"].to_numpy(dtype=np.float64)))
+           - np.log(cand["cb"].to_numpy(dtype=np.float64)))
+    cand = cand.assign(
+        pmi_micro=np.floor(pmi * 1e6 + 0.5).astype(np.int64))
+    out = cand.sort_values(["pmi_micro", "a", "b"],
+                           ascending=[False, True, True],
+                           kind="stable").head(k).reset_index(drop=True)
+    for c in ("cnt", "ca", "cb", "pmi_micro"):
+        out[c] = out[c].astype(np.int64)
+    return out[["a", "b", "cnt", "ca", "cb", "pmi_micro"]]

@@ -998,6 +998,45 @@ ORDER BY d.doc_id
 """
 
 
+def q_pmi_topk(sf_dir: str):
+    """Top-20 adjacent-token collocations by PMI (ops/vocab.pmi_topk):
+    one scan emitting unigram + pair partials, two chained bucketed
+    exchanges attach both marginals with no broadcast, per-bucket top-k
+    prunes on the W/T-invariant rank key."""
+    from ..ops.vocab import pmi_topk
+
+    ds = _read(sf_dir, "documents", columns=["text"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    return pmi_topk(ds, k=20, min_count=3, n_buckets=32).reset_index(drop=True)
+
+
+_PMI_TOPK_SQL = r"""
+WITH tok AS (
+  SELECT regexp_extract_all(lower(coalesce(text, '')), '\S+') AS t
+  FROM documents
+),
+uni AS (SELECT unnest(t) AS w FROM tok),
+ucnt AS (SELECT w, COUNT(*)::BIGINT AS c FROM uni GROUP BY w),
+tots AS (SELECT SUM(c)::BIGINT AS wtot FROM ucnt),
+pairs AS (
+  SELECT t[i.i] AS a, t[i.i + 1] AS b
+  FROM tok, LATERAL (SELECT unnest(range(1, len(t))) AS i) i
+  WHERE len(t) >= 2
+),
+pcnt AS (SELECT a, b, COUNT(*)::BIGINT AS cnt FROM pairs GROUP BY a, b),
+ptot AS (SELECT SUM(cnt)::BIGINT AS ttot FROM pcnt)
+SELECT p.a, p.b, p.cnt, ua.c AS ca, ub.c AS cb,
+       CAST(floor((ln(p.cnt) + 2.0 * ln(wtot) - ln(ttot) - ln(ua.c) - ln(ub.c))
+                  * 1000000 + 0.5) AS BIGINT) AS pmi_micro
+FROM pcnt p
+JOIN ucnt ua ON ua.w = p.a
+JOIN ucnt ub ON ub.w = p.b, tots, ptot
+WHERE p.cnt >= 3
+ORDER BY pmi_micro DESC, a ASC, b ASC
+LIMIT 20
+"""
+
+
 def q_softdedup(sf_dir: str):
     """SoftDeDup duplication-aware reweighting (ops/softdedup.py):
     per-doc n-gram commonness sum + integer sampling weight, same
@@ -3854,6 +3893,7 @@ def build_queries() -> dict:
         "dup_spans": q_dup_spans,
         "softdedup": q_softdedup,
         "ngram_novelty": q_ngram_novelty,
+        "pmi_topk": q_pmi_topk,
         "hll_distinct": q_hll_distinct,
         "simhash": q_simhash,
         "char_entropy": q_char_entropy,
@@ -3977,6 +4017,7 @@ def build_oracle_sql() -> dict:
         "dup_spans": _DUP_SPANS_SQL,
         "softdedup": _SOFTDEDUP_SQL,
         "ngram_novelty": _NGRAM_NOVELTY_SQL,
+        "pmi_topk": _PMI_TOPK_SQL,
         "hll_distinct": _hll_distinct_sql(),
         "simhash": _SIMHASH_SQL,
         "langid": _langid_sql(),

@@ -1415,6 +1415,59 @@ def test_pair_topk_respects_doc_boundaries(ray_session):
     assert list(out["cnt"]) == [4, 3]
 
 
+def test_pmi_topk_matches_brute(ray_session):
+    """PMI collocations vs a brute-force reference: marginals joined
+    across two bucketed exchanges, min_count filter, exact float order."""
+    import math
+
+    import ray.data as rd
+
+    from coherencebot_ray.ops.vocab import pmi_topk
+
+    docs = pd.DataFrame({
+        "text": ["new york new york city", "new york is big", "",
+                 "the cat sat on the mat", "the cat ran", None,
+                 "new york new jersey", "cat sat here"],
+    })
+
+    def brute(texts, k, min_count):
+        from collections import Counter
+        uni, pairs = Counter(), Counter()
+        for t in texts:
+            toks = (t or "").lower().split()
+            uni.update(toks)
+            pairs.update(zip(toks, toks[1:]))
+        W, T = sum(uni.values()), sum(pairs.values())
+        rows = []
+        for (a, b), cnt in pairs.items():
+            if cnt < min_count:
+                continue
+            pmi = (((math.log(cnt) + 2.0 * math.log(W)) - math.log(T))
+                   - math.log(uni[a])) - math.log(uni[b])
+            rows.append({"a": a, "b": b, "cnt": cnt, "ca": uni[a],
+                         "cb": uni[b],
+                         "pmi_micro": math.floor(pmi * 1e6 + 0.5)})
+        df = pd.DataFrame(rows)
+        return (df.sort_values(["pmi_micro", "a", "b"],
+                               ascending=[False, True, True])
+                .head(k).reset_index(drop=True))
+
+    expect = brute(docs["text"], k=5, min_count=2)
+    got = pmi_topk(rd.from_pandas(docs).repartition(3), k=5,
+                   min_count=2, n_buckets=4)
+    for c in ("cnt", "ca", "cb", "pmi_micro"):
+        expect[c] = expect[c].astype(np.int64)
+    pd.testing.assert_frame_equal(got, expect)
+    # the tight pair ("cat sat": 2 of cat's 3 occurrences) outranks the
+    # loose one ("new york": 4 pairings but 5x4 marginal mass)
+    pairs = list(zip(got["a"], got["b"]))
+    assert pairs.index(("cat", "sat")) < pairs.index(("new", "york"))
+    nyrow = got[(got["a"] == "new") & (got["b"] == "york")].iloc[0]
+    assert (nyrow["cnt"], nyrow["ca"], nyrow["cb"]) == (4, 5, 4)
+    # min_count filters singletons like ("york", "city")
+    assert not ((got["a"] == "york") & (got["b"] == "city")).any()
+
+
 def test_hashed_classifier_matches_naive():
     """Per-token md5 -> bucket -> Knuth weight sum, vs a per-row
     reference computation; empty/null docs score 0 with label 1."""
