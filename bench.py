@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "softdedup",
     "ngram_novelty",
     "pmi_topk",
+    "q5_join",
 ]
 
 

@@ -998,6 +998,118 @@ ORDER BY d.doc_id
 """
 
 
+def q_q5_join(sf_dir: str):
+    """TPC-H Q5-shaped 6-table join: revenue per nation where customer
+    and supplier share an ASIA nation, orders in [1996, 1997).
+
+    Distributed plan (100-TB idiom): region x nation resolve on the
+    driver (both are fixed-cardinality dimensions, 5 + 25 rows at ANY
+    scale); ASIA customer->nation and supplier->nation maps broadcast
+    ONCE via ray.put (dimension-sized, the q3 custkey precedent — at
+    10^10-row fact scale the same join falls back to one extra
+    key-hash exchange, documented here); orders date-filter and
+    lineitem revenue partial-combine stream distributed, tagged, and
+    meet in ONE bucketed orderkey exchange where the same-nation
+    equality applies; only per-bucket (nationkey, cents) partials reach
+    the driver (<= 25 x n_buckets rows)."""
+    import ray
+
+    from ..ops.agg import bucketed_group_apply
+
+    lo, hi = np.datetime64("1996-01-01"), np.datetime64("1997-01-01")
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    asia_key = int(region.loc[region["r_name"] == "ASIA", "r_regionkey"].iloc[0])
+    asia = nation[nation["n_regionkey"] == asia_key]
+    asia_set = set(asia["n_nationkey"].astype(int))
+    name_of = dict(zip(asia["n_nationkey"].astype(int), asia["n_name"]))
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda df: df[df["c_nationkey"].isin(list(asia_set))],
+        batch_format="pandas").to_pandas()
+    cust_ref = ray.put(dict(zip(cust["c_custkey"].astype(np.int64),
+                                cust["c_nationkey"].astype(np.int64))))
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).map_batches(
+        lambda df: df[df["s_nationkey"].isin(list(asia_set))],
+        batch_format="pandas").to_pandas()
+    supp_ref = ray.put(dict(zip(supp["s_suppkey"].astype(np.int64),
+                                supp["s_nationkey"].astype(np.int64))))
+
+    o = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"],
+              min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        cmap = ray.get(cust_ref)
+        d = df[(df["o_orderdate"].to_numpy() >= lo)
+               & (df["o_orderdate"].to_numpy() < hi)]
+        nat = d["o_custkey"].map(cmap)
+        d = d[nat.notna()]
+        return pd.DataFrame({
+            "key": d["o_orderkey"].to_numpy(np.int64),
+            "nat": nat.dropna().to_numpy(np.int64),
+            "revenue_cents": np.zeros(len(d), dtype=np.int64),
+            "__t": pd.Series(["o"] * len(d), dtype=object)})
+
+    def tag_lineitem(df: pd.DataFrame) -> pd.DataFrame:
+        smap = ray.get(supp_ref)
+        nat = df["l_suppkey"].map(smap)
+        d = df[nat.notna()]
+        rev = _cents(d["l_extendedprice"].to_numpy(np.float64)
+                     * (1.0 - d["l_discount"].to_numpy(np.float64)))
+        t = pd.DataFrame({"key": d["l_orderkey"].to_numpy(np.int64),
+                          "nat": nat.dropna().to_numpy(np.int64),
+                          "revenue_cents": rev})
+        t = t.groupby(["key", "nat"], sort=False, as_index=False).sum()
+        t["__t"] = pd.Series(["l"] * len(t), dtype=object)
+        return t
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o_side = g[g["__t"] == "o"][["key", "nat"]]
+        l_side = g[g["__t"] == "l"]
+        if not len(o_side) or not len(l_side):
+            return pd.DataFrame({"n_nationkey": pd.Series(dtype="int64"),
+                                 "revenue_cents": pd.Series(dtype="int64")})
+        m = l_side.merge(o_side, on=["key", "nat"], how="inner")
+        agg = m.groupby("nat", sort=False, as_index=False)["revenue_cents"].sum()
+        return pd.DataFrame({"n_nationkey": agg["nat"].to_numpy(np.int64),
+                             "revenue_cents": agg["revenue_cents"].to_numpy(np.int64)})
+
+    tagged = o.map_batches(tag_orders, batch_format="pandas").union(
+        li.map_batches(tag_lineitem, batch_format="pandas"))
+    parts = bucketed_group_apply(tagged, "key", join_bucket).to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"n_name": pd.Series(dtype="object"),
+                             "revenue_cents": pd.Series(dtype="int64")})
+    out = parts.groupby("n_nationkey", as_index=False)["revenue_cents"].sum()
+    out["n_name"] = out["n_nationkey"].map(name_of)
+    out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
+    return (out[["n_name", "revenue_cents"]]
+            .sort_values(["revenue_cents", "n_name"], ascending=[False, True])
+            .reset_index(drop=True))
+
+
+_Q5_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue_cents DESC, n_name
+"""
+
+
 def q_pmi_topk(sf_dir: str):
     """Top-20 adjacent-token collocations by PMI (ops/vocab.pmi_topk):
     one scan emitting unigram + pair partials, two chained bucketed
@@ -3894,6 +4006,7 @@ def build_queries() -> dict:
         "softdedup": q_softdedup,
         "ngram_novelty": q_ngram_novelty,
         "pmi_topk": q_pmi_topk,
+        "q5_join": q_q5_join,
         "hll_distinct": q_hll_distinct,
         "simhash": q_simhash,
         "char_entropy": q_char_entropy,
@@ -4018,6 +4131,7 @@ def build_oracle_sql() -> dict:
         "softdedup": _SOFTDEDUP_SQL,
         "ngram_novelty": _NGRAM_NOVELTY_SQL,
         "pmi_topk": _PMI_TOPK_SQL,
+        "q5_join": _Q5_SQL,
         "hll_distinct": _hll_distinct_sql(),
         "simhash": _SIMHASH_SQL,
         "langid": _langid_sql(),
