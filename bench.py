@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "ngram_novelty",
     "pmi_topk",
     "q5_join",
+    "knn_pq",
 ]
 
 

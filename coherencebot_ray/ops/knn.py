@@ -431,3 +431,127 @@ def embedding_neardup_lsh(
         return g.drop_duplicates(subset=["a", "b"])
 
     return bucketed_group_apply(cand, ["a", "b"], dedup_bucket)
+
+
+def knn_pq(embeddings_ds, query_ids: list[int], k: int = 10, m: int = 4,
+           ksub: int = 16, iters: int = 2, id_col: str = "vec_id",
+           vec_col: str = "embedding"):
+    """Product-quantization ANN (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split each vector into
+    ``m`` subspaces, vector-quantize every subspace against its own
+    ``ksub``-centroid codebook (deterministic lowest-id seed + ``iters``
+    Lloyd updates, the ops/cluster.kmeans recipe per subspace), and
+    answer queries with asymmetric distance computation (ADC): per
+    query, a (m x ksub) table of exact query-sub-to-centroid squared
+    distances is precomputed, and a corpus vector's approximate L2
+    distance is the sum of m table lookups on its codes.
+
+    Why this is THE memory scale path: a 10^10 x 64-float32 embedding
+    table is ~2.5 TB; PQ codes at m=4 bytes/vector are ~40 GB — the
+    difference between "the scan re-reads storage every query batch"
+    and "codes pinned hot in the object store". The codebook fit is
+    ``iters`` streaming passes emitting (subspace, centroid) partial
+    sums (m x ksub rows per block, driver-folded — same shape as
+    kmeans); the query scan is ONE pass doing encode + ADC per batch
+    with a broadcast LUT; only k x queries candidate rows leave each
+    batch (the knn_brute prune). Nothing shuffles.
+
+    Approximation contract: neighbors are ranked by round(ADC, 6) asc
+    with neighbor-id tie-break; ADC error vs true L2 is bounded by
+    quantization error, and the SQL oracle replicates fit + encode +
+    ADC exactly (same seeds, same tie-breaks), so the output is
+    deterministic and hash-verifiable even though recall < 1 vs exact
+    search. Returns Dataset (query_id, neighbor_id, rank); self
+    excluded.
+    """
+    import ray
+
+    from .cluster import _assign
+
+    # ---- fit per-subspace codebooks: iters streaming passes ----
+    seed = (embeddings_ds.filter(expr=f"{id_col} < {ksub}")
+            .to_pandas().sort_values(id_col))
+    S = np.stack([np.asarray(v, dtype=np.float64) for v in seed[vec_col]])
+    dim = S.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    cents = [S[:, j * dsub:(j + 1) * dsub].copy() for j in range(m)]
+    cids = [seed[id_col].to_numpy(np.int64).copy() for _ in range(m)]
+
+    for _ in range(iters):
+        snap = [c.copy() for c in cents]
+        ncs = [len(c) for c in cents]
+
+        def partial(df: pd.DataFrame, _snap=snap, _ncs=ncs) -> pd.DataFrame:
+            X = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in df[vec_col]])
+            frames = []
+            for j in range(m):
+                Xj = X[:, j * dsub:(j + 1) * dsub]
+                a = _assign(Xj, _snap[j])
+                cnt = np.bincount(a, minlength=_ncs[j]).astype(np.int64)
+                sums = np.zeros((_ncs[j], dsub), dtype=np.float64)
+                np.add.at(sums, a, Xj)
+                f = pd.DataFrame({"j": np.full(_ncs[j], j, dtype=np.int64),
+                                  "c": np.arange(_ncs[j], dtype=np.int64),
+                                  "n": cnt})
+                for d in range(dsub):
+                    f[f"s{d}"] = sums[:, d]
+                frames.append(f[f["n"] > 0])
+            return pd.concat(frames, ignore_index=True)
+
+        agg = (embeddings_ds.map_batches(partial, batch_format="pandas")
+               .to_pandas()  # m x ksub rows per block: bounded driver fold
+               .groupby(["j", "c"], sort=True).sum())
+        dims = [c for c in agg.columns if c.startswith("s")]
+        new_cents, new_cids = [], []
+        for j in range(m):
+            gj = agg.xs(j, level="j")
+            keep = gj.index.to_numpy(dtype=np.int64)
+            cnts = gj["n"].to_numpy(dtype=np.float64)
+            new_cents.append(gj[dims].to_numpy(dtype=np.float64) / cnts[:, None])
+            new_cids.append(cids[j][keep])
+        cents, cids = new_cents, new_cids
+
+    # ---- queries + per-subspace ADC lookup tables ----
+    qdf = pick_query_vectors(embeddings_ds, query_ids, id_col, vec_col)
+    Qm = np.stack([np.asarray(v, dtype=np.float64) for v in qdf[vec_col]])
+    qids = qdf[id_col].to_numpy(np.int64)
+    luts = []
+    for j in range(m):
+        Qj = Qm[:, j * dsub:(j + 1) * dsub]
+        luts.append(((Qj[:, None, :] - cents[j][None, :, :]) ** 2).sum(axis=2))
+    ref = ray.put((qids, luts, cents))
+
+    # ---- one encode + ADC scan with the knn partial-top-k prune ----
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        qids_, luts_, cents_ = ray.get(ref)
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
+        ids = df[id_col].to_numpy(np.int64)
+        codes = [_assign(X[:, j * dsub:(j + 1) * dsub], cents_[j])
+                 for j in range(m)]
+        adc = luts_[0][:, codes[0]]
+        for j in range(1, m):
+            adc = adc + luts_[j][:, codes[j]]
+        adc = np.round(adc, 6)  # float-stable rank key (knn_brute recipe)
+        out = {"query_id": [], "neighbor_id": [], "sim": []}
+        for qi, q in enumerate(qids_):
+            mask = ids != q
+            nids, col = ids[mask], adc[qi][mask]
+            if len(nids) > k:
+                order = np.lexsort((nids, col))[:k]
+                nids, col = nids[order], col[order]
+            out["query_id"].extend([int(q)] * len(nids))
+            out["neighbor_id"].extend(nids.tolist())
+            out["sim"].extend(col.tolist())
+        return _typed_partial(out)  # 'sim' column carries the ADC distance
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[True, True],
+                          kind="stable").head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return (embeddings_ds.map_batches(scan, batch_format="pandas")
+            .groupby("query_id").map_groups(final_topk, batch_format="pandas"))

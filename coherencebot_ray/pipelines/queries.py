@@ -998,6 +998,97 @@ ORDER BY d.doc_id
 """
 
 
+def q_knn_pq(sf_dir: str):
+    """Product-quantization ANN (ops/knn.knn_pq): per-subspace
+    deterministic codebooks + ADC top-10 for queries vec_id < 8. The
+    oracle replicates fit + encode + ADC exactly (unrolled per-subspace
+    Lloyd over list slices), so the approximate result is
+    hash-verifiable."""
+    from ..ops.knn import knn_pq
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    out = knn_pq(ds, query_ids=list(range(8)), k=10, m=4, ksub=16,
+                 iters=2).to_pandas()
+    out = out[["query_id", "neighbor_id", "rank"]]
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _knn_pq_sql(k: int = 10, m: int = 4, ksub: int = 16, iters: int = 2,
+                dim: int = 64, nq: int = 8) -> str:
+    """DuckDB mirror of knn_pq: for each subspace, the kmeans Lloyd
+    unroll of _kmeans_ctes applied to the list SLICE; then per-query
+    LUTs (power(list_distance, 2)) and the ADC rank join."""
+    dsub = dim // m
+    ctes = [f"q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe "
+            f"FROM embeddings WHERE vec_id < {nq})"]
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        sl = f"(e.embedding::DOUBLE[])[{lo}:{hi}]"
+
+        def assign(name: str, cents: str) -> str:
+            return f"""{name} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_distance({sl}, c.cent), c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN {cents} c
+  ) WHERE rn = 1
+)"""
+
+        def update(name: str, assigned: str) -> str:
+            return f"""{name} AS (
+  SELECT cid, list(mv ORDER BY i) AS cent
+  FROM (
+    SELECT cid, i, avg(v) AS mv FROM (
+      SELECT {assigned}.cid AS cid,
+             generate_subscripts({sl}, 1) AS i,
+             unnest({sl}) AS v
+      FROM {assigned} JOIN embeddings e USING (vec_id)
+    ) GROUP BY cid, i
+  ) GROUP BY cid
+)"""
+
+        ctes.append(
+            f"p{j}c0 AS (\n  SELECT vec_id AS cid,"
+            f" (embedding::DOUBLE[])[{lo}:{hi}] AS cent"
+            f" FROM embeddings WHERE vec_id < {ksub}\n)")
+        for it in range(iters):
+            ctes.append(assign(f"p{j}a{it}", f"p{j}c{it}"))
+            ctes.append(update(f"p{j}c{it + 1}", f"p{j}a{it}"))
+        ctes.append(assign(f"p{j}af", f"p{j}c{iters}"))
+        ctes.append(
+            f"lut{j} AS (\n  SELECT q.qid, c.cid,"
+            f" power(list_distance((q.qe)[{lo}:{hi}], c.cent), 2) AS dist"
+            f"\n  FROM q CROSS JOIN p{j}c{iters} c\n)")
+    code_joins = "\n  ".join(
+        f"JOIN p{j}af e{j} USING (vec_id)" for j in range(1, m))
+    lut_joins = "\n  ".join(
+        f"JOIN lut{j} l{j} ON l{j}.cid = e{j}.cid AND l{j}.qid = l0.qid"
+        for j in range(1, m))
+    adc = " + ".join(f"l{j}.dist" for j in range(m))
+    cte_body = ",\n".join(ctes)
+    return f"""WITH {cte_body},
+r AS (
+  SELECT l0.qid, e0.vec_id AS nid,
+         row_number() OVER (
+           PARTITION BY l0.qid
+           ORDER BY round({adc}, 6) ASC, e0.vec_id ASC) AS rank
+  FROM p0af e0
+  {code_joins}
+  JOIN lut0 l0 ON l0.cid = e0.cid
+  {lut_joins}
+  WHERE e0.vec_id <> l0.qid
+)
+SELECT qid AS query_id, nid AS neighbor_id, rank FROM r WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 def q_q5_join(sf_dir: str):
     """TPC-H Q5-shaped 6-table join: revenue per nation where customer
     and supplier share an ASIA nation, orders in [1996, 1997).
@@ -4007,6 +4098,7 @@ def build_queries() -> dict:
         "ngram_novelty": q_ngram_novelty,
         "pmi_topk": q_pmi_topk,
         "q5_join": q_q5_join,
+        "knn_pq": q_knn_pq,
         "hll_distinct": q_hll_distinct,
         "simhash": q_simhash,
         "char_entropy": q_char_entropy,
@@ -4132,6 +4224,7 @@ def build_oracle_sql() -> dict:
         "ngram_novelty": _NGRAM_NOVELTY_SQL,
         "pmi_topk": _PMI_TOPK_SQL,
         "q5_join": _Q5_SQL,
+        "knn_pq": _knn_pq_sql(),
         "hll_distinct": _hll_distinct_sql(),
         "simhash": _SIMHASH_SQL,
         "langid": _langid_sql(),

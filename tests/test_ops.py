@@ -242,6 +242,50 @@ def test_knn_ivf_recall_vs_brute(ray_session):
     assert recall / 3 >= 0.5  # nprobe=4 of 8 centroids
 
 
+def test_knn_pq_recall_and_structure(ray_session):
+    """PQ-ADC ANN: planted tight clusters must be retrieved first; recall
+    vs exact brute force stays usable; dim % m enforced."""
+    import ray.data as rd
+
+    from coherencebot_ray.ops.knn import knn_brute, knn_pq
+
+    rng = np.random.default_rng(7)
+    # 10 planted cluster centers, 30 members each, tiny jitter
+    centers = rng.standard_normal((10, 32)) * 5.0
+    emb = pd.DataFrame({
+        "vec_id": np.arange(300),
+        "embedding": [
+            (centers[i % 10] + rng.standard_normal(32) * 0.05).astype(np.float32)
+            for i in range(300)
+        ],
+    })
+    ds = rd.from_pandas(emb)
+    pq = knn_pq(ds, [0, 1, 2], k=10, m=4, ksub=16, iters=2).to_pandas()
+    # self excluded, ranks dense 1..10 per query
+    for q in (0, 1, 2):
+        g = pq[pq["query_id"] == q]
+        assert q not in set(g["neighbor_id"])
+        assert sorted(g["rank"]) == list(range(1, 11))
+        # planted structure: every retrieved neighbor is a same-cluster
+        # member (ids congruent mod 10) — clusters are far apart vs the
+        # PQ quantization error
+        assert set(g["neighbor_id"] % 10) == {q % 10}
+    brute = knn_brute(ds, [0, 1, 2], k=10).to_pandas()
+    recall = np.mean([
+        len(set(brute[brute["query_id"] == q]["neighbor_id"])
+            & set(pq[pq["query_id"] == q]["neighbor_id"])) / 10
+        for q in (0, 1, 2)
+    ])
+    # within a 30-member tight cluster the exact top-10 is ~arbitrary at
+    # PQ resolution (random same-cluster pick = 10/29 ≈ 0.34), and brute
+    # ranks by cosine while ADC ranks by L2 — the load-bearing check is
+    # the cluster-membership assertion above; recall just guards against
+    # gross breakage
+    assert recall >= 0.3
+    with pytest.raises(ValueError):
+        knn_pq(ds, [0], k=5, m=5)  # 32 % 5 != 0
+
+
 def test_sliding_windows(ray_session):
     import ray.data as rd
 
