@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "pmi_topk",
     "q5_join",
     "knn_pq",
+    "collapse_repeats",
 ]
 
 

@@ -527,3 +527,35 @@ def winnow_fingerprints(df: pd.DataFrame, k: int = WINNOW_K,
                          "n_kgrams": n_kgrams,
                          "n_selected": n_selected,
                          "sel_sum": sel_sum})
+
+
+def collapse_repeats(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Collapse runs of identical consecutive tokens ("the the the" ->
+    "the") — the stutter-cleanup transform of crawl-text pipelines
+    (OCR/boilerplate artifacts repeat tokens; Gopher counts them, this
+    removes them). Tokenization is the RE2-parity ``\\S+`` split and the
+    output re-joins with single spaces (whitespace-normalizing, like
+    every token-level rewrite here). Zero-shuffle, fully vectorized:
+    one boundary-masked shifted comparison over the exploded token
+    array, no per-row Python.
+
+    Returns (doc_id, text_clean, n_collapsed) for every input row.
+    """
+    df = df.reset_index(drop=True)
+    toks = df[text_col].fillna("").str.findall(TOKEN_PATTERN)
+    n = toks.str.len().to_numpy(np.int64)
+    out_text = np.full(len(df), "", dtype=object)
+    dropped = np.zeros(len(df), dtype=np.int64)
+    if int(n.sum()) > 0:
+        flat = toks.explode().dropna()
+        ridx = flat.index.to_numpy(np.int64)
+        w = flat.to_numpy(dtype=object)
+        dup = np.zeros(len(w), dtype=bool)
+        if len(w) > 1:
+            dup[1:] = (w[1:] == w[:-1]) & (ridx[1:] == ridx[:-1])
+        dropped = np.bincount(ridx[dup], minlength=len(df)).astype(np.int64)
+        kept = pd.Series(w[~dup]).groupby(ridx[~dup]).agg(" ".join)
+        out_text[kept.index.to_numpy(np.int64)] = kept.to_numpy(dtype=object)
+    return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                         "text_clean": out_text,
+                         "n_collapsed": dropped})

@@ -420,10 +420,16 @@ def pmi_topk(docs_ds, k: int = 20, min_count: int = 3, n_buckets: int = 32,
                                  for c in OUT_COLS})
         return pd.concat(out, ignore_index=True)[OUT_COLS]
 
+    import pyarrow as pa
+
+    schema2 = pa.schema([("kind", pa.int64()), ("a", pa.string()),
+                         ("b", pa.string()), ("cnt", pa.int64()),
+                         ("ca", pa.int64()), ("cb", pa.int64())])
     stage1 = bucketed_group_apply(docs_ds, "key", bucket1,
                                   n_buckets=n_buckets, pre=pre)
     res = bucketed_group_apply(stage1, "key", bucket2,
-                               n_buckets=n_buckets).to_pandas()
+                               n_buckets=n_buckets,
+                               empty_schema=schema2).to_pandas()
     empty = pd.DataFrame({"a": pd.Series(dtype="object"),
                           "b": pd.Series(dtype="object"),
                           "cnt": pd.Series(dtype="int64"),

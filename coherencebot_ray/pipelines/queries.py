@@ -1201,6 +1201,48 @@ ORDER BY revenue_cents DESC, n_name
 """
 
 
+def q_collapse_repeats(sf_dir: str):
+    """Consecutive-duplicate-token collapse (ops/text.collapse_repeats):
+    zero-shuffle vectorized rewrite, whitespace-normalizing re-join."""
+    from ..ops.text import collapse_repeats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    out = ds.map_batches(collapse_repeats, batch_format="pandas").to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_collapsed"] = out["n_collapsed"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_COLLAPSE_REPEATS_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS t
+  FROM documents
+),
+e AS (
+  SELECT doc_id, t[s.i] AS w, s.i AS i
+  FROM tok, UNNEST(range(1, len(t) + 1)) AS s(i)
+),
+f AS (
+  SELECT doc_id, w, i,
+         lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS pw
+  FROM e
+),
+per_doc AS (
+  SELECT doc_id,
+         string_agg(w, ' ' ORDER BY i)
+           FILTER (WHERE pw IS NULL OR w <> pw) AS text_clean,
+         count(*) FILTER (WHERE pw IS NOT NULL AND w = pw) AS n_collapsed
+  FROM f GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.text_clean, '') AS text_clean,
+       CAST(coalesce(p.n_collapsed, 0) AS BIGINT) AS n_collapsed
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_pmi_topk(sf_dir: str):
     """Top-20 adjacent-token collocations by PMI (ops/vocab.pmi_topk):
     one scan emitting unigram + pair partials, two chained bucketed
@@ -4099,6 +4141,7 @@ def build_queries() -> dict:
         "pmi_topk": q_pmi_topk,
         "q5_join": q_q5_join,
         "knn_pq": q_knn_pq,
+        "collapse_repeats": q_collapse_repeats,
         "hll_distinct": q_hll_distinct,
         "simhash": q_simhash,
         "char_entropy": q_char_entropy,
@@ -4225,6 +4268,7 @@ def build_oracle_sql() -> dict:
         "pmi_topk": _PMI_TOPK_SQL,
         "q5_join": _Q5_SQL,
         "knn_pq": _knn_pq_sql(),
+        "collapse_repeats": _COLLAPSE_REPEATS_SQL,
         "hll_distinct": _hll_distinct_sql(),
         "simhash": _SIMHASH_SQL,
         "langid": _langid_sql(),

@@ -125,3 +125,34 @@ def test_winnow_fingerprints_guarantee():
     fp2 = {x >> 20 for x in brute(df["text"][2])}
     assert fp0 & fp1
     assert not (fp0 & fp2)
+
+
+def test_collapse_repeats():
+    """Consecutive-dup collapse: boundary-masked shifted compare, counts
+    exact, whitespace-normalizing re-join, empty/null rows survive."""
+    import pandas as pd
+
+    from coherencebot_ray.ops.text import collapse_repeats
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4, 5],
+        "text": [
+            "the the the cat",          # run of 3 -> 1
+            "a b a b",                  # no consecutive dups
+            "x  x\t x",                 # whitespace variants, one token run
+            "",                         # empty
+            None,                       # null
+            "end end",                  # run at doc end; also checks the
+                                        # doc boundary vs doc 4/5 edges
+        ],
+    })
+    out = collapse_repeats(df)
+    assert out["text_clean"].tolist() == [
+        "the cat", "a b a b", "x", "", "", "end"]
+    assert out["n_collapsed"].tolist() == [2, 0, 2, 0, 0, 1]
+    # boundary: last token of doc 0 ('cat') does not collapse into
+    # doc 1's first token even when equal
+    df2 = pd.DataFrame({"doc_id": [0, 1], "text": ["a b", "b c"]})
+    out2 = collapse_repeats(df2)
+    assert out2["text_clean"].tolist() == ["a b", "b c"]
+    assert out2["n_collapsed"].tolist() == [0, 0]
