@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "q5_join",
     "knn_pq",
     "collapse_repeats",
+    "hits",
 ]
 
 

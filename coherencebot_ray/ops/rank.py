@@ -172,3 +172,77 @@ def tfidf_topk_terms(docs_ds, n_docs: int, k: int = 3,
         return top[["doc_id", "term", "tf", "df", "score_micro"]]
 
     return bucketed_group_apply(joined, "doc_id", topk, n_buckets=n_buckets)
+
+
+def hits_scores(edges_ds, n_buckets: int = 64):
+    """Two-iteration UNNORMALIZED HITS (Kleinberg 1999) over (src, dst)
+    edges — the hub/authority complement of stages/tools.linkrank's
+    PageRank-style power iteration, and deliberately the other
+    implementation strategy: linkrank holds node state in Pregel-style
+    rank actors, HITS stays Dataset-native because dropping the
+    normalization step makes every iterate an INTEGER (a1 = indeg,
+    h1 = sum of a1 over out-edges, a2 = sum of h1 over in-edges), so
+    each half-iteration is one bucketed co-group + one bucketed sum and
+    the result is bit-exact against SQL with no float-order caveats
+    (relative ranking equals normalized HITS at iteration 2 — the
+    normalizer is a global positive constant per half-step).
+
+    Multigraph semantics: duplicate (src, dst) rows each contribute
+    (same as linkrank / LinkRank.java). Returns a Dataset
+    (url, hub, auth) with one row per node; pure sources have auth 0,
+    pure sinks hub 0. Exchange volume is bounded by edge rows; driver
+    holds nothing.
+    """
+    from .agg import bucketed_group_apply, bucketed_sum
+
+    def hub_parts(g: pd.DataFrame) -> pd.DataFrame:
+        # all edges of a dst share this bucket -> indeg (= a1) is exact
+        indeg = g.groupby("dst", sort=False)["dst"].transform("size")
+        part = pd.DataFrame({"url": g["src"].to_numpy(),
+                             "hub": indeg.to_numpy(np.int64)})
+        return part.groupby("url", sort=False, as_index=False).sum()
+
+    h1 = bucketed_sum(
+        bucketed_group_apply(edges_ds, "dst", hub_parts, n_buckets=n_buckets),
+        "url", ["hub"], n_buckets=n_buckets)
+
+    def tag_e(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"key": df["src"].to_numpy(dtype=object),
+                             "dst": df["dst"].to_numpy(dtype=object),
+                             "hub": np.zeros(len(df), dtype=np.int64),
+                             "__t": pd.Series(["e"] * len(df), dtype=object)})
+
+    def tag_h(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"key": df["url"].to_numpy(dtype=object),
+                             "dst": pd.Series([""] * len(df), dtype=object),
+                             "hub": df["hub"].to_numpy(np.int64),
+                             "__t": pd.Series(["h"] * len(df), dtype=object)})
+
+    tagged = (edges_ds.map_batches(tag_e, batch_format="pandas")
+              .union(h1.map_batches(tag_h, batch_format="pandas")))
+
+    def auth_parts(g: pd.DataFrame) -> pd.DataFrame:
+        hmap = g.loc[g["__t"] == "h"].groupby("key", sort=False)["hub"].sum()
+        e = g[g["__t"] == "e"]
+        if not len(e):
+            return pd.DataFrame({"url": pd.Series(dtype="object"),
+                                 "auth": pd.Series(dtype="int64")})
+        part = pd.DataFrame({
+            "url": e["dst"].to_numpy(dtype=object),
+            "auth": e["key"].map(hmap).to_numpy(np.int64)})
+        return part.groupby("url", sort=False, as_index=False).sum()
+
+    a2 = bucketed_sum(
+        bucketed_group_apply(tagged, "key", auth_parts, n_buckets=n_buckets),
+        "url", ["auth"], n_buckets=n_buckets)
+
+    hub_rows = h1.map_batches(
+        lambda df: df.assign(auth=np.zeros(len(df), dtype=np.int64))[
+            ["url", "hub", "auth"]],
+        batch_format="pandas")
+    auth_rows = a2.map_batches(
+        lambda df: df.assign(hub=np.zeros(len(df), dtype=np.int64))[
+            ["url", "hub", "auth"]],
+        batch_format="pandas")
+    return bucketed_sum(hub_rows.union(auth_rows), "url", ["hub", "auth"],
+                        n_buckets=n_buckets)

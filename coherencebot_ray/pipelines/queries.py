@@ -1201,6 +1201,46 @@ ORDER BY revenue_cents DESC, n_name
 """
 
 
+def q_hits(sf_dir: str):
+    """Two-iteration unnormalized HITS over the order->part edge graph
+    (ops/rank.hits_scores) — the hub/authority complement of linkrank,
+    Dataset-native (co-groups, no actors) and all-integer, so bit-exact
+    vs SQL with no float caveats."""
+    from ..ops.rank import hits_scores
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": "o" + df["l_orderkey"].astype(str),
+            "dst": "p" + df["l_partkey"].astype(str)})
+
+    out = hits_scores(li.map_batches(to_edges, batch_format="pandas"),
+                      n_buckets=32).to_pandas()
+    out["hub"] = out["hub"].astype(np.int64)
+    out["auth"] = out["auth"].astype(np.int64)
+    return out[["url", "hub", "auth"]].sort_values("url").reset_index(drop=True)
+
+
+_HITS_SQL = """
+WITH e AS (
+  SELECT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst FROM lineitem
+),
+a1 AS (SELECT dst, COUNT(*)::BIGINT AS a FROM e GROUP BY dst),
+h1 AS (SELECT e.src, SUM(a1.a)::BIGINT AS h FROM e JOIN a1 USING (dst) GROUP BY e.src),
+a2 AS (SELECT e.dst, SUM(h1.h)::BIGINT AS a FROM e JOIN h1 USING (src) GROUP BY e.dst),
+nodes AS (SELECT DISTINCT src AS url FROM e UNION SELECT DISTINCT dst FROM e)
+SELECT n.url,
+       CAST(coalesce(h1.h, 0) AS BIGINT) AS hub,
+       CAST(coalesce(a2.a, 0) AS BIGINT) AS auth
+FROM nodes n
+LEFT JOIN h1 ON h1.src = n.url
+LEFT JOIN a2 ON a2.dst = n.url
+ORDER BY n.url
+"""
+
+
 def q_collapse_repeats(sf_dir: str):
     """Consecutive-duplicate-token collapse (ops/text.collapse_repeats):
     zero-shuffle vectorized rewrite, whitespace-normalizing re-join."""
@@ -4142,6 +4182,7 @@ def build_queries() -> dict:
         "q5_join": q_q5_join,
         "knn_pq": q_knn_pq,
         "collapse_repeats": q_collapse_repeats,
+        "hits": q_hits,
         "hll_distinct": q_hll_distinct,
         "simhash": q_simhash,
         "char_entropy": q_char_entropy,
@@ -4269,6 +4310,7 @@ def build_oracle_sql() -> dict:
         "q5_join": _Q5_SQL,
         "knn_pq": _knn_pq_sql(),
         "collapse_repeats": _COLLAPSE_REPEATS_SQL,
+        "hits": _HITS_SQL,
         "hll_distinct": _hll_distinct_sql(),
         "simhash": _SIMHASH_SQL,
         "langid": _langid_sql(),

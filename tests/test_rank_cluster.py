@@ -102,3 +102,33 @@ def test_kmeans_empty_cluster_dropped(ray_session):
     # both seeds are identical, so every vector tie-breaks to cid 0;
     # cluster 1 empties after the first update and its label vanishes
     assert set(out["cluster"]) == {0}
+
+
+def test_hits_scores_hand_graph(ray_session):
+    """2-iteration unnormalized HITS on a hand-computable graph,
+    multigraph + pure-source/sink edge cases."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from coherencebot_ray.ops.rank import hits_scores
+
+    # u1 -> {v1, v2}; u2 -> {v1}; u2 -> v1 DUPLICATE edge; u3 -> v3
+    edges = pd.DataFrame({
+        "src": ["u1", "u1", "u2", "u2", "u3"],
+        "dst": ["v1", "v2", "v1", "v1", "v3"],
+    })
+    # a1 = indeg: v1=3, v2=1, v3=1
+    # h1(u1) = a1(v1)+a1(v2) = 4; h1(u2) = 3+3 (two edges) = 6; h1(u3)=1
+    # a2(v1) = h1(u1) + 2*h1(u2) = 4+12 = 16; a2(v2) = 4; a2(v3) = 1
+    out = (hits_scores(rd.from_pandas(edges).repartition(3), n_buckets=4)
+           .to_pandas().sort_values("url").reset_index(drop=True))
+    exp = pd.DataFrame({
+        "url": ["u1", "u2", "u3", "v1", "v2", "v3"],
+        "hub": [4, 6, 1, 0, 0, 0],
+        "auth": [0, 0, 0, 16, 4, 1],
+    })
+    for c in ("hub", "auth"):
+        out[c] = out[c].astype(np.int64)
+        exp[c] = exp[c].astype(np.int64)
+    pd.testing.assert_frame_equal(out, exp)
