@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "knn_pq",
     "collapse_repeats",
     "hits",
+    "props_stats",
 ]
 
 

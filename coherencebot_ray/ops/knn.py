@@ -471,21 +471,19 @@ def knn_pq(embeddings_ds, query_ids: list[int], k: int = 10, m: int = 4,
     # ---- fit per-subspace codebooks: iters streaming passes ----
     seed = (embeddings_ds.filter(expr=f"{id_col} < {ksub}")
             .to_pandas().sort_values(id_col))
-    S = np.stack([np.asarray(v, dtype=np.float64) for v in seed[vec_col]])
+    S = _batch_matrix(seed, vec_col)
     dim = S.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
     cents = [S[:, j * dsub:(j + 1) * dsub].copy() for j in range(m)]
-    cids = [seed[id_col].to_numpy(np.int64).copy() for _ in range(m)]
 
     for _ in range(iters):
         snap = [c.copy() for c in cents]
         ncs = [len(c) for c in cents]
 
         def partial(df: pd.DataFrame, _snap=snap, _ncs=ncs) -> pd.DataFrame:
-            X = np.stack([np.asarray(v, dtype=np.float64)
-                          for v in df[vec_col]])
+            X = _batch_matrix(df, vec_col)
             frames = []
             for j in range(m):
                 Xj = X[:, j * dsub:(j + 1) * dsub]
@@ -505,18 +503,18 @@ def knn_pq(embeddings_ds, query_ids: list[int], k: int = 10, m: int = 4,
                .to_pandas()  # m x ksub rows per block: bounded driver fold
                .groupby(["j", "c"], sort=True).sum())
         dims = [c for c in agg.columns if c.startswith("s")]
-        new_cents, new_cids = [], []
+        # empty subspace clusters drop out of the groupby (the SQL
+        # oracle's inner-join regroup does the same); codes are plain
+        # row indices into the surviving centroid array, no id tracking
+        cents = []
         for j in range(m):
             gj = agg.xs(j, level="j")
-            keep = gj.index.to_numpy(dtype=np.int64)
             cnts = gj["n"].to_numpy(dtype=np.float64)
-            new_cents.append(gj[dims].to_numpy(dtype=np.float64) / cnts[:, None])
-            new_cids.append(cids[j][keep])
-        cents, cids = new_cents, new_cids
+            cents.append(gj[dims].to_numpy(dtype=np.float64) / cnts[:, None])
 
     # ---- queries + per-subspace ADC lookup tables ----
     qdf = pick_query_vectors(embeddings_ds, query_ids, id_col, vec_col)
-    Qm = np.stack([np.asarray(v, dtype=np.float64) for v in qdf[vec_col]])
+    Qm = _batch_matrix(qdf, vec_col)
     qids = qdf[id_col].to_numpy(np.int64)
     luts = []
     for j in range(m):
@@ -527,7 +525,7 @@ def knn_pq(embeddings_ds, query_ids: list[int], k: int = 10, m: int = 4,
     # ---- one encode + ADC scan with the knn partial-top-k prune ----
     def scan(df: pd.DataFrame) -> pd.DataFrame:
         qids_, luts_, cents_ = ray.get(ref)
-        X = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
+        X = _batch_matrix(df, vec_col)
         ids = df[id_col].to_numpy(np.int64)
         codes = [_assign(X[:, j * dsub:(j + 1) * dsub], cents_[j])
                  for j in range(m)]

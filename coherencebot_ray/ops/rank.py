@@ -206,24 +206,29 @@ def hits_scores(edges_ds, n_buckets: int = 64):
         bucketed_group_apply(edges_ds, "dst", hub_parts, n_buckets=n_buckets),
         "url", ["hub"], n_buckets=n_buckets)
 
+    # int8 union tags (the dedup.py / stages/jobs.py convention — a
+    # 1-byte tag, not a per-row object string, through the exchange)
+    _T_EDGE, _T_HUB = np.int8(0), np.int8(1)
+
     def tag_e(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"key": df["src"].to_numpy(dtype=object),
                              "dst": df["dst"].to_numpy(dtype=object),
                              "hub": np.zeros(len(df), dtype=np.int64),
-                             "__t": pd.Series(["e"] * len(df), dtype=object)})
+                             "__t": np.full(len(df), _T_EDGE, dtype=np.int8)})
 
     def tag_h(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"key": df["url"].to_numpy(dtype=object),
                              "dst": pd.Series([""] * len(df), dtype=object),
                              "hub": df["hub"].to_numpy(np.int64),
-                             "__t": pd.Series(["h"] * len(df), dtype=object)})
+                             "__t": np.full(len(df), _T_HUB, dtype=np.int8)})
 
     tagged = (edges_ds.map_batches(tag_e, batch_format="pandas")
               .union(h1.map_batches(tag_h, batch_format="pandas")))
 
     def auth_parts(g: pd.DataFrame) -> pd.DataFrame:
-        hmap = g.loc[g["__t"] == "h"].groupby("key", sort=False)["hub"].sum()
-        e = g[g["__t"] == "e"]
+        tags = g["__t"].to_numpy()
+        hmap = g.loc[tags == _T_HUB].groupby("key", sort=False)["hub"].sum()
+        e = g[tags == _T_EDGE]
         if not len(e):
             return pd.DataFrame({"url": pd.Series(dtype="object"),
                                  "auth": pd.Series(dtype="int64")})

@@ -412,7 +412,15 @@ def pmi_topk(docs_ds, k: int = 20, min_count: int = 3, n_buckets: int = 32,
                  - np.log(pairs["cb"].to_numpy(dtype=np.float64)))
             pairs = pairs.assign(_s=s).sort_values(
                 ["_s", "a", "b"], ascending=[False, True, True],
-                kind="stable").head(k)
+                kind="stable")
+            if len(pairs) > k:
+                # keep a micro-rounding tie margin past the k-th row: the
+                # driver (and the SQL oracle) rank by floor(pmi*1e6+0.5)
+                # with (a, b) tie-break, so two pairs whose exact keys
+                # differ by < 1e-6 can swap order after rounding — a
+                # plain head(k) could cut the one the oracle keeps
+                kth = pairs["_s"].iloc[k - 1]
+                pairs = pairs[pairs["_s"].to_numpy() >= kth - 2e-6]
             out.append(pairs[OUT_COLS])
         if not out:
             return pd.DataFrame({c: pd.Series(dtype="int64" if c in

@@ -1143,7 +1143,7 @@ def q_q5_join(sf_dir: str):
             "key": d["o_orderkey"].to_numpy(np.int64),
             "nat": nat.dropna().to_numpy(np.int64),
             "revenue_cents": np.zeros(len(d), dtype=np.int64),
-            "__t": pd.Series(["o"] * len(d), dtype=object)})
+            "__t": np.zeros(len(d), dtype=np.int8)})  # 0 = orders side
 
     def tag_lineitem(df: pd.DataFrame) -> pd.DataFrame:
         smap = ray.get(supp_ref)
@@ -1155,12 +1155,13 @@ def q_q5_join(sf_dir: str):
                           "nat": nat.dropna().to_numpy(np.int64),
                           "revenue_cents": rev})
         t = t.groupby(["key", "nat"], sort=False, as_index=False).sum()
-        t["__t"] = pd.Series(["l"] * len(t), dtype=object)
+        t["__t"] = np.ones(len(t), dtype=np.int8)  # 1 = lineitem side
         return t
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        o_side = g[g["__t"] == "o"][["key", "nat"]]
-        l_side = g[g["__t"] == "l"]
+        tags = g["__t"].to_numpy()
+        o_side = g[tags == 0][["key", "nat"]]
+        l_side = g[tags == 1]
         if not len(o_side) or not len(l_side):
             return pd.DataFrame({"n_nationkey": pd.Series(dtype="int64"),
                                  "revenue_cents": pd.Series(dtype="int64")})
@@ -1198,6 +1199,57 @@ WHERE r_name = 'ASIA'
   AND o_orderdate <  TIMESTAMP '1997-01-01'
 GROUP BY n_name
 ORDER BY revenue_cents DESC, n_name
+"""
+
+
+def q_props_stats(sf_dir: str):
+    """Semi-structured field extraction + grouped stats: pull the
+    integer ``k`` out of the events.props JSON string with ONE C-level
+    vectorized regex (the same hot-key-extraction shape as the _pst_
+    protocol-status scan, stages/jobs.py) and fold per-event-type
+    (count, sum, min, max) — per-batch partials, driver fold bounded by
+    types x blocks (the kmeans-partial pattern, no exchange). A real
+    deployment would promote ``k`` to a typed column at the writer
+    (SURVEY §1.3); this is the scan that earns that promotion."""
+    ds = _read(sf_dir, "events", columns=["event_type", "props"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # rows without a parseable "k" are excluded entirely (missing
+        # keys are the NORMAL case for semi-structured data; the oracle
+        # filters on TRY_CAST the same way), so the op is total
+        k = df["props"].str.extract(r'"k":\s*(-?\d+)', expand=False)
+        g = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                          "k": k.to_numpy(dtype=object)}).dropna(subset=["k"])
+        g["k"] = g["k"].astype(np.int64)
+        agg = g.groupby("event_type", sort=False)["k"].agg(
+            n="size", k_sum="sum", k_min="min", k_max="max").reset_index()
+        for c in ("n", "k_sum", "k_min", "k_max"):
+            agg[c] = agg[c].astype(np.int64)
+        return agg
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), k_sum=("k_sum", "sum"),
+        k_min=("k_min", "min"), k_max=("k_max", "max"))
+    for c in ("n", "k_sum", "k_min", "k_max"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_PROPS_STATS_SQL = r"""
+WITH v AS (
+  SELECT event_type,
+         TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       COUNT(*)::BIGINT AS n,
+       SUM(k)::BIGINT AS k_sum,
+       MIN(k)::BIGINT AS k_min,
+       MAX(k)::BIGINT AS k_max
+FROM v WHERE k IS NOT NULL
+GROUP BY event_type ORDER BY event_type
 """
 
 
@@ -3346,7 +3398,7 @@ def q_q3_join(sf_dir: str):
         return pd.DataFrame(
             {"key": d["o_orderkey"].to_numpy(np.int64),
              "revenue_cents": np.zeros(len(d), dtype=np.int64),
-             "__t": pd.Series(["o"] * len(d), dtype=object)}
+             "__t": np.zeros(len(d), dtype=np.int8)}  # 0 = orders side
         )
 
     def tag_lineitem(df: pd.DataFrame) -> pd.DataFrame:
@@ -3355,7 +3407,7 @@ def q_q3_join(sf_dir: str):
         )
         d = pd.DataFrame({"key": df["l_orderkey"].to_numpy(np.int64), "revenue_cents": rev})
         d = d.groupby("key", sort=False, as_index=False).sum()
-        d["__t"] = pd.Series(["l"] * len(d), dtype=object)
+        d["__t"] = np.ones(len(d), dtype=np.int8)  # 1 = lineitem side
         return d
 
     def _empty_out() -> pd.DataFrame:
@@ -3364,8 +3416,9 @@ def q_q3_join(sf_dir: str):
         )
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        o_keys = g.loc[g["__t"] == "o", "key"].to_numpy(np.int64)
-        l = g[g["__t"] == "l"]
+        tags = g["__t"].to_numpy()
+        o_keys = g.loc[tags == 0, "key"].to_numpy(np.int64)
+        l = g[tags == 1]
         if len(o_keys) == 0 or len(l) == 0:
             return _empty_out()
         l = l[np.isin(l["key"].to_numpy(np.int64), np.sort(o_keys))]
@@ -4183,6 +4236,7 @@ def build_queries() -> dict:
         "knn_pq": q_knn_pq,
         "collapse_repeats": q_collapse_repeats,
         "hits": q_hits,
+        "props_stats": q_props_stats,
         "hll_distinct": q_hll_distinct,
         "simhash": q_simhash,
         "char_entropy": q_char_entropy,
@@ -4311,6 +4365,7 @@ def build_oracle_sql() -> dict:
         "knn_pq": _knn_pq_sql(),
         "collapse_repeats": _COLLAPSE_REPEATS_SQL,
         "hits": _HITS_SQL,
+        "props_stats": _PROPS_STATS_SQL,
         "hll_distinct": _hll_distinct_sql(),
         "simhash": _SIMHASH_SQL,
         "langid": _langid_sql(),

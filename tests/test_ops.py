@@ -1736,3 +1736,33 @@ def test_exact_dedup_keep_best_policy(ray_session):
              .to_pandas().sort_values("doc_id"))
     assert list(first["doc_id"]) == [2, 4]
     assert list(first["dup_of"]) == [1, 1]
+
+
+def test_props_stats_missing_key_total(ray_session, tmp_path):
+    """Semi-structured extraction is total: rows whose props JSON lacks
+    a parseable "k" (or is null) are excluded, not a crash; Ray result
+    equals the TRY_CAST oracle."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from coherencebot_ray.pipelines.queries import (_PROPS_STATS_SQL,
+                                                    q_props_stats)
+
+    t = pa.table({
+        "event_type": ["a", "a", "a", "b", "b", "c"],
+        "props": ['{"k": 5}', '{"x": 1}', '{"k": -3}', None,
+                  '{"k": 7}', 'not json'],
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = q_props_stats(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    exp = con.execute(_PROPS_STATS_SQL).df()
+    for c in ("n", "k_sum", "k_min", "k_max"):
+        exp[c] = exp[c].astype(np.int64)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+    # type 'c' has no parseable k -> absent; 'a' aggregates only its 2 hits
+    assert list(got["event_type"]) == ["a", "b"]
+    assert got.set_index("event_type").loc["a"].tolist() == [2, 2, -3, 5]
