@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "collapse_repeats",
     "hits",
     "props_stats",
+    "rank_normalize",
 ]
 
 

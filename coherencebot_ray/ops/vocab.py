@@ -466,3 +466,45 @@ def pmi_topk(docs_ds, k: int = 20, min_count: int = 3, n_buckets: int = 32,
     for c in ("cnt", "ca", "cb", "pmi_micro"):
         out[c] = out[c].astype(np.int64)
     return out[["a", "b", "cnt", "ca", "cb", "pmi_micro"]]
+
+
+def rank_normalize(docs_ds, value_pre, id_col: str = "doc_id",
+                   n_buckets: int = 32):
+    """EXACT rank-normalization (cume_dist) of an integer per-document
+    metric — the quality-score calibration step of a multi-source
+    curation pipeline: raw scores from heterogeneous sources aren't
+    comparable, their corpus-rank percentiles are. For each doc,
+
+        pct_micro = floor(#docs with value <= v  *  1e6 / N)
+
+    (SQL cume_dist scaled to micro units, integer-exact).
+
+    Scale shape: the same two-piece pattern as grouped_int_quantiles —
+    the distributed (value, cnt) histogram collapses to distinct values
+    (corpus-size-independent), its cumulative counts broadcast back
+    into one zero-shuffle scoring scan via ray.put. No stage ever holds
+    rows; the only all-data work is two streaming map passes.
+
+    ``value_pre``: batch -> DataFrame with int64 ``value`` (+ id_col)
+    columns. Returns a Dataset (id_col, value, pct_micro).
+    """
+    import ray
+
+    hist = int_value_histogram(docs_ds, value_pre, n_buckets=n_buckets)
+    hist = hist.sort_values("value").reset_index(drop=True)
+    n_total = int(hist["cnt"].sum())
+    cume = dict(zip(hist["value"].to_numpy(np.int64),
+                    hist["cnt"].cumsum().to_numpy(np.int64)))
+    cume_ref = ray.put((cume, n_total))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        cmap, n = ray.get(cume_ref)
+        v = value_pre(df)
+        vals = v["value"].to_numpy(np.int64)
+        cle = v["value"].map(cmap).to_numpy(np.int64)
+        return pd.DataFrame({
+            id_col: v[id_col].to_numpy(),
+            "value": vals,
+            "pct_micro": (cle * 1_000_000 // max(n, 1)).astype(np.int64)})
+
+    return docs_ds.map_batches(score, batch_format="pandas")

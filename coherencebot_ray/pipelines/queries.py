@@ -1202,6 +1202,46 @@ ORDER BY revenue_cents DESC, n_name
 """
 
 
+def q_rank_normalize(sf_dir: str):
+    """Exact cume_dist rank-normalization of per-doc token counts
+    (ops/vocab.rank_normalize): distributed distinct-value histogram ->
+    broadcast cumulative counts -> one zero-shuffle scoring scan. The
+    quality-score calibration step of a multi-source curation
+    pipeline."""
+    from ..ops.text import token_count
+    from ..ops.vocab import rank_normalize
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+
+    def value_pre(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "value": token_count(df["text"]).astype(np.int64)})
+
+    out = rank_normalize(ds, value_pre).to_pandas()
+    out = out.rename(columns={"value": "n_tokens"})
+    for c in ("doc_id", "n_tokens", "pct_micro"):
+        out[c] = out[c].astype(np.int64)
+    return (out[["doc_id", "n_tokens", "pct_micro"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+_RANK_NORMALIZE_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(coalesce(text, ''), '\S+'))::BIGINT AS v
+  FROM documents
+),
+c AS (SELECT v, COUNT(*)::BIGINT AS cnt FROM t GROUP BY v),
+cc AS (SELECT v, SUM(cnt) OVER (ORDER BY v)::BIGINT AS cle FROM c),
+n AS (SELECT COUNT(*)::BIGINT AS nn FROM t)
+SELECT t.doc_id, t.v AS n_tokens,
+       CAST(cc.cle * 1000000 // nn AS BIGINT) AS pct_micro
+FROM t JOIN cc ON cc.v = t.v, n
+ORDER BY t.doc_id
+"""
+
+
 def q_props_stats(sf_dir: str):
     """Semi-structured field extraction + grouped stats: pull the
     integer ``k`` out of the events.props JSON string with ONE C-level
@@ -4237,6 +4277,7 @@ def build_queries() -> dict:
         "collapse_repeats": q_collapse_repeats,
         "hits": q_hits,
         "props_stats": q_props_stats,
+        "rank_normalize": q_rank_normalize,
         "hll_distinct": q_hll_distinct,
         "simhash": q_simhash,
         "char_entropy": q_char_entropy,
@@ -4366,6 +4407,7 @@ def build_oracle_sql() -> dict:
         "collapse_repeats": _COLLAPSE_REPEATS_SQL,
         "hits": _HITS_SQL,
         "props_stats": _PROPS_STATS_SQL,
+        "rank_normalize": _RANK_NORMALIZE_SQL,
         "hll_distinct": _hll_distinct_sql(),
         "simhash": _SIMHASH_SQL,
         "langid": _langid_sql(),

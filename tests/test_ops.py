@@ -1766,3 +1766,25 @@ def test_props_stats_missing_key_total(ray_session, tmp_path):
     # type 'c' has no parseable k -> absent; 'a' aggregates only its 2 hits
     assert list(got["event_type"]) == ["a", "b"]
     assert got.set_index("event_type").loc["a"].tolist() == [2, 2, -3, 5]
+
+
+def test_rank_normalize_cume_dist(ray_session):
+    """Exact cume_dist percentiles vs a hand computation, ties share the
+    cumulative count of their value."""
+    import ray.data as rd
+
+    from coherencebot_ray.ops.vocab import rank_normalize
+
+    docs = pd.DataFrame({"doc_id": [0, 1, 2, 3, 4],
+                         "value_src": [10, 20, 20, 30, 5]})
+
+    def value_pre(df):
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "value": df["value_src"].to_numpy(np.int64)})
+
+    out = (rank_normalize(rd.from_pandas(docs).repartition(2), value_pre,
+                          n_buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # cume_dist: 5 -> 1/5, 10 -> 2/5, 20 -> 4/5 (both ties), 30 -> 5/5
+    assert out["pct_micro"].tolist() == [
+        2 * 10**6 // 5, 4 * 10**6 // 5, 4 * 10**6 // 5, 10**6, 10**6 // 5]
