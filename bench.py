@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "hits",
     "props_stats",
     "rank_normalize",
+    "q18_join",
 ]
 
 

@@ -1202,6 +1202,89 @@ ORDER BY revenue_cents DESC, n_name
 """
 
 
+def q_q18_join(sf_dir: str):
+    """TPC-H Q18-shaped large-order query: the groupby-HAVING semi-join
+    shape (q1 = pure agg, q3 = semi-join + agg, q5 = multiway, q18 =
+    HAVING gate feeding a join). Quantities fold as exact centi-units;
+    the HAVING filter completes inside the single orderkey co-group
+    (every lineitem row of an orderkey shares its bucket with the
+    orders row), so only qualifying orders — a few hundred rows — ever
+    leave the exchange; customer names attach from a broadcast map."""
+    import ray
+
+    from ..ops.agg import bucketed_group_apply
+
+    THRESH_CENTI = 250 * 100
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
+    name_ref = ray.put(dict(zip(cust["c_custkey"].astype(np.int64),
+                                cust["c_name"])))
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    o = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+              min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+
+    def tag_li(df: pd.DataFrame) -> pd.DataFrame:
+        qc = _cents(df["l_quantity"].to_numpy(np.float64))
+        d = pd.DataFrame({"key": df["l_orderkey"].to_numpy(np.int64),
+                          "qty_centi": qc})
+        d = d.groupby("key", sort=False, as_index=False).sum()
+        d["__t"] = np.ones(len(d), dtype=np.int8)  # 1 = lineitem side
+        return d
+
+    def tag_o(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df["o_orderkey"].to_numpy(np.int64),
+            "qty_centi": df["o_custkey"].to_numpy(np.int64),  # carries custkey
+            "__t": np.zeros(len(df), dtype=np.int8)})  # 0 = orders side
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tags = g["__t"].to_numpy()
+        l = g[tags == 1].groupby("key", sort=False, as_index=False)["qty_centi"].sum()
+        l = l[l["qty_centi"].to_numpy() > THRESH_CENTI]
+        if not len(l):
+            return pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                                 "o_custkey": pd.Series(dtype="int64"),
+                                 "qty_centi": pd.Series(dtype="int64")})
+        o_side = g[tags == 0][["key", "qty_centi"]].rename(
+            columns={"qty_centi": "o_custkey"})
+        m = l.merge(o_side, on="key", how="inner")
+        return pd.DataFrame({"o_orderkey": m["key"].to_numpy(np.int64),
+                             "o_custkey": m["o_custkey"].to_numpy(np.int64),
+                             "qty_centi": m["qty_centi"].to_numpy(np.int64)})
+
+    tagged = li.map_batches(tag_li, batch_format="pandas").union(
+        o.map_batches(tag_o, batch_format="pandas"))
+    out = bucketed_group_apply(tagged, "key", join_bucket).to_pandas()
+    if not len(out):
+        return pd.DataFrame({"c_name": pd.Series(dtype="object"),
+                             "o_orderkey": pd.Series(dtype="int64"),
+                             "qty_centi": pd.Series(dtype="int64")})
+    names = ray.get(name_ref)
+    out["c_name"] = out["o_custkey"].map(names)
+    out["o_orderkey"] = out["o_orderkey"].astype(np.int64)
+    out["qty_centi"] = out["qty_centi"].astype(np.int64)
+    return (out[["c_name", "o_orderkey", "qty_centi"]]
+            .sort_values(["qty_centi", "o_orderkey"], ascending=[False, True])
+            .reset_index(drop=True))
+
+
+_Q18_SQL = """
+WITH lq AS (
+  SELECT l_orderkey,
+         SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))::BIGINT AS qty_centi
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) > 25000
+)
+SELECT c.c_name, o.o_orderkey, lq.qty_centi
+FROM lq
+JOIN orders o ON o.o_orderkey = lq.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY qty_centi DESC, o_orderkey ASC
+"""
+
+
 def q_rank_normalize(sf_dir: str):
     """Exact cume_dist rank-normalization of per-doc token counts
     (ops/vocab.rank_normalize): distributed distinct-value histogram ->
@@ -4278,6 +4361,7 @@ def build_queries() -> dict:
         "hits": q_hits,
         "props_stats": q_props_stats,
         "rank_normalize": q_rank_normalize,
+        "q18_join": q_q18_join,
         "hll_distinct": q_hll_distinct,
         "simhash": q_simhash,
         "char_entropy": q_char_entropy,
@@ -4408,6 +4492,7 @@ def build_oracle_sql() -> dict:
         "hits": _HITS_SQL,
         "props_stats": _PROPS_STATS_SQL,
         "rank_normalize": _RANK_NORMALIZE_SQL,
+        "q18_join": _Q18_SQL,
         "hll_distinct": _hll_distinct_sql(),
         "simhash": _SIMHASH_SQL,
         "langid": _langid_sql(),
