@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "props_stats",
     "rank_normalize",
     "q18_join",
+    "latest_event",
 ]
 
 

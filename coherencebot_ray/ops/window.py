@@ -103,3 +103,37 @@ def sliding_window_counts(events_ds, window_s: int = 3600, slide_s: int = 900):
     return out.map_batches(
         lambda df: df.rename(columns={"n": "n_events"}), batch_format="pandas"
     )
+
+
+def latest_per_key(events_ds, key_col: str = "user_id",
+                   order_cols: tuple = ("ts", "event_id"),
+                   keep_cols: tuple = ("event_id", "event_type"),
+                   n_buckets: int = 64):
+    """Latest-record-per-key — the log-compaction / SCD-current-state
+    primitive (Kafka compacted topics, CDC snapshotting): for every key
+    keep exactly the row that is maximal under ``order_cols``
+    (lexicographic, later wins; the id column breaks timestamp ties
+    deterministically).
+
+    Scale shape: each batch pre-combines to ONE candidate row per key
+    (vectorized sort + groupby-tail, no Python loop), so the single
+    key-hash exchange moves at most |keys-per-batch| rows — at 10^10
+    events with a bounded key universe the exchange is key-cardinality-
+    sized, never event-sized. The per-bucket fold repeats the same
+    argmax over the candidates. Returns (key_col, *keep_cols).
+    """
+    from .agg import bucketed_group_apply
+
+    ocols = list(order_cols)
+    cols = [key_col] + ocols + [c for c in keep_cols if c not in ocols
+                                and c != key_col]
+
+    def argmax_rows(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[cols].sort_values([key_col] + ocols, kind="stable")
+        return d.groupby(key_col, sort=False).tail(1)
+
+    partials = events_ds.map_batches(argmax_rows, batch_format="pandas")
+    out = bucketed_group_apply(partials, key_col, argmax_rows,
+                               n_buckets=n_buckets)
+    keep = [key_col] + list(keep_cols)
+    return out.map_batches(lambda df: df[keep], batch_format="pandas")

@@ -1202,6 +1202,37 @@ ORDER BY revenue_cents DESC, n_name
 """
 
 
+def q_latest_event(sf_dir: str):
+    """Latest-record-per-key compaction over the events log
+    (ops/window.latest_per_key): per-batch vectorized argmax partials,
+    ONE key-hash exchange moving at most one candidate row per key per
+    batch."""
+    from ..ops.window import latest_per_key
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    out = latest_per_key(ds, key_col="user_id",
+                         order_cols=("ts", "event_id"),
+                         keep_cols=("event_id", "event_type")).to_pandas()
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["event_id"] = out["event_id"].astype(np.int64)
+    return (out[["user_id", "event_id", "event_type"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
+_LATEST_EVENT_SQL = """
+SELECT user_id, event_id, event_type
+FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id
+"""
+
+
 def q_q18_join(sf_dir: str):
     """TPC-H Q18-shaped large-order query: the groupby-HAVING semi-join
     shape (q1 = pure agg, q3 = semi-join + agg, q5 = multiway, q18 =
@@ -4362,6 +4393,7 @@ def build_queries() -> dict:
         "props_stats": q_props_stats,
         "rank_normalize": q_rank_normalize,
         "q18_join": q_q18_join,
+        "latest_event": q_latest_event,
         "hll_distinct": q_hll_distinct,
         "simhash": q_simhash,
         "char_entropy": q_char_entropy,
@@ -4493,6 +4525,7 @@ def build_oracle_sql() -> dict:
         "props_stats": _PROPS_STATS_SQL,
         "rank_normalize": _RANK_NORMALIZE_SQL,
         "q18_join": _Q18_SQL,
+        "latest_event": _LATEST_EVENT_SQL,
         "hll_distinct": _hll_distinct_sql(),
         "simhash": _SIMHASH_SQL,
         "langid": _langid_sql(),

@@ -1788,3 +1788,25 @@ def test_rank_normalize_cume_dist(ray_session):
     # cume_dist: 5 -> 1/5, 10 -> 2/5, 20 -> 4/5 (both ties), 30 -> 5/5
     assert out["pct_micro"].tolist() == [
         2 * 10**6 // 5, 4 * 10**6 // 5, 4 * 10**6 // 5, 10**6, 10**6 // 5]
+
+
+def test_latest_per_key_compaction(ray_session):
+    """Latest-record-per-key: timestamp tie broken by id, partials
+    across block boundaries fold correctly."""
+    import ray.data as rd
+
+    from coherencebot_ray.ops.window import latest_per_key
+
+    ev = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 3],
+        "ts": pd.to_datetime(["2024-01-02", "2024-01-03", "2024-01-03",
+                              "2024-01-01", "2024-01-05", "2024-01-04"]),
+        "event_id": [10, 11, 12, 20, 21, 30],
+        "event_type": ["a", "b", "c", "d", "e", "f"],
+    })
+    out = (latest_per_key(rd.from_pandas(ev).repartition(3),
+                          n_buckets=4).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    # user 1: ts tie between event 11/12 -> higher event_id (12) wins
+    assert out["event_id"].tolist() == [12, 21, 30]
+    assert out["event_type"].tolist() == ["c", "e", "f"]
