@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "rank_normalize",
     "q18_join",
     "latest_event",
+    "funnel",
 ]
 
 

@@ -137,3 +137,51 @@ def latest_per_key(events_ds, key_col: str = "user_id",
                                n_buckets=n_buckets)
     keep = [key_col] + list(keep_cols)
     return out.map_batches(lambda df: df[keep], batch_format="pandas")
+
+
+def funnel_stages(events_ds, stages=("view", "click", "purchase"),
+                  key_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type", n_buckets: int = 64):
+    """Ordered funnel analysis — for each key, the earliest time each
+    stage was reached STRICTLY AFTER the previous stage (the product-
+    analytics conversion primitive: view -> click -> purchase). A stage
+    is reached at min ts among its events later than the prior stage's
+    reach time; missing stages (and everything after them) report -1.
+
+    Scale shape: ONE key-hash exchange co-locates each key's events;
+    inside a bucket the whole stage chain is vectorized (masked
+    per-key transform-min per stage — no per-user Python). The
+    exchange moves (key, ts, type) triples only, never payloads.
+    Returns (key_col, <stage>_us... , converted) with epoch-us int64
+    times and converted = 1 iff the last stage was reached.
+    """
+    from .agg import bucketed_group_apply
+
+    SENTINEL = np.iinfo(np.int64).max
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        us = g[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        et = g[type_col].to_numpy()
+        keys = g[key_col]
+        reach = np.full(len(g), np.int64(-SENTINEL), dtype=np.int64)
+        # reach starts "before everything": stage 0 has no predecessor
+        out = pd.DataFrame({key_col: keys.drop_duplicates().to_numpy()})
+        prev = None
+        for s in stages:
+            cand = np.where((et == s) & (us > reach), us, SENTINEL)
+            t_s = (pd.Series(cand).groupby(keys.to_numpy(), sort=False)
+                   .transform("min").to_numpy(np.int64))
+            reach = t_s  # next stage must come strictly after this one
+            firsts = (pd.DataFrame({key_col: keys.to_numpy(), "t": t_s})
+                      .groupby(key_col, sort=False, as_index=False)["t"].min())
+            out = out.merge(firsts.rename(columns={"t": f"{s}_us"}),
+                            on=key_col, how="left")
+        for s in stages:
+            c = out[f"{s}_us"].to_numpy(np.int64)
+            out[f"{s}_us"] = np.where(c == SENTINEL, np.int64(-1), c)
+        out["converted"] = (out[f"{stages[-1]}_us"].to_numpy(np.int64)
+                            != -1).astype(np.int64)
+        return out
+
+    return bucketed_group_apply(
+        events_ds, key_col, per_bucket, n_buckets=n_buckets)

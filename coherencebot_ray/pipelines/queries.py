@@ -1202,6 +1202,46 @@ ORDER BY revenue_cents DESC, n_name
 """
 
 
+def q_funnel(sf_dir: str):
+    """Ordered conversion funnel view -> click -> purchase per user
+    (ops/window.funnel_stages): one key-hash exchange, fully vectorized
+    masked stage-chain inside each bucket, -1 sentinels for unreached
+    stages."""
+    from ..ops.window import funnel_stages
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"],
+               min_block_bytes=_EXCHANGE_BLOCK_BYTES)
+    out = funnel_stages(ds).to_pandas()
+    cols = ["user_id", "view_us", "click_us", "purchase_us", "converted"]
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out[cols].sort_values("user_id").reset_index(drop=True)
+
+
+_FUNNEL_SQL = """
+WITH t AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+v AS (SELECT user_id, MIN(us) AS v_us FROM t
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT t.user_id, MIN(t.us) AS c_us
+      FROM t JOIN v ON v.user_id = t.user_id
+      WHERE t.event_type = 'click' AND t.us > v.v_us GROUP BY t.user_id),
+p AS (SELECT t.user_id, MIN(t.us) AS p_us
+      FROM t JOIN c ON c.user_id = t.user_id
+      WHERE t.event_type = 'purchase' AND t.us > c.c_us GROUP BY t.user_id),
+u AS (SELECT DISTINCT user_id FROM t)
+SELECT u.user_id,
+       CAST(coalesce(v.v_us, -1) AS BIGINT) AS view_us,
+       CAST(coalesce(c.c_us, -1) AS BIGINT) AS click_us,
+       CAST(coalesce(p.p_us, -1) AS BIGINT) AS purchase_us,
+       CAST(CASE WHEN p.p_us IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS converted
+FROM u
+LEFT JOIN v USING (user_id)
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+ORDER BY u.user_id
+"""
+
+
 def q_latest_event(sf_dir: str):
     """Latest-record-per-key compaction over the events log
     (ops/window.latest_per_key): per-batch vectorized argmax partials,
@@ -4394,6 +4434,7 @@ def build_queries() -> dict:
         "rank_normalize": q_rank_normalize,
         "q18_join": q_q18_join,
         "latest_event": q_latest_event,
+        "funnel": q_funnel,
         "hll_distinct": q_hll_distinct,
         "simhash": q_simhash,
         "char_entropy": q_char_entropy,
@@ -4526,6 +4567,7 @@ def build_oracle_sql() -> dict:
         "rank_normalize": _RANK_NORMALIZE_SQL,
         "q18_join": _Q18_SQL,
         "latest_event": _LATEST_EVENT_SQL,
+        "funnel": _FUNNEL_SQL,
         "hll_distinct": _hll_distinct_sql(),
         "simhash": _SIMHASH_SQL,
         "langid": _langid_sql(),

@@ -1810,3 +1810,36 @@ def test_latest_per_key_compaction(ray_session):
     # user 1: ts tie between event 11/12 -> higher event_id (12) wins
     assert out["event_id"].tolist() == [12, 21, 30]
     assert out["event_type"].tolist() == ["c", "e", "f"]
+
+
+def test_funnel_stages_ordering(ray_session):
+    """Funnel: strict ordering (a click BEFORE the first view doesn't
+    count), cascading sentinels, multi-block fold."""
+    import ray.data as rd
+
+    from coherencebot_ray.ops.window import funnel_stages
+
+    ts = pd.to_datetime
+    ev = pd.DataFrame({
+        "user_id":    [1, 1, 1, 1,   2, 2,   3, 3, 3,   4],
+        "ts": ts(["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04",
+                  "2024-01-02", "2024-01-01",          # click BEFORE view
+                  "2024-01-01", "2024-01-02", "2024-01-01",  # purchase before click
+                  "2024-01-05"]),
+        "event_type": ["view", "click", "click", "purchase",
+                       "view", "click",
+                       "view", "click", "purchase",
+                       "purchase"],
+    })
+    out = (funnel_stages(rd.from_pandas(ev).repartition(3), n_buckets=4)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    d = ts("2024-01-01").value // 1000
+    day = 86_400_000_000
+    # user 1: full funnel, first click after view (01-02) wins
+    assert out.loc[0].tolist() == [1, d, d + day, d + 3 * day, 1]
+    # user 2: only a pre-view click -> click/purchase unreached
+    assert out.loc[1].tolist() == [2, d + day, -1, -1, 0]
+    # user 3: purchase at 01-01 precedes the click -> not converted
+    assert out.loc[2].tolist() == [3, d, d + day, -1, 0]
+    # user 4: no view at all -> everything -1
+    assert out.loc[3].tolist() == [4, -1, -1, -1, 0]
